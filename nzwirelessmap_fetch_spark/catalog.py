@@ -1,0 +1,155 @@
+"""Explicit-schema table registry over the parquet fixtures.
+
+The reference discovers schemas dynamically at ingest (mdb-sqlite.jar's
+``AccessExporter#createTables`` walks ``Database.getTableNames()`` — SURVEY.md
+§1.3) but the query layer assumes a fixed schema. Here the engine keeps a
+closed registry of ``StructType`` schemas (the SURVEY.md §1.2 stance: a fixed
+primitive type system, unknown types rejected at ingest) and reads parquet
+with the schema supplied — no inference pass, so a scan never needs a
+metadata-only job before the real one.
+
+At 100 TB the registry also carries *layout* hints: which column a table
+should be pre-partitioned/bucketed on so repeated joins co-locate without a
+shuffle (`nzwirelessmap_fetch_spark.sources.readers` applies them for
+managed-table writes).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _s(*fields: tuple[str, T.DataType]) -> T.StructType:
+    return T.StructType([T.StructField(n, t, True) for n, t in fields])
+
+
+SCHEMAS: dict[str, T.StructType] = {
+    "region": _s(("r_regionkey", T.IntegerType()), ("r_name", T.StringType())),
+    "nation": _s(
+        ("n_nationkey", T.IntegerType()),
+        ("n_name", T.StringType()),
+        ("n_regionkey", T.IntegerType()),
+    ),
+    "customer": _s(
+        ("c_custkey", T.LongType()),
+        ("c_name", T.StringType()),
+        ("c_nationkey", T.IntegerType()),
+        ("c_acctbal", T.DoubleType()),
+        ("c_mktsegment", T.StringType()),
+    ),
+    "supplier": _s(
+        ("s_suppkey", T.LongType()),
+        ("s_name", T.StringType()),
+        ("s_nationkey", T.IntegerType()),
+        ("s_acctbal", T.DoubleType()),
+    ),
+    "part": _s(
+        ("p_partkey", T.LongType()),
+        ("p_name", T.StringType()),
+        ("p_brand", T.StringType()),
+        ("p_type", T.StringType()),
+        ("p_size", T.IntegerType()),
+        ("p_retailprice", T.DoubleType()),
+    ),
+    "orders": _s(
+        ("o_orderkey", T.LongType()),
+        ("o_custkey", T.LongType()),
+        ("o_orderstatus", T.StringType()),
+        ("o_totalprice", T.DoubleType()),
+        ("o_orderdate", T.TimestampType()),
+        ("o_orderpriority", T.StringType()),
+    ),
+    "lineitem": _s(
+        ("l_orderkey", T.LongType()),
+        ("l_partkey", T.LongType()),
+        ("l_suppkey", T.LongType()),
+        ("l_linenumber", T.IntegerType()),
+        ("l_quantity", T.DoubleType()),
+        ("l_extendedprice", T.DoubleType()),
+        ("l_discount", T.DoubleType()),
+        ("l_tax", T.DoubleType()),
+        ("l_returnflag", T.StringType()),
+        ("l_linestatus", T.StringType()),
+        ("l_shipdate", T.TimestampType()),
+    ),
+    "events": _s(
+        ("event_id", T.LongType()),
+        ("ts", T.TimestampType()),
+        ("user_id", T.LongType()),
+        ("event_type", T.StringType()),
+        ("value", T.DoubleType()),
+        ("props", T.StringType()),
+    ),
+    "documents": _s(
+        ("doc_id", T.LongType()),
+        ("text", T.StringType()),
+        ("lang", T.StringType()),
+        ("source", T.StringType()),
+        ("n_chars", T.LongType()),
+    ),
+    "embeddings": _s(
+        ("vec_id", T.LongType()),
+        ("embedding", T.ArrayType(T.FloatType())),
+        ("label", T.IntegerType()),
+    ),
+}
+
+# Dimension tables small enough to broadcast at ANY scale factor (they grow
+# sublinearly or not at all in TPC-H-style scaling). Fact tables shuffle on
+# their join key; AQE handles the rest.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+# Natural partitioning keys at 100 TB: the column the fact table is
+# re-joined/aggregated on most often. Used by writers for bucketed layouts.
+LAYOUT_KEYS: dict[str, str] = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "user_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+@dataclass
+class Catalog:
+    """Loads fixture tables with explicit schemas and registers temp views."""
+
+    spark: SparkSession
+    sf_dir: str
+    _cache: dict[str, DataFrame] = field(default_factory=dict)
+
+    def table(self, name: str) -> DataFrame:
+        if name not in SCHEMAS:
+            raise KeyError(f"unknown table {name!r}; registry is closed (SURVEY.md §1.2)")
+        if name not in self._cache:
+            df = self.spark.read.schema(SCHEMAS[name]).parquet(
+                f"{self.sf_dir}/{name}.parquet"
+            )
+            self._cache[name] = df
+        return self._cache[name]
+
+    def register_views(self, names: tuple[str, ...] = TABLES) -> None:
+        for name in names:
+            self.table(name).createOrReplaceTempView(name)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> Catalog:
+    cat = Catalog(spark, sf_dir)
+    cat.register_views()
+    return cat

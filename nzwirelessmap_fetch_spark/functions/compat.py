@@ -1,0 +1,46 @@
+"""Reference-semantics compatibility helpers.
+
+The reference executes its query through SQLite 3 (fetch.go:222), whose
+dialect differs from Spark SQL in a few silently-breaking ways documented in
+SURVEY.md §7.4. Each helper pins one of those semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def sqlite_like(col: Column | str, pattern: str) -> Column:
+    """SQLite ``LIKE`` is case-insensitive for ASCII by default
+    (select_point_to_point_links.sql:70 relies on it: ``licencecode LIKE
+    'F%'`` matches ``f...`` rows). Spark ``like`` is case-sensitive, so the
+    parity spelling is ``ilike``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.ilike(pattern)
+
+
+def all_string(col: Column | str) -> Column:
+    """The reference's public result type system is all-strings: CSV via the
+    sqlite3 CLI then ``csv.DictReader`` → string dicts (csv2json2.py:1-3).
+    NULL becomes the empty string at the CSV boundary (empty field), which is
+    what ``coalesce(cast(. as string), '')`` pins.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c.cast("string"), F.lit(""))
+
+
+def money_to_string(col: Column | str) -> Column:
+    """Access MONEY columns are exported via ``Object.toString()`` +
+    ``setString`` (AccessExporter#populateTable bytecode 326-337) — i.e. the
+    wire format is a decimal string, not a number."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(19,4)").cast("string")
+
+
+def boolean_to_int(col: Column | str) -> Column:
+    """Access BOOLEAN exported as INTEGER 0/1 (AccessExporter#populateTable
+    bytecode 349-387)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("boolean").cast("int")

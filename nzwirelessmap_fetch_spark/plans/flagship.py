@@ -1,0 +1,135 @@
+"""Flagship query: the point-to-point-links shape on the fixture schema.
+
+The reference's one relational query (select_point_to_point_links.sql:5-79)
+is a 9-relation-instance inner equi-join with a double-role dimension
+(``location`` / ``geographicreference`` each joined twice as rx/tx —
+sql:52-55), constant-equality / case-insensitive-LIKE-prefix / inequality
+filters (sql:64-78), ``trim()`` cleanup (sql:12-47) and an 11-column aliased
+projection (sql:10-41). FIXTURES.md §B maps that operator shape onto the
+driver's TPC-H-ish tables:
+
+    lineitem ⋈ orders ⋈ customer ⋈ part ⋈ supplier
+             ⋈ nation AS c_nation  (rx-role dimension)
+             ⋈ nation AS s_nation  (tx-role dimension)
+             ⋈ region (via c_nation)
+
+Column mapping to the reference output (sql:10-41):
+    link_id←licenceid, client_name←clientname, order_priority←licencetype,
+    price←frequency, quantity←power, tx_name/tx_lng←tx_name/tx_lng,
+    rx_name/rx_lng←rx_name/rx_lng, region_name+part_brand←(extra dims).
+
+Physical strategy at 100 TB: ``lineitem`` (the fact) is the only huge
+relation. ``orders`` is fact-sized too — that join shuffles on the order
+key (co-located for free if both are bucketed by order key, see
+sinks/writers). Every other relation is a dimension that grows sublinearly,
+so all five dimension joins are explicit broadcasts: one shuffle total in
+the whole plan. The three filters sit directly on scan columns and push
+down to parquet row-group pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..functions.compat import sqlite_like
+
+# 11 output columns, mirroring select_point_to_point_links.sql:10-41.
+OUTPUT_COLUMNS = (
+    "link_id",
+    "client_name",
+    "order_priority",
+    "price",
+    "quantity",
+    "tx_name",
+    "tx_lng",
+    "rx_name",
+    "rx_lng",
+    "region_name",
+    "part_brand",
+)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame form. Equivalent SQL form in :data:`FLAGSHIP_ORACLE_SQL`."""
+    cat = Catalog(spark, sf_dir)
+    lineitem = cat.table("lineitem")
+    orders = cat.table("orders")
+    customer = cat.table("customer")
+    part = cat.table("part")
+    supplier = cat.table("supplier")
+    nation = cat.table("nation")
+    region = cat.table("region")
+
+    # Double-role dimension (reference: location/georef joined twice as
+    # rx/tx, sql:52-55). Alias hygiene per SURVEY.md §7.4.5: qualified cols.
+    c_nation = nation.alias("c_nation")
+    s_nation = nation.alias("s_nation")
+
+    joined = (
+        lineitem
+        # fact-fact join: shuffles on the order key (bucketable at scale)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        # dimension joins: all broadcast — no extra shuffles
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(
+            F.broadcast(c_nation),
+            customer.c_nationkey == F.col("c_nation.n_nationkey"),
+        )
+        .join(
+            F.broadcast(s_nation),
+            supplier.s_nationkey == F.col("s_nation.n_nationkey"),
+        )
+        .join(F.broadcast(region), F.col("c_nation.n_regionkey") == region.r_regionkey)
+    )
+
+    filtered = joined.filter(
+        (orders.o_orderstatus == "F")  # analog of georeferencetypeid = 3
+        & sqlite_like(part.p_type, "S%")  # analog of licencecode LIKE 'F%'
+        & (lineitem.l_discount != 0)  # analog of northing != 0
+    )
+
+    return filtered.select(
+        lineitem.l_orderkey.alias("link_id"),
+        F.trim(customer.c_name).alias("client_name"),
+        F.trim(orders.o_orderpriority).alias("order_priority"),
+        lineitem.l_extendedprice.alias("price"),
+        lineitem.l_quantity.alias("quantity"),
+        F.trim(F.col("s_nation.n_name")).alias("tx_name"),
+        supplier.s_acctbal.alias("tx_lng"),
+        F.trim(F.col("c_nation.n_name")).alias("rx_name"),
+        customer.c_acctbal.alias("rx_lng"),
+        F.trim(region.r_name).alias("region_name"),
+        part.p_brand.alias("part_brand"),
+    )
+
+
+# ANSI form of the same plan; runnable by DuckDB (oracle) and Spark SQL.
+FLAGSHIP_ORACLE_SQL = """
+SELECT
+    l.l_orderkey                AS link_id,
+    trim(c.c_name)              AS client_name,
+    trim(o.o_orderpriority)     AS order_priority,
+    l.l_extendedprice           AS price,
+    l.l_quantity                AS quantity,
+    trim(s_nation.n_name)       AS tx_name,
+    s.s_acctbal                 AS tx_lng,
+    trim(c_nation.n_name)       AS rx_name,
+    c.c_acctbal                 AS rx_lng,
+    trim(r.r_name)              AS region_name,
+    p.p_brand                   AS part_brand
+FROM lineitem l
+JOIN orders   o        ON l.l_orderkey = o.o_orderkey
+JOIN customer c        ON o.o_custkey  = c.c_custkey
+JOIN part     p        ON l.l_partkey  = p.p_partkey
+JOIN supplier s        ON l.l_suppkey  = s.s_suppkey
+JOIN nation   c_nation ON c.c_nationkey = c_nation.n_nationkey
+JOIN nation   s_nation ON s.s_nationkey = s_nation.n_nationkey
+JOIN region   r        ON c_nation.n_regionkey = r.r_regionkey
+WHERE o.o_orderstatus = 'F'
+  AND p.p_type ILIKE 'S%'
+  AND l.l_discount <> 0
+"""

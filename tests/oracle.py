@@ -1,0 +1,59 @@
+"""Local re-implementation of the driver's oracle comparison so tests fail
+the same way CORRECTNESS_r{N}.json would: row count + column names + an
+order-insensitive value hash over stringified cells.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pandas as pd
+
+
+def _norm_cell(v) -> str:
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def frame_fingerprint(df: pd.DataFrame) -> tuple[int, tuple[str, ...], str]:
+    """(row_count, sorted column names, order-insensitive value hash)."""
+    cols = tuple(sorted(df.columns))
+    rows = [
+        "|".join(_norm_cell(row[c]) for c in cols)
+        for _, row in df.iterrows()
+    ]
+    digest = hashlib.sha256("\n".join(sorted(rows)).encode()).hexdigest()
+    return len(df), cols, digest
+
+
+def compare(spark_df, ddb_con, oracle_sql: str) -> None:
+    """Assert the Spark result and the DuckDB oracle result match."""
+    left = spark_df.toPandas()
+    right = ddb_con.execute(oracle_sql).df()
+    ln, lc, lh = frame_fingerprint(left)
+    rn, rc, rh = frame_fingerprint(right)
+    assert ln == rn, f"row count mismatch: spark={ln} oracle={rn}"
+    assert lc == rc, f"column mismatch: spark={lc} oracle={rc}"
+    if lh != rh:
+        merged = _diff_sample(left, right, lc)
+        raise AssertionError(f"value hash mismatch; sample diff:\n{merged}")
+
+
+def _diff_sample(left: pd.DataFrame, right: pd.DataFrame, cols) -> str:
+    lrows = sorted(
+        "|".join(_norm_cell(r[c]) for c in cols) for _, r in left.iterrows()
+    )
+    rrows = sorted(
+        "|".join(_norm_cell(r[c]) for c in cols) for _, r in right.iterrows()
+    )
+    only_l = [r for r in lrows if r not in set(rrows)][:5]
+    only_r = [r for r in rrows if r not in set(lrows)][:5]
+    return f"only-in-spark: {only_l}\nonly-in-oracle: {only_r}"
