@@ -138,11 +138,35 @@ class Catalog:
         if name not in SCHEMAS:
             raise KeyError(f"unknown table {name!r}; registry is closed (SURVEY.md §1.2)")
         if name not in self._cache:
-            df = self.spark.read.schema(SCHEMAS[name]).parquet(
-                f"{self.sf_dir}/{name}.parquet"
-            )
+            if name == "events":
+                df = self._read_events()
+            else:
+                df = self.spark.read.schema(SCHEMAS[name]).parquet(
+                    f"{self.sf_dir}/{name}.parquet"
+                )
             self._cache[name] = df
         return self._cache[name]
+
+    def _read_events(self) -> DataFrame:
+        """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        reader won't widen to TimestampType. Read the raw int64 nanos
+        (``spark.sql.legacy.parquet.nanosAsLong``) and floor-divide to
+        micros — the same truncation DuckDB applies when it loads a
+        nanosecond column into its microsecond TIMESTAMP."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw_schema = T.StructType(
+            [
+                T.StructField("ts", T.LongType(), True)
+                if f.name == "ts"
+                else f
+                for f in SCHEMAS["events"].fields
+            ]
+        )
+        df = self.spark.read.schema(raw_schema).parquet(f"{self.sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
     def register_views(self, names: tuple[str, ...] = TABLES) -> None:
         for name in names:

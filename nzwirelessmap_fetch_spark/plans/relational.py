@@ -1,0 +1,510 @@
+"""Relational operator parity suite (SURVEY.md §2.2 / §2.3).
+
+The reference delegates its entire query surface to SQLite (fetch.go:222), so
+"parity" means the engine can answer the same *class* of relational queries.
+Each function here exercises one §2.3 capability row on the fixture tables,
+paired with a DuckDB oracle (same column aliases — the driver hashes by
+sorted column name).
+
+Cross-engine exactness discipline:
+- double aggregates go through ``CAST(x AS DECIMAL(18,2))`` before SUM on
+  BOTH sides, then cast back to double — decimal arithmetic is exact, so the
+  hash can't be flipped by summation order (SURVEY.md §7.4.2 analog).
+- DuckDB ``SUM(BIGINT)`` returns HUGEINT and ``length()`` returns BIGINT —
+  oracles cast to the Spark-side type explicitly.
+- windows / top-k always order by a unique key suffix for determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+
+
+def _dec(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (hash agg, partial/map-side combine happens automatically)
+# ---------------------------------------------------------------------------
+
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter → hash aggregate with 6 aggregates.
+
+    At scale: partial aggregation map-side, 6 groups total → the shuffle
+    moves O(groups × partitions) rows, not O(data).
+    """
+    li = Catalog(spark, sf_dir).table("lineitem")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.filter(li.l_shipdate <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+            .alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+AGG_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE)                                             AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*)                                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + min/max per group (distinct agg → expand+two-phase)."""
+    o = Catalog(spark, sf_dir).table("orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+AGG_DISTINCT_STATS_SQL = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       MIN(o_totalprice)         AS min_price,
+       MAX(o_totalprice)         AS max_price,
+       COUNT(*)                  AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (superset of the reference's agg surface —
+    SQLite would answer these; SURVEY.md §2.3 aggregation row)."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+    )
+
+
+AGG_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(GROUPING(l_returnflag) AS INT)  AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT)  AS g_status
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (conditional aggregation in the oracle)."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(_dec("l_quantity")).cast("double"))
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("O").alias("qty_open"),
+        F.col("F").alias("qty_filled"),
+    )
+
+
+AGG_PIVOT_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_open,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_filled
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def agg_conditional_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-WHEN bucketing + aggregation (scalar conditional surface)."""
+    c = Catalog(spark, sf_dir).table("customer")
+    bucket = (
+        F.when(c.c_acctbal < 0, "negative")
+        .when(c.c_acctbal < 5000, "low")
+        .otherwise("high")
+    )
+    return (
+        c.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
+
+
+AGG_CONDITIONAL_BUCKETS_SQL = """
+SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END AS bucket,
+       COUNT(*)       AS n,
+       MIN(c_acctbal) AS min_bal,
+       MAX(c_acctbal) AS max_bal
+FROM customer
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins beyond the flagship (semi / anti / outer / cross / range)
+# ---------------------------------------------------------------------------
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS). The reference's idempotency gate is a degenerate
+    anti-join against existing outputs (fetch.go:59-67, SURVEY.md §2.3)."""
+    cat = Catalog(spark, sf_dir)
+    c, o = cat.table("customer"), cat.table("orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS) — the P3 idempotency-gate shape."""
+    cat = Catalog(spark, sf_dir)
+    c, o = cat.table("customer"), cat.table("orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def join_left_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero orders, then count
+    (COUNT(col) skips the NULLs the outer join introduced)."""
+    cat = Catalog(spark, sf_dir)
+    c, o = cat.table("customer"), cat.table("orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+JOIN_LEFT_OUTER_AGG_SQL = """
+SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+"""
+
+
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join — only ever sane between tiny relations; Catalyst
+    turns it into BroadcastNestedLoopJoin."""
+    cat = Catalog(spark, sf_dir)
+    r = cat.table("region")
+    seg = cat.table("customer").select("c_mktsegment").distinct()
+    return r.crossJoin(seg).select("r_name", "c_mktsegment")
+
+
+JOIN_CROSS_SMALL_SQL = """
+SELECT r_name, c_mktsegment
+FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) s
+"""
+
+
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join (SURVEY.md §2.3 "theta/range" row — absent in the
+    reference, standard here): part sizes against a bucket dimension on
+    ``lo <= p_size < hi``. The bucket side is tiny → broadcast nested loop;
+    at 100 TB the fact side streams through without a shuffle.
+    """
+    cat = Catalog(spark, sf_dir)
+    p = cat.table("part")
+    buckets = spark.createDataFrame(
+        [("tiny", 0, 10), ("small", 10, 20), ("medium", 20, 35), ("large", 35, 100)],
+        "bucket string, lo int, hi int",
+    )
+    return (
+        p.join(
+            F.broadcast(buckets),
+            (p.p_size >= buckets.lo) & (p.p_size < buckets.hi),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
+JOIN_RANGE_SQL = """
+SELECT b.bucket,
+       COUNT(*)      AS n_parts,
+       MIN(p.p_size) AS min_size,
+       MAX(p.p_size) AS max_size
+FROM part p
+JOIN (VALUES ('tiny', 0, 10), ('small', 10, 20), ('medium', 20, 35), ('large', 35, 100))
+     b(bucket, lo, hi)
+  ON p.p_size >= b.lo AND p.p_size < b.hi
+GROUP BY b.bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operators / distinct
+# ---------------------------------------------------------------------------
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL in one result, tagged."""
+    cat = Catalog(spark, sf_dir)
+    c = cat.table("customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = cat.table("supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = c.intersect(s).withColumn("tag", F.lit("both"))
+    cust_only = c.exceptAll(s).withColumn("tag", F.lit("cust_only"))
+    return both.unionAll(cust_only).select("tag", "nationkey")
+
+
+SET_OPS_SQL = """
+SELECT 'both' AS tag, nationkey FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'cust_only' AS tag, nationkey FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  EXCEPT
+  SELECT DISTINCT s_nationkey FROM supplier)
+"""
+
+
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT — the one operator the reference *documents* but never runs
+    (select_point_to_point_links.sql:69, SURVEY.md Q13)."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+DISTINCT_PAIRS_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject — O(k) per partition then a
+    single-driver merge, never a full sort at scale. Unique-key tiebreak for
+    determinism."""
+    o = Catalog(spark, sf_dir).table("orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+TOPK_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+def window_top3_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group via row_number (the scalable top-k pattern: one
+    shuffle on the partition key, no global sort)."""
+    c = Catalog(spark, sf_dir).table("customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rn")
+    )
+
+
+WINDOW_TOP3_PER_NATION_SQL = """
+SELECT c_nationkey, c_custkey, c_acctbal, CAST(rn AS INT) AS rn
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM customer)
+WHERE rn <= 3
+"""
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per supplier (frame = unbounded preceding → current row).
+    Decimal accumulation keeps both engines bit-identical."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(_dec("l_quantity")).over(w).cast("double").alias("running_qty"),
+    )
+
+
+WINDOW_RUNNING_SUM_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+            OVER (PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_qty
+FROM lineitem
+"""
+
+
+def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() — inter-event gap per user in microseconds (exact integers on
+    both engines via epoch-micros)."""
+    e = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return e.select(
+        "user_id",
+        "event_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+
+
+WINDOW_LAG_GAP_SQL = """
+SELECT user_id, event_id,
+       epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surfaces: string / date / json
+# ---------------------------------------------------------------------------
+
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function parity (reference uses only trim —
+    select_point_to_point_links.sql:12-47; the rest is the engine's standard
+    surface, SURVEY.md §2.3)."""
+    p = Catalog(spark, sf_dir).table("part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.lower("p_brand").alias("lo_brand"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.instr(F.col("p_name"), "a").cast("int").alias("a_pos"),
+        F.size(F.split("p_name", " ")).cast("int").alias("n_words"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.trim(F.col("p_name")).alias("trimmed"),
+        F.lpad("p_brand", 12, "*").alias("padded"),
+    )
+
+
+STRING_FUNCS_SQL = """
+SELECT p_partkey,
+       UPPER(p_name)                      AS up_name,
+       LOWER(p_brand)                     AS lo_brand,
+       CAST(LENGTH(p_name) AS INT)        AS name_len,
+       SUBSTRING(p_name, 1, 5)            AS name5,
+       CONCAT_WS('-', p_brand, p_type)    AS brand_type,
+       CAST(STRPOS(p_name, 'a') AS INT)   AS a_pos,
+       CAST(LEN(STRING_SPLIT(p_name, ' ')) AS INT) AS n_words,
+       REPLACE(p_type, ' ', '_')          AS type_snake,
+       TRIM(p_name)                       AS trimmed,
+       LPAD(p_brand, 12, '*')             AS padded
+FROM part
+"""
+
+
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface (reference parses RFC1123 → formats RFC3339 on the
+    driver, fetch.go:48,183; engine-side this is to_timestamp/date_format)."""
+    o = Catalog(spark, sf_dir).table("orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow"),  # 1 = Sunday
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+DATE_FUNCS_SQL = """
+SELECT o_orderkey,
+       CAST(EXTRACT(YEAR  FROM o_orderdate) AS INT) AS yr,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+       CAST(EXTRACT(DAY   FROM o_orderdate) AS INT) AS dom,
+       CAST(DAYOFWEEK(o_orderdate) + 1 AS INT)      AS dow,
+       DATE_TRUNC('month', o_orderdate)             AS month_start,
+       STRFTIME(o_orderdate, '%Y-%m')               AS ym
+FROM orders
+"""
+
+
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events ``props`` column (reference's JSON
+    surface is encode-only, csv2json2.py:3; decode is standard engine
+    capability)."""
+    e = Catalog(spark, sf_dir).table("events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_id", "event_type", k.alias("k_val"))
+        .filter(F.col("k_val").isNotNull())
+    )
+
+
+JSON_FUNCS_SQL = """
+SELECT event_id, event_type, CAST(props->>'k' AS BIGINT) AS k_val
+FROM events
+WHERE props->>'k' IS NOT NULL
+"""

@@ -8,5 +8,26 @@ from __future__ import annotations
 
 from . import flagship as _flagship
 from . import registry
+from . import relational as _r
 
 registry.register("p2p_links", _flagship.flagship, _flagship.FLAGSHIP_ORACLE_SQL)
+
+registry.register("agg_pricing_summary", _r.agg_pricing_summary, _r.AGG_PRICING_SUMMARY_SQL)
+registry.register("agg_distinct_stats", _r.agg_distinct_stats, _r.AGG_DISTINCT_STATS_SQL)
+registry.register("agg_rollup", _r.agg_rollup, _r.AGG_ROLLUP_SQL)
+registry.register("agg_pivot", _r.agg_pivot, _r.AGG_PIVOT_SQL)
+registry.register("agg_conditional_buckets", _r.agg_conditional_buckets, _r.AGG_CONDITIONAL_BUCKETS_SQL)
+registry.register("join_semi", _r.join_semi, _r.JOIN_SEMI_SQL)
+registry.register("join_anti", _r.join_anti, _r.JOIN_ANTI_SQL)
+registry.register("join_left_outer_agg", _r.join_left_outer_agg, _r.JOIN_LEFT_OUTER_AGG_SQL)
+registry.register("join_cross_small", _r.join_cross_small, _r.JOIN_CROSS_SMALL_SQL)
+registry.register("join_range", _r.join_range, _r.JOIN_RANGE_SQL)
+registry.register("set_ops", _r.set_ops, _r.SET_OPS_SQL)
+registry.register("distinct_pairs", _r.distinct_pairs, _r.DISTINCT_PAIRS_SQL)
+registry.register("topk_orders", _r.topk_orders, _r.TOPK_ORDERS_SQL)
+registry.register("window_top3_per_nation", _r.window_top3_per_nation, _r.WINDOW_TOP3_PER_NATION_SQL)
+registry.register("window_running_sum", _r.window_running_sum, _r.WINDOW_RUNNING_SUM_SQL)
+registry.register("window_lag_gap", _r.window_lag_gap, _r.WINDOW_LAG_GAP_SQL)
+registry.register("string_funcs", _r.string_funcs, _r.STRING_FUNCS_SQL)
+registry.register("date_funcs", _r.date_funcs, _r.DATE_FUNCS_SQL)
+registry.register("json_funcs", _r.json_funcs, _r.JSON_FUNCS_SQL)
