@@ -1,0 +1,55 @@
+"""Cross-engine stable hashing primitives.
+
+Spark's native ``F.hash``/``F.xxhash64`` are Spark-specific (seeded
+Murmur3/xxHash), so any operator whose output must be reproducible outside
+Spark (the DuckDB oracle, a different engine, a rerun on different
+partitioning) derives integer hashes from ``md5`` hex — bit-identical
+everywhere — and from pure integer arithmetic on top of it.
+
+These run entirely JVM-side (whole-stage codegen); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Large Mersenne prime (2^31 - 1): modulus for permutation hashing. All
+# intermediates stay well under 2^63 — exact in any engine's int64.
+MERSENNE_P = 2_147_483_647
+
+
+def md5_long(col: Column | str) -> Column:
+    """First 32 bits of md5 as a non-negative long (0 .. 2^32-1).
+
+    DuckDB twin: ``('0x' || substr(md5(x), 1, 8))::BIGINT``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def perm_hash(h: Column, a: Column | int, b: Column | int) -> Column:
+    """Universal-hash permutation ``(a*h + b) mod P`` for MinHash."""
+    a = F.lit(a) if isinstance(a, int) else a
+    b = F.lit(b) if isinstance(b, int) else b
+    return (a.cast("long") * h + b.cast("long")) % F.lit(MERSENNE_P)
+
+
+def rolling_hash(text_col: Column | str) -> Column:
+    """Polynomial rolling hash over the characters of a string:
+    ``acc = (acc*31 + codepoint(c)) mod P``, left-to-right — the classic
+    document fingerprint. Exact on any engine (pure int64 arithmetic).
+
+    DuckDB twin::
+
+        list_reduce(
+          list_prepend(0::BIGINT,
+            list_transform(regexp_extract_all(text, '.'), c -> ascii(c)::BIGINT)),
+          (a, b) -> (a*31 + b) % 2147483647)
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.aggregate(
+        F.regexp_extract_all(c, F.lit("."), 0),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch).cast("long")) % MERSENNE_P,
+    )

@@ -1,0 +1,160 @@
+"""Text-analysis operators over the ``documents`` table (SURVEY.md §2.4).
+
+All built-in expressions (codegen'd, Arrow-free): ratios and counts are
+exact integer/divide arithmetic so the DuckDB oracles hash-match bit-for-bit.
+
+- text_stats        length/word/stopword/quality metrics per doc
+- text_langid       stopword-vote language ID (argmax with stable tiebreak)
+- text_token_count  whitespace + BPE-ish regex token counts
+- text_fingerprint  polynomial rolling hash (content fingerprint)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..functions.hashing import rolling_hash
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+# Per-language stopword votes for the n-gram-free language-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "los", "las", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("的", "是", "在", "了", "和"),
+}
+
+
+def _words(col: str = "text"):
+    return F.split(col, " ")
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: the filter inputs a training-data
+    pipeline prunes on (length, word count, stopword density, lexical
+    diversity)."""
+    d = Catalog(spark, sf_dir).table("documents")
+    w = _words()
+    n_words = F.size(w)
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    n_distinct = F.size(F.array_distinct(w))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("int").alias("n_chars_calc"),
+        n_words.cast("int").alias("n_words"),
+        (F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double") / n_words)
+        .alias("avg_word_len"),
+        (n_stop.cast("double") / n_words).alias("stop_ratio"),
+        (n_distinct.cast("double") / n_words).alias("lexical_diversity"),
+    )
+
+
+TEXT_STATS_SQL = """
+SELECT doc_id,
+       CAST(LENGTH(text) AS INT)                      AS n_chars_calc,
+       CAST(LEN(string_split(text, ' ')) AS INT)      AS n_words,
+       CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+           / LEN(string_split(text, ' '))             AS avg_word_len,
+       CAST(LEN(list_filter(string_split(text, ' '),
+                x -> x IN ('the','a','of','and','to','in','is','on','for','with')))
+            AS DOUBLE) / LEN(string_split(text, ' ')) AS stop_ratio,
+       CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / LEN(string_split(text, ' '))             AS lexical_diversity
+FROM documents
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID: count marker hits per candidate language,
+    pick the argmax (ties broken by language code — deterministic).
+
+    Unpivot → window-rank formulation: scales as |docs|×|langs| rows with a
+    shuffle keyed by doc_id; marker lists are literal arrays (no join)."""
+    d = Catalog(spark, sf_dir).table("documents")
+    w = _words()
+    def _in(markers: tuple[str, ...]):
+        return lambda x: x.isin(*markers)
+
+    hits = [
+        F.size(F.filter(w, _in(markers))).cast("long").alias(f"hits_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    scored = d.select("doc_id", "lang", *hits)
+    stack_args = ", ".join(f"'{lang}', hits_{lang}" for lang in LANG_MARKERS)
+    unpivoted = scored.selectExpr(
+        "doc_id", "lang", f"stack({len(LANG_MARKERS)}, {stack_args}) AS (cand, score)"
+    )
+    rn = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
+    return (
+        unpivoted.withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("cand").alias("predicted"), "score")
+    )
+
+
+def _langid_branch(lang: str, markers: tuple[str, ...]) -> str:
+    marker_list = ", ".join(f"'{m}'" for m in markers)
+    return (
+        f"SELECT doc_id, lang, '{lang}' AS cand, "
+        f"CAST(LEN(list_filter(string_split(text, ' '), x -> x IN ({marker_list}))) AS BIGINT) AS score "
+        "FROM documents"
+    )
+
+
+TEXT_LANGID_SQL = (
+    "SELECT doc_id, lang, cand AS predicted, score FROM (\n"
+    "  SELECT doc_id, lang, cand, score,\n"
+    "         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn\n"
+    "  FROM (\n    "
+    + "\n    UNION ALL\n    ".join(
+        _langid_branch(lang, markers) for lang, markers in LANG_MARKERS.items()
+    )
+    + "\n  )\n) WHERE rn = 1"
+)
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex tokens
+    (letter-runs / digit-runs / single punctuation), and the chars/4
+    estimate used for quick budget math."""
+    d = Catalog(spark, sf_dir).table("documents")
+    return d.select(
+        "doc_id",
+        F.size(_words()).cast("int").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+        .cast("int")
+        .alias("n_bpe_tokens"),
+        ((F.length("text") + 3) / 4).cast("int").alias("est_tokens"),
+    )
+
+
+TEXT_TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       CAST(LEN(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+       CAST(LEN(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens,
+       CAST((LENGTH(text) + 3) // 4 AS INT) AS est_tokens
+FROM documents
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive content fingerprint: polynomial rolling hash over
+    characters (functions/hashing.rolling_hash). Distinguishes permuted
+    near-dups that bag-of-words signatures (SimHash) conflate."""
+    d = Catalog(spark, sf_dir).table("documents")
+    return d.select("doc_id", rolling_hash("text").alias("fingerprint"))
+
+
+TEXT_FINGERPRINT_SQL = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(regexp_extract_all(text, '.'),
+                          c -> ascii(c)::BIGINT)),
+         (a, b) -> (a*31 + b) % 2147483647) AS fingerprint
+FROM documents
+"""

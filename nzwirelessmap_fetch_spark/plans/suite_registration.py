@@ -6,6 +6,9 @@ single source of truth for the driver contract and SURVEY.md §2 coverage.
 
 from __future__ import annotations
 
+from ..operators import dedup as _dd
+from ..operators import similarity as _sim
+from ..operators import text as _tx
 from . import flagship as _flagship
 from . import registry
 from . import relational as _r
@@ -31,3 +34,14 @@ registry.register("window_lag_gap", _r.window_lag_gap, _r.WINDOW_LAG_GAP_SQL)
 registry.register("string_funcs", _r.string_funcs, _r.STRING_FUNCS_SQL)
 registry.register("date_funcs", _r.date_funcs, _r.DATE_FUNCS_SQL)
 registry.register("json_funcs", _r.json_funcs, _r.JSON_FUNCS_SQL)
+
+registry.register("dedup_exact", _dd.dedup_exact, _dd.DEDUP_EXACT_SQL)
+registry.register("dedup_ngram_jaccard", _dd.dedup_ngram_jaccard, _dd.DEDUP_NGRAM_JACCARD_SQL)
+registry.register("dedup_minhash_lsh", _dd.dedup_minhash_lsh, _dd.DEDUP_MINHASH_LSH_SQL)
+registry.register("dedup_simhash", _dd.dedup_simhash, _dd.DEDUP_SIMHASH_SQL)
+registry.register("text_stats", _tx.text_stats, _tx.TEXT_STATS_SQL)
+registry.register("text_langid", _tx.text_langid, _tx.TEXT_LANGID_SQL)
+registry.register("text_token_count", _tx.text_token_count, _tx.TEXT_TOKEN_COUNT_SQL)
+registry.register("text_fingerprint", _tx.text_fingerprint, _tx.TEXT_FINGERPRINT_SQL)
+registry.register("sim_topk_bruteforce", _sim.sim_topk_bruteforce, _sim.SIM_TOPK_BRUTEFORCE_SQL)
+registry.register("sim_lsh_bucketed", _sim.sim_lsh_bucketed, _sim.SIM_LSH_BUCKETED_SQL)
