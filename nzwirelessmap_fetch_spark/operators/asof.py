@@ -1,0 +1,89 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively
+(SURVEY.md §2.3 "theta/range/as-of" row; absent in the reference, standard
+in time-series engines).
+
+Semantics here: for every ``purchase`` event, attach the latest ``click``
+event of the same user with ``click.ts < purchase.ts`` (strict), left
+semantics (purchases with no prior click kept with NULLs).
+
+Spark-first formulation — the union-and-carry trick:
+    union both streams with a marker → one window per user ordered by
+    (ts, marker, event_id) → ``last_value(..., ignoreNulls)`` carries the
+    most recent click's attributes forward → keep purchase rows.
+
+Cost model: ONE shuffle (by user_id) + one window sort — same as any
+windowed aggregation; no join at all. This beats the naive
+range-join/broadcast formulations at scale and never materializes pairs.
+The marker orders clicks *after* purchases within an equal timestamp so
+equal-ts clicks are NOT visible to the purchase (strict inequality), and
+(user_id, ts) collisions across streams stay deterministic either way.
+
+DuckDB oracle: native ``ASOF LEFT JOIN`` with ``a.ts > b.ts``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+
+
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("marker"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("double").alias("purchase_value"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("marker"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    # marker=1 sorts purchases BEFORE the frame sees an equal-ts click?
+    # No: ascending (ts, marker) puts clicks (0) first at equal ts, which
+    # would violate strict '<'. rowsBetween(-inf, -1) excludes the current
+    # row, and we order clicks AFTER purchases at equal ts via marker desc.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("marker"), "click_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = purchases.unionAll(clicks).select(
+        "user_id",
+        "ts",
+        "marker",
+        "purchase_id",
+        "purchase_value",
+        F.last("click_id", ignorenulls=True).over(w).alias("last_click_id"),
+        F.last("click_value", ignorenulls=True).over(w).alias("last_click_value"),
+    )
+    return (
+        carried.filter(F.col("marker") == 1)
+        .select(
+            F.col("purchase_id").alias("event_id"),
+            "user_id",
+            "ts",
+            "purchase_value",
+            F.col("last_click_id").alias("click_id"),
+            F.col("last_click_value").alias("click_value"),
+        )
+    )
+
+
+ASOF_PURCHASE_CLICK_SQL = """
+SELECT p.event_id, p.user_id, p.ts, p.value AS purchase_value,
+       c.event_id AS click_id, c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts > c.ts
+"""

@@ -1,0 +1,58 @@
+"""End-to-end pipeline: the reference's §3.1 DAG, Spark-native.
+
+Reference flow (fetch.go:26-161): fetch zip → version key from
+Last-Modified → skip if marker exists → stage → convert → query → CSV →
+JSON → multi-sink with latest pointer and marker-last ordering.
+
+Here: acquire (staged path or zip) → version key from source mtime →
+idempotency gate → flagship query → headered CSV + NDJSON + bug-compat
+JSON array artifacts. The 4 process boundaries of the reference (java,
+sqlite3 ×2, python3) collapse into one Spark job.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from .plans.flagship import flagship
+from .sinks.writers import VersionedArtifactSink
+
+ARTIFACT_CSV = "links.csv"
+ARTIFACT_JSON = "links.json"
+
+
+def version_key_from_mtime(path: str | Path) -> str:
+    """RFC3339 version key from the source's modification time — the
+    Spark-side equivalent of the Last-Modified header key (fetch.go:43-48,
+    180-187)."""
+    ts = Path(path).stat().st_mtime
+    return (
+        datetime.fromtimestamp(ts, tz=timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%SZ")
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_root: str | Path,
+    version: str | None = None,
+) -> dict:
+    """Returns a run report: {skipped: bool, version: str, rows: int|None}."""
+    version = version or version_key_from_mtime(Path(sf_dir) / "lineitem.parquet")
+    sink = VersionedArtifactSink(out_root)
+
+    # P3: the timestamped JSON artifact is the completion marker; its
+    # existence memoizes the whole run (fetch.go:55-67).
+    if sink.exists(ARTIFACT_JSON, version):
+        return {"skipped": True, "version": version, "rows": None}
+
+    result = flagship(spark, sf_dir)
+
+    # P15/P18: versioned CSV, then JSON latest-first marker-last.
+    sink.write_versioned_csv(result, ARTIFACT_CSV, version)
+    sink.write_versioned_json(result, ARTIFACT_JSON, version)
+    return {"skipped": False, "version": version, "rows": result.count()}

@@ -6,9 +6,13 @@ single source of truth for the driver contract and SURVEY.md §2 coverage.
 
 from __future__ import annotations
 
+from ..operators import asof as _asof
 from ..operators import dedup as _dd
+from ..operators import multimodal as _mm
+from ..operators import sessionize as _sess
 from ..operators import similarity as _sim
 from ..operators import text as _tx
+from ..streaming import events_stream as _es
 from . import flagship as _flagship
 from . import registry
 from . import relational as _r
@@ -45,3 +49,12 @@ registry.register("text_token_count", _tx.text_token_count, _tx.TEXT_TOKEN_COUNT
 registry.register("text_fingerprint", _tx.text_fingerprint, _tx.TEXT_FINGERPRINT_SQL)
 registry.register("sim_topk_bruteforce", _sim.sim_topk_bruteforce, _sim.SIM_TOPK_BRUTEFORCE_SQL)
 registry.register("sim_lsh_bucketed", _sim.sim_lsh_bucketed, _sim.SIM_LSH_BUCKETED_SQL)
+
+registry.register("asof_purchase_click", _asof.asof_purchase_click, _asof.ASOF_PURCHASE_CLICK_SQL)
+registry.register("sessionize", _sess.sessionize, _sess.SESSIONIZE_SQL)
+registry.register("multimodal_features", _mm.multimodal_features, _mm.MULTIMODAL_FEATURES_SQL)
+registry.register("stream_windowed_counts", _es.stream_windowed_counts, _es.STREAM_WINDOWED_COUNTS_SQL)
+# Stateful streaming session windows: genuinely non-SQL-expressible
+# (watermark-dependent emission of merged sessions) → rows-only check; the
+# batch `sessionize` op is the oracle-checked twin.
+registry.register("stream_session_windows", _es.stream_session_windows, None)

@@ -1,0 +1,80 @@
+"""Readers re-creating the reference's ingest surface (SURVEY.md §2.1).
+
+The reference ingests a foreign row store through mdb-sqlite.jar: schema
+discovery (P8), a closed type map (P9), DDL emit (P10), and a row copier
+with two special-cased conversions — Access MONEY → string via
+``Object.toString`` and BOOLEAN → int 0/1 (P12, AccessExporter#populateTable
+bytecode 326-387). Spark-side that whole pipeline is ``spark.read.jdbc``
+plus per-column casts; format readers below cover the remaining sources.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# SURVEY.md §1.2: the reference's closed primitive type system mapped to
+# Spark. Keys are the Jackcess DataType names handled by the converter's
+# switch; anything else is rejected (same contract as the jar's
+# SQLException on unhandled types).
+ACCESS_TYPE_MAP: dict[str, T.DataType] = {
+    "BINARY": T.BinaryType(),
+    "OLE": T.BinaryType(),
+    "BOOLEAN": T.IntegerType(),  # wire format 0/1 (populateTable bytecode 349-387)
+    "BYTE": T.ByteType(),
+    "INT": T.ShortType(),
+    "LONG": T.IntegerType(),  # Access LONG is 32-bit
+    "SHORT_DATE_TIME": T.TimestampType(),
+    "DOUBLE": T.DoubleType(),
+    "FLOAT": T.FloatType(),
+    "NUMERIC": T.DoubleType(),  # bug-compat: reference loses precision too
+    "TEXT": T.StringType(),
+    "GUID": T.StringType(),
+    "MEMO": T.StringType(),
+    "MONEY": T.StringType(),  # wire format toString (bytecode 326-337)
+}
+
+
+def map_access_type(name: str) -> T.DataType:
+    """Closed-map lookup; unknown types fail loudly (parity with the jar's
+    ``SQLException("Unhandled MS Acess datatype:")``)."""
+    try:
+        return ACCESS_TYPE_MAP[name]
+    except KeyError:
+        raise ValueError(f"Unhandled MS Access datatype: {name}") from None
+
+
+def read_jdbc(
+    spark: SparkSession, url: str, table: str, **options: str
+) -> DataFrame:
+    """JDBC ingest — the Spark equivalent of the jar's row copy (the whole
+    create/insert/commit dance collapses into one distributed read)."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_csv_all_strings(spark: SparkSession, path: str, columns: list[str]) -> DataFrame:
+    """P16 parity: headered CSV → records where EVERY value is a string
+    (``csv.DictReader`` semantics, csv2json2.py:3). No inference pass."""
+    schema = T.StructType([T.StructField(c, T.StringType(), True) for c in columns])
+    return spark.read.option("header", True).schema(schema).csv(path)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Opaque-binary source for multimodal columns (path, mtime, length,
+    content)."""
+    return (
+        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    )
+
+
+def with_access_conversions(df: DataFrame, money_cols: list[str] = (), bool_cols: list[str] = ()) -> DataFrame:
+    """Apply the two value conversions the jar special-cases (P12)."""
+    for c in money_cols:
+        df = df.withColumn(c, F.col(c).cast("decimal(19,4)").cast("string"))
+    for c in bool_cols:
+        df = df.withColumn(c, F.col(c).cast("boolean").cast("int"))
+    return df
