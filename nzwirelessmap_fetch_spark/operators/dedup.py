@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from ..functions.hashing import MERSENNE_P, md5_long
+from ..functions.vectors import dot, norm
 
 # MinHash configuration: 16 permutations in 4 bands of 4 rows. Band-match
 # probability ~ 1-(1-j^4)^4 — the classic S-curve centered near j≈0.7.
@@ -321,5 +322,133 @@ votes AS (
 SELECT doc_id,
        CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
 FROM votes
+GROUP BY doc_id
+"""
+
+
+# Embedding-cosine near-dup: hashed bag-of-words featurization (the
+# container has no embedding model, so the "embedding" is a deterministic
+# 16-dim signed-hash projection — the standard hashing trick — computable
+# bit-identically in any engine).
+EMB_DIM = 16
+COSINE_DUP_THRESHOLD = 0.97
+
+
+def _bow_vector() -> F.Column:
+    """16-dim signed hashed-BoW vector of ``text`` as one fold expression.
+
+    Per word: 60-bit md5 value h; dimension h % 16; sign from bit 4.
+    A pure per-row map (no explode, no shuffle) — scan-bound at 100 TB,
+    same physical shape as the simhash fold above."""
+    return F.expr(
+        f"""
+        aggregate(
+          transform(split(text, ' '),
+                    w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)),
+          array_repeat(CAST(0.0 AS DOUBLE), {EMB_DIM}),
+          (acc, h) -> transform(sequence(0, {EMB_DIM - 1}),
+            d -> acc[d] + IF(h % {EMB_DIM} = d,
+                             IF((h >> 4) % 2 = 1, CAST(1.0 AS DOUBLE),
+                                CAST(-1.0 AS DOUBLE)),
+                             CAST(0.0 AS DOUBLE))))
+        """
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup groups: (member doc, canonical doc, degree).
+
+    Blocking key = the vector's 16-bit sign pattern (a 1-plane-per-dim LSH:
+    near-identical docs almost always agree on every component sign), so
+    candidate pairs come from an equi-join on `bucket` — never O(n²). Exact
+    cosine ≥ 0.97 verifies each candidate; each dup-pair member is assigned
+    the least doc_id among itself and its partners (star dedup — the
+    single-pass approximation of connected components; the iterative
+    large-star/small-star rounds are the documented scale-up when chains
+    matter). Zero-vector docs are excluded before pairing (cosine
+    undefined; also dodges Spark's NaN-comparison semantics, which differ
+    from IEEE in predicates)."""
+    d = Catalog(spark, sf_dir).table("documents")
+    vec = d.select("doc_id", _bow_vector().alias("v"))
+    bucketed = (
+        vec.withColumn(
+            "bucket",
+            F.expr(
+                f"aggregate(sequence(0, {EMB_DIM - 1}), 0,"
+                " (acc, i) -> acc + IF(v[i] > CAST(0.0 AS DOUBLE),"
+                " shiftleft(1, i), 0))"
+            ),
+        )
+        .withColumn("nrm", norm(F.col("v")))
+        .filter(F.col("nrm") > 0)
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn(
+            "cos", dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+        )
+        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+        .select(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("nb"))
+    )
+    edges = pairs.union(
+        pairs.select(F.col("nb").alias("doc_id"), F.col("doc_id").alias("nb"))
+    )
+    return edges.groupBy("doc_id").agg(
+        F.least(F.min("nb"), F.col("doc_id").cast("long")).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+),
+comp AS (
+  SELECT doc_id, h % {EMB_DIM} AS d,
+         SUM(CASE WHEN (h >> 4) % 2 = 1 THEN 1.0 ELSE -1.0 END)::DOUBLE AS val
+  FROM w GROUP BY 1, 2
+),
+grid AS (
+  SELECT doc_id, d
+  FROM (SELECT DISTINCT doc_id FROM documents)
+  CROSS JOIN generate_series(0, {EMB_DIM - 1}) t(d)
+),
+vec AS (
+  SELECT g.doc_id, list(COALESCE(c.val, 0.0)::DOUBLE ORDER BY g.d) AS v
+  FROM grid g LEFT JOIN comp c ON c.doc_id = g.doc_id AND c.d = g.d
+  GROUP BY g.doc_id
+),
+bucketed AS (
+  SELECT doc_id, v,
+         list_reduce(list_prepend(0, list_transform(generate_series(1, {EMB_DIM}),
+             i -> CASE WHEN v[i] > 0.0 THEN (1 << (i - 1)) ELSE 0 END)),
+           (a, b) -> a + b) AS bucket,
+         sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(generate_series(1, {EMB_DIM}), i -> v[i] * v[i])),
+           (a, b) -> a + b)) AS nrm
+  FROM vec
+),
+pairs AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS nb
+  FROM (SELECT * FROM bucketed WHERE nrm > 0) a
+  JOIN (SELECT * FROM bucketed WHERE nrm > 0) b
+    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  WHERE list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(generate_series(1, {EMB_DIM}), i -> a.v[i] * b.v[i])),
+          (x, y) -> x + y) / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
+),
+edges AS (
+  SELECT doc_id, nb FROM pairs
+  UNION ALL
+  SELECT nb AS doc_id, doc_id AS nb FROM pairs
+)
+SELECT doc_id,
+       LEAST(MIN(nb), doc_id) AS canonical_id,
+       COUNT(*) AS n_dups
+FROM edges
 GROUP BY doc_id
 """

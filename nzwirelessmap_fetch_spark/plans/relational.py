@@ -508,3 +508,39 @@ SELECT event_id, event_type, CAST(props->>'k' AS BIGINT) AS k_val
 FROM events
 WHERE props->>'k' IS NOT NULL
 """
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) pinned to ≤5% of exact.
+
+    Sketches, not exact counts, are the 100 TB path for cardinality (fixed
+    ~kB state per group vs an expand + two-phase distinct shuffle). HLL
+    output is estimator-specific, so the oracle contract is a tolerance
+    bound: the query emits the exact count plus a boolean that the rsd=0.02
+    sketch landed within 5%; the oracle emits the exact count plus TRUE.
+    A drifting estimator flips the hash and fails the gate."""
+    o = Catalog(spark, sf_dir).table("orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_customers",
+            (
+                F.abs(F.col("approx") - F.col("n_customers"))
+                <= 0.05 * F.col("n_customers")
+            ).alias("approx_within_5pct"),
+        )
+    )
+
+
+AGG_APPROX_DISTINCT_SQL = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       TRUE AS approx_within_5pct
+FROM orders
+GROUP BY o_orderpriority
+"""

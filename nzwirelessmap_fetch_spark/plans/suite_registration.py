@@ -21,6 +21,7 @@ registry.register("p2p_links", _flagship.flagship, _flagship.FLAGSHIP_ORACLE_SQL
 
 registry.register("agg_pricing_summary", _r.agg_pricing_summary, _r.AGG_PRICING_SUMMARY_SQL)
 registry.register("agg_distinct_stats", _r.agg_distinct_stats, _r.AGG_DISTINCT_STATS_SQL)
+registry.register("agg_approx_distinct", _r.agg_approx_distinct, _r.AGG_APPROX_DISTINCT_SQL)
 registry.register("agg_rollup", _r.agg_rollup, _r.AGG_ROLLUP_SQL)
 registry.register("agg_pivot", _r.agg_pivot, _r.AGG_PIVOT_SQL)
 registry.register("agg_conditional_buckets", _r.agg_conditional_buckets, _r.AGG_CONDITIONAL_BUCKETS_SQL)
@@ -43,6 +44,7 @@ registry.register("dedup_exact", _dd.dedup_exact, _dd.DEDUP_EXACT_SQL)
 registry.register("dedup_ngram_jaccard", _dd.dedup_ngram_jaccard, _dd.DEDUP_NGRAM_JACCARD_SQL)
 registry.register("dedup_minhash_lsh", _dd.dedup_minhash_lsh, _dd.DEDUP_MINHASH_LSH_SQL)
 registry.register("dedup_simhash", _dd.dedup_simhash, _dd.DEDUP_SIMHASH_SQL)
+registry.register("dedup_embedding_cosine", _dd.dedup_embedding_cosine, _dd.DEDUP_EMBEDDING_COSINE_SQL)
 registry.register("text_stats", _tx.text_stats, _tx.TEXT_STATS_SQL)
 registry.register("text_langid", _tx.text_langid, _tx.TEXT_LANGID_SQL)
 registry.register("text_token_count", _tx.text_token_count, _tx.TEXT_TOKEN_COUNT_SQL)
