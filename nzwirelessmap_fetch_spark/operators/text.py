@@ -11,7 +11,7 @@ exact integer/divide arithmetic so the DuckDB oracles hash-match bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
@@ -72,27 +72,29 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID: count marker hits per candidate language,
     pick the argmax (ties broken by language code — deterministic).
 
-    Unpivot → window-rank formulation: scales as |docs|×|langs| rows with a
-    shuffle keyed by doc_id; marker lists are literal arrays (no join)."""
+    Per-row argmax: a literal array of (−score, cand, score) structs sorted
+    lexicographically, element 0 is the winner. A pure map — no unpivot, no
+    window, ZERO shuffles — so at 100 TB this is scan-bound like the other
+    text ops (the earlier stack+row_number form shuffled |docs|×|langs|
+    rows on doc_id for nothing)."""
     d = Catalog(spark, sf_dir).table("documents")
     w = _words()
     def _in(markers: tuple[str, ...]):
         return lambda x: x.isin(*markers)
 
-    hits = [
-        F.size(F.filter(w, _in(markers))).cast("long").alias(f"hits_{lang}")
+    entries = [
+        F.struct(
+            (-F.size(F.filter(w, _in(markers))).cast("long")).alias("neg"),
+            F.lit(lang).alias("cand"),
+        )
         for lang, markers in LANG_MARKERS.items()
     ]
-    scored = d.select("doc_id", "lang", *hits)
-    stack_args = ", ".join(f"'{lang}', hits_{lang}" for lang in LANG_MARKERS)
-    unpivoted = scored.selectExpr(
-        "doc_id", "lang", f"stack({len(LANG_MARKERS)}, {stack_args}) AS (cand, score)"
-    )
-    rn = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
-    return (
-        unpivoted.withColumn("rn", F.row_number().over(rn))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", F.col("cand").alias("predicted"), "score")
+    best = F.sort_array(F.array(*entries))[0]
+    return d.select(
+        "doc_id",
+        "lang",
+        best["cand"].alias("predicted"),
+        (-best["neg"]).alias("score"),
     )
 
 
