@@ -60,3 +60,8 @@ registry.register("stream_windowed_counts", _es.stream_windowed_counts, _es.STRE
 # (watermark-dependent emission of merged sessions) → rows-only check; the
 # batch `sessionize` op is the oracle-checked twin.
 registry.register("stream_session_windows", _es.stream_session_windows, None)
+registry.register(
+    "stream_stateful_user_stats",
+    _es.stream_stateful_user_stats,
+    _es.STREAM_STATEFUL_USER_STATS_SQL,
+)

@@ -121,3 +121,90 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "n_events",
     )
+
+
+IDLE_TIMEOUT_MS = 30 * 60 * 1000  # 30-minute per-user idle timeout
+
+_USER_STATS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_types", T.IntegerType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+# State: (event count, last event time in epoch-micros, distinct types seen).
+_USER_STATS_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("types", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running stats, emitted when the user goes idle for 30 minutes of EVENT
+    time (GroupStateTimeout.EventTimeTimeout against the watermark).
+
+    This is the operator shape Spark's built-ins can't express — arbitrary
+    per-key state (here a distinct-type set) with custom emission policy —
+    and the template for per-key training-data accumulators at 100 TB:
+    state lives in the executor state store partitioned by user_id, data
+    arrives as Arrow batches, nothing touches the driver.
+
+    Deterministic contract (single fixture file ⇒ one data micro-batch +
+    one finalization batch): a user emits iff
+    ``last_ts + 30 min < max(ts) - watermark_delay`` — stated directly by
+    the DuckDB oracle. Integer/timestamp outputs only, so no float-order
+    nondeterminism across Arrow chunk boundaries."""
+    import pandas as pd  # local import: Arrow path only
+
+    def fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            n, last_us, types = state.get
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_types": [len(types)],
+                    "last_ts": [pd.Timestamp(last_us, unit="us")],
+                }
+            )
+            state.remove()
+            return
+        n, last_us, types = (0, 0, []) if not state.exists else state.get
+        seen = set(types)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            last_us = max(last_us, int(pdf["ts"].astype("int64").max()) // 1000)
+            seen.update(pdf["event_type"])
+        state.update((n, last_us, sorted(seen)))
+        state.setTimeoutTimestamp(last_us // 1000 + IDLE_TIMEOUT_MS)
+
+    events = _event_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    agg = events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_USER_STATS_OUT,
+        stateStructType=_USER_STATS_STATE,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+    return _run_to_completion(agg, spark)
+
+
+STREAM_STATEFUL_USER_STATS_SQL = """
+WITH mx AS (SELECT MAX(ts) AS mt FROM events),
+agg AS (
+  SELECT user_id,
+         COUNT(*)                   AS n_events,
+         CAST(COUNT(DISTINCT event_type) AS INT) AS n_types,
+         MAX(ts)                    AS last_ts
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, n_events, n_types, last_ts
+FROM agg, mx
+WHERE last_ts + INTERVAL 30 MINUTE < mt - INTERVAL 10 MINUTE
+"""
