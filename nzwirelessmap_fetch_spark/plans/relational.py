@@ -544,3 +544,85 @@ SELECT o_orderpriority,
 FROM orders
 GROUP BY o_orderpriority
 """
+
+
+N_SALTS = 8
+
+
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join: manual key salting (SURVEY.md §2.3 /
+    charter "salting for skew").
+
+    The hot-key problem at 100 TB: one customer with 10⁹ orders lands an
+    entire join key's rows on one reducer. The manual fix demonstrated
+    here: fact rows pick a deterministic salt in [0, 8), the dim side is
+    replicated ×8 (explode of a literal array — tiny, dim-sized), and the
+    join key becomes (custkey, salt), spreading each hot key over 8
+    reducers. Result set is provably identical to the unsalted join — the
+    oracle IS the plain join. AQE's skewJoin does this adaptively for
+    sort-merge joins; the manual form is the portable fallback (works for
+    any join type, any engine version) and composes with bucketing."""
+    cat = Catalog(spark, sf_dir)
+    o = cat.table("orders").withColumn(
+        "salt", F.pmod(F.col("o_orderkey"), F.lit(N_SALTS)).cast("int")
+    )
+    c = cat.table("customer").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALTS)]))
+    )
+    return (
+        o.join(c, (o.o_custkey == c.c_custkey) & (o.salt == c.salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+JOIN_SKEW_SALTED_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all 4 (returnflag × linestatus) combinations in
+    one pass — Catalyst expands to a single Expand + hash aggregate, so at
+    scale this is one shuffle, not 4 queries."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select(
+            "g_flag",
+            "g_status",
+            "l_returnflag",
+            "l_linestatus",
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+AGG_CUBE_SQL = """
+SELECT CAST(GROUPING(l_returnflag) AS INT)  AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT)  AS g_status,
+       l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""

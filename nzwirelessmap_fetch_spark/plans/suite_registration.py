@@ -23,6 +23,7 @@ registry.register("agg_pricing_summary", _r.agg_pricing_summary, _r.AGG_PRICING_
 registry.register("agg_distinct_stats", _r.agg_distinct_stats, _r.AGG_DISTINCT_STATS_SQL)
 registry.register("agg_approx_distinct", _r.agg_approx_distinct, _r.AGG_APPROX_DISTINCT_SQL)
 registry.register("agg_rollup", _r.agg_rollup, _r.AGG_ROLLUP_SQL)
+registry.register("agg_cube", _r.agg_cube, _r.AGG_CUBE_SQL)
 registry.register("agg_pivot", _r.agg_pivot, _r.AGG_PIVOT_SQL)
 registry.register("agg_conditional_buckets", _r.agg_conditional_buckets, _r.AGG_CONDITIONAL_BUCKETS_SQL)
 registry.register("join_semi", _r.join_semi, _r.JOIN_SEMI_SQL)
@@ -30,6 +31,7 @@ registry.register("join_anti", _r.join_anti, _r.JOIN_ANTI_SQL)
 registry.register("join_left_outer_agg", _r.join_left_outer_agg, _r.JOIN_LEFT_OUTER_AGG_SQL)
 registry.register("join_cross_small", _r.join_cross_small, _r.JOIN_CROSS_SMALL_SQL)
 registry.register("join_range", _r.join_range, _r.JOIN_RANGE_SQL)
+registry.register("join_skew_salted", _r.join_skew_salted, _r.JOIN_SKEW_SALTED_SQL)
 registry.register("set_ops", _r.set_ops, _r.SET_OPS_SQL)
 registry.register("distinct_pairs", _r.distinct_pairs, _r.DISTINCT_PAIRS_SQL)
 registry.register("topk_orders", _r.topk_orders, _r.TOPK_ORDERS_SQL)
