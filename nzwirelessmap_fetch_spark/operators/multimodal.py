@@ -99,3 +99,116 @@ SELECT doc_id,
        CAST(64 + (LENGTH(text) * 31) % 353 AS INT)     AS height
 FROM documents
 """
+
+
+TARGET_W, TARGET_H = 224, 224
+FRAME_CHARS = 256   # "frame" = 256-char slice of the media payload
+FRAME_STRIDE = 3    # sample every 3rd frame
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: per-item target dims + scale factors + thumbnail
+    digest via Arrow-batched ``mapInPandas``.
+
+    The real resampler (PIL/libvips) slots into ``_resize_one`` unchanged;
+    the deterministic stand-in derives everything from the payload so the
+    oracle reproduces it. Same physical shape as production: a pure map
+    over Arrow batches, scan-bound, no shuffle."""
+    media = media_table(spark, sf_dir)
+
+    def _resize_one(s: str) -> dict:
+        f = fake_decode_features(s.encode("utf-8"))
+        thumb = s[:512]
+        return {
+            "in_w": f["width"],
+            "in_h": f["height"],
+            "out_w": TARGET_W,
+            "out_h": TARGET_H,
+            "scale_x": TARGET_W / f["width"],
+            "scale_y": TARGET_H / f["height"],
+            "thumb_md5": hashlib.md5(thumb.encode("utf-8")).hexdigest(),
+        }
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["media"].map(lambda b: _resize_one(bytes(b).decode("utf-8")))
+            out = pd.DataFrame(list(feats))
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    schema = (
+        "doc_id long, in_w int, in_h int, out_w int, out_h int, "
+        "scale_x double, scale_y double, thumb_md5 string"
+    )
+    return media.select("doc_id", "media").mapInPandas(resize, schema)
+
+
+MULTIMODAL_RESIZE_SQL = f"""
+WITH f AS (
+  SELECT doc_id, text,
+         CAST(64 + octet_length(encode(text)) % 577 AS INT)        AS in_w,
+         CAST(64 + (octet_length(encode(text)) * 31) % 353 AS INT) AS in_h
+  FROM documents
+)
+SELECT doc_id, in_w, in_h,
+       {TARGET_W} AS out_w, {TARGET_H} AS out_h,
+       {TARGET_W}.0 / in_w AS scale_x,
+       {TARGET_H}.0 / in_h AS scale_y,
+       md5(substring(text, 1, 512)) AS thumb_md5
+FROM f
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: 1→N expansion inside ``mapInPandas`` — each media
+    payload is cut into fixed-size frames and every ``FRAME_STRIDE``-th
+    frame is emitted with its digest.
+
+    This is the video-pipeline shape (decode → sample keyframes →
+    per-frame features) with the decoder stubbed to deterministic slicing.
+    The expansion happens executor-side inside the Arrow batch, so the
+    explosion factor never touches the driver and downstream per-frame
+    operators see an ordinary DataFrame."""
+    media = media_table(spark, sf_dir)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                s = bytes(blob).decode("utf-8")
+                n_frames = max(1, -(-len(s) // FRAME_CHARS))
+                for i in range(0, n_frames, FRAME_STRIDE):
+                    frame = s[i * FRAME_CHARS : (i + 1) * FRAME_CHARS]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": i,
+                            "n_frames": n_frames,
+                            "frame_md5": hashlib.md5(
+                                frame.encode("utf-8")
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    schema = "doc_id long, frame_idx int, n_frames int, frame_md5 string"
+    return media.select("doc_id", "media").mapInPandas(sample, schema)
+
+
+MULTIMODAL_FRAME_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text,
+         GREATEST(1, CAST(ceil(length(text) / {FRAME_CHARS}.0) AS INT)) AS n_frames
+  FROM documents
+)
+, idx AS (
+  SELECT doc_id, text, n_frames,
+         unnest(range(0, n_frames, {FRAME_STRIDE})) AS i
+  FROM d
+)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       n_frames,
+       md5(substring(text, i * {FRAME_CHARS} + 1, {FRAME_CHARS})) AS frame_md5
+FROM idx
+"""

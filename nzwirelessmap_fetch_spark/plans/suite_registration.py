@@ -57,6 +57,8 @@ registry.register("sim_lsh_bucketed", _sim.sim_lsh_bucketed, _sim.SIM_LSH_BUCKET
 registry.register("asof_purchase_click", _asof.asof_purchase_click, _asof.ASOF_PURCHASE_CLICK_SQL)
 registry.register("sessionize", _sess.sessionize, _sess.SESSIONIZE_SQL)
 registry.register("multimodal_features", _mm.multimodal_features, _mm.MULTIMODAL_FEATURES_SQL)
+registry.register("multimodal_resize", _mm.multimodal_resize, _mm.MULTIMODAL_RESIZE_SQL)
+registry.register("multimodal_frame_sample", _mm.multimodal_frame_sample, _mm.MULTIMODAL_FRAME_SAMPLE_SQL)
 registry.register("stream_windowed_counts", _es.stream_windowed_counts, _es.STREAM_WINDOWED_COUNTS_SQL)
 # Stateful streaming session windows: genuinely non-SQL-expressible
 # (watermark-dependent emission of merged sessions) → rows-only check; the
