@@ -163,3 +163,116 @@ WHERE list_reduce(list_prepend(0.0::DOUBLE,
                             i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)),
            (x, y) -> x + y))) >= {PAIR_THRESHOLD}
 """
+
+
+N_CELLS = 16   # IVF cells; centroids = embeddings of vec_id < 16 (deterministic)
+N_PROBE = 4    # cells probed per query
+
+
+def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: assign every vector to its nearest of 16
+    deterministic centroids, probe the 4 nearest cells per query, exact
+    cosine re-rank inside the probed cells.
+
+    The plan shape IS the scale path of a production IVF index:
+    - assignment: corpus ⨯ broadcast(centroids) → map-side partial
+      ``max_by`` — the shuffle carries |corpus| rows, not |corpus|·K;
+    - the candidate join is keyed by cell id (the "inverted file"), so the
+      only large exchange is corpus-partitioned-by-cell — exactly what a
+      materialized IVF index would store, and a natural `bucketBy(cell)`
+      layout at rest;
+    - recall is tunable via N_PROBE with zero plan changes.
+    Centroids are fixture rows (vec_id < 16) instead of k-means iterates so
+    the DuckDB oracle reproduces the index bit-for-bit; swapping in
+    learned centroids changes numbers, not the plan."""
+    e = Catalog(spark, sf_dir).table("embeddings")
+    cents = e.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    # nearest-centroid assignment; ties (improbable with float cosines)
+    # break toward the smaller cell id via the (cos, -cell) struct order
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", cosine(F.col("embedding"), F.col("c_emb")))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cell", F.struct(F.col("ccos"), (-F.col("cell")).alias("nc"))
+            ).alias("cell"),
+            F.first("embedding").alias("embedding"),
+        )
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("q_id").orderBy(F.desc("pcos"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("pcos", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= N_PROBE)
+        .select("q_id", "q_emb", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("embedding")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "cos", "rank")
+    )
+
+
+_DDB_COS = """list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(generate_series(1, len({a})),
+                            i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)),
+           (x, y) -> x + y)
+         / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(generate_series(1, len({a})),
+                              i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)),
+             (x, y) -> x + y))
+            * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(generate_series(1, len({b})),
+                              i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)),
+             (x, y) -> x + y)))"""
+
+SIM_IVF_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings WHERE vec_id < {N_CELLS}
+),
+assign_scored AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         {_DDB_COS.format(a='e.embedding', b='c.c_emb')} AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT vec_id, embedding, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+    FROM assign_scored) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+probes AS (
+  SELECT q_id, q_emb, cell FROM (
+    SELECT q.q_id, q.q_emb, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+             {_DDB_COS.format(a='q.q_emb', b='c.c_emb')} DESC, c.cell ASC) AS pr
+    FROM q CROSS JOIN cents c) WHERE pr <= {N_PROBE}
+),
+scored AS (
+  SELECT p.q_id, a.vec_id,
+         {_DDB_COS.format(a='p.q_emb', b='a.embedding')} AS cos
+  FROM assigned a JOIN probes p USING (cell)
+  WHERE a.vec_id <> p.q_id
+)
+SELECT q_id, vec_id, cos, CAST(rank AS INT) AS rank FROM (
+  SELECT q_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
+"""

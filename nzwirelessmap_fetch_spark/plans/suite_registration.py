@@ -53,6 +53,7 @@ registry.register("text_token_count", _tx.text_token_count, _tx.TEXT_TOKEN_COUNT
 registry.register("text_fingerprint", _tx.text_fingerprint, _tx.TEXT_FINGERPRINT_SQL)
 registry.register("sim_topk_bruteforce", _sim.sim_topk_bruteforce, _sim.SIM_TOPK_BRUTEFORCE_SQL)
 registry.register("sim_lsh_bucketed", _sim.sim_lsh_bucketed, _sim.SIM_LSH_BUCKETED_SQL)
+registry.register("sim_ivf", _sim.sim_ivf, _sim.SIM_IVF_SQL)
 
 registry.register("asof_purchase_click", _asof.asof_purchase_click, _asof.ASOF_PURCHASE_CLICK_SQL)
 registry.register("sessionize", _sess.sessionize, _sess.SESSIONIZE_SQL)
