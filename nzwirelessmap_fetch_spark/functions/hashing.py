@@ -40,16 +40,24 @@ def rolling_hash(text_col: Column | str) -> Column:
     ``acc = (acc*31 + codepoint(c)) mod P``, left-to-right — the classic
     document fingerprint. Exact on any engine (pure int64 arithmetic).
 
+    Characters come from ``split(text, '')`` — EVERY character, including
+    line terminators. (A regexp-'.' formulation silently diverges across
+    engines: Java excludes \\r, \\u0085, \\u2028, \\u2029; RE2/Python
+    exclude only \\n. Found by the hypothesis property test.)
+
     DuckDB twin::
 
         list_reduce(
           list_prepend(0::BIGINT,
-            list_transform(regexp_extract_all(text, '.'), c -> ascii(c)::BIGINT)),
+            list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
           (a, b) -> (a*31 + b) % 2147483647)
+
+    (On '' Spark folds over [] and DuckDB over [''] with ascii('')=0 —
+    both yield 0.)
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.aggregate(
-        F.regexp_extract_all(c, F.lit("."), 0),
+        F.split(c, ""),
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * 31 + F.ascii(ch).cast("long")) % MERSENNE_P,
     )

@@ -155,7 +155,7 @@ TEXT_FINGERPRINT_SQL = """
 SELECT doc_id,
        list_reduce(
          list_prepend(0::BIGINT,
-           list_transform(regexp_extract_all(text, '.'),
+           list_transform(string_split(text, ''),
                           c -> ascii(c)::BIGINT)),
          (a, b) -> (a*31 + b) % 2147483647) AS fingerprint
 FROM documents

@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis) for the cross-engine-determinism
+primitives — the parts of the engine whose correctness claim is "bit-identical
+on ANY input", which example tests can't establish.
+
+Each property batches all generated values into ONE DataFrame per example so
+Spark job count stays proportional to max_examples, not to data size.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nzwirelessmap_fetch_spark.functions.hashing import MERSENNE_P, rolling_hash
+from nzwirelessmap_fetch_spark.sinks.writers import write_single_json_array
+
+SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# Text alphabet: printable ASCII + a few multibyte chars, so codepoint
+# semantics (ascii()/ord parity) are exercised beyond 7-bit.
+TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2603),
+    max_size=40,
+)
+
+
+def _rolling_hash_model(s: str) -> int:
+    """Pure-Python twin of functions.hashing.rolling_hash: fold over the
+    regexp-'.' matches (excludes newlines, like the Spark expression)."""
+    acc = 0
+    for ch in re.findall(".", s):
+        acc = (acc * 31 + ord(ch)) % MERSENNE_P
+    return acc
+
+
+@SETTINGS
+@given(st.lists(TEXT, min_size=1, max_size=20))
+def test_rolling_hash_matches_python_model(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r.h for r in df.select(rolling_hash("text").alias("h")).collect()]
+    assert got == [_rolling_hash_model(t) for t in texts]
+
+
+@SETTINGS
+@given(st.lists(TEXT, min_size=1, max_size=20))
+def test_rolling_hash_in_range_and_deterministic(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    a = [r.h for r in df.select(rolling_hash("text").alias("h")).collect()]
+    b = [
+        r.h
+        for r in df.repartition(7).select(rolling_hash("text").alias("h")).collect()
+    ]
+    assert sorted(a) == sorted(b)  # partitioning-independent
+    assert all(0 <= h < MERSENNE_P for h in a)
+
+
+ROWS = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-(2**31), max_value=2**31)),
+        st.one_of(st.none(), TEXT),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@SETTINGS
+@given(ROWS)
+def test_single_json_array_roundtrip(spark, tmp_path_factory, rows):
+    """P16/P17 pin as a property: the bug-compat array writer emits ONE
+    JSON array of all-string records; NULL → '' (CSV-boundary semantics);
+    ints keep their decimal text form."""
+    out = tmp_path_factory.mktemp("json") / "out.json"
+    df = spark.createDataFrame(rows, "a long, b string")
+    write_single_json_array(df, out)
+    data = json.load(open(out))
+    expect = [
+        {"a": "" if a is None else str(a), "b": "" if b is None else b}
+        for a, b in rows
+    ]
+    key = lambda r: (r["a"], r["b"])  # noqa: E731 — writer order is plan order
+    assert sorted(data, key=key) == sorted(expect, key=key)
