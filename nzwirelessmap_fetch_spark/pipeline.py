@@ -56,3 +56,27 @@ def run_pipeline(
     sink.write_versioned_csv(result, ARTIFACT_CSV, version)
     sink.write_versioned_json(result, ARTIFACT_JSON, version)
     return {"skipped": False, "version": version, "rows": result.count()}
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI: ``python -m nzwirelessmap_fetch_spark.pipeline SF_DIR OUT_ROOT
+    [VERSION]`` — the reference's `/fetch` trigger without the HTTP server
+    (job schedulers call this; a thin HTTP wrapper would only re-add
+    fetch.go:267-299)."""
+    import json
+    import sys
+
+    from .session import get_spark
+
+    args = sys.argv[1:] if argv is None else argv
+    if len(args) not in (2, 3):
+        print(__doc__)
+        raise SystemExit(2)
+    sf_dir, out_root = args[0], args[1]
+    version = args[2] if len(args) == 3 else None
+    report = run_pipeline(get_spark("pipeline"), sf_dir, out_root, version)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -626,3 +626,84 @@ SELECT CAST(GROUPING(l_returnflag) AS INT)  AS g_flag,
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
+
+
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function surface (§2.3 math row): rounding families, sign,
+    modulo, pow/sqrt — all JVM built-ins inside one projection (one scan, zero
+    shuffles). Only correctly-rounded IEEE-754 ops are pinned (+,-,*,/,
+    sqrt, integer pow): transcendentals (ln, log10, trig) are
+    implementation-defined in the last ulp (JVM Math vs C libm), so they
+    can't be hash-compared cross-engine and are exercised without
+    value-pinning in unit tests instead."""
+    li = Catalog(spark, sf_dir).table("lineitem").filter(F.col("l_orderkey") < 1000)
+    x = F.col("l_extendedprice").cast("double")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(x, 1).alias("round1"),
+        F.floor(x).cast("long").alias("floor_x"),
+        F.ceil(x).cast("long").alias("ceil_x"),
+        F.abs(x - F.lit(1000.0)).alias("abs_shift"),
+        F.signum(x - F.lit(30000.0)).alias("sign_shift"),
+        F.pmod(F.col("l_orderkey"), F.lit(97)).cast("long").alias("mod97"),
+        F.sqrt(x).alias("sqrt_x"),
+        F.pow(F.col("l_quantity").cast("double"), F.lit(2.0)).alias("qty_sq"),
+        F.greatest(F.col("l_tax"), F.col("l_discount")).cast("double").alias("max_rate"),
+        F.least(F.col("l_tax"), F.col("l_discount")).cast("double").alias("min_rate"),
+    )
+
+
+MATH_FUNCS_SQL = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(CAST(l_extendedprice AS DOUBLE), 1)       AS round1,
+       CAST(FLOOR(l_extendedprice) AS BIGINT)          AS floor_x,
+       CAST(CEIL(l_extendedprice) AS BIGINT)           AS ceil_x,
+       ABS(CAST(l_extendedprice AS DOUBLE) - 1000.0)   AS abs_shift,
+       SIGN(CAST(l_extendedprice AS DOUBLE) - 30000.0) AS sign_shift,
+       CAST(l_orderkey % 97 AS BIGINT)                 AS mod97,
+       SQRT(CAST(l_extendedprice AS DOUBLE))           AS sqrt_x,
+       POW(CAST(l_quantity AS DOUBLE), 2.0)            AS qty_sq,
+       CAST(GREATEST(l_tax, l_discount) AS DOUBLE)     AS max_rate,
+       CAST(LEAST(l_tax, l_discount) AS DOUBLE)        AS min_rate
+FROM lineitem
+WHERE l_orderkey < 1000
+"""
+
+
+def grouped_pandas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF via ``applyInPandas`` (§2.3 UDF/UDAF row): per
+    nation, the 3 highest-balance customers, computed inside an Arrow
+    batch per group with pandas.
+
+    Selection-only logic (sort + head — no float arithmetic), so the
+    result is bit-exact against the window-function oracle. This is the
+    escape hatch for per-group logic Spark expressions can't state
+    (sklearn fits, scipy tests, custom rankers): one shuffle keyed by the
+    group column, then pure Python per group, Arrow both ways. Groups must
+    fit in executor memory — at 100 TB that means pre-aggregating or
+    salting mega-groups first (see join_skew_salted)."""
+    import pandas as pd
+
+    c = Catalog(spark, sf_dir).table("customer")
+
+    def top3(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.sort_values(
+            ["c_acctbal", "c_custkey"], ascending=[False, True]
+        ).head(3)
+        out = out.assign(rank=range(1, len(out) + 1))
+        return out[["c_nationkey", "c_custkey", "c_acctbal", "rank"]]
+
+    return c.groupBy("c_nationkey").applyInPandas(
+        top3, "c_nationkey long, c_custkey long, c_acctbal double, rank int"
+    )
+
+
+GROUPED_PANDAS_TOPK_SQL = """
+SELECT c_nationkey, c_custkey, c_acctbal, CAST(rank AS INT) AS rank FROM (
+  SELECT c_nationkey, c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+  FROM customer)
+WHERE rank <= 3
+"""

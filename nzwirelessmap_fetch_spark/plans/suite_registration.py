@@ -40,6 +40,8 @@ registry.register("window_running_sum", _r.window_running_sum, _r.WINDOW_RUNNING
 registry.register("window_lag_gap", _r.window_lag_gap, _r.WINDOW_LAG_GAP_SQL)
 registry.register("string_funcs", _r.string_funcs, _r.STRING_FUNCS_SQL)
 registry.register("date_funcs", _r.date_funcs, _r.DATE_FUNCS_SQL)
+registry.register("math_funcs", _r.math_funcs, _r.MATH_FUNCS_SQL)
+registry.register("grouped_pandas_topk", _r.grouped_pandas_topk, _r.GROUPED_PANDAS_TOPK_SQL)
 registry.register("json_funcs", _r.json_funcs, _r.JSON_FUNCS_SQL)
 
 registry.register("dedup_exact", _dd.dedup_exact, _dd.DEDUP_EXACT_SQL)
