@@ -110,9 +110,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("h"),
     )
-    # doc → (sorted shingle-hash set, set size): |docs| rows with bounded
-    # arrays; persisted because prefixes (both join sides) and both
-    # verification lookups read it.
+    # doc → (sorted shingle-hash set, set size): |docs| rows (~2 MB at
+    # sf0.1) with bounded arrays. Persisted (MEMORY_AND_DISK) because FOUR
+    # consumers read it — both prefix join sides and both verification
+    # broadcasts — and each broadcast otherwise re-runs the whole shingle
+    # aggregation as its own job (measured 20× slower without).
     sets = (
         sh.groupBy("doc_id")
         .agg(
@@ -334,24 +336,35 @@ EMB_DIM = 16
 COSINE_DUP_THRESHOLD = 0.97
 
 
-def _bow_vector() -> F.Column:
-    """16-dim signed hashed-BoW vector of ``text`` as one fold expression.
+def _bow_vectors(docs: DataFrame) -> DataFrame:
+    """doc_id → 16-dim signed hashed-BoW vector (the hashing trick).
 
     Per word: 60-bit md5 value h; dimension h % 16; sign from bit 4.
-    A pure per-row map (no explode, no shuffle) — scan-bound at 100 TB,
-    same physical shape as the simhash fold above."""
-    return F.expr(
-        f"""
-        aggregate(
-          transform(split(text, ' '),
-                    w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)),
-          array_repeat(CAST(0.0 AS DOUBLE), {EMB_DIM}),
-          (acc, h) -> transform(sequence(0, {EMB_DIM - 1}),
-            d -> acc[d] + IF(h % {EMB_DIM} = d,
-                             IF((h >> 4) % 2 = 1, CAST(1.0 AS DOUBLE),
-                                CAST(-1.0 AS DOUBLE)),
-                             CAST(0.0 AS DOUBLE))))
-        """
+
+    Physical form: explode words → ONE hash aggregate with 16 conditional
+    sums — md5 computed once per word, everything whole-stage-codegen'd,
+    map-side partial aggregation collapses the shuffle to |docs| rows.
+    (An earlier per-row higher-order-function fold was 10× slower at
+    sf0.1: HOFs are interpreted and the array accumulator allocated a new
+    16-element array per word.) Sums of ±1.0 are exact integers in double,
+    so aggregation order cannot change the result."""
+    h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    hw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).select("doc_id", h.alias("h"))
+    sign = F.when(F.expr("(h >> 4) % 2") == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+    sums = [
+        F.sum(
+            F.when(F.col("h") % EMB_DIM == d, sign).otherwise(F.lit(0.0))
+        ).alias(f"v{d}")
+        for d in range(EMB_DIM)
+    ]
+    return (
+        hw.groupBy("doc_id")
+        .agg(*sums)
+        .select(
+            "doc_id", F.array(*[f"v{d}" for d in range(EMB_DIM)]).alias("v")
+        )
     )
 
 
@@ -369,7 +382,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     undefined; also dodges Spark's NaN-comparison semantics, which differ
     from IEEE in predicates)."""
     d = Catalog(spark, sf_dir).table("documents")
-    vec = d.select("doc_id", _bow_vector().alias("v"))
+    vec = _bow_vectors(d)
     bucketed = (
         vec.withColumn(
             "bucket",
