@@ -160,3 +160,39 @@ SELECT doc_id,
          (a, b) -> (a*31 + b) % 2147483647) AS fingerprint
 FROM documents
 """
+
+
+def text_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (§2.3 UDF/UDAF/UDTF row): LATERAL table function
+    exploding each document into (word, position) rows.
+
+    UDTFs are the 1→N escape hatch when the expansion logic is imperative
+    Python (real tokenizers, parsers, samplers) — the declarative twin is
+    ``explode``/``posexplode``, which stays JVM-side and is what the other
+    text operators use. Arrow-optimized evaluation
+    (``spark.sql.execution.pythonUDTF.arrow.enabled``) batches rows; the
+    per-doc row order out of ``eval`` is preserved within the lateral
+    expansion, and positions make the result order-insensitive anyway."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, pos int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield (w, i)
+
+    spark.udtf.register("split_words_udtf", SplitWords)
+    Catalog(spark, sf_dir).table("documents").createOrReplaceTempView(
+        "__docs_for_udtf"
+    )
+    return spark.sql(
+        "SELECT doc_id, t.word, t.pos "
+        "FROM __docs_for_udtf, LATERAL split_words_udtf(text) t"
+    )
+
+
+TEXT_UDTF_TOKENS_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+i AS (SELECT doc_id, w, unnest(range(0, len(w))) AS p FROM d)
+SELECT doc_id, w[p + 1] AS word, CAST(p AS INT) AS pos FROM i
+"""

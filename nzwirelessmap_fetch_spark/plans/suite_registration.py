@@ -53,6 +53,7 @@ registry.register("text_stats", _tx.text_stats, _tx.TEXT_STATS_SQL)
 registry.register("text_langid", _tx.text_langid, _tx.TEXT_LANGID_SQL)
 registry.register("text_token_count", _tx.text_token_count, _tx.TEXT_TOKEN_COUNT_SQL)
 registry.register("text_fingerprint", _tx.text_fingerprint, _tx.TEXT_FINGERPRINT_SQL)
+registry.register("text_udtf_tokens", _tx.text_udtf_tokens, _tx.TEXT_UDTF_TOKENS_SQL)
 registry.register("sim_topk_bruteforce", _sim.sim_topk_bruteforce, _sim.SIM_TOPK_BRUTEFORCE_SQL)
 registry.register("sim_lsh_bucketed", _sim.sim_lsh_bucketed, _sim.SIM_LSH_BUCKETED_SQL)
 registry.register("sim_ivf", _sim.sim_ivf, _sim.SIM_IVF_SQL)
@@ -63,6 +64,7 @@ registry.register("multimodal_features", _mm.multimodal_features, _mm.MULTIMODAL
 registry.register("multimodal_resize", _mm.multimodal_resize, _mm.MULTIMODAL_RESIZE_SQL)
 registry.register("multimodal_frame_sample", _mm.multimodal_frame_sample, _mm.MULTIMODAL_FRAME_SAMPLE_SQL)
 registry.register("stream_windowed_counts", _es.stream_windowed_counts, _es.STREAM_WINDOWED_COUNTS_SQL)
+registry.register("stream_stream_join", _es.stream_stream_join, _es.STREAM_STREAM_JOIN_SQL)
 # Stateful streaming session windows: genuinely non-SQL-expressible
 # (watermark-dependent emission of merged sessions) → rows-only check; the
 # batch `sessionize` op is the oracle-checked twin.

@@ -208,3 +208,62 @@ SELECT user_id, n_events, n_types, last_ts
 FROM agg, mx
 WHERE last_ts + INTERVAL 30 MINUTE < mt - INTERVAL 10 MINUTE
 """
+
+
+JOIN_LOOKBACK = "30 minutes"
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: purchases matched to the same
+    user's clicks in the preceding 30 minutes of event time.
+
+    Both sides carry a watermark and the join predicate bounds event-time
+    distance, so Spark can size the join state: click state is droppable
+    once the purchase-side watermark passes ts + 30 min — at 100 TB of
+    events/day this is what makes the join runnable at all (unbounded
+    stream-stream joins must keep EVERYTHING). Inner-join matches emit as
+    soon as both rows have arrived, so the complete fixture yields exactly
+    the batch interval-join result — the oracle states it directly."""
+    ev = _event_stream(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {JOIN_LOOKBACK}"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("p_event_id", "c_event_id", F.col("p_user").alias("user_id"), "p_ts", "c_ts")
+    return _run_to_completion(joined, spark)
+
+
+STREAM_STREAM_JOIN_SQL = """
+SELECT p.event_id AS p_event_id,
+       c.event_id AS c_event_id,
+       p.user_id  AS user_id,
+       p.ts       AS p_ts,
+       c.ts       AS c_ts
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts <= p.ts
+"""

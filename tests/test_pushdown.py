@@ -1,0 +1,65 @@
+"""Scan-efficiency pins: predicate pushdown, column pruning, and
+whole-stage codegen must actually reach the physical plan (SURVEY.md §4 —
+the reference got these from SQLite's planner; here Catalyst provides them,
+and these tests keep refactors from silently breaking that).
+
+At 100 TB these are the difference between reading row groups that match a
+filter and reading the table: a scan that pulls all 16 lineitem columns for
+a 2-column projection is a bug even when results are correct.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_CORRECT
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_filter_pushdown(spark):
+    df = (
+        spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+        .filter("l_orderkey < 100")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,100)" in plan
+
+
+def test_parquet_column_pruning(spark):
+    df = (
+        spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+        .filter("l_orderkey < 100")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    # ReadSchema carries ONLY the projected+filtered columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_flagship_scans_are_pruned(spark):
+    """The 8-way flagship join must not scan any full-width table.
+
+    Parses the ``FileScan parquet [attrs]`` output list (the ReadSchema
+    display string is truncated by Spark and can't be counted)."""
+    import re
+
+    from nzwirelessmap_fetch_spark.plans.flagship import flagship
+
+    plan = _plan(flagship(spark, SF_CORRECT))
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert len(scans) == 8  # 8 relation instances
+    for cols in scans:
+        n_cols = len(cols.split(","))
+        assert n_cols <= 6, f"flagship scan reads {n_cols} columns: {cols}"
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    df = (
+        spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .count()
+    )
+    df.collect()  # AQE finalizes (and codegen-compiles) only on execution
+    assert "*(" in _plan(df), "aggregation fell out of whole-stage codegen"
