@@ -99,3 +99,24 @@ class VersionedArtifactSink:
 
     def write_versioned_ndjson(self, df: DataFrame, artifact: str, version: str) -> None:
         write_ndjson(df, str(self._path(artifact, version)))
+
+
+def write_bucketed_table(
+    df: DataFrame, name: str, n_buckets: int = 32, key: str | None = None
+) -> None:
+    """Materialize a managed table bucketed on its natural layout key
+    (catalog.LAYOUT_KEYS) — the write-once shuffle that makes every later
+    equi-join on that key exchange-free (tests/test_bucketing.py proves
+    the plan property). The Spark replacement for the reference's
+    secondary-index re-creation (SURVEY.md §2.1 P11)."""
+    from ..catalog import LAYOUT_KEYS
+
+    key = key or LAYOUT_KEYS.get(name)
+    if key is None:
+        raise ValueError(f"no layout key registered for table {name!r}")
+    (
+        df.write.bucketBy(n_buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import pytest
 
+from nzwirelessmap_fetch_spark.sinks.writers import write_bucketed_table
 from tests.conftest import SF_CORRECT
 
 N_BUCKETS = 8
@@ -27,12 +28,7 @@ def bucketed_tables(spark):
         (customer, "customer_bkt", "c_custkey"),
     ]:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        (
-            df.write.bucketBy(N_BUCKETS, key)
-            .sortBy(key)
-            .mode("overwrite")
-            .saveAsTable(name)
-        )
+        write_bucketed_table(df, name, N_BUCKETS, key=key)
     yield
     spark.sql("DROP TABLE IF EXISTS orders_bkt")
     spark.sql("DROP TABLE IF EXISTS customer_bkt")
