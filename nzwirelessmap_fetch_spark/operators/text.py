@@ -196,3 +196,128 @@ WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 i AS (SELECT doc_id, w, unnest(range(0, len(w))) AS p FROM d)
 SELECT doc_id, w[p + 1] AS word, CAST(p AS INT) AS pos FROM i
 """
+
+
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex redaction of email/phone shapes plus match
+    counts — the pre-training hygiene pass. Pure per-row regexp ops
+    (codegen, zero shuffles); at 100 TB this is scan-bound and pipelines
+    with the quality filter in one stage.
+
+    Regexes use only RE2-safe syntax (no backrefs/lookaround) so Java and
+    RE2-based engines agree; both patterns are anchored to character
+    classes, not word boundaries (\\b differs subtly across engines)."""
+    d = Catalog(spark, sf_dir).table("documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), 0))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), 0))
+        .cast("int")
+        .alias("n_phones"),
+    )
+
+
+TEXT_PII_SCRUB_SQL = f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                      '{PII_PHONE}', '<PHONE>', 'g')          AS scrubbed,
+       CAST(LEN(regexp_extract_all(text, '{PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(LEN(regexp_extract_all(text, '{PII_PHONE}')) AS INT) AS n_phones
+FROM documents
+"""
+
+
+# Quality gate thresholds: the standard pre-training corpus filter shape
+# (length window, stopword floor, repetition ceiling).
+MIN_WORDS, MAX_WORDS = 5, 100_000
+MIN_STOP_RATIO = 0.01
+MIN_DIVERSITY = 0.3
+
+
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop decision + first failing reason per document — the
+    text_stats metrics turned into an actionable corpus filter. Reason
+    codes make reject sampling auditable (count per reason = the corpus
+    health dashboard). One scan, zero shuffles."""
+    d = Catalog(spark, sf_dir).table("documents")
+    w = _words()
+    n_words = F.size(w)
+    stop_ratio = (
+        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("double") / n_words
+    )
+    diversity = F.size(F.array_distinct(w)).cast("double") / n_words
+    reason = (
+        F.when(n_words < MIN_WORDS, "too_short")
+        .when(n_words > MAX_WORDS, "too_long")
+        .when(stop_ratio < MIN_STOP_RATIO, "low_stopword_ratio")
+        .when(diversity < MIN_DIVERSITY, "repetitive")
+        .otherwise("ok")
+    )
+    return d.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )
+
+
+CORPUS_QUALITY_FILTER_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         LEN(string_split(text, ' ')) AS n_words,
+         CAST(LEN(list_filter(string_split(text, ' '),
+                  x -> x IN ('the','a','of','and','to','in','is','on','for','with')))
+              AS DOUBLE) / LEN(string_split(text, ' ')) AS stop_ratio,
+         CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / LEN(string_split(text, ' ')) AS diversity
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN n_words < {MIN_WORDS} THEN 'too_short'
+            WHEN n_words > {MAX_WORDS} THEN 'too_long'
+            WHEN stop_ratio < {MIN_STOP_RATIO} THEN 'low_stopword_ratio'
+            WHEN diversity < {MIN_DIVERSITY} THEN 'repetitive'
+            ELSE 'ok' END AS reason,
+       (CASE WHEN n_words < {MIN_WORDS} THEN 'too_short'
+            WHEN n_words > {MAX_WORDS} THEN 'too_long'
+            WHEN stop_ratio < {MIN_STOP_RATIO} THEN 'low_stopword_ratio'
+            WHEN diversity < {MIN_DIVERSITY} THEN 'repetitive'
+            ELSE 'ok' END) = 'ok' AS keep
+FROM m
+"""
+
+
+SAMPLE_PCT = 10  # deterministic 10% sample
+
+
+def corpus_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed deterministic sampling: keep a document iff
+    ``md5(doc_id) mod 100 < 10``.
+
+    Unlike ``df.sample()`` (seeded per-partition RNG — resample on every
+    repartition), a hash-keyed sample is a pure function of the row:
+    stable across reruns, engines, partitionings, and cluster sizes, and
+    trivially stratifiable (hash (doc_id, epoch) for rotating eval
+    holdouts). This is how 100 TB pipelines carve train/eval splits."""
+    d = Catalog(spark, sf_dir).table("documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    return d.filter(bucket < SAMPLE_PCT).select("doc_id", "lang", "source")
+
+
+CORPUS_DETERMINISTIC_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {SAMPLE_PCT}
+"""

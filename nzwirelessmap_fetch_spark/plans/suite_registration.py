@@ -54,6 +54,9 @@ registry.register("text_langid", _tx.text_langid, _tx.TEXT_LANGID_SQL)
 registry.register("text_token_count", _tx.text_token_count, _tx.TEXT_TOKEN_COUNT_SQL)
 registry.register("text_fingerprint", _tx.text_fingerprint, _tx.TEXT_FINGERPRINT_SQL)
 registry.register("text_udtf_tokens", _tx.text_udtf_tokens, _tx.TEXT_UDTF_TOKENS_SQL)
+registry.register("text_pii_scrub", _tx.text_pii_scrub, _tx.TEXT_PII_SCRUB_SQL)
+registry.register("corpus_quality_filter", _tx.corpus_quality_filter, _tx.CORPUS_QUALITY_FILTER_SQL)
+registry.register("corpus_deterministic_sample", _tx.corpus_deterministic_sample, _tx.CORPUS_DETERMINISTIC_SAMPLE_SQL)
 registry.register("sim_topk_bruteforce", _sim.sim_topk_bruteforce, _sim.SIM_TOPK_BRUTEFORCE_SQL)
 registry.register("sim_lsh_bucketed", _sim.sim_lsh_bucketed, _sim.SIM_LSH_BUCKETED_SQL)
 registry.register("sim_ivf", _sim.sim_ivf, _sim.SIM_IVF_SQL)

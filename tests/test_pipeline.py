@@ -9,7 +9,7 @@ import zipfile
 
 import pytest
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_CORRECT, SF_SMOKE
 
 from nzwirelessmap_fetch_spark.pipeline import ARTIFACT_JSON, run_pipeline
 from nzwirelessmap_fetch_spark.sinks.writers import (
@@ -69,3 +69,21 @@ def test_zip_staging(tmp_path):
     assert staged.read_bytes() == b"payload"
     with pytest.raises(FileNotFoundError, match="couldn't find"):
         stage_member(zp, "missing.mdb", tmp_path / "staging")
+
+
+def test_unknown_table_raises_keyerror(spark):
+    """The schema registry is closed (SURVEY.md §1.2: unknown Access types
+    error in the reference jar; unknown tables error here)."""
+    from nzwirelessmap_fetch_spark.catalog import Catalog
+
+    with pytest.raises(KeyError, match="registry is closed"):
+        Catalog(spark, SF_CORRECT).table("nope")
+
+
+def test_missing_sf_dir_raises_path_not_found(spark):
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from nzwirelessmap_fetch_spark.catalog import Catalog
+
+    with pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
+        Catalog(spark, "/root/testdata/sf-nope").table("orders").count()
