@@ -488,3 +488,93 @@ SELECT doc_id,
 FROM edges
 GROUP BY doc_id
 """
+
+
+MAX_CC_ITERATIONS = 50
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup groups: connected components over the n-gram
+    Jaccard ≥ 0.5 edge set, by iterative min-label propagation.
+
+    Star dedup (dedup_embedding_cosine) mislabels chains (A~B~C with
+    A≁C); components give every doc the least doc_id of its full group —
+    the correct canonical for chained near-dups. The loop is Spark's
+    standard iterative-algorithm shape: labels ⟕ edges → min per node,
+    repeat until a no-change fixpoint (≤ diameter rounds; the
+    large-star/small-star variant cuts that to O(log n) rounds at
+    billion-edge scale). ``localCheckpoint`` truncates lineage each round
+    so plans don't grow exponentially; the driver touches only the
+    convergence scalar, never data.
+
+    Oracle: exact, via a DuckDB recursive CTE computing reachability and
+    aggregating min/count outside the recursion."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+
+    labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("label")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(MAX_CC_ITERATIONS):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.filter(F.col("changed")).count()  # convergence scalar
+        labels = updated.select("doc_id", "label")
+        if n_changed == 0:
+            break
+
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return labels.join(sizes, "label").select(
+        "doc_id",
+        F.col("label").alias("component_id"),
+        F.col("n_members").cast("int").alias("n_reachable"),
+    )
+
+
+DEDUP_CONNECTED_COMPONENTS_SQL = """
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+                          i -> w[i] || ' ' || w[i+1])) AS shingle
+    FROM w WHERE len(w) >= 2)
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(doc, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.doc = e.t
+)
+SELECT doc AS doc_id, MIN(r) AS component_id, CAST(COUNT(*) AS INT) AS n_reachable
+FROM reach GROUP BY doc
+"""
