@@ -36,6 +36,9 @@ def main() -> None:
         start = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
+        # release caches an operator legitimately created (multi-consumer
+        # persists) so no query's residue skews its successors
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

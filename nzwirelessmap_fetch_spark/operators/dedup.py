@@ -1,12 +1,14 @@
 """Deduplication operators over the ``documents`` table (SURVEY.md §2.4).
 
-Four levels of the standard dedup ladder, all expressed with built-in
-DataFrame ops (whole-stage codegen; no Python in the hot path):
+The standard dedup ladder, all expressed with built-in DataFrame ops
+(whole-stage codegen; no Python in the hot path):
 
-- exact          content-hash groupBy
-- n-gram Jaccard inverted-index self-join on word-bigram shingles
-- MinHash + LSH  signature → band → bucket-join candidate pairs
-- SimHash        32-bit weighted-bit signature (near-dup banding ready)
+- exact              content-hash groupBy
+- n-gram Jaccard     prefix-filtered (AllPairs/PPJoin) shingle self-join
+- MinHash + LSH      signature → band → bucket-join candidate pairs
+- SimHash            32-bit weighted-bit signature (near-dup banding ready)
+- embedding cosine   hashed-BoW vectors, sign-pattern LSH blocking
+- connected comps    transitive groups over the Jaccard edge set (iterative)
 
 Scale design: no crossJoin anywhere. Pair generation always goes through an
 equi-join on a *content-derived key* (shingle / band-signature), so the
@@ -503,9 +505,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard iterative-algorithm shape: labels ⟕ edges → min per node,
     repeat until a no-change fixpoint (≤ diameter rounds; the
     large-star/small-star variant cuts that to O(log n) rounds at
-    billion-edge scale). ``localCheckpoint`` truncates lineage each round
-    so plans don't grow exponentially; the driver touches only the
-    convergence scalar, never data.
+    billion-edge scale). Each round eagerly ``localCheckpoint``s its
+    frontier: checkpointing TRUNCATES LINEAGE, which is load-bearing —
+    a persist/unpersist round cycle was measured 4× slower because every
+    unpersisted intermediate stays in the downstream plan and recomputes
+    the whole history once its blocks are dropped. Frontier blocks are
+    label tables (bytes per dup-pair member), so the retained footprint
+    is negligible. The driver touches only the convergence scalar, never
+    data.
 
     Oracle: exact, via a DuckDB recursive CTE computing reachability and
     aggregating min/count outside the recursion."""
@@ -514,9 +521,12 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
 
-    labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().select(
-        "doc_id", F.col("doc_id").alias("label")
-    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(MAX_CC_ITERATIONS):
         neighbor_min = (
@@ -533,7 +543,8 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("changed"),
             )
-        ).localCheckpoint(eager=True)
+            .localCheckpoint(eager=True)
+        )
         n_changed = updated.filter(F.col("changed")).count()  # convergence scalar
         labels = updated.select("doc_id", "label")
         if n_changed == 0:

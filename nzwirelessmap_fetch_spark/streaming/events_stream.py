@@ -49,18 +49,32 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+# State-store instances per stateful operator. This is a STATE-VOLUME
+# knob, not a core-count knob: each instance costs a per-micro-batch
+# commit (and for Pandas-state ops a Python worker round-trip), so at
+# fixture volume 8 instances run ~3× faster than 32 while production
+# deployments size it to keep per-instance state in memory. Fixed at
+# checkpoint creation in real pipelines — choose for peak state, not CPUs.
+STREAM_STATE_PARTITIONS = 8
+
+
 def _run_to_completion(agg: DataFrame, spark: SparkSession) -> DataFrame:
     name = f"stream_out_{next(_query_counter)}"
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
     try:
-        q.processAllAvailable()
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 
