@@ -707,3 +707,101 @@ SELECT c_nationkey, c_custkey, c_acctbal, CAST(rank AS INT) AS rank FROM (
   FROM customer)
 WHERE rank <= 3
 """
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame window (§2.3 windows): per-customer count and quantity
+    of orders in the trailing 30-value window of o_totalprice-rank — here a
+    literal RANGE BETWEEN over an integer order key offset, the frame type
+    rowsBetween can't express (peers by VALUE distance, not row count).
+    At scale the same one-shuffle window shape as the row-frame ops."""
+    o = Catalog(spark, sf_dir).table("orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderkey"))
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_recent"),
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("recent_total"),
+    )
+
+
+WINDOW_RANGE_FRAME_SQL = """
+SELECT o_custkey, o_orderkey,
+       COUNT(*) OVER w AS n_recent,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS recent_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-based MERGE (upsert): apply a change set to a base table —
+    the incremental-refresh primitive every versioned pipeline needs
+    (the reference's whole-run memoization P3 is the degenerate
+    all-or-nothing form; this is the row-level form).
+
+    Change set (deterministic, derived from the fixture): every order with
+    ``o_orderkey % 10 = 0`` gets a 10% price increase (update), and a
+    synthetic order per nation-key (insert). MERGE = changes ∪ (base ⟕anti
+    changes): one keyed shuffle each side; with both sides bucketed by the
+    merge key this is exchange-free. Without a table format this writes a
+    new snapshot — Delta/Iceberg MERGE INTO replaces the rewrite with a
+    log commit, same logical plan."""
+    o = Catalog(spark, sf_dir).table("orders")
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") * F.lit(1.1).cast("decimal(4,2)"))
+        .cast("double")
+        .alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    inserts = (
+        Catalog(spark, sf_dir)
+        .table("nation")
+        .select(
+            (F.lit(9_000_000_000) + F.col("n_nationkey").cast("long")).alias(
+                "o_orderkey"
+            ),
+            F.lit(1).cast("long").alias("o_custkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(0.0).alias("o_totalprice"),
+            F.lit("5-LOW").alias("o_orderpriority"),
+        )
+    )
+    changes = updates.unionByName(inserts)
+    base_kept = o.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    ).join(changes.select("o_orderkey"), "o_orderkey", "left_anti")
+    return base_kept.unionByName(changes)
+
+
+MERGE_UPSERT_SQL = """
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(4,2)) AS DOUBLE)
+           AS o_totalprice,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+inserts AS (
+  SELECT 9000000000 + n_nationkey AS o_orderkey,
+         CAST(1 AS BIGINT) AS o_custkey,
+         'N' AS o_orderstatus,
+         0.0 AS o_totalprice,
+         '5-LOW' AS o_orderpriority
+  FROM nation
+),
+changes AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+UNION ALL
+SELECT * FROM changes
+"""

@@ -38,6 +38,8 @@ registry.register("topk_orders", _r.topk_orders, _r.TOPK_ORDERS_SQL)
 registry.register("window_top3_per_nation", _r.window_top3_per_nation, _r.WINDOW_TOP3_PER_NATION_SQL)
 registry.register("window_running_sum", _r.window_running_sum, _r.WINDOW_RUNNING_SUM_SQL)
 registry.register("window_lag_gap", _r.window_lag_gap, _r.WINDOW_LAG_GAP_SQL)
+registry.register("window_range_frame", _r.window_range_frame, _r.WINDOW_RANGE_FRAME_SQL)
+registry.register("merge_upsert", _r.merge_upsert, _r.MERGE_UPSERT_SQL)
 registry.register("string_funcs", _r.string_funcs, _r.STRING_FUNCS_SQL)
 registry.register("date_funcs", _r.date_funcs, _r.DATE_FUNCS_SQL)
 registry.register("math_funcs", _r.math_funcs, _r.MATH_FUNCS_SQL)
