@@ -16,9 +16,28 @@ def sqlite_like(col: Column | str, pattern: str) -> Column:
     (select_point_to_point_links.sql:70 relies on it: ``licencecode LIKE
     'F%'`` matches ``f...`` rows). Spark ``like`` is case-sensitive, so the
     parity spelling is ``ilike``.
+
+    Pushdown helper: ``ilike`` compiles to ``StartsWith(lower(col))``,
+    which can NOT reach a parquet scan (function-wrapped column). For
+    single-character prefix patterns ``X%`` we AND in the exactly-
+    equivalent raw-column disjunction ``startswith('X') OR
+    startswith('x')`` — Catalyst pushes the disjunction into
+    ``PushedFilters`` (row-group skipping at 100 TB) while the ``ilike``
+    remains the semantic predicate. Only bit-equivalent for 1-char
+    prefixes (multi-char patterns would need 2^n case variants), so
+    longer patterns keep the plain ``ilike``.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return c.ilike(pattern)
+    semantic = c.ilike(pattern)
+    if (
+        len(pattern) == 2
+        and pattern.endswith("%")
+        and pattern[0].isascii()
+        and pattern[0].isalpha()
+    ):
+        p = pattern[0]
+        return (c.startswith(p.upper()) | c.startswith(p.lower())) & semantic
+    return semantic
 
 
 def all_string(col: Column | str) -> Column:

@@ -515,12 +515,29 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     data.
 
     Oracle: exact, via a DuckDB recursive CTE computing reachability and
-    aggregating min/count outside the recursion."""
+    aggregating min/count outside the recursion.
+
+    The loop runs at a reduced shuffle-partition count (restored after):
+    the frontier is |dup-pair members| rows — orders of magnitude smaller
+    than the corpus that produced the edges — and each round is 2
+    sequential jobs, so per-partition scheduling overhead dominates at
+    full width. Like the streaming state knob, frontier partitioning
+    follows FRONTIER volume, not core count."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # Edge construction runs (eagerly, via the checkpoint) at FULL width —
+    # it executes the whole n-gram join. Only the loop runs narrow.
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _label_propagation(spark, edges)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
+
+def _label_propagation(spark: SparkSession, edges: DataFrame) -> DataFrame:
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()

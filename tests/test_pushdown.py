@@ -63,3 +63,13 @@ def test_whole_stage_codegen_covers_agg(spark):
     )
     df.collect()  # AQE finalizes (and codegen-compiles) only on execution
     assert "*(" in _plan(df), "aggregation fell out of whole-stage codegen"
+
+
+def test_ilike_prefix_pushdown_helper(spark):
+    """compat.sqlite_like adds a raw-column prefix disjunction for 1-char
+    patterns so the scan can skip row groups even though ilike itself
+    (StartsWith(lower(col))) can't push."""
+    from nzwirelessmap_fetch_spark.plans.flagship import flagship
+
+    plan = _plan(flagship(spark, SF_CORRECT))
+    assert "Or(StringStartsWith(p_type,S),StringStartsWith(p_type,s))" in plan
