@@ -281,3 +281,55 @@ JOIN events c
  AND c.ts >= p.ts - INTERVAL 30 MINUTE
  AND c.ts <= p.ts
 """
+
+
+def stream_to_versioned_sink(
+    spark: SparkSession, sf_dir: str, out_root: str
+) -> dict:
+    """``foreachBatch`` bridge: the streaming plan feeds the SAME versioned
+    artifact layer batch pipelines use (sinks/writers.py P15/P18) — each
+    micro-batch lands as ``events_counts/batch=<id>`` NDJSON plus a
+    refreshed ``latest``, so downstream consumers of the reference's
+    artifact contract can't tell streaming wrote it.
+
+    ``foreachBatch`` hands the sink a NORMAL DataFrame per micro-batch:
+    any batch writer (JDBC, bucketed table, MERGE) plugs in unchanged.
+    Batch id gives exactly-once bookkeeping — a restarted query re-offers
+    the same id, and the versioned path makes the write idempotent (the
+    reference's marker semantics, per micro-batch). Returns
+    {batches, rows} for verification."""
+    from ..sinks.writers import VersionedArtifactSink
+
+    sink = VersionedArtifactSink(out_root)
+    seen = {"batches": 0, "rows": 0}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        if n == 0:
+            return
+        sink.write_versioned_ndjson(batch_df, "events_counts", f"batch={batch_id}")
+        sink.write_versioned_ndjson(batch_df, "events_counts", "latest")
+        seen["batches"] += 1
+        seen["rows"] += n
+
+    agg = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", WINDOW), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return seen

@@ -87,3 +87,19 @@ def test_missing_sf_dir_raises_path_not_found(spark):
 
     with pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
         Catalog(spark, "/root/testdata/sf-nope").table("orders").count()
+
+
+def test_stream_to_versioned_sink(spark, tmp_path):
+    """foreachBatch must land micro-batches in the P18 versioned layout."""
+    from nzwirelessmap_fetch_spark.streaming.events_stream import (
+        stream_to_versioned_sink,
+    )
+
+    report = stream_to_versioned_sink(spark, SF_CORRECT, str(tmp_path))
+    assert report["batches"] >= 1 and report["rows"] > 0
+    batches = [
+        p for p in (tmp_path / "events_counts").iterdir() if p.name.startswith("batch=")
+    ]
+    assert batches and (tmp_path / "events_counts" / "latest").exists()
+    out = spark.read.json(str(batches[0]))
+    assert out.count() > 0 and set(out.columns) == {"window_start", "event_type", "n"}
