@@ -88,3 +88,39 @@ def test_single_json_array_roundtrip(spark, tmp_path_factory, rows):
     ]
     key = lambda r: (r["a"], r["b"])  # noqa: E731 — writer order is plan order
     assert sorted(data, key=key) == sorted(expect, key=key)
+
+
+def _md5_long_model(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+@SETTINGS
+@given(st.lists(TEXT, min_size=1, max_size=20))
+def test_md5_long_matches_python_model(spark, texts):
+    from nzwirelessmap_fetch_spark.functions.hashing import md5_long
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r.h for r in df.select(md5_long("text").alias("h")).collect()]
+    assert got == [_md5_long_model(t) for t in texts]
+
+
+@SETTINGS
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**32 - 1), min_size=1, max_size=30),
+    st.integers(min_value=1, max_value=2**31 - 2),
+    st.integers(min_value=0, max_value=2**31 - 2),
+)
+def test_perm_hash_matches_model_and_range(spark, hs, a, b):
+    """MinHash permutation hash: (a*h + b) mod P — intermediates must not
+    overflow int64 (max a*h ≈ 2^31·2^32 = 2^63 - boundary case)."""
+    from pyspark.sql import functions as F
+
+    from nzwirelessmap_fetch_spark.functions.hashing import MERSENNE_P, perm_hash
+
+    df = spark.createDataFrame([(h,) for h in hs], "h long")
+    got = [r.p for r in df.select(perm_hash(F.col("h"), a, b).alias("p")).collect()]
+    want = [(a * h + b) % MERSENNE_P for h in hs]
+    assert got == want
+    assert all(0 <= p < MERSENNE_P for p in got)
