@@ -276,3 +276,64 @@ SELECT q_id, vec_id, cos, CAST(rank AS INT) AS rank FROM (
   FROM scored)
 WHERE rank <= {TOP_K}
 """
+
+
+def sim_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matmul (``mapInPandas``)
+    — the vectorized-Python twin of ``sim_topk_bruteforce`` (same oracle).
+
+    Physical shape: the query matrix ships to every task as a plan
+    literal (it is top-k's "broadcast side"); each Arrow batch of corpus
+    vectors becomes one ``(batch × dim) @ (dim × queries)`` BLAS call, and
+    only per-batch candidate scores leave Python. A JVM fold pays
+    interpreted per-element cost O(dim) per pair; BLAS amortizes to
+    ~one fused multiply-add per element — the winning path once dim×|q|
+    is large. Final global top-k is the same one-shuffle window.
+
+    Output pins (q_id, vec_id, rank) but NOT the raw cosine: BLAS uses
+    blocked/pairwise accumulation, so its floats differ from the
+    determinism-contract fold in the last ulp. Neighbor IDENTITY is
+    stable (fixture cosine gaps ≫ 1e-15); the fold-based twin pins the
+    exact values."""
+    import numpy as np
+    import pandas as pd
+
+    e = Catalog(spark, sf_dir).table("embeddings")
+    q_rows = [
+        (int(r.q_id), list(r.q_emb))
+        for r in e.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+        .collect()  # N_QUERIES rows — the broadcast side of a top-k, not data
+    ]
+    q_ids = np.array([i for i, _ in q_rows])
+    Q = np.array([v for _, v in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            M = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            cos = (M / np.linalg.norm(M, axis=1, keepdims=True)) @ Qn.T
+            out = pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].values, len(q_ids)),
+                    "q_id": np.tile(q_ids, len(pdf)),
+                    "cos": cos.ravel(),
+                }
+            )
+            yield out[out["vec_id"] != out["q_id"]]
+
+    scored = e.select("vec_id", "embedding").mapInPandas(
+        score, "vec_id long, q_id long, cos double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "rank")
+    )
+
+
+SIM_TOPK_NUMPY_SQL = f"""
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank
+FROM ({SIM_TOPK_BRUTEFORCE_SQL})
+"""

@@ -63,6 +63,8 @@ registry.register("corpus_deterministic_sample", _tx.corpus_deterministic_sample
 registry.register("sim_topk_bruteforce", _sim.sim_topk_bruteforce, _sim.SIM_TOPK_BRUTEFORCE_SQL)
 registry.register("sim_lsh_bucketed", _sim.sim_lsh_bucketed, _sim.SIM_LSH_BUCKETED_SQL)
 registry.register("sim_ivf", _sim.sim_ivf, _sim.SIM_IVF_SQL)
+# rank-only oracle: BLAS floats differ from the fold in the last ulp
+registry.register("sim_topk_numpy", _sim.sim_topk_numpy, _sim.SIM_TOPK_NUMPY_SQL)
 
 registry.register("asof_purchase_click", _asof.asof_purchase_click, _asof.ASOF_PURCHASE_CLICK_SQL)
 registry.register("sessionize", _sess.sessionize, _sess.SESSIONIZE_SQL)
