@@ -337,3 +337,102 @@ SIM_TOPK_NUMPY_SQL = f"""
 SELECT q_id, vec_id, CAST(rank AS INT) AS rank
 FROM ({SIM_TOPK_BRUTEFORCE_SQL})
 """
+
+
+def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: like ``sim_lsh_bucketed`` but each vector ALSO
+    probes the 8 buckets at Hamming distance 1 from its own code, so pairs
+    whose codes disagree on exactly one hyperplane are recovered —
+    the standard recall knob that multiplies probe cost ×(planes+1)
+    instead of growing the index.
+
+    Plan shape: probe side = corpus exploded to 9 keys (own code + 8
+    single-bit flips); index side = corpus at its own code. The join stays
+    keyed by bucket (probe fan-out is a map-side explode, not a shuffle
+    multiplier of the index), dedupe by pair, then the same exact-cosine
+    verification. Probing is directional (a-probes meet b-home), which
+    covers Hamming-1 symmetrically without double fan-out."""
+    e = Catalog(spark, sf_dir).table("embeddings")
+    home = e.withColumn("bucket", _bucket_expr().cast("int"))
+    probes = home.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.expr(
+                f"array_union(array(bucket), transform(sequence(0, {N_PLANES - 1}),"
+                " j -> CAST(bucket ^ shiftleft(1, j) AS INT)))"
+            )
+        ).alias("bucket"),
+    )
+    a = probes.alias("a")
+    b = home.alias("b")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("emb_a"),
+            F.col("b.embedding").alias("emb_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+        .withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos") >= PAIR_THRESHOLD)
+    )
+    return pairs.select("vec_a", "vec_b", "cos")
+
+
+SIM_LSH_MULTIPROBE_SQL = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         CAST(list_reduce(list_prepend(0,
+           list_transform(generate_series(0, 7), j ->
+             CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+                    list_transform(generate_series(0, len(embedding) - 1),
+                      d -> embedding[d + 1]::DOUBLE *
+                           (2 * (((1103515245 * (j * len(embedding) + d) + 12345) >> 16) % 2) - 1))),
+                    (a, b) -> a + b) > 0
+             THEN (1 << j) ELSE 0 END)),
+           (a, b) -> a + b) AS INT) AS bucket
+  FROM embeddings
+),
+probes AS (
+  SELECT vec_id, embedding,
+         unnest(list_distinct(list_prepend(bucket,
+           list_transform(generate_series(0, {N_PLANES - 1}),
+                          j -> CAST(xor(bucket, 1 << j) AS INT))))) AS bucket
+  FROM bucketed
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM probes a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(generate_series(1, len(ea.embedding)),
+                          i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)),
+         (x, y) -> x + y)
+       / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(generate_series(1, len(ea.embedding)),
+                            i -> ea.embedding[i]::DOUBLE * ea.embedding[i]::DOUBLE)),
+           (x, y) -> x + y))
+          * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(generate_series(1, len(eb.embedding)),
+                            i -> eb.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)),
+           (x, y) -> x + y))) AS cos
+FROM cand
+JOIN embeddings ea ON ea.vec_id = vec_a
+JOIN embeddings eb ON eb.vec_id = vec_b
+WHERE list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(generate_series(1, len(ea.embedding)),
+                          i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)),
+         (x, y) -> x + y)
+       / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(generate_series(1, len(ea.embedding)),
+                            i -> ea.embedding[i]::DOUBLE * ea.embedding[i]::DOUBLE)),
+           (x, y) -> x + y))
+          * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(generate_series(1, len(eb.embedding)),
+                            i -> eb.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)),
+           (x, y) -> x + y))) >= {PAIR_THRESHOLD}
+"""

@@ -62,6 +62,7 @@ registry.register("corpus_quality_filter", _tx.corpus_quality_filter, _tx.CORPUS
 registry.register("corpus_deterministic_sample", _tx.corpus_deterministic_sample, _tx.CORPUS_DETERMINISTIC_SAMPLE_SQL)
 registry.register("sim_topk_bruteforce", _sim.sim_topk_bruteforce, _sim.SIM_TOPK_BRUTEFORCE_SQL)
 registry.register("sim_lsh_bucketed", _sim.sim_lsh_bucketed, _sim.SIM_LSH_BUCKETED_SQL)
+registry.register("sim_lsh_multiprobe", _sim.sim_lsh_multiprobe, _sim.SIM_LSH_MULTIPROBE_SQL)
 registry.register("sim_ivf", _sim.sim_ivf, _sim.SIM_IVF_SQL)
 # rank-only oracle: BLAS floats differ from the fold in the last ulp
 registry.register("sim_topk_numpy", _sim.sim_topk_numpy, _sim.SIM_TOPK_NUMPY_SQL)
