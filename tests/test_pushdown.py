@@ -73,3 +73,28 @@ def test_ilike_prefix_pushdown_helper(spark):
 
     plan = _plan(flagship(spark, SF_CORRECT))
     assert "Or(StringStartsWith(p_type,S),StringStartsWith(p_type,s))" in plan
+
+
+def test_no_unguarded_driver_materialization():
+    """Pin the README scale claim: `.collect()`/`.toPandas()` appear in the
+    engine exactly twice, both bounded — the row-budget-guarded single-array
+    JSON writer (P17 bug-compat) and the N_QUERIES-row query-set fetch in
+    the numpy top-k (the broadcast side of a top-k, not data). Any new
+    driver-side materialization must be justified here by name."""
+    import pathlib
+
+    import collections
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "nzwirelessmap_fetch_spark"
+    hits: collections.Counter = collections.Counter()
+    for p in sorted(root.rglob("*.py")):
+        src = p.read_text()
+        hits[str(p.relative_to(root))] += src.count(".collect()") + src.count(
+            ".toPandas()"
+        )
+    nonzero = {k: v for k, v in hits.items() if v}
+    assert nonzero == {
+        "operators/similarity.py": 1,
+        "sinks/writers.py": 1,
+    }, f"unexpected driver-side materialization: {nonzero}"
