@@ -606,3 +606,81 @@ reach(doc, r) AS (
 SELECT doc AS doc_id, MIN(r) AS component_id, CAST(COUNT(*) AS INT) AS n_reachable
 FROM reach GROUP BY doc
 """
+
+
+def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond" —
+    public algorithm): same output contract as
+    ``dedup_connected_components`` (shared oracle), different round
+    complexity — O(log² n) rounds on ANY graph vs O(diameter) for plain
+    label propagation, which is what matters when near-dup chains are
+    long (crawl mirrors, template families).
+
+    large-star: every node points its LARGER neighbors at its current
+    minimum; small-star: re-points the smaller-or-equal ones. Both are one
+    groupBy + one keyed re-emit — two shuffles per round, no driver data.
+    Fixpoint when a round leaves the edge multiset unchanged; the final
+    graph is a star per component centered on its minimum doc_id."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _star_contraction(spark, edges)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    return (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    m = edges.groupBy("u").agg(
+        F.least(F.min("v"), F.col("u")).alias("m")
+    )
+    side = edges.filter(F.col("v") > F.col("u")) if large else edges.filter(
+        F.col("v") <= F.col("u")
+    )
+    emitted = side.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    if not large:
+        # small-star also links u ITSELF to its minimum (the paper's
+        # N(u) ∪ {u} term) — without it a two-node component's only edge
+        # degenerates to a self-loop and the component vanishes
+        emitted = emitted.union(m.select(F.col("u"), F.col("m").alias("v")))
+    return _sym(emitted)
+
+
+def _star_contraction(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    for _ in range(MAX_CC_ITERATIONS):
+        after = _star_round(_star_round(edges, large=True), large=False)
+        after = after.localCheckpoint(eager=True)
+        changed = (
+            after.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(after).limit(1).count()
+        )
+        edges, prev = after, edges
+        if changed == 0:
+            break
+
+    # converged: each component is a star around its min; label(u) =
+    # min(neighbors ∪ u)
+    labels = edges.groupBy("u").agg(
+        F.least(F.min("v"), F.col("u")).alias("label")
+    )
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return labels.join(sizes, "label").select(
+        F.col("u").alias("doc_id"),
+        F.col("label").alias("component_id"),
+        F.col("n_members").cast("int").alias("n_reachable"),
+    )

@@ -52,6 +52,8 @@ registry.register("dedup_minhash_lsh", _dd.dedup_minhash_lsh, _dd.DEDUP_MINHASH_
 registry.register("dedup_simhash", _dd.dedup_simhash, _dd.DEDUP_SIMHASH_SQL)
 registry.register("dedup_embedding_cosine", _dd.dedup_embedding_cosine, _dd.DEDUP_EMBEDDING_COSINE_SQL)
 registry.register("dedup_connected_components", _dd.dedup_connected_components, _dd.DEDUP_CONNECTED_COMPONENTS_SQL)
+# same oracle: identical output contract, log-round star-contraction algorithm
+registry.register("dedup_cc_star", _dd.dedup_cc_star, _dd.DEDUP_CONNECTED_COMPONENTS_SQL)
 registry.register("text_stats", _tx.text_stats, _tx.TEXT_STATS_SQL)
 registry.register("text_langid", _tx.text_langid, _tx.TEXT_LANGID_SQL)
 registry.register("text_token_count", _tx.text_token_count, _tx.TEXT_TOKEN_COUNT_SQL)
