@@ -76,10 +76,11 @@ registry.register("multimodal_resize", _mm.multimodal_resize, _mm.MULTIMODAL_RES
 registry.register("multimodal_frame_sample", _mm.multimodal_frame_sample, _mm.MULTIMODAL_FRAME_SAMPLE_SQL)
 registry.register("stream_windowed_counts", _es.stream_windowed_counts, _es.STREAM_WINDOWED_COUNTS_SQL)
 registry.register("stream_stream_join", _es.stream_stream_join, _es.STREAM_STREAM_JOIN_SQL)
-# Stateful streaming session windows: genuinely non-SQL-expressible
-# (watermark-dependent emission of merged sessions) → rows-only check; the
-# batch `sessionize` op is the oracle-checked twin.
-registry.register("stream_session_windows", _es.stream_session_windows, None)
+registry.register(
+    "stream_session_windows",
+    _es.stream_session_windows,
+    _es.STREAM_SESSION_WINDOWS_SQL,
+)
 registry.register(
     "stream_stateful_user_stats",
     _es.stream_stateful_user_stats,

@@ -333,3 +333,36 @@ def stream_to_versioned_sink(
     finally:
         q.stop()
     return seen
+
+
+# Append-mode emission of streaming session windows has a closed form with
+# a complete input: a session (30-min-gap merge) emits iff its window end
+# (last event + gap) is at or below the final watermark (max ts − delay).
+# That makes the "non-SQL-expressible" stateful op oracle-checkable after
+# all — the CTE below is the batch sessionize logic plus that filter.
+STREAM_SESSION_WINDOWS_SQL = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         epoch_us(ts) - LAG(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, ts,
+         SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM gaps
+),
+sessions AS (
+  SELECT user_id,
+         MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         COUNT(*) AS n_events
+  FROM marked GROUP BY user_id, session_idx
+),
+mx AS (SELECT MAX(ts) AS mt FROM events)
+SELECT session_start, session_end, user_id, n_events
+FROM sessions, mx
+WHERE session_end <= mt - INTERVAL 10 MINUTE
+"""
