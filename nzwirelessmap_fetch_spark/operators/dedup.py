@@ -494,6 +494,34 @@ GROUP BY doc_id
 
 MAX_CC_ITERATIONS = 50
 
+# Checkpointed symmetric Jaccard edge sets, keyed per (session, sf_dir).
+# Both CC formulations consume the identical edge set; recomputing the
+# whole n-gram similarity join per entry doubled suite cost for nothing.
+# Fixture inputs are immutable for a session, so the memo is safe; it
+# holds checkpointed tiny edge tables (|dup pairs| rows).
+_EDGE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric, distinct (doc_a, doc_b) edges at J ≥ 0.5 — eagerly
+    checkpointed at FULL width (this runs the whole n-gram join; only the
+    CC loops afterwards run narrow)."""
+    key = (id(spark), sf_dir)
+    edges = _EDGE_CACHE.get(key)
+    if edges is None:
+        pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+        edges = (
+            pairs.union(
+                pairs.select(
+                    F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        _EDGE_CACHE[key] = edges
+    return edges
+
 
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup groups: connected components over the n-gram
@@ -523,12 +551,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential jobs, so per-partition scheduling overhead dominates at
     full width. Like the streaming state knob, frontier partitioning
     follows FRONTIER volume, not core count."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    # Edge construction runs (eagerly, via the checkpoint) at FULL width —
-    # it executes the whole n-gram join. Only the loop runs narrow.
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
+    edges = _jaccard_edges(spark, sf_dir)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -622,12 +645,8 @@ def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy + one keyed re-emit — two shuffles per round, no driver data.
     Fixpoint when a round leaves the edge multiset unchanged; the final
     graph is a star per component centered on its minimum doc_id."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    edges = _jaccard_edges(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -665,12 +684,13 @@ def _star_contraction(spark: SparkSession, edges: DataFrame) -> DataFrame:
     for _ in range(MAX_CC_ITERATIONS):
         after = _star_round(_star_round(edges, large=True), large=False)
         after = after.localCheckpoint(eager=True)
-        changed = (
-            after.exceptAll(edges).limit(1).count()
-            + edges.exceptAll(after).limit(1).count()
+        # multiset equality: count check first (free on a checkpoint),
+        # one exceptAll probe only when counts agree
+        same = after.count() == edges.count() and (
+            after.exceptAll(edges).limit(1).count() == 0
         )
-        edges, prev = after, edges
-        if changed == 0:
+        edges = after
+        if same:
             break
 
     # converged: each component is a star around its min; label(u) =
