@@ -36,17 +36,26 @@ NUM_PERMS = 16
 BAND_SIZE = 4
 
 
-def _shingles(docs: DataFrame) -> DataFrame:
+def _shingles(docs: DataFrame, max_df: int | None = None) -> DataFrame:
     """Distinct word-bigram shingles per document.
 
     Word bigrams (not char n-grams) keep the shingle vocabulary large
     relative to the corpus so the inverted index discriminates; the
     ``array_distinct`` gives set semantics for Jaccard.
+
+    ``max_df`` is the dense-corpus skew valve: drop shingles appearing in
+    more than ``max_df`` documents BEFORE any pair generation. Stop-shingle
+    removal is the standard mitigation when ultra-frequent n-grams
+    ("of the") would otherwise fan the inverted index out quadratically —
+    at 100 TB this single filter bounds the hottest join key. OFF by
+    default because it changes Jaccard semantics (the oracle-checked
+    queries compute the exact unfiltered measure); turn it on when recall
+    on boilerplate-heavy corpora is worth trading for bounded skew.
     """
     w = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
         F.size("w") >= 2
     )
-    return w.select(
+    sh = w.select(
         "doc_id",
         F.explode(
             F.array_distinct(
@@ -54,6 +63,15 @@ def _shingles(docs: DataFrame) -> DataFrame:
             )
         ).alias("shingle"),
     )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle").select("doc_id", "shingle")
+    return sh
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,3 +31,28 @@ def test_rows_only_queries_return_rows(spark):
     oracles = registry.oracle_sql()
     for name in set(qs) - set(oracles):
         assert qs[name](spark, SF_CORRECT).count() >= 0, name
+
+
+def test_shingle_df_cap_drops_hot_keys(spark):
+    """The dense-corpus skew valve: capping shingle document frequency
+    must remove exactly the shingles above the cap and leave the rest of
+    the inverted index untouched."""
+    from pyspark.sql import functions as F
+
+    from nzwirelessmap_fetch_spark.catalog import Catalog
+    from nzwirelessmap_fetch_spark.operators.dedup import _shingles
+
+    docs = Catalog(spark, "/root/testdata/sf0.01").table("documents")
+    full = _shingles(docs)
+    df_counts = full.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    cap = int(df_counts.agg(F.expr("percentile(df, 0.9)")).first()[0])
+    expected_kept = df_counts.filter(F.col("df") <= cap).count()
+    n_hot = df_counts.filter(F.col("df") > cap).count()
+    assert n_hot > 0, "fixture has no hot shingles; cap test is vacuous"
+    capped = _shingles(docs, max_df=cap)
+    assert capped.select("shingle").distinct().count() == expected_kept
+    # surviving postings are identical to the uncapped index for kept keys
+    kept_full = full.join(
+        df_counts.filter(F.col("df") <= cap).select("shingle"), "shingle"
+    )
+    assert capped.count() == kept_full.count()
