@@ -61,3 +61,33 @@ def rolling_hash(text_col: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * 31 + F.ascii(ch).cast("long")) % MERSENNE_P,
     )
+
+
+def banding_for_threshold(target_j: float, total_perms: int) -> tuple[int, int]:
+    """Choose the MinHash-LSH banding (bands, rows_per_band) whose S-curve
+    threshold ``(1/b)^(1/r)`` lands closest to ``target_j``.
+
+    The classic knob (Leskovec/Rajaraman/Ullman, "Mining of Massive
+    Datasets"): more bands → lower threshold (higher recall, more
+    candidates); more rows per band → higher threshold. Searching the
+    divisors of the signature length keeps every permutation used.
+    Pure driver-side arithmetic — call it once when configuring a dedup
+    job, not per row."""
+    if not 0.0 < target_j < 1.0:
+        raise ValueError(f"target_j must be in (0, 1), got {target_j}")
+    if total_perms < 2:
+        raise ValueError(f"need ≥2 permutations, got {total_perms}")
+    best: tuple[int, int] | None = None
+    best_err = float("inf")
+    for rows in range(1, total_perms + 1):
+        if total_perms % rows:
+            continue
+        bands = total_perms // rows
+        if bands < 1:
+            continue
+        threshold = (1.0 / bands) ** (1.0 / rows) if bands > 1 else 1.0
+        err = abs(threshold - target_j)
+        if err < best_err:
+            best_err, best = err, (bands, rows)
+    assert best is not None
+    return best

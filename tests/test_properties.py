@@ -124,3 +124,24 @@ def test_perm_hash_matches_model_and_range(spark, hs, a, b):
     want = [(a * h + b) % MERSENNE_P for h in hs]
     assert got == want
     assert all(0 <= p < MERSENNE_P for p in got)
+
+
+@SETTINGS
+@given(
+    st.floats(min_value=0.05, max_value=0.95),
+    st.sampled_from([4, 8, 16, 32, 64, 128, 256]),
+)
+def test_banding_tuner_properties(target_j, total_perms):
+    """(bands, rows) must use every permutation, and the achieved S-curve
+    threshold must be the closest reachable to the target."""
+    from nzwirelessmap_fetch_spark.functions.hashing import banding_for_threshold
+
+    bands, rows = banding_for_threshold(target_j, total_perms)
+    assert bands * rows == total_perms
+    achieved = (1.0 / bands) ** (1.0 / rows) if bands > 1 else 1.0
+    for r in range(1, total_perms + 1):
+        if total_perms % r:
+            continue
+        b = total_perms // r
+        alt = (1.0 / b) ** (1.0 / r) if b > 1 else 1.0
+        assert abs(achieved - target_j) <= abs(alt - target_j) + 1e-12
