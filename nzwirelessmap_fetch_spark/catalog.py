@@ -134,6 +134,14 @@ class Catalog:
     sf_dir: str
     _cache: dict[str, DataFrame] = field(default_factory=dict)
 
+    def __post_init__(self) -> None:
+        # Defensive: the driver harness calls queries() on ITS OWN
+        # SparkSession (not session.get_spark), and timestamp semantics
+        # only match the UTC-naive DuckDB oracle with the session tz
+        # pinned. Runtime-settable, idempotent, applies to every query
+        # because Catalog is the single table chokepoint.
+        self.spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     def table(self, name: str) -> DataFrame:
         if name not in SCHEMAS:
             raise KeyError(f"unknown table {name!r}; registry is closed (SURVEY.md §1.2)")

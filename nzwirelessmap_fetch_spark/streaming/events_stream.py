@@ -40,6 +40,9 @@ _RAW_EVENTS = T.StructType(
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UTC pin mirrors catalog.Catalog.__post_init__ — streaming reads
+    # bypass the Catalog, and the driver's session may not be UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(_RAW_EVENTS)

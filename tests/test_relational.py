@@ -56,3 +56,19 @@ def test_shingle_df_cap_drops_hot_keys(spark):
         df_counts.filter(F.col("df") <= cap).select("shingle"), "shingle"
     )
     assert capped.count() == kept_full.count()
+
+
+def test_queries_self_heal_non_utc_session(spark, ddb):
+    """The driver harness owns the SparkSession and may not pin UTC; the
+    engine must repair the timezone itself (Catalog/_event_stream do) or
+    every timestamp query hash-mismatches its UTC-naive oracle."""
+    from tests.oracle import compare
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        for name in ("date_funcs", "stream_windowed_counts"):
+            fn = registry.queries()[name]
+            compare(fn(spark, SF_CORRECT), ddb, registry.oracle_sql()[name])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
