@@ -77,6 +77,7 @@ registry.register("multimodal_resize", _mm.multimodal_resize, _mm.MULTIMODAL_RES
 registry.register("multimodal_frame_sample", _mm.multimodal_frame_sample, _mm.MULTIMODAL_FRAME_SAMPLE_SQL)
 registry.register("stream_windowed_counts", _es.stream_windowed_counts, _es.STREAM_WINDOWED_COUNTS_SQL)
 registry.register("stream_stream_join", _es.stream_stream_join, _es.STREAM_STREAM_JOIN_SQL)
+registry.register("stream_dedup_events", _es.stream_dedup_events, _es.STREAM_DEDUP_EVENTS_SQL)
 registry.register(
     "stream_session_windows",
     _es.stream_session_windows,

@@ -123,8 +123,9 @@ GROUP BY ws, event_type
 
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming ``session_window`` (30-minute gap) per user —
-    the streaming twin of operators/sessionize.py. Registered rows-only:
-    the batch sessionize op is the oracle-checked formulation."""
+    the streaming twin of operators/sessionize.py. Oracle-checked: with a
+    complete input, append-mode emission has the closed form "session end
+    ≤ final watermark" (STREAM_SESSION_WINDOWS_SQL)."""
     agg = (
         _event_stream(spark, sf_dir)
         .withWatermark("ts", WATERMARK)
@@ -368,4 +369,29 @@ mx AS (SELECT MAX(ts) AS mt FROM events)
 SELECT session_start, session_end, user_id, n_events
 FROM sessions, mx
 WHERE session_end <= mt - INTERVAL 10 MINUTE
+"""
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicates`` on event_id under a
+    watermark — the ingestion guard every at-least-once pipeline needs
+    (Kafka redeliveries, retried uploads). State = one entry per key seen
+    within the watermark horizon, dropped as event time passes — bounded
+    state, unlike batch dedup which must see everything.
+
+    Output pins only the key column: for duplicate keys the streaming
+    engine keeps the FIRST-processed row, which is partition-order
+    dependent — key identity is the deterministic contract (oracle:
+    SELECT DISTINCT event_id)."""
+    deduped = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", WATERMARK)
+        .dropDuplicates(["event_id"])
+        .select("event_id")
+    )
+    return _run_to_completion(deduped, spark)
+
+
+STREAM_DEDUP_EVENTS_SQL = """
+SELECT DISTINCT event_id FROM events
 """
