@@ -115,11 +115,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Why this shape at 100 TB: the naive inverted-index join + per-pair
     count shuffles O(Σ df²) pair rows twice; here the only large dataset is
     the prefix-join output, which flows straight into per-row verification
-    (arrays attached via a broadcastable doc→set side table) without
-    another keyed shuffle. Frequency-ascending prefixes make hot shingles
-    land in the *suffix*, which is exactly the skew mitigation a uniform
-    corpus needs. ~4× fewer intermediate rows and one fewer 10⁷-row
-    exchange at sf0.1."""
+    (full shingle arrays attached via keyed joins on doc_id) without
+    re-keying the pair stream more than once per side. Frequency-ascending
+    prefixes make hot shingles land in the *suffix*, which is exactly the
+    skew mitigation a uniform corpus needs. ~4× fewer intermediate rows and
+    one fewer 10⁷-row exchange at sf0.1.
+
+    Result is memoized per (application, sf_dir) as an eager checkpoint:
+    three registry queries (this one + both connected-components entries)
+    consume the identical pair set, and the similarity join dominates all
+    three — one build, |dup pairs| rows retained."""
+    return _verified_jaccard_pairs(spark, sf_dir)
+
+
+# Checkpointed verified near-dup pairs, keyed per (application, sf_dir).
+# Keyed on sparkContext.applicationId (stable for a session's lifetime),
+# NOT id(spark) — CPython reuses ids after GC, which could hand a
+# checkpointed DataFrame bound to a stopped SparkContext to a new session.
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _verified_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
     d = Catalog(spark, sf_dir).table("documents")
     # 60-bit md5-derived shingle identity (collision-safe internal key;
     # the oracle uses shingle strings — results agree absent 2^-60 events).
@@ -133,8 +153,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc → (sorted shingle-hash set, set size): |docs| rows (~2 MB at
     # sf0.1) with bounded arrays. Persisted (MEMORY_AND_DISK) because FOUR
     # consumers read it — both prefix join sides and both verification
-    # broadcasts — and each broadcast otherwise re-runs the whole shingle
-    # aggregation as its own job (measured 20× slower without).
+    # joins — and without the persist each consumer re-runs the whole
+    # shingle aggregation (measured 20× slower). Unpersisted below once the
+    # checkpoint materializes.
     sets = (
         sh.groupBy("doc_id")
         .agg(
@@ -192,9 +213,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sets.select(
         F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n").alias("nb")
     )
-    return (
-        cand.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+    # Verification joins are PLAIN keyed joins on doc_id, deliberately not
+    # broadcast: the doc→shingle-set table is corpus-sized, and a broadcast
+    # must fit on the driver and every executor — fine at sf0.1 (~2 MB),
+    # fatal at 100 TB. Shuffling the candidate stream by doc_a then doc_b
+    # against the persisted sets is the scale-safe physical plan (AQE still
+    # elects a broadcast on its own when the ACTUAL size is tiny).
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("n_inter", F.size(F.array_intersect("hs_a", "hs_b")))
         .withColumn(
             "jaccard",
@@ -203,7 +230,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
+        .localCheckpoint(eager=True)
     )
+    sets.unpersist()
+    _PAIRS_CACHE[key] = pairs
+    return pairs
 
 
 DEDUP_NGRAM_JACCARD_SQL = """
@@ -512,33 +543,23 @@ GROUP BY doc_id
 
 MAX_CC_ITERATIONS = 50
 
-# Checkpointed symmetric Jaccard edge sets, keyed per (session, sf_dir).
-# Both CC formulations consume the identical edge set; recomputing the
-# whole n-gram similarity join per entry doubled suite cost for nothing.
-# Fixture inputs are immutable for a session, so the memo is safe; it
-# holds checkpointed tiny edge tables (|dup pairs| rows).
-_EDGE_CACHE: dict[tuple[int, str], DataFrame] = {}
-
 
 def _jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric, distinct (doc_a, doc_b) edges at J ≥ 0.5 — eagerly
-    checkpointed at FULL width (this runs the whole n-gram join; only the
-    CC loops afterwards run narrow)."""
-    key = (id(spark), sf_dir)
-    edges = _EDGE_CACHE.get(key)
-    if edges is None:
-        pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-        edges = (
-            pairs.union(
-                pairs.select(
-                    F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-                )
+    """Symmetric, distinct (doc_a, doc_b) edges at J ≥ 0.5.
+
+    Builds on the memoized verified-pair checkpoint (_PAIRS_CACHE), so
+    the expensive similarity join runs once per (application, sf_dir) no
+    matter how many of the three consuming queries execute; symmetrizing
+    |dup pairs| checkpointed rows is noise."""
+    pairs = _verified_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return (
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
             )
-            .distinct()
-            .localCheckpoint(eager=True)
         )
-        _EDGE_CACHE[key] = edges
-    return edges
+        .distinct()
+    )
 
 
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -698,16 +719,35 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     return _sym(emitted)
 
 
+def _edge_signature(e: DataFrame):
+    """(count, xxhash64 sum) of an edge set — one narrow aggregate job
+    (map-side partials, scalar reduce; no data-row shuffle)."""
+    row = e.select(
+        F.count(F.lit(1)).alias("n"),
+        # decimal accumulator: a long sum of 64-bit hashes overflows under
+        # ANSI mode; decimal(38,0) holds ~1e19 such terms exactly
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+        ).alias("sig"),
+    ).first()
+    return row["n"], row["sig"]
+
+
 def _star_contraction(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    # Convergence probe: per round compare a cheap set signature
+    # (count + order-insensitive hash sum) instead of a full exceptAll —
+    # the exceptAll probe cost an extra full shuffle EVERY round. The
+    # signature only matches near the fixpoint, so the deterministic
+    # exceptAll confirm below runs ~once per query, not per round.
+    sig = _edge_signature(edges)
     for _ in range(MAX_CC_ITERATIONS):
         after = _star_round(_star_round(edges, large=True), large=False)
         after = after.localCheckpoint(eager=True)
-        # multiset equality: count check first (free on a checkpoint),
-        # one exceptAll probe only when counts agree
-        same = after.count() == edges.count() and (
+        after_sig = _edge_signature(after)
+        same = after_sig == sig and (
             after.exceptAll(edges).limit(1).count() == 0
         )
-        edges = after
+        edges, sig = after, after_sig
         if same:
             break
 

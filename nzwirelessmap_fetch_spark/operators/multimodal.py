@@ -93,10 +93,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MULTIMODAL_FEATURES_SQL = """
 SELECT doc_id,
-       CAST(LENGTH(text) AS INT)                       AS n_bytes,
-       md5(text)                                       AS content_md5,
-       CAST(64 + LENGTH(text) % 577 AS INT)            AS width,
-       CAST(64 + (LENGTH(text) * 31) % 353 AS INT)     AS height
+       CAST(octet_length(encode(text)) AS INT)                       AS n_bytes,
+       md5(text)                                                     AS content_md5,
+       CAST(64 + octet_length(encode(text)) % 577 AS INT)            AS width,
+       CAST(64 + (octet_length(encode(text)) * 31) % 353 AS INT)     AS height
 FROM documents
 """
 

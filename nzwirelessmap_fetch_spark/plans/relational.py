@@ -660,7 +660,7 @@ SELECT l_orderkey, l_linenumber,
        CAST(FLOOR(l_extendedprice) AS BIGINT)          AS floor_x,
        CAST(CEIL(l_extendedprice) AS BIGINT)           AS ceil_x,
        ABS(CAST(l_extendedprice AS DOUBLE) - 1000.0)   AS abs_shift,
-       SIGN(CAST(l_extendedprice AS DOUBLE) - 30000.0) AS sign_shift,
+       CAST(SIGN(CAST(l_extendedprice AS DOUBLE) - 30000.0) AS DOUBLE) AS sign_shift,
        CAST(l_orderkey % 97 AS BIGINT)                 AS mod97,
        SQRT(CAST(l_extendedprice AS DOUBLE))           AS sqrt_x,
        POW(CAST(l_quantity AS DOUBLE), 2.0)            AS qty_sq,

@@ -19,6 +19,28 @@ from . import relational as _r
 
 registry.register("p2p_links", _flagship.flagship, _flagship.FLAGSHIP_ORACLE_SQL)
 
+# The driver's correctness gate runs queries in REGISTRATION order under a
+# global budget: round 1 cut off after entry #50, leaving the multimodal and
+# streaming entries with no CORRECTNESS row. They are registered immediately
+# after the flagship so a budget cut can never starve them again; all are
+# sub-second-to-few-second at sf0.01.
+registry.register("multimodal_features", _mm.multimodal_features, _mm.MULTIMODAL_FEATURES_SQL)
+registry.register("multimodal_resize", _mm.multimodal_resize, _mm.MULTIMODAL_RESIZE_SQL)
+registry.register("multimodal_frame_sample", _mm.multimodal_frame_sample, _mm.MULTIMODAL_FRAME_SAMPLE_SQL)
+registry.register("stream_windowed_counts", _es.stream_windowed_counts, _es.STREAM_WINDOWED_COUNTS_SQL)
+registry.register("stream_stream_join", _es.stream_stream_join, _es.STREAM_STREAM_JOIN_SQL)
+registry.register("stream_dedup_events", _es.stream_dedup_events, _es.STREAM_DEDUP_EVENTS_SQL)
+registry.register(
+    "stream_session_windows",
+    _es.stream_session_windows,
+    _es.STREAM_SESSION_WINDOWS_SQL,
+)
+registry.register(
+    "stream_stateful_user_stats",
+    _es.stream_stateful_user_stats,
+    _es.STREAM_STATEFUL_USER_STATS_SQL,
+)
+
 registry.register("agg_pricing_summary", _r.agg_pricing_summary, _r.AGG_PRICING_SUMMARY_SQL)
 registry.register("agg_distinct_stats", _r.agg_distinct_stats, _r.AGG_DISTINCT_STATS_SQL)
 registry.register("agg_approx_distinct", _r.agg_approx_distinct, _r.AGG_APPROX_DISTINCT_SQL)
@@ -72,19 +94,3 @@ registry.register("sim_topk_numpy", _sim.sim_topk_numpy, _sim.SIM_TOPK_NUMPY_SQL
 
 registry.register("asof_purchase_click", _asof.asof_purchase_click, _asof.ASOF_PURCHASE_CLICK_SQL)
 registry.register("sessionize", _sess.sessionize, _sess.SESSIONIZE_SQL)
-registry.register("multimodal_features", _mm.multimodal_features, _mm.MULTIMODAL_FEATURES_SQL)
-registry.register("multimodal_resize", _mm.multimodal_resize, _mm.MULTIMODAL_RESIZE_SQL)
-registry.register("multimodal_frame_sample", _mm.multimodal_frame_sample, _mm.MULTIMODAL_FRAME_SAMPLE_SQL)
-registry.register("stream_windowed_counts", _es.stream_windowed_counts, _es.STREAM_WINDOWED_COUNTS_SQL)
-registry.register("stream_stream_join", _es.stream_stream_join, _es.STREAM_STREAM_JOIN_SQL)
-registry.register("stream_dedup_events", _es.stream_dedup_events, _es.STREAM_DEDUP_EVENTS_SQL)
-registry.register(
-    "stream_session_windows",
-    _es.stream_session_windows,
-    _es.STREAM_SESSION_WINDOWS_SQL,
-)
-registry.register(
-    "stream_stateful_user_stats",
-    _es.stream_stateful_user_stats,
-    _es.STREAM_STATEFUL_USER_STATS_SQL,
-)

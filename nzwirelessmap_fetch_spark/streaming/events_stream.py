@@ -373,20 +373,25 @@ WHERE session_end <= mt - INTERVAL 10 MINUTE
 
 
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact dedup: ``dropDuplicates`` on event_id under a
-    watermark — the ingestion guard every at-least-once pipeline needs
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` on
+    event_id — the ingestion guard every at-least-once pipeline needs
     (Kafka redeliveries, retried uploads). State = one entry per key seen
-    within the watermark horizon, dropped as event time passes — bounded
-    state, unlike batch dedup which must see everything.
+    within the watermark horizon, evicted as the watermark advances —
+    bounded state, unlike batch dedup which must see everything.
+    (Plain ``dropDuplicates`` on a non-event-time subset would keep state
+    for every distinct key FOREVER — the watermark only evicts when the
+    subset includes the event-time column or via the WithinWatermark
+    variant, which is the point of this operator.)
 
     Output pins only the key column: for duplicate keys the streaming
     engine keeps the FIRST-processed row, which is partition-order
     dependent — key identity is the deterministic contract (oracle:
-    SELECT DISTINCT event_id)."""
+    SELECT DISTINCT event_id; exact as long as duplicate deliveries land
+    within one watermark horizon, the at-least-once redelivery model)."""
     deduped = (
         _event_stream(spark, sf_dir)
         .withWatermark("ts", WATERMARK)
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id")
     )
     return _run_to_completion(deduped, spark)

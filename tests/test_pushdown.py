@@ -75,6 +75,24 @@ def test_ilike_prefix_pushdown_helper(spark):
     assert "Or(StringStartsWith(p_type,S),StringStartsWith(p_type,s))" in plan
 
 
+def test_no_corpus_sized_broadcast_hints():
+    """Pin the round-2 fix for the n-gram Jaccard scale hazard: dedup
+    operators must not carry unconditional ``F.broadcast`` hints — the
+    verification side table is corpus-sized (doc → full shingle-hash set)
+    and a forced broadcast must fit on the driver and every executor,
+    which cannot hold at 100 TB. Keyed joins + AQE (which elects a
+    broadcast on its own when the ACTUAL size is small) are the contract."""
+    import pathlib
+
+    src = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "nzwirelessmap_fetch_spark"
+        / "operators"
+        / "dedup.py"
+    ).read_text()
+    assert "broadcast(" not in src
+
+
 def test_no_unguarded_driver_materialization():
     """Pin the README scale claim: `.collect()`/`.toPandas()` appear in the
     engine exactly twice, both bounded — the row-budget-guarded single-array

@@ -1,0 +1,83 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs registry queries at sf0.01 against their DuckDB oracles with
+per-query wall-clock, mirroring CORRECTNESS_r{N}.json (row count +
+sorted column names + order-insensitive value hash). Use to pre-flight
+a round:
+
+    python tools/check_queries.py                 # whole registry
+    python tools/check_queries.py multimodal_features stream_dedup_events
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from nzwirelessmap_fetch_spark.catalog import TABLES
+from nzwirelessmap_fetch_spark.session import get_spark
+from tests.oracle import frame_fingerprint
+
+SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF", "/root/testdata/sf0.01")
+
+
+def main(names: list[str]) -> int:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    if not names:
+        names = list(qs)
+
+    spark = get_spark("check-queries", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    results: dict[str, dict] = {}
+    failures = 0
+    for name in names:
+        t0 = time.monotonic()
+        row: dict = {}
+        try:
+            left = qs[name](spark, SF_DIR).toPandas()
+            t_spark = time.monotonic() - t0
+            if name in oracles:
+                right = con.execute(oracles[name]).df()
+                ln, lc, lh = frame_fingerprint(left)
+                rn, rc, rh = frame_fingerprint(right)
+                row = {
+                    "rows_match": ln == rn,
+                    "schema_match": lc == rc,
+                    "hash_match": lh == rh,
+                    "spark_rows": ln,
+                    "oracle_rows": rn,
+                }
+            else:
+                row = {"spark_rows": len(left), "rows_only": True}
+            row["spark_sec"] = round(t_spark, 2)
+            row["total_sec"] = round(time.monotonic() - t0, 2)
+        except Exception as e:  # noqa: BLE001 — mirror the driver's err field
+            row = {"err": f"{type(e).__name__}: {e}"[:300],
+                   "total_sec": round(time.monotonic() - t0, 2)}
+        ok = row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
+        if not ok and not row.get("rows_only"):
+            failures += 1
+        results[name] = row
+        print(f"{name}: {json.dumps(row)}", flush=True)
+
+    print(f"\n{len(names)} checked, {failures} failing")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
