@@ -32,6 +32,19 @@ def main() -> None:
     spark.range(1000).count()
 
     timings: dict[str, float] = {}
+
+    # Shared-infrastructure build timed as its OWN line: three dedup
+    # queries (ngram_jaccard + both connected-components entries) consume
+    # the memoized verified-pair checkpoint, and whichever the sort order
+    # ran first used to absorb the whole similarity-join cost (round 1:
+    # dedup_cc_star showed 54 s of which ~51 s was this build). One build,
+    # explicit attribution; the suite total still includes it.
+    from nzwirelessmap_fetch_spark.operators.dedup import _verified_jaccard_pairs
+
+    start = time.perf_counter()
+    _verified_jaccard_pairs(spark, sf_dir)
+    timings["shared_jaccard_pair_build"] = round(time.perf_counter() - start, 3)
+
     for name, fn in sorted(registry.queries().items()):
         start = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -164,6 +164,13 @@ def _verified_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    # Eager materialization (scalar count, no driver data): the plan below
+    # consumes `sets` from FOUR subtrees. A lazy persist is populated by
+    # whichever stage runs first — and concurrently-scheduled stages that
+    # all see an unfilled cache each recompute the full shingle aggregation
+    # (measured: the one-job formulation ran ~35 s at sf0.1 vs ~15 s with
+    # the two persists filled up front).
+    sets.count()
     # prefix length p = n - ceil(t·n) + 1; with t=0.5: floor(n/2)+1.
     # posexplode keeps the in-set position for the PPJoin positional filter.
     prefixes = sets.select(
@@ -206,7 +213,14 @@ def _verified_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()  # verify each candidate pair once
+        # persisted: the verification below consumes the candidate set in a
+        # multi-join plan, and re-deriving the prefix join + distinct inside
+        # it measured ~10× the cost of the candidate build itself (26.9 s vs
+        # 2.6 s at sf0.1). |pairs|×16-byte rows, MEMORY_AND_DISK — spills,
+        # never OOMs, and is freed right after the checkpoint materializes.
+        .persist()
     )
+    cand.count()  # same eager-fill rationale as `sets` above
     sa = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n").alias("na")
     )
@@ -233,6 +247,7 @@ def _verified_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     sets.unpersist()
+    cand.unpersist()
     _PAIRS_CACHE[key] = pairs
     return pairs
 
@@ -454,7 +469,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star/small-star rounds are the documented scale-up when chains
     matter). Zero-vector docs are excluded before pairing (cosine
     undefined; also dodges Spark's NaN-comparison semantics, which differ
-    from IEEE in predicates)."""
+    from IEEE in predicates).
+
+    The registry entry runs with the bucket valve OFF (exact oracle
+    semantics); production corpora with lumpy sign distributions cap
+    per-bucket population via ``_embedding_cosine_dups(max_bucket=...)``
+    — the blocking-side twin of ``_shingles(max_df=...)``."""
+    return _embedding_cosine_dups(spark, sf_dir)
+
+
+def _embedding_cosine_dups(
+    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+) -> DataFrame:
+    """Parameterized core of ``dedup_embedding_cosine``.
+
+    ``max_bucket`` is the skew valve: the within-bucket join is
+    O(bucket²), so ONE pathological sign pattern (boilerplate corpora,
+    near-constant embeddings) can go quadratic at 100 TB. With the cap,
+    buckets over ``max_bucket`` members are excluded from pair generation
+    BEFORE the self-join — bounded cost (≤ max_bucket² per bucket) for a
+    documented recall trade, exactly like dropping ultra-frequent shingles
+    with ``_shingles(max_df=...)``. OFF by default because it changes
+    result semantics (the oracle computes the uncapped measure)."""
     d = Catalog(spark, sf_dir).table("documents")
     vec = _bow_vectors(d)
     bucketed = (
@@ -469,6 +505,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", norm(F.col("v")))
         .filter(F.col("nrm") > 0)
     )
+    if max_bucket is not None:
+        keep = (
+            bucketed.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .filter(F.col("bsz") <= max_bucket)
+            .select("bucket")
+        )
+        bucketed = bucketed.join(keep, "bucket")
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = (

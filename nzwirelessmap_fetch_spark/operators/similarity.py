@@ -79,26 +79,35 @@ WHERE rank <= {TOP_K}
 """
 
 
-def _bucket_expr() -> F.Column:
-    """256-way random-hyperplane bucket id, one pure-SQL expression.
+def _code_expr(bits: int, offset: int = 0) -> F.Column:
+    """``bits``-wide random-hyperplane sign code, one pure-SQL expression,
+    using planes ``offset .. offset+bits-1`` of the global plane family.
 
     Plane (j, d) sign = ±1 from an LCG bit:
         bit = ((1103515245*(j*dim + d) + 12345) >> 16) & 1;  sign = 2*bit - 1
-    bucket bit j = [ Σ_d emb[d]·sign(j,d) > 0 ].
+    code bit j = [ Σ_d emb[d]·sign(offset+j, d) > 0 ].
+
+    The offset makes the family sliceable into independent BANDS (see
+    ``sim_lsh_banded``) without changing any existing plane's identity.
     """
     return F.expr(
-        """
+        f"""
         aggregate(
-          transform(sequence(0, 7), j ->
+          transform(sequence(0, {bits - 1}), j ->
             CASE WHEN aggregate(
                    sequence(0, size(embedding) - 1), CAST(0.0 AS DOUBLE),
                    (acc, d) -> acc + CAST(embedding[d] AS DOUBLE) *
-                     (2 * ((shiftright(CAST(1103515245 AS BIGINT) * (j * size(embedding) + d) + 12345, 16)) % 2) - 1)
+                     (2 * ((shiftright(CAST(1103515245 AS BIGINT) * (({offset} + j) * size(embedding) + d) + 12345, 16)) % 2) - 1)
                  ) > 0
             THEN shiftleft(1, j) ELSE 0 END),
           0, (acc, v) -> acc + v)
         """
     )
+
+
+def _bucket_expr() -> F.Column:
+    """256-way random-hyperplane bucket id (the original 8-plane code)."""
+    return _code_expr(N_PLANES)
 
 
 def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,6 +444,98 @@ WHERE list_reduce(list_prepend(0.0::DOUBLE,
              list_transform(generate_series(1, len(eb.embedding)),
                             i -> eb.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)),
            (x, y) -> x + y))) >= {PAIR_THRESHOLD}
+"""
+
+
+# Banded hyperplane LSH: b bands × r bits per band (16 planes total here).
+# This is the scale-safe replacement for the single flat code: a flat
+# 8-plane index has 256 buckets FOREVER, so bucket sizes grow O(n/256) and
+# the within-bucket join goes quadratic as the corpus grows. Banding
+# decouples the two knobs — r (bits per band) grows with log2(n / target
+# bucket size) to keep expected bucket population CONSTANT, while b (bands)
+# sets recall (collision prob 1-(1-p^r)^b for per-plane agreement p) —
+# the exact shape dedup_minhash_lsh already uses for set similarity.
+LSH_BANDS = 2
+LSH_BAND_BITS = 8
+
+
+def sim_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-neighbor pairs via BANDED hyperplane LSH + exact cosine
+    re-rank: candidates are pairs agreeing on ALL bits of at least one
+    band; each band is an independent 8-plane code (planes 0-7, 8-15).
+
+    Plan shape: corpus → b band codes per row (pure map) → unpivot to
+    (band, code) → self-equi-join keyed by (band, code) → pair-distinct →
+    exact verification. The join key space is b·2^r and grows with the
+    plane budget, so candidate volume stays bounded as n scales — at
+    100 TB you raise r with log(n) (e.g. 20-24 bits/band) and leave the
+    plan untouched; a flat bucket index would need a rewrite."""
+    e = Catalog(spark, sf_dir).table("embeddings")
+    coded = e.select(
+        "vec_id",
+        "embedding",
+        *[
+            _code_expr(LSH_BAND_BITS, k * LSH_BAND_BITS).cast("int").alias(f"c{k}")
+            for k in range(LSH_BANDS)
+        ],
+    )
+    stack_args = ", ".join(f"{k}, c{k}" for k in range(LSH_BANDS))
+    bands = coded.selectExpr(
+        "vec_id", "embedding", f"stack({LSH_BANDS}, {stack_args}) AS (band, code)"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band", "code"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("emb_a"),
+            F.col("b.embedding").alias("emb_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+        .withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos") >= PAIR_THRESHOLD)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+def _ddb_code(bits: int, offset: int) -> str:
+    """DuckDB twin of ``_code_expr`` (same LCG planes, same bit packing)."""
+    return f"""CAST(list_reduce(list_prepend(0,
+           list_transform(generate_series(0, {bits - 1}), j ->
+             CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+                    list_transform(generate_series(0, len(embedding) - 1),
+                      d -> embedding[d + 1]::DOUBLE *
+                           (2 * (((1103515245 * (({offset} + j) * len(embedding) + d) + 12345) >> 16) % 2) - 1))),
+                    (a, b) -> a + b) > 0
+             THEN (1 << j) ELSE 0 END)),
+           (a, b) -> a + b) AS INT)"""
+
+
+SIM_LSH_BANDED_SQL = f"""
+WITH coded AS (
+  SELECT vec_id, embedding,
+         {_ddb_code(LSH_BAND_BITS, 0)} AS c0,
+         {_ddb_code(LSH_BAND_BITS, LSH_BAND_BITS)} AS c1
+  FROM embeddings
+),
+bands AS (
+  SELECT vec_id, embedding, 0 AS band, c0 AS code FROM coded
+  UNION ALL
+  SELECT vec_id, embedding, 1 AS band, c1 AS code FROM coded
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       {_DDB_COS.format(a='ea.embedding', b='eb.embedding')} AS cos
+FROM cand
+JOIN embeddings ea ON ea.vec_id = vec_a
+JOIN embeddings eb ON eb.vec_id = vec_b
+WHERE {_DDB_COS.format(a='ea.embedding', b='eb.embedding')} >= {PAIR_THRESHOLD}
 """
 
 

@@ -87,6 +87,7 @@ registry.register("corpus_deterministic_sample", _tx.corpus_deterministic_sample
 registry.register("sim_topk_bruteforce", _sim.sim_topk_bruteforce, _sim.SIM_TOPK_BRUTEFORCE_SQL)
 registry.register("sim_lsh_bucketed", _sim.sim_lsh_bucketed, _sim.SIM_LSH_BUCKETED_SQL)
 registry.register("sim_lsh_multiprobe", _sim.sim_lsh_multiprobe, _sim.SIM_LSH_MULTIPROBE_SQL)
+registry.register("sim_lsh_banded", _sim.sim_lsh_banded, _sim.SIM_LSH_BANDED_SQL)
 registry.register("sim_ivf", _sim.sim_ivf, _sim.SIM_IVF_SQL)
 registry.register("sim_ivf_kmeans", _sim.sim_ivf_kmeans, _sim.SIM_IVF_KMEANS_SQL)
 # rank-only oracle: BLAS floats differ from the fold in the last ulp

@@ -58,6 +58,65 @@ def test_shingle_df_cap_drops_hot_keys(spark):
     assert capped.count() == kept_full.count()
 
 
+def test_embedding_bucket_cap_bounds_pair_cost(spark):
+    """The sign-pattern blocking valve: with ``max_bucket`` set, no bucket
+    above the cap may contribute candidate pairs (bounding within-bucket
+    join cost at ≤ cap² per bucket), and a cap above the largest bucket
+    must reproduce the uncapped result exactly."""
+    from pyspark.sql import functions as F
+
+    from nzwirelessmap_fetch_spark.catalog import Catalog
+    from nzwirelessmap_fetch_spark.operators.dedup import (
+        EMB_DIM,
+        _bow_vectors,
+        _embedding_cosine_dups,
+        dedup_embedding_cosine,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    vec = _bow_vectors(Catalog(spark, sf).table("documents"))
+    sizes = (
+        vec.withColumn(
+            "bucket",
+            F.expr(
+                f"aggregate(sequence(0, {EMB_DIM - 1}), 0,"
+                " (acc, i) -> acc + IF(v[i] > CAST(0.0 AS DOUBLE),"
+                " shiftleft(1, i), 0))"
+            ),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+    )
+    biggest = sizes.agg(F.max("bsz")).first()[0]
+    assert biggest >= 2, "fixture has no multi-member bucket; test is vacuous"
+
+    # cap below the biggest bucket: its members must vanish from the output
+    capped = _embedding_cosine_dups(spark, sf, max_bucket=biggest - 1)
+    big_buckets = {r.bucket for r in sizes.filter(F.col("bsz") > biggest - 1).collect()}
+    survivors = (
+        vec.withColumn(
+            "bucket",
+            F.expr(
+                f"aggregate(sequence(0, {EMB_DIM - 1}), 0,"
+                " (acc, i) -> acc + IF(v[i] > CAST(0.0 AS DOUBLE),"
+                " shiftleft(1, i), 0))"
+            ),
+        )
+        .filter(F.col("bucket").isin(big_buckets))
+        .select("doc_id")
+    )
+    overlap = capped.join(survivors, "doc_id").count()
+    # members of dropped buckets can still appear ONLY via other buckets —
+    # with 1-bucket-per-doc blocking they cannot appear at all
+    assert overlap == 0
+
+    # cap ≥ biggest bucket: identical to the uncapped operator
+    uncapped = dedup_embedding_cosine(spark, sf)
+    loose = _embedding_cosine_dups(spark, sf, max_bucket=biggest)
+    assert loose.exceptAll(uncapped).count() == 0
+    assert uncapped.exceptAll(loose).count() == 0
+
+
 def test_queries_self_heal_non_utc_session(spark, ddb):
     """The driver harness owns the SparkSession and may not pin UTC; the
     engine must repair the timezone itself (Catalog/_event_stream do) or
