@@ -17,11 +17,12 @@ from pathlib import Path
 
 from pyspark.sql import SparkSession
 
-from .plans.flagship import flagship
+from .plans.flagship import FLAGSHIP_ORACLE_SQL, flagship
 from .sinks.writers import VersionedArtifactSink
 
 ARTIFACT_CSV = "links.csv"
 ARTIFACT_JSON = "links.json"
+DB_MEMBER = "prism.sqlite3"  # zip member name, analog of prism.mdb (fetch.go:84-94)
 
 
 def version_key_from_mtime(path: str | Path) -> str:
@@ -56,6 +57,42 @@ def run_pipeline(
     sink.write_versioned_csv(result, ARTIFACT_CSV, version)
     sink.write_versioned_json(result, ARTIFACT_JSON, version)
     return {"skipped": False, "version": version, "rows": result.count()}
+
+
+def run_pipeline_from_url(
+    spark: SparkSession,
+    url: str,
+    staging_dir: str | Path,
+    out_root: str | Path,
+    member: str = DB_MEMBER,
+) -> dict:
+    """The reference's §3.1 DAG end-to-end, from the HTTP source onward.
+
+    fetch.go:26-161 Spark-native: GET the zip (P1) → version key from
+    Last-Modified (P2) → skip if the timestamped JSON marker exists (P3)
+    → extract the database member (P6/P7) → discover + register every
+    table (P8-P10, P12) → run the flagship SQL (P15) → versioned CSV +
+    JSON with latest-first marker-last ordering (P16-P18). The reference's
+    Access→SQLite jar step is already behind us: this entry accepts the
+    SQLite artifact the converter produces.
+    """
+    from .sources.acquire import fetch_artifact
+    from .sources.sqlite_ingest import register_sqlite_database
+    from .sources.zip_staging import stage_member
+
+    staging = Path(staging_dir)
+    art = fetch_artifact(url, staging)
+    sink = VersionedArtifactSink(out_root)
+    if sink.exists(ARTIFACT_JSON, art.version):
+        return {"skipped": True, "version": art.version, "rows": None}
+
+    db_path = stage_member(art.local_path, member, staging / "extracted")
+    register_sqlite_database(spark, db_path, staging_dir=staging / "parquet")
+    result = spark.sql(FLAGSHIP_ORACLE_SQL)
+
+    sink.write_versioned_csv(result, ARTIFACT_CSV, art.version)
+    sink.write_versioned_json(result, ARTIFACT_JSON, art.version)
+    return {"skipped": False, "version": art.version, "rows": result.count()}
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -13,9 +13,12 @@ Two paths:
   the Spark classpath — the production path (partitioned reads, no driver
   staging). This container ships no such jar, so:
 - this module's stdlib-``sqlite3`` staging path: rows stream through the
-  driver in bounded batches into Arrow, then ``createDataFrame``. Fine for
-  the reference's data scale (a national licence DB); at 100 TB the
-  landing zone is parquet/JDBC, not a single SQLite file.
+  driver in bounded batches into an Arrow ``ParquetWriter``, then Spark
+  scans the staged parquet. Driver memory stays bounded at one batch, and
+  the scan itself is a real distributed columnar read (pushdown, pruning,
+  parallel row groups) — not a ``createDataFrame`` of driver rows. Fine
+  for the reference's data scale (a national licence DB); at 100 TB the
+  landing zone is parquet/JDBC from the start, same downstream plan.
 
 Type discipline: the mdb-sqlite converter emits exactly five SQLite
 column types (BLOB, INTEGER, DATETIME, DOUBLE, TEXT — SURVEY.md §1.2), so
@@ -26,8 +29,11 @@ contract as the jar's ``SQLException("Unhandled MS Acess datatype:")``.
 from __future__ import annotations
 
 import sqlite3
+import tempfile
 from pathlib import Path
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -76,33 +82,76 @@ def discover_schema(db_path: str | Path, table: str) -> T.StructType:
     )
 
 
-def read_sqlite_table(
-    spark: SparkSession, db_path: str | Path, table: str
-) -> DataFrame:
-    """Stage one SQLite table into a DataFrame with its discovered schema.
+# Arrow physical types for the closed SQLite map (parquet staging schema).
+_ARROW_TYPES: dict[str, pa.DataType] = {
+    "binary": pa.binary(),
+    "bigint": pa.int64(),
+    "double": pa.float64(),
+    "string": pa.string(),
+}
 
-    Rows stream in bounded batches (FETCH_BATCH_ROWS) — the reference's
-    row-at-a-time ``executeUpdate`` loop collapsed into bulk copies."""
+
+def _arrow_schema(schema: T.StructType) -> pa.Schema:
+    return pa.schema(
+        [(f.name, _ARROW_TYPES[f.dataType.simpleString()]) for f in schema.fields]
+    )
+
+
+def stage_sqlite_table_to_parquet(
+    db_path: str | Path, table: str, staging_dir: str | Path
+) -> tuple[Path, T.StructType]:
+    """Stream one SQLite table into a staged parquet file.
+
+    Rows flow in bounded batches (FETCH_BATCH_ROWS) through an Arrow
+    ``ParquetWriter`` — the reference's row-at-a-time ``executeUpdate``
+    loop (AccessExporter#populateTable) collapsed into columnar batch
+    copies with O(batch) driver memory regardless of table size."""
     schema = discover_schema(db_path, table)
-    with sqlite3.connect(db_path) as conn:
+    arrow = _arrow_schema(schema)
+    staging = Path(staging_dir)
+    staging.mkdir(parents=True, exist_ok=True)
+    dest = staging / f"{table}.parquet"
+    with sqlite3.connect(db_path) as conn, pq.ParquetWriter(dest, arrow) as writer:
         cur = conn.execute(f"SELECT * FROM '{table}'")
-        batches: list[list] = []
-        while True:
-            rows = cur.fetchmany(FETCH_BATCH_ROWS)
-            if not rows:
-                break
-            batches.extend(rows)
-    return spark.createDataFrame(batches, schema)
+        while rows := cur.fetchmany(FETCH_BATCH_ROWS):
+            cols = list(zip(*rows))
+            writer.write_batch(
+                pa.record_batch(
+                    [pa.array(c, type=f.type) for c, f in zip(cols, arrow)],
+                    schema=arrow,
+                )
+            )
+    return dest, schema
+
+
+def read_sqlite_table(
+    spark: SparkSession,
+    db_path: str | Path,
+    table: str,
+    staging_dir: str | Path | None = None,
+) -> DataFrame:
+    """Stage one SQLite table and return a distributed scan over it.
+
+    The result is a real parquet scan (column pruning + predicate
+    pushdown reach the staged file), not a driver-resident local
+    relation."""
+    staging = Path(staging_dir) if staging_dir else Path(tempfile.mkdtemp(prefix="sqlite_stage_"))
+    dest, schema = stage_sqlite_table_to_parquet(db_path, table, staging)
+    return spark.read.schema(schema).parquet(str(dest))
 
 
 def register_sqlite_database(
-    spark: SparkSession, db_path: str | Path, prefix: str = ""
+    spark: SparkSession,
+    db_path: str | Path,
+    prefix: str = "",
+    staging_dir: str | Path | None = None,
 ) -> dict[str, DataFrame]:
     """P10: every table in the database becomes a temp view — after this,
     ``spark.sql`` replaces the reference's sqlite3-CLI query step."""
+    staging = Path(staging_dir) if staging_dir else Path(tempfile.mkdtemp(prefix="sqlite_stage_"))
     out: dict[str, DataFrame] = {}
     for t in discover_tables(db_path):
-        df = read_sqlite_table(spark, db_path, t)
+        df = read_sqlite_table(spark, db_path, t, staging)
         df.createOrReplaceTempView(f"{prefix}{t}")
         out[t] = df
     return out
