@@ -1,0 +1,159 @@
+"""Training-data assembly operators: sequence packing and embedding
+quantization (SURVEY.md §2.4 extension surface).
+
+Not in the reference (its pipeline ends at a JSON artifact — fetch.go:
+143-157); these are the ops a large-scale LLM training pipeline runs after
+dedup/quality filtering, charter-mandated alongside them.
+
+- pack_sequences      concat-and-chunk packing: map every document onto
+                      fixed-size token-budget chunks
+- embedding_quantize  int8 symmetric quantization of embedding vectors
+                      with reconstruction-error stats
+
+Scale design: packing is ONE window aggregation partitioned by shard —
+the shard is the parallel unit, so 100 TB packs as thousands of
+independent shards with a single shuffle (the partitionBy exchange) and
+no global ordering anywhere. Quantization is a zero-shuffle scan with
+row-local array folds (whole-stage codegen, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+
+TOKEN_BUDGET = 256  # tokens per packed training sequence
+N_SHARDS = 4        # deterministic shards; at scale ~ (corpus tokens / budget) / rows-per-task
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing over ``documents``.
+
+    The standard LLM pretraining layout: within a shard, documents are
+    concatenated in a deterministic order and the token stream is cut
+    into fixed ``TOKEN_BUDGET`` chunks; a document can straddle a chunk
+    boundary. Emits, per document, where its tokens land: exclusive
+    running start offset, first/last chunk index, chunks spanned, and
+    the offset inside its first chunk.
+
+    The plan is one running-sum window per shard (map-side token count →
+    one hash exchange on shard → sorted window). No global order: shards
+    pack independently, which is what keeps the op linear at 100 TB.
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    tokens = F.size(F.split("text", " "))
+    shard = (F.col("doc_id") % N_SHARDS).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.select(
+            "doc_id",
+            shard.alias("shard"),
+            tokens.cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            "start_offset",
+            F.floor(F.col("start_offset") / TOKEN_BUDGET).alias("first_chunk"),
+            F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / TOKEN_BUDGET).alias(
+                "last_chunk"
+            ),
+            (
+                F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / TOKEN_BUDGET)
+                - F.floor(F.col("start_offset") / TOKEN_BUDGET)
+                + 1
+            ).alias("chunks_spanned"),
+            (F.col("start_offset") % TOKEN_BUDGET).alias("offset_in_chunk"),
+        )
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH tokd AS (
+  SELECT doc_id,
+         CAST(doc_id % {N_SHARDS} AS INT) AS shard,
+         CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM tokd
+)
+SELECT doc_id, shard, n_tokens, start_offset,
+       start_offset // {TOKEN_BUDGET} AS first_chunk,
+       (start_offset + n_tokens - 1) // {TOKEN_BUDGET} AS last_chunk,
+       (start_offset + n_tokens - 1) // {TOKEN_BUDGET}
+         - start_offset // {TOKEN_BUDGET} + 1 AS chunks_spanned,
+       start_offset % {TOKEN_BUDGET} AS offset_in_chunk
+FROM offs
+"""
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of ``embeddings.embedding`` with
+    reconstruction-error statistics.
+
+    Per vector: scale = 127 / max|x|, q_i = round(x_i * scale), and the
+    error of dequantizing back (max abs error + MSE, strict left folds so
+    the oracle's accumulation order is identical). Row-local array
+    expressions only — zero shuffles, scan-bound, the int8 payload is
+    4× smaller at rest (what a 100 TB serving/ANN tier actually stores).
+    """
+    e = Catalog(spark, sf_dir).table("embeddings")
+    amax = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    scale = F.lit(127.0) / F.nullif(amax, F.lit(0.0))
+    q = F.transform("embedding", lambda x: F.round(x * F.col("scale")).cast("int"))
+    dq_err = F.transform(
+        F.arrays_zip(F.col("embedding"), F.col("q")),
+        lambda s: F.abs(s["embedding"] - s["q"].cast("double") / F.col("scale")),
+    )
+    return (
+        e.select("vec_id", "embedding", scale.alias("scale"))
+        .withColumn("q", q)
+        .withColumn("err", dq_err)
+        .select(
+            "vec_id",
+            "scale",
+            F.size("q").alias("n_dims"),
+            F.array_max("err").alias("max_abs_err"),
+            (
+                F.aggregate("err", F.lit(0.0), lambda a, x: a + x * x)
+                / F.size("err")
+            ).alias("mse"),
+        )
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH scaled AS (
+  SELECT vec_id, embedding,
+         -- CAST: bare 127.0 is DECIMAL(4,1) in DuckDB and the division
+         -- would run in decimal, truncating scale to 4 digits
+         CAST(127.0 AS DOUBLE)
+           / NULLIF(list_max(list_transform(embedding, x -> abs(x))), 0.0)
+           AS scale
+  FROM embeddings
+),
+err AS (
+  SELECT vec_id, scale, LEN(embedding) AS n_dims,
+         list_transform(embedding,
+                        x -> abs(x - CAST(CAST(ROUND(x * scale) AS INT) AS DOUBLE) / scale))
+           AS e
+  FROM scaled
+)
+SELECT vec_id, scale, CAST(n_dims AS INT) AS n_dims,
+       list_max(e) AS max_abs_err,
+       list_reduce(list_prepend(0.0, e), (a, x) -> a + x * x) / n_dims AS mse
+FROM err
+"""

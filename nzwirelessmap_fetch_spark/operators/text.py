@@ -321,3 +321,53 @@ SELECT doc_id, lang, source
 FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {SAMPLE_PCT}
 """
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-ratio quality metrics: the near-duplicate-within-a-
+    document signal (boilerplate, keyword stuffing, decoding loops) that
+    corpus filters prune on alongside text_stats.
+
+    Per document: distinct-token ratio and the frequency share of the
+    most common token. Row-local array folds only (distinct + per-token
+    counting over the document's own tokens) — zero shuffles, scan-bound;
+    the O(distinct x tokens) fold is bounded by document length, not
+    corpus size, so the op stays linear at 100 TB."""
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = _words()
+    top_freq = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_distinct"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("distinct_ratio"),
+        top_freq.cast("int").alias("top_token_freq"),
+        (top_freq.cast("double") / F.size(toks)).alias("top_token_ratio"),
+    )
+
+
+TEXT_REPETITION_SQL = """
+WITH tokd AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+counted AS (
+  SELECT doc_id, toks,
+         list_max(list_transform(list_distinct(toks),
+                                 t -> LEN(list_filter(toks, x -> x = t)))) AS top_freq
+  FROM tokd
+)
+SELECT doc_id,
+       CAST(LEN(toks) AS INT) AS n_tokens,
+       CAST(LEN(list_distinct(toks)) AS INT) AS n_distinct,
+       CAST(LEN(list_distinct(toks)) AS DOUBLE) / LEN(toks) AS distinct_ratio,
+       CAST(top_freq AS INT) AS top_token_freq,
+       CAST(top_freq AS DOUBLE) / LEN(toks) AS top_token_ratio
+FROM counted
+"""

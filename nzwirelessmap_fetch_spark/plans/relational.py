@@ -805,3 +805,96 @@ WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
 UNION ALL
 SELECT * FROM changes
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: exact quantiles, subquery forms, distribution windows
+# ---------------------------------------------------------------------------
+
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (§2.3 aggregation): the distribution
+    stats (p25/median/p75/p95) a data-quality dashboard reads.
+
+    ``percentile()`` is Spark's exact linear-interpolation aggregate —
+    the same type-7 interpolation DuckDB's ``quantile_cont`` uses, so the
+    oracle matches bit-for-bit after the decimal pin. At 100 TB the
+    exact form gathers per-group values; the sketch twin
+    (``approx_percentile``, same API shape) is the scale path — exact
+    here because the oracle can only replay exact math."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+
+    def pin(c: Column) -> Column:
+        return c.cast("decimal(18,6)").cast("double")
+
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            pin(F.expr("percentile(l_extendedprice, 0.25)")).alias("p25"),
+            pin(F.expr("percentile(l_extendedprice, 0.5)")).alias("p50"),
+            pin(F.expr("percentile(l_extendedprice, 0.75)")).alias("p75"),
+            pin(F.expr("percentile(l_extendedprice, 0.95)")).alias("p95"),
+        )
+    )
+
+
+AGG_QUANTILES_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(CAST(quantile_cont(l_extendedprice, 0.25) AS DECIMAL(18,6)) AS DOUBLE) AS p25,
+       CAST(CAST(quantile_cont(l_extendedprice, 0.5)  AS DECIMAL(18,6)) AS DOUBLE) AS p50,
+       CAST(CAST(quantile_cont(l_extendedprice, 0.75) AS DECIMAL(18,6)) AS DOUBLE) AS p75,
+       CAST(CAST(quantile_cont(l_extendedprice, 0.95) AS DECIMAL(18,6)) AS DOUBLE) AS p95
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# One SQL text, two engines: the subquery surface (scalar, correlated
+# EXISTS, IN) is plain ANSI, so the Spark side IS the oracle text run
+# through spark.sql — Catalyst decorrelates the EXISTS into a left-semi
+# join and turns IN into a semi join against the broadcast dim.
+SUBQUERY_OPS_SQL = """
+SELECT c.c_custkey, c.c_acctbal, c.c_nationkey
+FROM customer c
+WHERE c.c_acctbal > 0.9 * (SELECT MAX(c2.c_acctbal) FROM customer c2)
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+  AND c.c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+"""
+
+
+def subquery_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery forms (§2.3): scalar subquery threshold, correlated
+    EXISTS, uncorrelated IN — one query exercising Catalyst's subquery
+    decorrelation (RewriteCorrelatedScalarSubquery / RewritePredicate-
+    Subquery). The scalar threshold uses MAX (order-free, exact) so the
+    cross-engine hash can't wobble on float summation order."""
+    Catalog(spark, sf_dir).register_views(("customer", "orders", "nation"))
+    return spark.sql(SUBQUERY_OPS_SQL)
+
+
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (§2.3 windows): ntile quartiles,
+    percent_rank, cume_dist per priority class — deterministic because
+    the ordering key is unique. percent_rank/cume_dist are single IEEE
+    divisions of exact integers, identical across engines."""
+    o = Catalog(spark, sf_dir).table("orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+WINDOW_NTILE_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+"""

@@ -9,6 +9,7 @@ from __future__ import annotations
 from ..operators import asof as _asof
 from ..operators import dedup as _dd
 from ..operators import multimodal as _mm
+from ..operators import packing as _pk
 from ..operators import sessionize as _sess
 from ..operators import similarity as _sim
 from ..operators import text as _tx
@@ -95,3 +96,13 @@ registry.register("sim_topk_numpy", _sim.sim_topk_numpy, _sim.SIM_TOPK_NUMPY_SQL
 
 registry.register("asof_purchase_click", _asof.asof_purchase_click, _asof.ASOF_PURCHASE_CLICK_SQL)
 registry.register("sessionize", _sess.sessionize, _sess.SESSIONIZE_SQL)
+
+# Round-2 additions: quantiles, subquery decorrelation, distribution
+# windows, repetition-quality metrics, and training-data assembly
+# (sequence packing + int8 quantization). All cheap at sf0.01.
+registry.register("agg_quantiles", _r.agg_quantiles, _r.AGG_QUANTILES_SQL)
+registry.register("subquery_ops", _r.subquery_ops, _r.SUBQUERY_OPS_SQL)
+registry.register("window_ntile", _r.window_ntile, _r.WINDOW_NTILE_SQL)
+registry.register("text_repetition", _tx.text_repetition, _tx.TEXT_REPETITION_SQL)
+registry.register("pack_sequences", _pk.pack_sequences, _pk.PACK_SEQUENCES_SQL)
+registry.register("embedding_quantize", _pk.embedding_quantize, _pk.EMBEDDING_QUANTIZE_SQL)

@@ -1,0 +1,105 @@
+"""Semantic invariants for the training-data assembly operators — the
+properties the oracle hash can't state directly (bounds, contiguity,
+plan shape)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+
+from nzwirelessmap_fetch_spark.operators.packing import (
+    TOKEN_BUDGET,
+    embedding_quantize,
+    pack_sequences,
+)
+
+
+def test_pack_sequences_shard_contiguity(spark):
+    """Within a shard the token stream is gapless: every document starts
+    exactly where its predecessor ended, and chunk geometry is
+    consistent with the budget."""
+    df = pack_sequences(spark, SF_CORRECT).cache()
+    try:
+        w = df.withColumn(
+            "prev_end",
+            F.lag(F.col("start_offset") + F.col("n_tokens")).over(
+                Window.partitionBy("shard").orderBy("doc_id")
+            ),
+        )
+        gaps = w.filter(
+            F.col("prev_end").isNotNull() & (F.col("prev_end") != F.col("start_offset"))
+        ).count()
+        assert gaps == 0
+        bad_geometry = df.filter(
+            (F.col("offset_in_chunk") < 0)
+            | (F.col("offset_in_chunk") >= TOKEN_BUDGET)
+            | (F.col("chunks_spanned") != F.col("last_chunk") - F.col("first_chunk") + 1)
+            | (F.col("first_chunk") != F.floor(F.col("start_offset") / TOKEN_BUDGET))
+        ).count()
+        assert bad_geometry == 0
+        # packing must not lose or invent any document
+        assert df.count() == df.select("doc_id").distinct().count()
+    finally:
+        df.unpersist()
+
+
+def test_pack_sequences_is_single_exchange(spark):
+    """The scale claim: one hash exchange (the shard partitionBy), no
+    global sort of the corpus."""
+    plan = (
+        pack_sequences(spark, SF_CORRECT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan  # no global orderBy
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_embedding_quantize_error_bound(spark):
+    """int8 symmetric quantization error is bounded by half a quantization
+    step: |x - q/scale| <= 0.5/scale (+ float slack)."""
+    df = embedding_quantize(spark, SF_CORRECT)
+    viol = df.filter(
+        (F.col("scale") <= 0)
+        | (F.col("max_abs_err") > 0.5 / F.col("scale") + 1e-12)
+        | (F.col("mse") > F.col("max_abs_err") * F.col("max_abs_err") + 1e-18)
+    ).count()
+    assert viol == 0
+    assert df.filter(F.col("n_dims") == 64).count() == df.count()
+
+
+def test_embedding_quantize_zero_shuffle(spark):
+    plan = (
+        embedding_quantize(spark, SF_CORRECT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_subquery_ops_decorrelated(spark):
+    """Catalyst must rewrite EXISTS/IN into semi joins — no per-row
+    subquery execution in the physical plan."""
+    from nzwirelessmap_fetch_spark.plans.relational import subquery_ops
+
+    plan = (
+        subquery_ops(spark, SF_CORRECT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan
+
+
+def test_agg_quantiles_monotone(spark):
+    from nzwirelessmap_fetch_spark.plans.relational import agg_quantiles
+
+    rows = agg_quantiles(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert r.p25 <= r.p50 <= r.p75 <= r.p95
