@@ -371,3 +371,127 @@ SELECT doc_id,
        CAST(top_freq AS DOUBLE) / LEN(toks) AS top_token_ratio
 FROM counted
 """
+
+
+NGRAM_TOPK = 20
+
+
+def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram statistics: the top bigrams by document
+    frequency (vocabulary building, boilerplate discovery, contamination
+    screening all start here).
+
+    Plan shape: row-local bigram expansion (zip_with over two slices —
+    no index arithmetic edge cases on short docs) → explode → ONE
+    partial-aggregated shuffle on the n-gram key → global top-k via
+    TakeOrdered (no full sort). Map-side combine absorbs the explode
+    fan-out before it crosses the wire; at 100 TB hot n-grams are the
+    skew risk and ride AQE skew handling, with the dedup module's
+    df-cap valve as the explicit guard if one key dominates."""
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = _words()
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.select("doc_id", F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(F.desc("df"), F.desc("n"), F.asc("ngram"))
+        .limit(NGRAM_TOPK)
+    )
+
+
+CORPUS_NGRAM_TOPK_SQL = f"""
+WITH tokd AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, GREATEST(LEN(t) - 1, 0)),
+                               i -> t[i] || ' ' || t[i + 1])) AS ngram
+  FROM tokd
+)
+SELECT ngram, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS n
+FROM grams
+GROUP BY ngram
+ORDER BY df DESC, n DESC, ngram ASC
+LIMIT {NGRAM_TOPK}
+"""
+
+
+SHINGLE_WIDTH = 8
+BENCHMARK_SOURCE = "src0"
+
+
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: training documents that share at
+    least one {SHINGLE_WIDTH}-token shingle with a held-out benchmark
+    set (here: ``source = 'src0'``) — the n-gram-overlap check run
+    before training on scraped corpora.
+
+    Plan shape: both sides expand to (shingle, doc) postings row-locally,
+    then ONE distinct + inner equi-join on the shingle key and a group-by
+    per training doc. The benchmark side is tiny relative to the corpus
+    (eval suites are small) so its posting list broadcasts; the training
+    side never collects. Joined on raw shingle text so the DuckDB oracle
+    can replay it — at 100 TB the join key is xxhash64(shingle) (8-byte
+    keys on the wire), exactly as operators/dedup.py hashes shingles."""
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = _words()
+    n_sh = F.size(toks) - (SHINGLE_WIDTH - 1)
+    # guard: sequence(1, 0) DESCENDS in Spark, so short docs must hit the
+    # empty branch, not the transform
+    shingles = F.when(
+        n_sh >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.array_join(F.slice(toks, i, SHINGLE_WIDTH), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    postings = d.select(
+        "doc_id", "source", F.explode(shingles).alias("shingle")
+    ).distinct()
+    bench = postings.filter(F.col("source") == BENCHMARK_SOURCE).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    train = postings.filter(F.col("source") != BENCHMARK_SOURCE)
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs_hit"),
+        )
+    )
+
+
+CORPUS_CONTAMINATION_SQL = f"""
+WITH tokd AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+postings AS (
+  SELECT DISTINCT doc_id, source,
+         UNNEST(list_transform(
+           generate_series(1, GREATEST(LEN(t) - {SHINGLE_WIDTH - 1}, 0)),
+           i -> array_to_string(t[i:i + {SHINGLE_WIDTH - 1}], ' '))) AS shingle
+  FROM tokd
+),
+bench AS (
+  SELECT doc_id AS bench_id, shingle FROM postings
+  WHERE source = '{BENCHMARK_SOURCE}'
+),
+train AS (
+  SELECT doc_id, shingle FROM postings WHERE source <> '{BENCHMARK_SOURCE}'
+)
+SELECT t.doc_id,
+       COUNT(DISTINCT t.shingle) AS n_shared_shingles,
+       COUNT(DISTINCT b.bench_id) AS n_bench_docs_hit
+FROM train t JOIN bench b ON t.shingle = b.shingle
+GROUP BY t.doc_id
+"""
