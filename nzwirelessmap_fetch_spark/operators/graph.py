@@ -1,0 +1,130 @@
+"""Graph analytics over the near-duplicate similarity graph: PageRank.
+
+Extends the §2.4 dedup surface (SURVEY.md): connected components answer
+"which docs are the same"; PageRank over the same Jaccard edge set ranks
+docs by how central they are inside a duplicate family — the canonical-
+representative picker for crawl mirrors and template clusters (keep the
+hub, drop the satellites).
+
+Integer-exact formulation: ranks live in BIGINT micro-units and every
+per-edge contribution is an integer floor division, so two engines
+replay the iterations bit-for-bit — the same determinism discipline as
+the decimal-exact k-means oracle (operators/similarity.py).
+
+Scale design: each iteration is (edges ⋈ ranks on src) → groupBy dst —
+two keyed shuffles on the edge relation, no driver data, no lineage
+growth past the bounded unrolled iteration count. At 100 TB the edge
+set is bucketed by src so the per-iteration join co-locates; the rank
+side is the only thing that moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import _jaccard_edges
+
+N_ITERATIONS = 2
+DAMPING_PCT = 85            # d = 0.85, held as an integer percentage
+INIT_RANK_MICRO = 1_000_000  # rank 1.0 in micro-units
+BASE_RANK_MICRO = 150_000    # (1 - d) in micro-units
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (2 unrolled iterations, integer micro-unit arithmetic)
+    over the symmetric Jaccard≥0.5 edge graph.
+
+    Every node in the edge set has out-degree ≥ 1 (edges are symmetric),
+    so there is no dangling-mass term; floor division loses mass
+    deterministically, which both engines reproduce exactly.
+    """
+    edges = _jaccard_edges(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(INIT_RANK_MICRO).cast("bigint").alias("r")
+    )
+    for _ in range(N_ITERATIONS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(r * {DAMPING_PCT}) div ({100} * deg)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            deg.select(F.col("src").alias("node"))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(BASE_RANK_MICRO) + F.coalesce(F.col("c"), F.lit(0)))
+                .cast("bigint")
+                .alias("r"),
+            )
+        )
+    return (
+        ranks.join(deg, ranks.node == deg.src)
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("r").alias("rank_micro"),
+            F.col("deg").cast("int").alias("degree"),
+        )
+    )
+
+
+# Oracle: identical edge derivation to DEDUP_CONNECTED_COMPONENTS_SQL
+# (dedup.py), then the two iterations unrolled with the same integer
+# floor divisions.
+GRAPH_PAGERANK_SQL = f"""
+WITH
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+                          i -> w[i] || ' ' || w[i+1])) AS shingle
+    FROM w WHERE len(w) >= 2)
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST({INIT_RANK_MICRO} AS BIGINT) AS r FROM deg),
+c1 AS (
+  SELECT e.dst AS node, SUM((r.r * {DAMPING_PCT}) // (100 * d.deg)) AS c
+  FROM edges e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT d.src AS node,
+         CAST({BASE_RANK_MICRO} + COALESCE(c1.c, 0) AS BIGINT) AS r
+  FROM deg d LEFT JOIN c1 ON c1.node = d.src
+),
+c2 AS (
+  SELECT e.dst AS node, SUM((r.r * {DAMPING_PCT}) // (100 * d.deg)) AS c
+  FROM edges e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT d.src AS node,
+         CAST({BASE_RANK_MICRO} + COALESCE(c2.c, 0) AS BIGINT) AS r
+  FROM deg d LEFT JOIN c2 ON c2.node = d.src
+)
+SELECT r2.node AS doc_id, r2.r AS rank_micro, CAST(deg.deg AS INT) AS degree
+FROM r2 JOIN deg ON deg.src = r2.node
+"""

@@ -898,3 +898,48 @@ SELECT o_orderkey, o_orderpriority,
 FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
 """
+
+
+def agg_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) time windows in batch (§2.3 windows): 10-minute
+    windows every 5 minutes over events — each event lands in exactly
+    width/slide = 2 windows. Spark's ``window()`` expands assignments
+    map-side (an Expand of 2 rows per event), then ONE partial-aggregated
+    shuffle on (window, type) — the same plan a 100 TB backfill of a
+    streaming dashboard runs. Decimal-sum-then-double keeps the float
+    aggregate order-free for the oracle."""
+    e = Catalog(spark, sf_dir).table("events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# Window starts sit on the 5-minute slide grid (epoch-anchored, same as
+# Spark); every event belongs to starts {floor5(t), floor5(t) - 5min}.
+AGG_SLIDING_WINDOWS_SQL = """
+WITH expanded AS (
+  SELECT event_type, value,
+         make_timestamp((epoch_us(ts) // 300000000) * 300000000
+                        - k * 300000000) AS ws
+  FROM events
+  CROSS JOIN (SELECT UNNEST([0, 1]) AS k) ks
+)
+SELECT ws                           AS window_start,
+       ws + INTERVAL 10 MINUTE      AS window_end,
+       event_type,
+       COUNT(*)                     AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM expanded
+GROUP BY ws, event_type
+"""

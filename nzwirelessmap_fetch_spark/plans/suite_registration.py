@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from ..operators import asof as _asof
 from ..operators import dedup as _dd
+from ..operators import graph as _gr
 from ..operators import multimodal as _mm
 from ..operators import packing as _pk
 from ..operators import sessionize as _sess
@@ -106,5 +107,7 @@ registry.register("window_ntile", _r.window_ntile, _r.WINDOW_NTILE_SQL)
 registry.register("text_repetition", _tx.text_repetition, _tx.TEXT_REPETITION_SQL)
 registry.register("pack_sequences", _pk.pack_sequences, _pk.PACK_SEQUENCES_SQL)
 registry.register("embedding_quantize", _pk.embedding_quantize, _pk.EMBEDDING_QUANTIZE_SQL)
+registry.register("agg_sliding_windows", _r.agg_sliding_windows, _r.AGG_SLIDING_WINDOWS_SQL)
 registry.register("corpus_ngram_topk", _tx.corpus_ngram_topk, _tx.CORPUS_NGRAM_TOPK_SQL)
 registry.register("corpus_contamination", _tx.corpus_contamination, _tx.CORPUS_CONTAMINATION_SQL)
+registry.register("graph_pagerank", _gr.graph_pagerank, _gr.GRAPH_PAGERANK_SQL)

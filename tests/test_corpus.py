@@ -72,3 +72,26 @@ def test_short_docs_produce_no_shingles(spark):
     ).otherwise(F.array().cast("array<string>"))
     got = {r.doc_id: r.n for r in df.select("doc_id", F.size(shingles).alias("n")).collect()}
     assert got == {1: 0, 2: 2}
+
+
+def test_pagerank_invariants(spark):
+    """Integer micro-unit PageRank: every rank carries the base term,
+    degrees are positive, and total mass never exceeds the initial mass
+    (floor divisions only lose)."""
+    from nzwirelessmap_fetch_spark.operators.graph import (
+        BASE_RANK_MICRO,
+        INIT_RANK_MICRO,
+        graph_pagerank,
+    )
+
+    df = graph_pagerank(spark, SF_CORRECT).cache()
+    try:
+        n = df.count()
+        assert n > 0
+        assert df.filter(
+            (F.col("rank_micro") < BASE_RANK_MICRO) | (F.col("degree") < 1)
+        ).count() == 0
+        total = df.agg(F.sum("rank_micro")).first()[0]
+        assert total <= n * INIT_RANK_MICRO
+    finally:
+        df.unpersist()
