@@ -63,3 +63,33 @@ def boolean_to_int(col: Column | str) -> Column:
     bytecode 349-387)."""
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("boolean").cast("int")
+
+
+def ilike_shadow_name(col: str) -> str:
+    return f"_{col}_lower"
+
+
+def with_ilike_shadow(df, col: str):
+    """Store a lowercased shadow column alongside ``col`` at write time.
+
+    The multi-char fix for the pushdown gap documented on
+    :func:`sqlite_like`: ``ilike`` wraps the column in ``lower()`` and can
+    never reach ``PushedFilters``, but a *stored* lowercase column makes a
+    case-insensitive prefix predicate a plain ``StartsWith`` on a raw
+    column — row-group skipping at 100 TB for any pattern length. Costs
+    one extra string column at rest (dictionary-encoded parquet makes
+    this cheap for low-cardinality codes like licence types)."""
+    return df.withColumn(ilike_shadow_name(col), F.lower(F.col(col)))
+
+
+def sqlite_like_indexed(col: str, pattern: str) -> Column:
+    """SQLite-LIKE over a table that stores the :func:`with_ilike_shadow`
+    column: same semantics as :func:`sqlite_like`, plus a pushdown-able
+    ``StartsWith`` on the shadow for ANY-length literal prefix pattern
+    (``abc%``). Falls back to plain ``ilike`` when the pattern isn't a
+    literal prefix."""
+    semantic = F.col(col).ilike(pattern)
+    body = pattern[:-1]
+    if pattern.endswith("%") and "%" not in body and "_" not in body:
+        return F.col(ilike_shadow_name(col)).startswith(body.lower()) & semantic
+    return semantic

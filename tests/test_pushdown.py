@@ -116,3 +116,31 @@ def test_no_unguarded_driver_materialization():
         "operators/similarity.py": 1,
         "sinks/writers.py": 1,
     }, f"unexpected driver-side materialization: {nonzero}"
+
+
+def test_ilike_shadow_column_pushes_multichar_prefix(spark, tmp_path):
+    """Multi-char case-insensitive prefixes can't push down through
+    lower(); a stored lowercase shadow column turns them into a raw
+    StartsWith the scan can skip row groups on."""
+    from pyspark.sql import functions as F
+
+    from nzwirelessmap_fetch_spark.functions.compat import (
+        ilike_shadow_name,
+        sqlite_like_indexed,
+        with_ilike_shadow,
+    )
+
+    src = spark.read.parquet(f"{SF_CORRECT}/part.parquet")
+    path = str(tmp_path / "part_shadow")
+    with_ilike_shadow(src, "p_type").write.parquet(path)
+
+    t = spark.read.parquet(path)
+    df = t.filter(sqlite_like_indexed("p_type", "PRO%")).select("p_partkey", "p_type")
+    plan = _plan(df)
+    assert f"StringStartsWith({ilike_shadow_name('p_type')},pro)" in plan
+    # semantics unchanged vs the plain ilike predicate
+    want = t.filter(F.col("p_type").ilike("PRO%")).count()
+    assert df.count() == want and want > 0
+    # non-prefix patterns fall back to plain ilike (no bogus pushdown)
+    fb = t.filter(sqlite_like_indexed("p_type", "%STEEL"))
+    assert "StringStartsWith" not in _plan(fb)
