@@ -435,13 +435,16 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     set (here: ``source = 'src0'``) — the n-gram-overlap check run
     before training on scraped corpora.
 
-    Plan shape: both sides expand to (shingle, doc) postings row-locally,
-    then ONE distinct + inner equi-join on the shingle key and a group-by
-    per training doc. The benchmark side is tiny relative to the corpus
-    (eval suites are small) so its posting list broadcasts; the training
-    side never collects. Joined on raw shingle text so the DuckDB oracle
-    can replay it — at 100 TB the join key is xxhash64(shingle) (8-byte
-    keys on the wire), exactly as operators/dedup.py hashes shingles."""
+    Plan shape: the corpus side expands to (doc, shingle) postings
+    row-locally and flows STRAIGHT into a broadcast join against the
+    (distinct'd, tiny) benchmark posting list — no corpus-wide distinct:
+    the broadcast probe discards the overwhelming non-matching majority
+    map-side, and countDistinct absorbs duplicate postings afterward, so
+    the only shuffle in the whole plan is the final per-doc group-by of
+    the (rare) contaminated hits. Joined on raw shingle text so the
+    DuckDB oracle can replay it — at 100 TB the join key is
+    xxhash64(shingle) (8-byte keys on the wire), exactly as
+    operators/dedup.py hashes shingles."""
     d = Catalog(spark, sf_dir).table("documents")
     toks = _words()
     n_sh = F.size(toks) - (SHINGLE_WIDTH - 1)
@@ -454,11 +457,11 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(toks, i, SHINGLE_WIDTH), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    postings = d.select(
-        "doc_id", "source", F.explode(shingles).alias("shingle")
-    ).distinct()
-    bench = postings.filter(F.col("source") == BENCHMARK_SOURCE).select(
-        F.col("doc_id").alias("bench_id"), "shingle"
+    postings = d.select("doc_id", "source", F.explode(shingles).alias("shingle"))
+    bench = (
+        postings.filter(F.col("source") == BENCHMARK_SOURCE)
+        .select(F.col("doc_id").alias("bench_id"), "shingle")
+        .distinct()
     )
     train = postings.filter(F.col("source") != BENCHMARK_SOURCE)
     return (

@@ -826,14 +826,23 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     def pin(c: Column) -> Column:
         return c.cast("decimal(18,6)").cast("double")
 
+    # one percentile aggregate with an array of targets: ONE gather
+    # buffer per group, not four
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
-            pin(F.expr("percentile(l_extendedprice, 0.25)")).alias("p25"),
-            pin(F.expr("percentile(l_extendedprice, 0.5)")).alias("p50"),
-            pin(F.expr("percentile(l_extendedprice, 0.75)")).alias("p75"),
-            pin(F.expr("percentile(l_extendedprice, 0.95)")).alias("p95"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))"
+            ).alias("ps"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            pin(F.col("ps")[0]).alias("p25"),
+            pin(F.col("ps")[1]).alias("p50"),
+            pin(F.col("ps")[2]).alias("p75"),
+            pin(F.col("ps")[3]).alias("p95"),
         )
     )
 
@@ -942,4 +951,42 @@ SELECT ws                           AS window_start,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM expanded
 GROUP BY ws, event_type
+"""
+
+
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch pinned inside an exact rank band — the
+    scale twin of agg_quantiles, same oracle contract as
+    agg_approx_distinct: sketches are the 100 TB path (bounded state per
+    group vs gathering the group's values), their outputs are estimator-
+    specific, so the pinned output is the EXACT median plus a boolean
+    that the sketch landed inside the exact [p45, p55] rank band — 10×
+    looser than the sketch's 1/1000 rank-error bound, so only a broken
+    estimator flips it."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.45, 0.5, 0.55))"
+            ).alias("ps"),
+            F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("ps")[1].cast("decimal(18,6)").cast("double").alias("p50"),
+            (
+                (F.col("approx") >= F.col("ps")[0])
+                & (F.col("approx") <= F.col("ps")[2])
+            ).alias("approx_in_band"),
+        )
+    )
+
+
+AGG_APPROX_QUANTILES_SQL = """
+SELECT l_returnflag,
+       CAST(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS p50,
+       TRUE AS approx_in_band
+FROM lineitem
+GROUP BY l_returnflag
 """

@@ -42,6 +42,7 @@ registry.register(
     _es.stream_stateful_user_stats,
     _es.STREAM_STATEFUL_USER_STATS_SQL,
 )
+registry.register("stream_sliding_counts", _es.stream_sliding_counts, _es.STREAM_SLIDING_COUNTS_SQL)
 
 registry.register("agg_pricing_summary", _r.agg_pricing_summary, _r.AGG_PRICING_SUMMARY_SQL)
 registry.register("agg_distinct_stats", _r.agg_distinct_stats, _r.AGG_DISTINCT_STATS_SQL)
@@ -102,6 +103,7 @@ registry.register("sessionize", _sess.sessionize, _sess.SESSIONIZE_SQL)
 # windows, repetition-quality metrics, and training-data assembly
 # (sequence packing + int8 quantization). All cheap at sf0.01.
 registry.register("agg_quantiles", _r.agg_quantiles, _r.AGG_QUANTILES_SQL)
+registry.register("agg_approx_quantiles", _r.agg_approx_quantiles, _r.AGG_APPROX_QUANTILES_SQL)
 registry.register("subquery_ops", _r.subquery_ops, _r.SUBQUERY_OPS_SQL)
 registry.register("window_ntile", _r.window_ntile, _r.WINDOW_NTILE_SQL)
 registry.register("text_repetition", _tx.text_repetition, _tx.TEXT_REPETITION_SQL)

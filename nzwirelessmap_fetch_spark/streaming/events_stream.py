@@ -400,3 +400,52 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_DEDUP_EVENTS_SQL = """
 SELECT DISTINCT event_id FROM events
 """
+
+
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping 10-minute windows sliding every 5 minutes per event_type
+    (the streaming twin of plans.relational.agg_sliding_windows): each
+    event enters width/slide = 2 window states; append mode emits a
+    window once the watermark passes its end. State is bounded by
+    (watermark + width) / slide windows per key — the overlap factor
+    multiplies state size, not the emission contract."""
+    agg = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    out = _run_to_completion(agg, spark)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+# Append-mode closed form with a complete input: the final watermark is
+# max(ts) - 10min, and a window is emitted iff window_end <= watermark.
+# Each event expands to its two hopping windows on the 5-minute grid.
+STREAM_SLIDING_COUNTS_SQL = """
+WITH expanded AS (
+  SELECT event_type, value,
+         make_timestamp((epoch_us(ts) // 300000000) * 300000000
+                        - k * 300000000) AS ws
+  FROM events
+  CROSS JOIN (SELECT UNNEST([0, 1]) AS k) ks
+),
+mx AS (SELECT MAX(ts) AS mt FROM events)
+SELECT ws                           AS window_start,
+       ws + INTERVAL 10 MINUTE      AS window_end,
+       event_type,
+       COUNT(*)                     AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM expanded, mx
+WHERE ws + INTERVAL 10 MINUTE <= mt - INTERVAL 10 MINUTE
+GROUP BY ws, event_type
+"""
