@@ -62,3 +62,49 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
 FROM marked
 GROUP BY user_id, session_idx
 """
+
+
+def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build (§2.3 incremental, the
+    temporal-table sibling of merge_upsert): compress each user's event
+    stream into validity intervals of their ``event_type`` state — a row
+    survives only when the state CHANGES, and carries
+    [valid_from, valid_to) with an open (NULL) end on the current state.
+
+    Same physical shape as sessionize: ONE shuffle (by user), two window
+    passes over the same sort (lag to detect change, lead for the closing
+    timestamp — Catalyst reuses the exchange+sort). This is how a 100 TB
+    event log becomes a point-in-time-joinable dimension table."""
+    e = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = e.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changed.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+EVENTS_SCD2_SQL = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+changed AS (
+  SELECT user_id, event_type, ts, event_id FROM marked
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type,
+       ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM changed
+"""

@@ -990,3 +990,59 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 """
+
+
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar-function coverage (§2.3 array fns): slice/join,
+    membership + position, union/intersect/except cardinalities (Spark's
+    set-style array ops dedup, so the pinned outputs are *kind* counts),
+    order statistics via array_sort, and a transform-fold max. All
+    row-local — zero shuffles."""
+    from ..operators.text import STOPWORDS
+
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = F.split("text", " ")
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    return d.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 3), "_").alias("first3"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.array_position(toks, "the").cast("int").alias("pos_the"),
+        F.size(F.array_distinct(F.concat(toks, stop))).cast("int").alias("n_union_kinds"),
+        F.size(F.array_intersect(toks, stop)).cast("int").alias("n_stop_kinds"),
+        F.size(F.array_except(toks, stop)).cast("int").alias("n_nonstop_kinds"),
+        F.element_at(F.array_sort(toks), 1).alias("min_tok"),
+        F.element_at(F.array_sort(toks), -1).alias("max_tok"),
+        F.array_max(F.transform(toks, lambda t: F.length(t))).cast("int").alias("longest_tok"),
+    )
+
+
+def _sql_quote_list(items) -> str:
+    return "[" + ", ".join(f"'{s}'" for s in items) + "]"
+
+
+def _array_funcs_sql() -> str:
+    from ..operators.text import STOPWORDS
+
+    stop = _sql_quote_list(STOPWORDS)
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, string_split(text, ' ') AS t, {stop} AS stop FROM documents
+)
+SELECT doc_id,
+       array_to_string(t[1:3], '_') AS first3,
+       list_contains(t, 'the') AS has_the,
+       CAST(COALESCE(list_position(t, 'the'), 0) AS INT) AS pos_the,
+       CAST(LEN(list_distinct(list_concat(t, stop))) AS INT) AS n_union_kinds,
+       CAST(LEN(list_distinct(list_filter(t, x -> list_contains(stop, x)))) AS INT)
+         AS n_stop_kinds,
+       CAST(LEN(list_distinct(list_filter(t, x -> NOT list_contains(stop, x)))) AS INT)
+         AS n_nonstop_kinds,
+       list_sort(t)[1] AS min_tok,
+       list_sort(t)[-1] AS max_tok,
+       CAST(list_max(list_transform(t, x -> LENGTH(x))) AS INT) AS longest_tok
+FROM tokd
+"""
+
+
+ARRAY_FUNCS_SQL = _array_funcs_sql()

@@ -144,3 +144,35 @@ def test_ilike_shadow_column_pushes_multichar_prefix(spark, tmp_path):
     # non-prefix patterns fall back to plain ilike (no bogus pushdown)
     fb = t.filter(sqlite_like_indexed("p_type", "%STEEL"))
     assert "StringStartsWith" not in _plan(fb)
+
+
+def test_partition_pruning(spark, tmp_path):
+    """Hive-partitioned layout must prune at planning time: a filter on
+    the partition column shows up in PartitionFilters and non-matching
+    directories are never scanned. At 100 TB this is the difference
+    between reading one day and reading the lake."""
+    from pyspark.sql import functions as F
+
+    from nzwirelessmap_fetch_spark.catalog import Catalog
+
+    src = Catalog(spark, SF_CORRECT).table("events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    src.write.partitionBy("day").parquet(path)
+
+    t = spark.read.parquet(path)
+    df = t.filter(F.col("day") == "2024-01-02").select("event_id", "value")
+    plan = _plan(df)
+    assert "PartitionFilters: [isnotnull(day" in plan
+    # the full-scan row count differs -> pruning actually dropped data
+    assert df.count() == src.filter(F.col("day") == "2024-01-02").count()
+
+
+def test_scd2_single_exchange(spark):
+    """Both window passes (lag change-detect, lead interval-close) sort
+    by the same key — Catalyst must schedule ONE shuffle, not two."""
+    from nzwirelessmap_fetch_spark.operators.sessionize import events_scd2
+
+    plan = _plan(events_scd2(spark, SF_CORRECT))
+    assert plan.count("Exchange hashpartitioning") == 1
