@@ -11,6 +11,7 @@ exact integer/divide arithmetic so the DuckDB oracles hash-match bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd  # module scope: pandas-UDF string type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -497,4 +498,43 @@ SELECT t.doc_id,
        COUNT(DISTINCT b.bench_id) AS n_bench_docs_hit
 FROM train t JOIN bench b ON t.shingle = b.shingle
 GROUP BY t.doc_id
+"""
+
+
+def pandas_scalar_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized SCALAR pandas UDF (§2.3 UDF taxonomy, completing
+    grouped applyInPandas + Python UDTF): batch text normalization
+    (strip non-alphanumerics, squeeze whitespace, trim, upcase).
+
+    This op is deliberately expressible with built-ins (the oracle IS
+    the built-in form) — it exists to pin the Arrow scalar-UDF plumbing:
+    columnar batches in, zero-copy pandas Series out, no row-at-a-time
+    Python anywhere. The real users of this path are normalizations that
+    genuinely need Python libraries (unicode NFC, ftfy-style mojibake
+    repair) where per-row UDFs would be 10-100x slower."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        return (
+            s.str.replace(r"[^a-z0-9 ]", "", regex=True)
+            .str.replace(r" +", " ", regex=True)
+            .str.strip()
+            .str.upper()
+        )
+
+    d = Catalog(spark, sf_dir).table("documents")
+    return d.select(
+        "doc_id",
+        norm("text").alias("norm"),
+    ).withColumn("n_norm_chars", F.length("norm").cast("int"))
+
+
+PANDAS_SCALAR_NORMALIZE_SQL = """
+SELECT doc_id,
+       UPPER(TRIM(regexp_replace(regexp_replace(text, '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS norm,
+       CAST(LENGTH(UPPER(TRIM(regexp_replace(regexp_replace(text, '[^a-z0-9 ]', '', 'g'),
+                                             ' +', ' ', 'g')))) AS INT) AS n_norm_chars
+FROM documents
 """

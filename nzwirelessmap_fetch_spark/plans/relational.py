@@ -1046,3 +1046,76 @@ FROM tokd
 
 
 ARRAY_FUNCS_SQL = _array_funcs_sql()
+
+
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 600000.0, 12
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (§2.3 aggregation): one floor expression and
+    one partial-aggregated shuffle of ≤ bins+2 groups — the profile/
+    dashboard staple. Out-of-range values clamp into edge bins so the
+    bin count is fixed regardless of data drift."""
+    o = Catalog(spark, sf_dir).table("orders")
+    step = (HIST_HI - HIST_LO) / HIST_BINS
+    raw = F.floor((F.col("o_totalprice") - HIST_LO) / step)
+    bin_ = F.greatest(F.lit(0), F.least(F.lit(HIST_BINS - 1), raw)).cast("int")
+    return (
+        o.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (HIST_LO + F.col("bin") * step).alias("bin_lo"),
+            (HIST_LO + (F.col("bin") + 1) * step).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
+AGG_HISTOGRAM_SQL = f"""
+WITH binned AS (
+  SELECT CAST(GREATEST(0, LEAST({HIST_BINS - 1},
+           FLOOR((o_totalprice - {HIST_LO}) / {(HIST_HI - HIST_LO) / HIST_BINS})))
+         AS INT) AS bin
+  FROM orders
+)
+SELECT bin,
+       {HIST_LO} + bin * {(HIST_HI - HIST_LO) / HIST_BINS} AS bin_lo,
+       {HIST_LO} + (bin + 1) * {(HIST_HI - HIST_LO) / HIST_BINS} AS bin_hi,
+       COUNT(*) AS n
+FROM binned
+GROUP BY bin
+"""
+
+
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over a running frame (§2.3
+    windows) — frame semantics are the classic silent-wrong-answer
+    hazard (last_value over the default frame is the CURRENT row), so
+    the pinned query uses an explicit full-partition frame on a unique
+    order key."""
+    o = Catalog(spark, sf_dir).table("orders")
+    full = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first("o_totalprice").over(full).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.nth_value("o_totalprice", 3).over(full).alias("third_price"),
+    )
+
+
+WINDOW_FIRST_LAST_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+       LAST_VALUE(o_totalprice)  OVER w AS last_price,
+       NTH_VALUE(o_totalprice, 3) OVER w AS third_price
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""

@@ -100,6 +100,11 @@ registry.register("asof_purchase_click", _asof.asof_purchase_click, _asof.ASOF_P
 registry.register("sessionize", _sess.sessionize, _sess.SESSIONIZE_SQL)
 registry.register("events_scd2", _sess.events_scd2, _sess.EVENTS_SCD2_SQL)
 registry.register("array_funcs", _r.array_funcs, _r.ARRAY_FUNCS_SQL)
+registry.register("agg_histogram", _r.agg_histogram, _r.AGG_HISTOGRAM_SQL)
+registry.register("window_first_last", _r.window_first_last, _r.WINDOW_FIRST_LAST_SQL)
+registry.register(
+    "pandas_scalar_normalize", _tx.pandas_scalar_normalize, _tx.PANDAS_SCALAR_NORMALIZE_SQL
+)
 
 # Round-2 additions: quantiles, subquery decorrelation, distribution
 # windows, repetition-quality metrics, and training-data assembly
