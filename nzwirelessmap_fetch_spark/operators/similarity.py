@@ -465,15 +465,19 @@ def sim_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     band; each band is an independent 8-plane code (planes 0-7, 8-15).
 
     Plan shape: corpus → b band codes per row (pure map) → unpivot to
-    (band, code) → self-equi-join keyed by (band, code) → pair-distinct →
-    exact verification. The join key space is b·2^r and grows with the
-    plane budget, so candidate volume stays bounded as n scales — at
-    100 TB you raise r with log(n) (e.g. 20-24 bits/band) and leave the
-    plan untouched; a flat bucket index would need a rewrite."""
+    (band, code) — IDS ONLY, the 64-float payload never rides through
+    pair generation — → self-equi-join keyed by (band, code) →
+    pair-distinct → embeddings re-attached by two keyed joins for exact
+    verification (the n-gram Jaccard verify shape: at 100 TB the vector
+    table is corpus-sized, so shuffling the small id-pair stream to the
+    vectors beats dragging payloads through the join+distinct). The join
+    key space is b·2^r and grows with the plane budget, so candidate
+    volume stays bounded as n scales — at 100 TB you raise r with log(n)
+    (e.g. 20-24 bits/band) and leave the plan untouched; a flat bucket
+    index would need a rewrite."""
     e = Catalog(spark, sf_dir).table("embeddings")
     coded = e.select(
         "vec_id",
-        "embedding",
         *[
             _code_expr(LSH_BAND_BITS, k * LSH_BAND_BITS).cast("int").alias(f"c{k}")
             for k in range(LSH_BANDS)
@@ -481,19 +485,23 @@ def sim_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stack_args = ", ".join(f"{k}, c{k}" for k in range(LSH_BANDS))
     bands = coded.selectExpr(
-        "vec_id", "embedding", f"stack({LSH_BANDS}, {stack_args}) AS (band, code)"
+        "vec_id", f"stack({LSH_BANDS}, {stack_args}) AS (band, code)"
     )
     a, b = bands.alias("a"), bands.alias("b")
-    return (
+    cand = (
         a.join(b, ["band", "code"])
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.embedding").alias("emb_a"),
-            F.col("b.embedding").alias("emb_b"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
         .filter(F.col("cos") >= PAIR_THRESHOLD)
         .select("vec_a", "vec_b", "cos")
