@@ -1119,3 +1119,89 @@ FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
+
+
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map scalar-function coverage (§2.3 map fns): JSON → typed map,
+    key enumeration/membership, value extraction, and map construction
+    via map_from_arrays. The oracle replays everything through DuckDB's
+    JSON functions — the map is the Spark-side representation, the
+    semantics are engine-neutral. Zero shuffles."""
+    e = Catalog(spark, sf_dir).table("events")
+    m = F.from_json("props", "map<string,string>")
+    m2 = F.map_from_arrays(F.array(F.lit("type")), F.array(F.col("event_type")))
+    return e.select(
+        "event_id",
+        F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+        F.element_at(m, "k").cast("int").alias("k_val"),
+        F.array_contains(F.map_keys(m), "k").alias("has_k"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(m2, "type").alias("type_copy"),
+    )
+
+
+MAP_FUNCS_SQL = """
+SELECT event_id,
+       CAST(LEN(json_keys(props)) AS INT) AS n_keys,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+       list_contains(json_keys(props), 'k') AS has_k,
+       array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
+       event_type AS type_copy
+FROM events
+"""
+
+
+SALIENT_TOP_N = 3
+SALIENT_SCALE = 1_000_000
+
+
+def corpus_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-shaped salient-term extraction, integer-exact: per document
+    the top 3 terms by ``tf * 1e6 // df`` (frequency in the doc, rare in
+    the corpus — the keyword/topic signal), ties broken by term. The
+    floor-divided integer score replaces log-idf so both engines replay
+    the ranking bit-for-bit (no transcendentals in pinned outputs).
+
+    Plan: explode → partial-agg (doc, term) tf → term-level df reuses the
+    SAME aggregate output (one extra ≤|vocab|-row shuffle) → keyed join
+    (AQE broadcasts the df side when it's actually small) → per-doc
+    row_number. The classic inverted-index aggregation cascade; every
+    stage partial-aggregates before it shuffles."""
+    d = Catalog(spark, sf_dir).table("documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "term").withColumn(
+        "score", F.expr(f"(tf * {SALIENT_SCALE}L) div df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SALIENT_TOP_N)
+        .select("doc_id", "term", "tf", "df", "score", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+CORPUS_SALIENT_TERMS_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+  ) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         (tf.tf * {SALIENT_SCALE}) // dfreq.df AS score
+  FROM tf JOIN dfreq USING (term)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= {SALIENT_TOP_N}
+"""
