@@ -1,0 +1,146 @@
+"""Composed corpus-curation pipeline: the operators working TOGETHER.
+
+Every stage exists as its own oracle-checked query; this plan chains them
+the way a real training-data build does:
+
+    quality gate → exact dedup (canonical per content hash)
+                 → SimHash near-dup collapse (canonical per signature)
+                 → deterministic train/eval split
+
+The point is compositional: each stage consumes the previous stage's
+DataFrame, Catalyst fuses the whole thing into one job, and the oracle is
+the same CTE chain in SQL. At 100 TB the stages keep their individual
+scale properties (quality + simhash are scan-local maps; each dedup is
+one keyed window; the split is a hash on the row) — composition adds no
+new shuffles beyond the two dedup windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..operators.text import (
+    MIN_DIVERSITY,
+    MIN_STOP_RATIO,
+    MIN_WORDS,
+    STOPWORDS,
+)
+
+TRAIN_PCT = 90  # md5-keyed split: 90 train / 10 eval
+
+
+def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    w = F.split("text", " ")
+    n_words = F.size(w)
+    stop_ratio = (
+        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("double") / n_words
+    )
+    diversity = F.size(F.array_distinct(w)).cast("double") / n_words
+    quality_ok = (
+        (n_words >= MIN_WORDS)
+        & (stop_ratio >= MIN_STOP_RATIO)
+        & (diversity >= MIN_DIVERSITY)
+    )
+    simhash = F.expr(
+        """
+        aggregate(
+          zip_with(
+            aggregate(
+              transform(split(text, ' '),
+                        w -> CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)),
+              array_repeat(CAST(0 AS BIGINT), 32),
+              (acc, h) -> zip_with(acc, sequence(0, 31),
+                                   (s, j) -> s + IF((h >> j) % 2 = 1, 1, -1))),
+            sequence(0, 31),
+            (s, j) -> IF(s > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
+          CAST(0 AS BIGINT), (acc, v) -> acc + v)
+        """
+    )
+
+    survivors = d.filter(quality_ok).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5("text").alias("content_hash"),
+        simhash.alias("simhash"),
+    )
+    # canonical row per exact content hash, then per SimHash signature —
+    # each is ONE keyed window (min doc wins, deterministic)
+    w_exact = Window.partitionBy("content_hash")
+    w_near = Window.partitionBy("simhash")
+    deduped = (
+        survivors.withColumn("canon_exact", F.min("doc_id").over(w_exact))
+        .filter(F.col("doc_id") == F.col("canon_exact"))
+        .withColumn("canon_near", F.min("doc_id").over(w_near))
+        .filter(F.col("doc_id") == F.col("canon_near"))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % 100
+    )
+    return deduped.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(bucket < TRAIN_PCT, "train").otherwise("eval").alias("split"),
+    )
+
+
+CORPUS_DEDUP_PIPELINE_SQL = f"""
+WITH m AS (
+  SELECT doc_id, lang, source, text,
+         LEN(string_split(text, ' ')) AS n_words,
+         CAST(LEN(list_filter(string_split(text, ' '),
+                  x -> x IN ('the','a','of','and','to','in','is','on','for','with')))
+              AS DOUBLE) / LEN(string_split(text, ' ')) AS stop_ratio,
+         CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / LEN(string_split(text, ' ')) AS diversity
+  FROM documents
+),
+quality AS (
+  SELECT doc_id, lang, source, text FROM m
+  WHERE n_words >= {MIN_WORDS}
+    AND stop_ratio >= {MIN_STOP_RATIO}
+    AND diversity >= {MIN_DIVERSITY}
+),
+words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM quality
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h FROM words
+),
+votes AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN generate_series(0, 31) t(j)
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM votes GROUP BY doc_id
+),
+survivors AS (
+  SELECT q.doc_id, q.lang, q.source, md5(q.text) AS content_hash, sig.simhash
+  FROM quality q JOIN sig ON sig.doc_id = q.doc_id
+),
+exact AS (
+  SELECT *, MIN(doc_id) OVER (PARTITION BY content_hash) AS canon_exact
+  FROM survivors
+),
+near AS (
+  SELECT *, MIN(doc_id) OVER (PARTITION BY simhash) AS canon_near
+  FROM exact WHERE doc_id = canon_exact
+)
+SELECT doc_id, lang, source,
+       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                 < {TRAIN_PCT}
+            THEN 'train' ELSE 'eval' END AS split
+FROM near WHERE doc_id = canon_near
+"""

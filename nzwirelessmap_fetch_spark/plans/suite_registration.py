@@ -15,6 +15,7 @@ from ..operators import sessionize as _sess
 from ..operators import similarity as _sim
 from ..operators import text as _tx
 from ..streaming import events_stream as _es
+from . import corpus_pipeline as _cp
 from . import flagship as _flagship
 from . import registry
 from . import relational as _r
@@ -117,6 +118,7 @@ registry.register("embedding_quantize", _pk.embedding_quantize, _pk.EMBEDDING_QU
 registry.register("agg_sliding_windows", _r.agg_sliding_windows, _r.AGG_SLIDING_WINDOWS_SQL)
 registry.register("corpus_ngram_topk", _tx.corpus_ngram_topk, _tx.CORPUS_NGRAM_TOPK_SQL)
 registry.register("corpus_contamination", _tx.corpus_contamination, _tx.CORPUS_CONTAMINATION_SQL)
+registry.register("corpus_dedup_pipeline", _cp.corpus_dedup_pipeline, _cp.CORPUS_DEDUP_PIPELINE_SQL)
 
 # LAST by design: these four all consume the memoized verified-Jaccard
 # pair build — the single most expensive piece of the sf0.01 gate
