@@ -1205,3 +1205,89 @@ ranked AS (
 SELECT doc_id, term, tf, df, score, CAST(rn AS INT) AS rn
 FROM ranked WHERE rn <= {SALIENT_TOP_N}
 """
+
+
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (§2.3 reshaping, the inverse of agg_pivot): the
+    per-flag quantity/price columns of a wide aggregate become (measure,
+    value) rows. Spark's ``unpivot`` lowers to an Expand (map-side row
+    fan-out, same as sliding windows) — no shuffle beyond the feeding
+    aggregate."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("price"),
+        F.sum(_dec("l_discount")).cast("double").alias("disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "price", "disc"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+AGG_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)      AS disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, measure, value
+FROM wide UNPIVOT (value FOR measure IN (qty, price, disc))
+"""
+
+
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic pins (§2.3 predicates): NULL propagation through
+    comparisons, null-safe equality (``<=>`` / IS NOT DISTINCT FROM),
+    coalesce/nullif, and NULL behavior in aggregates COUNT vs SUM — the
+    silent-divergence corners between engines, stated once and
+    hash-pinned. NULLs are manufactured deterministically (every 7th
+    key) so ~14% of rows exercise each NULL branch regardless of
+    fixture values."""
+    c = Catalog(spark, sf_dir).table("customer")
+    maybe = F.when(F.col("c_custkey") % 7 != 0, F.col("c_acctbal"))
+    return (
+        c.select(
+            "c_custkey",
+            maybe.alias("maybe_bal"),
+            (maybe > 0).alias("cmp_null_prop"),           # NULL where maybe is NULL
+            maybe.eqNullSafe(F.lit(None).cast("double")).alias("is_null_safe"),
+            F.coalesce(maybe, F.lit(-1.0)).alias("coalesced"),
+        )
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("maybe_bal").alias("n_nonnull"),       # COUNT skips NULLs
+            F.sum(F.when(F.col("cmp_null_prop").isNull(), 1).otherwise(0)).alias(
+                "n_null_cmp"
+            ),
+            F.sum(F.when(F.col("is_null_safe"), 1).otherwise(0)).alias("n_nullsafe_true"),
+            F.min("coalesced").alias("min_coalesced"),
+        )
+    )
+
+
+NULL_SEMANTICS_SQL = """
+WITH base AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 <> 0 THEN c_acctbal END AS maybe_bal
+  FROM customer
+),
+marked AS (
+  SELECT c_custkey, maybe_bal,
+         (maybe_bal > 0) AS cmp_null_prop,
+         (maybe_bal IS NOT DISTINCT FROM CAST(NULL AS DOUBLE)) AS is_null_safe,
+         COALESCE(maybe_bal, -1.0) AS coalesced
+  FROM base
+)
+SELECT COUNT(*) AS n_rows,
+       COUNT(maybe_bal) AS n_nonnull,
+       SUM(CASE WHEN cmp_null_prop IS NULL THEN 1 ELSE 0 END) AS n_null_cmp,
+       SUM(CASE WHEN is_null_safe THEN 1 ELSE 0 END) AS n_nullsafe_true,
+       MIN(coalesced) AS min_coalesced
+FROM marked
+"""

@@ -99,6 +99,8 @@ registry.register("events_scd2", _sess.events_scd2, _sess.EVENTS_SCD2_SQL)
 registry.register("array_funcs", _r.array_funcs, _r.ARRAY_FUNCS_SQL)
 registry.register("agg_histogram", _r.agg_histogram, _r.AGG_HISTOGRAM_SQL)
 registry.register("map_funcs", _r.map_funcs, _r.MAP_FUNCS_SQL)
+registry.register("agg_unpivot", _r.agg_unpivot, _r.AGG_UNPIVOT_SQL)
+registry.register("null_semantics", _r.null_semantics, _r.NULL_SEMANTICS_SQL)
 registry.register("corpus_salient_terms", _r.corpus_salient_terms, _r.CORPUS_SALIENT_TERMS_SQL)
 registry.register("window_first_last", _r.window_first_last, _r.WINDOW_FIRST_LAST_SQL)
 registry.register(
