@@ -56,3 +56,45 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
         assert joined.count() == plain.count()
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_ivf_index_at_rest_aggregates_without_shuffle(spark):
+    """The ANN story at 100 TB: the IVF assignment written
+    ``bucketBy(cell)`` IS the inverted file — cell-keyed work (posting-
+    list stats, per-cell probes) then runs with NO exchange, because the
+    bucketed scan already provides the hash distribution."""
+    from pyspark.sql import functions as F
+
+    from nzwirelessmap_fetch_spark.catalog import Catalog
+    from nzwirelessmap_fetch_spark.operators.similarity import N_CELLS, cosine
+    from nzwirelessmap_fetch_spark.sinks.writers import write_bucketed_table
+
+    e = Catalog(spark, SF_CORRECT).table("embeddings")
+    cents = e.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", cosine(F.col("embedding"), F.col("c_emb")))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cell", F.struct(F.col("ccos"), -F.col("cell"))).alias("cell"),
+            F.first("embedding").alias("embedding"),
+        )
+    )
+    spark.sql("DROP TABLE IF EXISTS ivf_at_rest")
+    try:
+        write_bucketed_table(assigned, "ivf_at_rest", N_BUCKETS, key="cell")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            stats = spark.table("ivf_at_rest").groupBy("cell").count()
+            plan = stats._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, f"bucketed IVF scan still shuffles:\n{plan}"
+            # control: the same aggregate over the unbucketed frame shuffles
+            plain = assigned.groupBy("cell").count()
+            assert "Exchange" in plain._jdf.queryExecution().executedPlan().toString()
+            assert stats.count() == plain.count() > 0
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivf_at_rest")
