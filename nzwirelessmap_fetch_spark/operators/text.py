@@ -12,7 +12,7 @@ exact integer/divide arithmetic so the DuckDB oracles hash-match bit-for-bit.
 from __future__ import annotations
 
 import pandas as pd  # module scope: pandas-UDF string type hints resolve here
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
@@ -537,4 +537,41 @@ SELECT doc_id,
        CAST(LENGTH(UPPER(TRIM(regexp_replace(regexp_replace(text, '[^a-z0-9 ]', '', 'g'),
                                              ' +', ' ', 'g')))) AS INT) AS n_norm_chars
 FROM documents
+"""
+
+
+STRATUM_QUOTA = 40  # docs kept per language
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling — the data-MIXING op: cap every
+    language stratum at a fixed quota so no source dominates the training
+    mix (the per-stratum twin of corpus_deterministic_sample's global
+    percentage cut).
+
+    Selection inside a stratum is by md5(doc_id) order, so membership is
+    content-keyed: stable across engines, partitionings, and corpus
+    growth apart from hash-order insertions. One window per stratum (the
+    shuffle is by ``lang``); quotas per (lang, source) or any finer
+    stratum are the same plan with a wider partition key."""
+    d = Catalog(spark, sf_dir).table("documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STRATUM_QUOTA)
+        .select("doc_id", "lang", "source", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+CORPUS_STRATIFIED_SAMPLE_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, source, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= {STRATUM_QUOTA}
 """

@@ -84,6 +84,7 @@ registry.register("text_udtf_tokens", _tx.text_udtf_tokens, _tx.TEXT_UDTF_TOKENS
 registry.register("text_pii_scrub", _tx.text_pii_scrub, _tx.TEXT_PII_SCRUB_SQL)
 registry.register("corpus_quality_filter", _tx.corpus_quality_filter, _tx.CORPUS_QUALITY_FILTER_SQL)
 registry.register("corpus_deterministic_sample", _tx.corpus_deterministic_sample, _tx.CORPUS_DETERMINISTIC_SAMPLE_SQL)
+registry.register("corpus_stratified_sample", _tx.corpus_stratified_sample, _tx.CORPUS_STRATIFIED_SAMPLE_SQL)
 registry.register("sim_topk_bruteforce", _sim.sim_topk_bruteforce, _sim.SIM_TOPK_BRUTEFORCE_SQL)
 registry.register("sim_lsh_bucketed", _sim.sim_lsh_bucketed, _sim.SIM_LSH_BUCKETED_SQL)
 registry.register("sim_lsh_multiprobe", _sim.sim_lsh_multiprobe, _sim.SIM_LSH_MULTIPROBE_SQL)
