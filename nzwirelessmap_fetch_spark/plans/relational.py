@@ -1291,3 +1291,101 @@ SELECT COUNT(*) AS n_rows,
        MIN(coalesced) AS min_coalesced
 FROM marked
 """
+
+
+BLOOM_BITS = 4096  # m: filter width; k=2 md5-derived hash functions
+
+
+def _bloom_hashes(key: Column) -> tuple[Column, Column]:
+    s = key.cast("string")
+    h1 = F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % BLOOM_BITS
+    h2 = F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long") % BLOOM_BITS
+    return h1, h2
+
+
+def agg_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join pruning (§2.3 sketch family, the join twin
+    of the HLL/percentile sketches): build a Bloom filter over the fact
+    side's keys, probe it on the dimension — the explicit form of the
+    runtime row-group filter AQE injects for shuffle joins, and the
+    100 TB trick for cutting a dimension scan before an expensive join.
+
+    The filter is built from first principles (k=2 md5-derived bit
+    indices, m=4096; the set-bit set aggregates to ≤ m rows and
+    broadcasts) so BOTH engines replay it bit-for-bit — unlike an opaque
+    sketch, even the false-positive count is oracle-exact. The pinned row
+    states the Bloom contract: zero false negatives, and the exact FP
+    count among non-matching keys. The build side is the 'F'-status
+    subset so non-matching probe keys actually exist (the full key set
+    matches every customer at fixture scale — vacuous)."""
+    cat = Catalog(spark, sf_dir)
+    c = cat.table("customer")
+    o = cat.table("orders").filter(F.col("o_orderstatus") == "F")
+    oh1, oh2 = _bloom_hashes(F.col("o_custkey"))
+    set_bits = (
+        o.select(F.explode(F.array(oh1, oh2)).alias("bit")).distinct()
+    )  # ≤ m rows — broadcasts at any fact-table scale
+    ch1, ch2 = _bloom_hashes(F.col("c_custkey"))
+    probed = (
+        c.select("c_custkey", ch1.alias("h1"), ch2.alias("h2"))
+        .join(
+            F.broadcast(set_bits.select(F.col("bit").alias("b1"))),
+            F.col("h1") == F.col("b1"),
+            "left",
+        )
+        .join(
+            F.broadcast(set_bits.select(F.col("bit").alias("b2"))),
+            F.col("h2") == F.col("b2"),
+            "left",
+        )
+        .withColumn("in_bloom", F.col("b1").isNotNull() & F.col("b2").isNotNull())
+        .join(
+            o.select("o_custkey").distinct(),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .withColumn("in_exact", F.col("o_custkey").isNotNull())
+    )
+    return probed.groupBy().agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("in_exact").cast("int")).alias("n_exact"),
+        F.sum((F.col("in_exact") & ~F.col("in_bloom")).cast("int")).alias(
+            "n_false_negatives"
+        ),
+        F.sum((~F.col("in_exact") & F.col("in_bloom")).cast("int")).alias(
+            "n_false_positives"
+        ),
+    )
+
+
+AGG_BLOOM_SEMIJOIN_SQL = f"""
+WITH fo AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+set_bits AS (
+  SELECT DISTINCT bit FROM (
+    SELECT UNNEST([
+      ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT % {BLOOM_BITS},
+      ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 9, 8))::BIGINT % {BLOOM_BITS}
+    ]) AS bit
+    FROM fo
+  )
+),
+flags AS (
+  SELECT c.c_custkey,
+         EXISTS (SELECT 1 FROM set_bits s WHERE s.bit =
+           ('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR)), 1, 8))::BIGINT % {BLOOM_BITS})
+         AND
+         EXISTS (SELECT 1 FROM set_bits s WHERE s.bit =
+           ('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR)), 9, 8))::BIGINT % {BLOOM_BITS})
+           AS in_bloom,
+         EXISTS (SELECT 1 FROM fo o WHERE o.o_custkey = c.c_custkey)
+           AS in_exact
+  FROM customer c
+)
+SELECT COUNT(*) AS n_customers,
+       SUM(CASE WHEN in_exact THEN 1 ELSE 0 END) AS n_exact,
+       SUM(CASE WHEN in_exact AND NOT in_bloom THEN 1 ELSE 0 END)
+         AS n_false_negatives,
+       SUM(CASE WHEN NOT in_exact AND in_bloom THEN 1 ELSE 0 END)
+         AS n_false_positives
+FROM flags
+"""
