@@ -330,17 +330,26 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus filters prune on alongside text_stats.
 
     Per document: distinct-token ratio and the frequency share of the
-    most common token. Row-local array folds only (distinct + per-token
-    counting over the document's own tokens) — zero shuffles, scan-bound;
-    the O(distinct x tokens) fold is bounded by document length, not
-    corpus size, so the op stays linear at 100 TB."""
+    most common token. Row-local array expressions only — zero shuffles,
+    scan-bound. The top-token count is a run-length scan over the SORTED
+    token array (one fold carrying (prev, run, best) state): O(n log n)
+    per row vs the O(distinct × n) count-each-distinct-token fold, which
+    went quadratic on low-diversity documents — exactly the documents
+    this metric exists to flag."""
     d = Catalog(spark, sf_dir).table("documents")
     toks = _words()
-    top_freq = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda x: x == t)),
-        )
+    top_freq = F.expr(
+        """
+        aggregate(
+          array_sort(split(text, ' ')),
+          named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+          (s, t) -> named_struct(
+            'prev', t,
+            'run', IF(s.prev IS NOT NULL AND t = s.prev, s.run + 1, 1),
+            'best', GREATEST(s.best,
+                             IF(s.prev IS NOT NULL AND t = s.prev, s.run + 1, 1))),
+          s -> s.best)
+        """
     )
     return d.select(
         "doc_id",
