@@ -145,3 +145,83 @@ def test_banding_tuner_properties(target_j, total_perms):
         b = total_perms // r
         alt = (1.0 / b) ** (1.0 / r) if b > 1 else 1.0
         assert abs(achieved - target_j) <= abs(alt - target_j) + 1e-12
+
+
+@SETTINGS
+@given(
+    st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=30),
+    st.integers(min_value=8, max_value=512),
+)
+def test_pack_sequences_model(spark, token_counts, budget):
+    """Concat-and-chunk geometry on arbitrary (n_tokens, budget): the
+    Spark window formulation must match the obvious sequential Python
+    model — gapless offsets, chunk indices, span counts."""
+    from pyspark.sql import Window
+
+    rows = [(i, n) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    out = (
+        df.withColumn("start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "start",
+            F.floor(F.col("start") / budget).alias("first_chunk"),
+            F.floor((F.col("start") + F.col("n_tokens") - 1) / budget).alias(
+                "last_chunk"
+            ),
+        )
+        .collect()
+    )
+    start = 0
+    for r, n in zip(sorted(out, key=lambda r: r.doc_id), token_counts):
+        assert r.start == start
+        assert r.first_chunk == start // budget
+        assert r.last_chunk == (start + n - 1) // budget
+        start += n
+
+
+@SETTINGS
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=50))
+def test_bloom_hash_bits_no_false_negatives(spark, keys):
+    """The first-principles Bloom construction (plans.relational): for ANY
+    key multiset, every inserted key must probe positive — the zero-
+    false-negative guarantee is structural, not statistical."""
+    from nzwirelessmap_fetch_spark.plans.relational import BLOOM_BITS, _bloom_hashes
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    h1, h2 = _bloom_hashes(F.col("k"))
+    bits = {
+        r.b
+        for r in df.select(F.explode(F.array(h1, h2)).alias("b")).distinct().collect()
+    }
+    assert all(0 <= b < BLOOM_BITS for b in bits)
+    probes = df.select("k", h1.alias("h1"), h2.alias("h2")).collect()
+    for r in probes:
+        assert r.h1 in bits and r.h2 in bits
+
+
+@SETTINGS
+@given(st.lists(TEXT, min_size=1, max_size=15))
+def test_repetition_top_freq_matches_counter(spark, texts):
+    """The sorted run-length top-token scan equals collections.Counter on
+    arbitrary text."""
+    from collections import Counter
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    top = F.expr(
+        """
+        aggregate(
+          array_sort(split(text, ' ')),
+          named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+          (s, t) -> named_struct(
+            'prev', t,
+            'run', IF(s.prev IS NOT NULL AND t = s.prev, s.run + 1, 1),
+            'best', GREATEST(s.best,
+                             IF(s.prev IS NOT NULL AND t = s.prev, s.run + 1, 1))),
+          s -> s.best)
+        """
+    )
+    got = {r.doc_id: r.f for r in df.select("doc_id", top.alias("f")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == max(Counter(t.split(" ")).values())
