@@ -1,0 +1,49 @@
+"""Global physical-plan audit: the anti-pattern guard over EVERY
+registered query.
+
+The 100 TB rules (README "Scale design") say: no cartesian products, and
+Python only behind Arrow batching. Per-query pin tests check individual
+claims; this audit closes the gap for every query added later — a new
+entry that sneaks in a CartesianProduct or a row-at-a-time Python UDF
+fails here by name.
+
+Plans are built at sf0.001 so even the expensive similarity/graph
+builders stay cheap; building the executed plan does not run the batch
+job (streaming entries execute their bounded micro-runs, which is what
+they do everywhere).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from nzwirelessmap_fetch_spark.plans import registry
+from tests.conftest import SF_SMOKE
+
+# Arrow-batched Python operators — the sanctioned slow paths.
+ALLOWED_PYTHON_NODES = {
+    "ArrowEvalPython",        # vectorized scalar pandas UDF
+    "FlatMapGroupsInPandas",  # grouped applyInPandas
+    "MapInPandas",            # mapInPandas (multimodal, BLAS scoring)
+    "FlatMapGroupsInPandasWithState",  # custom streaming state
+    "BatchEvalPythonUDTF",    # Python UDTF (declared 1->N escape hatch)
+}
+
+
+@pytest.mark.parametrize("name", sorted(registry.queries()))
+def test_no_cartesian_no_row_python(name, spark):
+    plan = (
+        registry.queries()[name](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    # \b keeps BatchEvalPythonUDTF (allowed) from matching the row-UDF node
+    assert not re.search(r"\bBatchEvalPython\b", plan), (
+        f"{name} plans a row-at-a-time Python UDF"
+    )
+    for node in re.findall(r"\b(\w*EvalPython\w*|\w*InPandas\w*)\b", plan):
+        assert node in ALLOWED_PYTHON_NODES, f"{name}: unsanctioned Python node {node}"
