@@ -1389,3 +1389,54 @@ SELECT COUNT(*) AS n_customers,
          AS n_false_positives
 FROM flags
 """
+
+
+def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations (§2.3 set ops, ALL variants): INTERSECT ALL
+    keeps min(countA, countB) copies, EXCEPT ALL keeps countA − countB —
+    semantics the distinct-input set_ops entry can't exercise. Folded to
+    (tag, key, n) counts so the pinned result stays small while the
+    multiset arithmetic is fully visible."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    a = li.filter(F.col("l_linenumber") <= 2).select("l_suppkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    inter = a.intersectAll(b).withColumn("tag", F.lit("intersect_all"))
+    diff = a.exceptAll(b).withColumn("tag", F.lit("except_all"))
+    return (
+        inter.unionByName(diff)
+        .groupBy("tag", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SET_OPS_MULTISET_SQL = """
+WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_linenumber <= 2),
+b AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+inter AS (SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b),
+diff  AS (SELECT l_suppkey FROM a EXCEPT ALL    SELECT l_suppkey FROM b)
+SELECT 'intersect_all' AS tag, l_suppkey, COUNT(*) AS n FROM inter GROUP BY 2
+UNION ALL
+SELECT 'except_all' AS tag, l_suppkey, COUNT(*) AS n FROM diff GROUP BY 2
+"""
+
+
+# One SQL text, two engines (the subquery_ops pattern): explicit GROUPING
+# SETS — the general form rollup/cube specialize.
+AGG_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (§2.3 grouping sets — the general form;
+    agg_rollup/agg_cube pin the specializations): per-flag totals,
+    per-status totals, and the grand total in one Expand pass, with
+    GROUPING() markers disambiguating the NULL grouping keys."""
+    Catalog(spark, sf_dir).register_views(("lineitem",))
+    return spark.sql(AGG_GROUPING_SETS_SQL)

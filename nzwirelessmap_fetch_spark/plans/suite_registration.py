@@ -103,6 +103,8 @@ registry.register("map_funcs", _r.map_funcs, _r.MAP_FUNCS_SQL)
 registry.register("agg_unpivot", _r.agg_unpivot, _r.AGG_UNPIVOT_SQL)
 registry.register("null_semantics", _r.null_semantics, _r.NULL_SEMANTICS_SQL)
 registry.register("agg_bloom_semijoin", _r.agg_bloom_semijoin, _r.AGG_BLOOM_SEMIJOIN_SQL)
+registry.register("set_ops_multiset", _r.set_ops_multiset, _r.SET_OPS_MULTISET_SQL)
+registry.register("agg_grouping_sets", _r.agg_grouping_sets, _r.AGG_GROUPING_SETS_SQL)
 registry.register("corpus_salient_terms", _r.corpus_salient_terms, _r.CORPUS_SALIENT_TERMS_SQL)
 registry.register("window_first_last", _r.window_first_last, _r.WINDOW_FIRST_LAST_SQL)
 registry.register(
