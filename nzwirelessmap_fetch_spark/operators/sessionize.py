@@ -108,3 +108,61 @@ SELECT user_id, event_type,
          AS is_current
 FROM changed
 """
+
+
+BUCKET_US = 3_600_000_000  # 1-hour buckets
+
+
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (§2.3 windows / reshaping): every user's
+    sparse event stream becomes a DENSE hourly series — missing buckets
+    synthesized with zero counts — the shape dashboards, forecasting
+    features, and rate alerts consume.
+
+    Plan: per-user hour-bucket counts (one partial-aggregated shuffle),
+    per-user [min, max] bucket span (same aggregate), then a map-side
+    ``sequence``+``explode`` manufactures the dense axis and a left join
+    fills it. The explode fan-out is bounded by the observed span per
+    user, not the global calendar — a user active for a week costs 168
+    rows regardless of corpus age. All integer bucket arithmetic, exact
+    in any engine."""
+    e = Catalog(spark, sf_dir).table("events")
+    bucket = F.floor(F.unix_micros(F.col("ts")) / BUCKET_US)
+    counts = (
+        e.select("user_id", bucket.alias("b"))
+        .groupBy("user_id", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spans = counts.groupBy("user_id").agg(
+        F.min("b").alias("b_min"), F.max("b").alias("b_max")
+    )
+    dense = spans.select(
+        "user_id", F.explode(F.sequence("b_min", "b_max")).alias("b")
+    )
+    return (
+        dense.join(counts, ["user_id", "b"], "left")
+        .select(
+            "user_id",
+            F.col("b").alias("bucket_hour"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.col("n").isNull().alias("synthesized"),
+        )
+    )
+
+
+EVENTS_GAP_FILL_SQL = f"""
+WITH counts AS (
+  SELECT user_id, epoch_us(ts) // {BUCKET_US} AS b, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, MIN(b) AS b_min, MAX(b) AS b_max FROM counts GROUP BY 1
+),
+dense AS (
+  SELECT user_id, UNNEST(generate_series(b_min, b_max)) AS b FROM spans
+)
+SELECT d.user_id, d.b AS bucket_hour,
+       COALESCE(c.n, 0) AS n,
+       c.n IS NULL AS synthesized
+FROM dense d LEFT JOIN counts c ON c.user_id = d.user_id AND c.b = d.b
+"""

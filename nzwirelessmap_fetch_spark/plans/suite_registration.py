@@ -97,6 +97,7 @@ registry.register("sim_topk_numpy", _sim.sim_topk_numpy, _sim.SIM_TOPK_NUMPY_SQL
 registry.register("asof_purchase_click", _asof.asof_purchase_click, _asof.ASOF_PURCHASE_CLICK_SQL)
 registry.register("sessionize", _sess.sessionize, _sess.SESSIONIZE_SQL)
 registry.register("events_scd2", _sess.events_scd2, _sess.EVENTS_SCD2_SQL)
+registry.register("events_gap_fill", _sess.events_gap_fill, _sess.EVENTS_GAP_FILL_SQL)
 registry.register("array_funcs", _r.array_funcs, _r.ARRAY_FUNCS_SQL)
 registry.register("agg_histogram", _r.agg_histogram, _r.AGG_HISTOGRAM_SQL)
 registry.register("map_funcs", _r.map_funcs, _r.MAP_FUNCS_SQL)
