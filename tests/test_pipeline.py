@@ -103,3 +103,17 @@ def test_stream_to_versioned_sink(spark, tmp_path):
     assert batches and (tmp_path / "events_counts" / "latest").exists()
     out = spark.read.json(str(batches[0]))
     assert out.count() > 0 and set(out.columns) == {"window_start", "event_type", "n"}
+
+
+def test_run_query_cli(spark, capsys):
+    """The user-facing CLI drives the same registry as the driver
+    contract: --list enumerates, a name runs, an unknown name exits 2."""
+    from nzwirelessmap_fetch_spark.run_query import main
+
+    assert main(["--list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "p2p_links" in names and len(names) >= 86
+    assert main(["topk_orders", SF_SMOKE, "--limit", "3"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 3 and all(json.loads(line) for line in out)
+    assert main(["nope"]) == 2
