@@ -157,3 +157,82 @@ SELECT vec_id, scale, CAST(n_dims AS INT) AS n_dims,
        list_reduce(list_prepend(0.0, e), (a, x) -> a + x * x) / n_dims AS mse
 FROM err
 """
+
+
+def pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing bin packing per shard — REAL packing (each
+    document lands whole in exactly one bin), complementing
+    pack_sequences' concat-and-chunk layout where documents straddle
+    chunk boundaries. FFD is the classic 11/9·OPT+1 heuristic and is
+    inherently sequential, so this is the sanctioned Arrow escape hatch:
+    ``applyInPandas`` runs the imperative loop per shard (shards pack
+    independently — the parallel unit at 100 TB), and the DuckDB oracle
+    replays the exact same decisions with a recursive CTE that threads
+    the bin-capacity list through the item sequence. Deterministic order
+    (tokens desc, doc_id asc) makes both engines agree bit-for-bit."""
+    import pandas as pd
+
+    d = Catalog(spark, sf_dir).table("documents")
+    items = d.select(
+        "doc_id",
+        (F.col("doc_id") % N_SHARDS).cast("int").alias("shard"),
+        F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
+    ).filter(F.col("n_tokens") <= TOKEN_BUDGET)
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+        remaining: list[int] = []
+        assignment: list[int] = []
+        for n in pdf["n_tokens"]:
+            for i, rem in enumerate(remaining):
+                if rem >= n:
+                    remaining[i] = rem - n
+                    assignment.append(i + 1)
+                    break
+            else:
+                remaining.append(TOKEN_BUDGET - n)
+                assignment.append(len(remaining))
+        pdf = pdf.assign(bin_idx=assignment)
+        return pdf
+
+    return items.groupBy("shard").applyInPandas(
+        ffd, "doc_id long, shard int, n_tokens int, bin_idx int"
+    )
+
+
+PACK_BINS_FFD_SQL = f"""
+WITH RECURSIVE
+items AS (
+  SELECT doc_id,
+         CAST(doc_id % {N_SHARDS} AS INT) AS shard,
+         CAST(LEN(string_split(text, ' ')) AS INT) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % {N_SHARDS}
+                            ORDER BY LEN(string_split(text, ' ')) DESC, doc_id)
+           AS rn
+  FROM documents
+  WHERE LEN(string_split(text, ' ')) <= {TOKEN_BUDGET}
+),
+fit(shard, rn, doc_id, n_tokens, bins, bin_idx) AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         [{TOKEN_BUDGET} - n_tokens], 1
+  FROM items WHERE rn = 1
+  UNION ALL
+  SELECT i.shard, i.rn, i.doc_id, i.n_tokens,
+         CASE WHEN p.pos IS NULL
+              THEN list_append(f.bins, {TOKEN_BUDGET} - i.n_tokens)
+              ELSE list_transform(generate_series(1, LEN(f.bins)),
+                                  j -> CASE WHEN j = p.pos
+                                            THEN f.bins[j] - i.n_tokens
+                                            ELSE f.bins[j] END)
+         END,
+         CAST(COALESCE(p.pos, LEN(f.bins) + 1) AS INT)
+  FROM fit f
+  JOIN items i ON i.shard = f.shard AND i.rn = f.rn + 1
+  CROSS JOIN LATERAL (
+    -- NULLIF: list_position returns 0, not NULL, when nothing matches
+    SELECT NULLIF(list_position(list_transform(f.bins, b -> b >= i.n_tokens),
+                                true), 0) AS pos
+  ) p
+)
+SELECT doc_id, shard, n_tokens, bin_idx FROM fit
+"""

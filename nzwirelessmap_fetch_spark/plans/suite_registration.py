@@ -122,6 +122,7 @@ registry.register("window_ntile", _r.window_ntile, _r.WINDOW_NTILE_SQL)
 registry.register("text_repetition", _tx.text_repetition, _tx.TEXT_REPETITION_SQL)
 registry.register("pack_sequences", _pk.pack_sequences, _pk.PACK_SEQUENCES_SQL)
 registry.register("embedding_quantize", _pk.embedding_quantize, _pk.EMBEDDING_QUANTIZE_SQL)
+registry.register("pack_bins_ffd", _pk.pack_bins_ffd, _pk.PACK_BINS_FFD_SQL)
 registry.register("agg_sliding_windows", _r.agg_sliding_windows, _r.AGG_SLIDING_WINDOWS_SQL)
 registry.register("corpus_ngram_topk", _tx.corpus_ngram_topk, _tx.CORPUS_NGRAM_TOPK_SQL)
 registry.register("corpus_contamination", _tx.corpus_contamination, _tx.CORPUS_CONTAMINATION_SQL)

@@ -103,3 +103,35 @@ def test_agg_quantiles_monotone(spark):
     assert rows
     for r in rows:
         assert r.p25 <= r.p50 <= r.p75 <= r.p95
+
+
+def test_pack_bins_ffd_invariants(spark):
+    """FFD results must be feasible (no bin over budget) and tight
+    (bin count within the 11/9·OPT+1 FFD guarantee of the volume lower
+    bound, per shard)."""
+    import math
+
+    from nzwirelessmap_fetch_spark.operators.packing import pack_bins_ffd
+
+    df = pack_bins_ffd(spark, SF_CORRECT).cache()
+    try:
+        over = (
+            df.groupBy("shard", "bin_idx")
+            .agg(F.sum("n_tokens").alias("fill"))
+            .filter(F.col("fill") > TOKEN_BUDGET)
+            .count()
+        )
+        assert over == 0
+        per_shard = (
+            df.groupBy("shard")
+            .agg(
+                F.max("bin_idx").alias("n_bins"),
+                F.sum("n_tokens").alias("total"),
+            )
+            .collect()
+        )
+        for r in per_shard:
+            lower = math.ceil(r.total / TOKEN_BUDGET)
+            assert r.n_bins <= math.ceil(11 / 9 * lower) + 1
+    finally:
+        df.unpersist()
