@@ -1,0 +1,150 @@
+"""Event-log analytics: conversion funnels and retention cohorts.
+
+The reference's only event-shaped artifact is its idempotent re-fetch log
+(fetch.go:55-67); these are the §2.3 window/aggregation capability rows
+exercised the way a product-analytics user would — ordered-step funnels
+and cohort retention grids over the `events` fixture.
+
+Scale notes (100 TB design):
+- The funnel is THREE chained window projections over the SAME
+  ``partitionBy(user_id)`` plus a final ``groupBy(user_id)`` — Catalyst
+  plans ONE exchange for all four; no per-step self-joins (a naive
+  funnel is k-1 self-joins, each a shuffle).
+- Retention is two keyed aggregations (per-user first-touch, then the
+  cohort grid); the first-touch side is user-keyed and joins the event
+  scan on the same key.
+- Both outputs are exact integer/timestamp arithmetic — no floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+
+# Ordered funnel steps; a later step counts only when STRICTLY after the
+# user's earliest completion of the previous step (min-over-set, so
+# same-ts ties resolve identically in any engine).
+FUNNEL_STEPS = ("signup", "view", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered conversion funnel (§2.3 windows / aggregation).
+
+    For each user: t1 = earliest 'signup', t2 = earliest 'view' strictly
+    after t1, t3 = earliest 'purchase' strictly after t2, and the stage
+    index reached. One exchange: the three step columns are windows over
+    the same user partitioning and the closing per-user aggregate reuses
+    it.
+    """
+    e = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id")
+    s1, s2, s3 = FUNNEL_STEPS
+    t1 = F.min(F.when(F.col("event_type") == s1, F.col("ts"))).over(w)
+    e = e.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == s2) & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(w)
+    e = e.withColumn("t2", t2)
+    t3 = F.min(
+        F.when((F.col("event_type") == s3) & (F.col("ts") > F.col("t2")), F.col("ts"))
+    ).over(w)
+    e = e.withColumn("t3", t3)
+    per_user = e.groupBy("user_id").agg(
+        F.max("t1").alias("signup_ts"),
+        F.max("t2").alias("view_ts"),
+        F.max("t3").alias("purchase_ts"),
+    )
+    stage = (
+        F.when(F.col("purchase_ts").isNotNull(), 3)
+        .when(F.col("view_ts").isNotNull(), 2)
+        .when(F.col("signup_ts").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return per_user.select(
+        "user_id",
+        "signup_ts",
+        "view_ts",
+        "purchase_ts",
+        stage.cast("int").alias("stage_reached"),
+    )
+
+
+EVENTS_FUNNEL_SQL = f"""
+WITH step1 AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN ts END)
+             OVER (PARTITION BY user_id) AS t1,
+         ts, event_type
+  FROM events
+),
+step2 AS (
+  SELECT user_id, t1,
+         MIN(CASE WHEN event_type = '{FUNNEL_STEPS[1]}' AND ts > t1 THEN ts END)
+             OVER (PARTITION BY user_id) AS t2,
+         ts, event_type
+  FROM step1
+),
+step3 AS (
+  SELECT user_id, t1, t2,
+         MIN(CASE WHEN event_type = '{FUNNEL_STEPS[2]}' AND ts > t2 THEN ts END)
+             OVER (PARTITION BY user_id) AS t3
+  FROM step2
+)
+SELECT user_id,
+       MAX(t1) AS signup_ts,
+       MAX(t2) AS view_ts,
+       MAX(t3) AS purchase_ts,
+       CAST(CASE WHEN MAX(t3) IS NOT NULL THEN 3
+                 WHEN MAX(t2) IS NOT NULL THEN 2
+                 WHEN MAX(t1) IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS stage_reached
+FROM step3
+GROUP BY user_id
+"""
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention grid (§2.3 aggregation): users bucketed by
+    first-touch day, activity counted by day offset from that cohort.
+
+    Two keyed shuffles: per-user first-touch (user_id), then the cohort
+    grid (cohort_day × day_offset — bounded by calendar², tiny). The
+    first-touch column is a window over user_id, so the event scan is
+    read ONCE — no self-join against a firsts table.
+    """
+    e = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id")
+    e = e.withColumn("cohort_day", F.min(F.to_date("ts")).over(w))
+    return (
+        e.select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        # DATE stringifies differently across engines (date vs datetime64);
+        # pin the grid key to its ISO string on both sides.
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            "n_users",
+        )
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH touched AS (
+  SELECT user_id,
+         MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_day,
+         CAST(ts AS DATE) AS d
+  FROM events
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', cohort_day, d) AS INT) AS day_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM touched
+GROUP BY 1, 2
+"""

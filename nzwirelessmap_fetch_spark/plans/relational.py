@@ -1440,3 +1440,88 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUPING() markers disambiguating the NULL grouping keys."""
     Catalog(spark, sf_dir).register_views(("lineitem",))
     return spark.sql(AGG_GROUPING_SETS_SQL)
+
+
+def agg_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler (§2.3 aggregation / skew diagnostics): the
+    distribution of per-key row counts an engineer reads BEFORE picking a
+    join strategy (broadcast vs salt vs AQE skew split) — the diagnostic
+    twin of join_skew_salted.
+
+    Plan: one partial-aggregated shuffle builds per-key counts, then a
+    single-group percentile gathers only the O(n_keys) count column. At
+    100 TB the second step swaps to approx_percentile (same API shape);
+    exact here because the oracle can only replay exact math."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    counts = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+
+    def pin(c: Column) -> Column:
+        return c.cast("decimal(18,6)").cast("double")
+
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("n").alias("min_rows"),
+        F.max("n").alias("max_rows"),
+        F.expr("percentile(n, array(0.5, 0.9, 0.99))").alias("ps"),
+    ).select(
+        "n_keys",
+        "min_rows",
+        "max_rows",
+        pin(F.col("ps")[0]).alias("p50_rows"),
+        pin(F.col("ps")[1]).alias("p90_rows"),
+        pin(F.col("ps")[2]).alias("p99_rows"),
+    )
+
+
+AGG_KEY_SKEW_PROFILE_SQL = """
+WITH counts AS (
+  SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey
+)
+SELECT COUNT(*) AS n_keys,
+       MIN(n) AS min_rows,
+       MAX(n) AS max_rows,
+       CAST(CAST(quantile_cont(n, 0.5)  AS DECIMAL(18,6)) AS DOUBLE) AS p50_rows,
+       CAST(CAST(quantile_cont(n, 0.9)  AS DECIMAL(18,6)) AS DOUBLE) AS p90_rows,
+       CAST(CAST(quantile_cont(n, 0.99) AS DECIMAL(18,6)) AS DOUBLE) AS p99_rows
+FROM counts
+"""
+
+
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows (§2.3 windows): percent_rank, cume_dist, and
+    a ratio-to-partition-total share — the percentile-position trio that
+    complements window_ntile's equi-height bucketing.
+
+    Both engines define percent_rank = (rank-1)/(rows-1) and cume_dist =
+    (peers ≤ current)/rows; the inputs are exact integers, and IEEE
+    division of identical integers is bit-identical, so no decimal pin is
+    needed. The share denominator IS a float sum, so it gets the
+    decimal-sum-then-double pin. One exchange: all three windows and the
+    per-partition total share the o_orderpriority partitioning."""
+    o = Catalog(spark, sf_dir).table("orders")
+    wp = Window.partitionBy("o_orderpriority")
+    w = wp.orderBy("o_totalprice", "o_orderkey")
+    total = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(wp)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        (F.col("o_totalprice").cast("decimal(18,2)") / total)
+        .cast("decimal(18,9)")
+        .cast("double")
+        .alias("share"),
+    )
+
+
+WINDOW_PERCENT_RANK_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST()    OVER w AS cume,
+       CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                 / SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     OVER (PARTITION BY o_orderpriority)
+            AS DECIMAL(18,9)) AS DOUBLE) AS share
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""

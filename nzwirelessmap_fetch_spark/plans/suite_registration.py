@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from ..operators import asof as _asof
 from ..operators import dedup as _dd
+from ..operators import events_analytics as _ea
 from ..operators import graph as _gr
 from ..operators import multimodal as _mm
 from ..operators import packing as _pk
@@ -98,6 +99,10 @@ registry.register("asof_purchase_click", _asof.asof_purchase_click, _asof.ASOF_P
 registry.register("sessionize", _sess.sessionize, _sess.SESSIONIZE_SQL)
 registry.register("events_scd2", _sess.events_scd2, _sess.EVENTS_SCD2_SQL)
 registry.register("events_gap_fill", _sess.events_gap_fill, _sess.EVENTS_GAP_FILL_SQL)
+registry.register("events_funnel", _ea.events_funnel, _ea.EVENTS_FUNNEL_SQL)
+registry.register("events_retention", _ea.events_retention, _ea.EVENTS_RETENTION_SQL)
+registry.register("agg_key_skew_profile", _r.agg_key_skew_profile, _r.AGG_KEY_SKEW_PROFILE_SQL)
+registry.register("window_percent_rank", _r.window_percent_rank, _r.WINDOW_PERCENT_RANK_SQL)
 registry.register("array_funcs", _r.array_funcs, _r.ARRAY_FUNCS_SQL)
 registry.register("agg_histogram", _r.agg_histogram, _r.AGG_HISTOGRAM_SQL)
 registry.register("map_funcs", _r.map_funcs, _r.MAP_FUNCS_SQL)
