@@ -806,3 +806,70 @@ def _star_contraction(spark: SparkSession, edges: DataFrame) -> DataFrame:
         F.col("label").alias("component_id"),
         F.col("n_members").cast("int").alias("n_reachable"),
     )
+
+
+# Edit-distance near-dup parameters: block on (lang, first EDIT_BLOCK_CHARS
+# chars), verify on the first EDIT_PREFIX_CHARS chars, keep distance ≤ MAX.
+EDIT_BLOCK_CHARS = 8
+EDIT_PREFIX_CHARS = 64
+EDIT_MAX_DISTANCE = 8
+
+
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup pairs (§2.4 near-dup, character-level): the
+    edit-distance complement of the token-level Jaccard/MinHash family —
+    catches single-character mutations that shift every word bigram.
+
+    Blocked self-join: candidates must share (lang, first 8 chars), then
+    the verifier computes levenshtein over the first 64 chars JVM-side
+    (built-in ``F.levenshtein`` — identical DP semantics to DuckDB's
+    ``levenshtein``, integer-exact). Scale: the block key bounds each
+    bucket (prefix diversity grows with corpus size); a skewed block
+    (boilerplate prefixes) gets the same max-df valve as ``_shingles`` —
+    count block sizes first and drop blocks above the cap before pairing.
+    No broadcast: both sides shuffle on the block key.
+
+    Reference parity: the reference has no near-dup surface; this extends
+    the §2.4 charter family (SURVEY §2.4)."""
+    d = Catalog(spark, sf_dir).table("documents")
+    side = d.select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, EDIT_BLOCK_CHARS).alias("blk"),
+        F.substring("text", 1, EDIT_PREFIX_CHARS).alias("pfx"),
+    )
+    a = side.alias("a")
+    b = side.alias("b")
+    pairs = a.join(
+        b,
+        on=[
+            F.col("a.lang") == F.col("b.lang"),
+            F.col("a.blk") == F.col("b.blk"),
+            F.col("a.doc_id") < F.col("b.doc_id"),
+        ],
+    )
+    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("int").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= EDIT_MAX_DISTANCE)
+    )
+
+
+DEDUP_EDIT_DISTANCE_SQL = f"""
+SELECT a.doc_id AS doc_a,
+       b.doc_id AS doc_b,
+       CAST(levenshtein(substr(a.text, 1, {EDIT_PREFIX_CHARS}),
+                        substr(b.text, 1, {EDIT_PREFIX_CHARS})) AS INT)
+         AS edit_distance
+FROM documents a
+JOIN documents b
+  ON a.lang = b.lang
+ AND substr(a.text, 1, {EDIT_BLOCK_CHARS}) = substr(b.text, 1, {EDIT_BLOCK_CHARS})
+ AND a.doc_id < b.doc_id
+WHERE levenshtein(substr(a.text, 1, {EDIT_PREFIX_CHARS}),
+                  substr(b.text, 1, {EDIT_PREFIX_CHARS})) <= {EDIT_MAX_DISTANCE}
+"""

@@ -148,3 +148,85 @@ SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
 FROM touched
 GROUP BY 1, 2
 """
+
+
+# Activity-interval half-width: an event marks the user active for this long.
+COALESCE_WINDOW_MIN = 30
+
+
+def events_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval merge (§2.3 windows): each event opens a
+    30-minute activity interval; overlapping/touching intervals per user
+    merge into maximal islands — the canonical uptime/activity-span op.
+
+    Plan: one ``partitionBy(user_id)`` exchange serves both windows (the
+    running max-end that detects island starts, and the running sum that
+    numbers islands), then the closing per-(user, island) aggregate
+    reuses the same hash partitioning. Tie order is pinned with
+    (ts, event_id) so the running max is engine-deterministic."""
+    e = Catalog(spark, sf_dir).table("events")
+    e = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("ts") + F.expr(f"INTERVAL {COALESCE_WINDOW_MIN} MINUTES")).alias("end_ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_max_end = F.max("end_ts").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    e = e.withColumn(
+        "new_island",
+        F.when(prev_max_end.isNull() | (F.col("ts") > prev_max_end), 1).otherwise(0),
+    )
+    e = e.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        e.groupBy("user_id", "island")
+        .agg(
+            F.min("ts").alias("island_start"),
+            F.max("end_ts").alias("island_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("island").cast("int").alias("island"),
+            "island_start",
+            "island_end",
+            "n_events",
+        )
+    )
+
+
+EVENTS_INTERVAL_COALESCE_SQL = f"""
+WITH spans AS (
+  SELECT user_id, event_id, ts,
+         ts + INTERVAL {COALESCE_WINDOW_MIN} MINUTE AS end_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, end_ts,
+         CASE WHEN MAX(end_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+                OR ts > MAX(end_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island,
+         event_id
+  FROM spans
+),
+numbered AS (
+  SELECT user_id, ts, end_ts,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flagged
+)
+SELECT user_id,
+       CAST(island AS INT) AS island,
+       MIN(ts) AS island_start,
+       MAX(end_ts) AS island_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, island
+"""

@@ -128,3 +128,85 @@ r2 AS (
 SELECT r2.node AS doc_id, r2.r AS rank_micro, CAST(deg.deg AS INT) AS degree
 FROM r2 JOIN deg ON deg.src = r2.node
 """
+
+
+BFS_SEED_MOD = 10   # seeds = edge-graph nodes with doc_id % 10 == 0
+BFS_MAX_HOPS = 3    # bounded frontier expansion (graph diameter cap)
+
+
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop levels (§2.4 graph family): minimum hop
+    distance from a deterministic seed set over the symmetric Jaccard
+    edge graph, capped at BFS_MAX_HOPS — the reachability/blast-radius
+    primitive (e.g. "everything within 3 similarity hops of a known-bad
+    document").
+
+    Iterative frontier expansion: each hop is ONE keyed join (frontier ⋈
+    edges on src) plus an anti-join against the visited set — the
+    standard Pregel step expressed relationally. The loop is bounded (no
+    convergence probe needed), lineage stays shallow (≤3 rounds, no
+    checkpoint required), and at 100 TB the edge relation is bucketed by
+    src so only the (small) frontier moves per round.
+
+    The oracle replays it as a DuckDB recursive CTE with UNION-dedup and
+    the same hop cap, then takes MIN(level) per node.
+    """
+    edges = _jaccard_edges(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = edges.union(edges.select(F.col("dst"), F.col("src"))).distinct()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    visited = nodes.filter(F.col("node") % BFS_SEED_MOD == 0).select(
+        "node", F.lit(0).cast("int").alias("level")
+    )
+    frontier = visited.select("node")
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).cast("int").alias("level"))
+        )
+        visited = visited.union(nxt)
+        frontier = nxt.select("node")
+    return visited.select(F.col("node").alias("doc_id"), "level")
+
+
+# Oracle: same edge derivation as GRAPH_PAGERANK_SQL, then a hop-capped
+# recursive CTE; UNION (not UNION ALL) dedups (node, lvl) states so the
+# recursion is bounded even inside cliques.
+GRAPH_BFS_LEVELS_SQL = f"""
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+                          i -> w[i] || ' ' || w[i+1])) AS shingle
+    FROM w WHERE len(w) >= 2)
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+bfs(node, lvl) AS (
+  SELECT DISTINCT src, 0 FROM edges WHERE src % {BFS_SEED_MOD} = 0
+  UNION
+  SELECT e.dst, b.lvl + 1
+  FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.lvl < {BFS_MAX_HOPS}
+)
+SELECT node AS doc_id, CAST(MIN(lvl) AS INT) AS level
+FROM bfs
+GROUP BY node
+"""

@@ -236,3 +236,77 @@ fit(shard, rn, doc_id, n_tokens, bins, bin_idx) AS (
 )
 SELECT doc_id, shard, n_tokens, bin_idx FROM fit
 """
+
+
+CHUNK_TOKENS = 32   # context-window length per training chunk
+CHUNK_STRIDE = 24   # tokens between chunk starts (overlap = 32 - 24 = 8)
+
+
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking (§2.4 training assembly): the
+    RAG/long-context prep step — cut each document's token stream into
+    CHUNK_TOKENS-long windows every CHUNK_STRIDE tokens so adjacent
+    chunks share an 8-token overlap and no token is orphaned.
+
+    Per-doc chunk count is closed-form (ceil((n-C)/S)+1), generated with
+    ``sequence``+``explode`` — a MAP-SIDE fan-out with zero shuffles; the
+    parquet scan is read once and Catalyst keeps the whole plan in one
+    codegen stage. At 100 TB this is embarrassingly parallel (no keyed
+    exchange at all).
+
+    ``sequence(0, n_chunks-1)`` is safe from Spark's descending-sequence
+    trap (memory: sequence descends when the stop is below the start)
+    because n_chunks ≥ 1 for every non-NULL text (split('') → ['']).
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    n_chunks = F.when(n <= CHUNK_TOKENS, F.lit(1)).otherwise(
+        F.floor((n - CHUNK_TOKENS + CHUNK_STRIDE - 1) / CHUNK_STRIDE) + 1
+    )
+    d = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        n.alias("n_tokens"),
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_idx"),
+    )
+    start0 = F.col("chunk_idx") * CHUNK_STRIDE  # 0-based token offset
+    sl = F.slice(F.col("toks"), start0 + 1, CHUNK_TOKENS)
+    return d.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start0.cast("bigint").alias("chunk_start"),
+        F.size(sl).cast("int").alias("chunk_len"),
+        F.array_join(sl, " ").alias("chunk_text"),
+    )
+
+
+TEXT_CHUNK_OVERLAP_SQL = f"""
+WITH tokd AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS toks,
+         LEN(string_split(text, ' ')) AS n
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, toks, n,
+         CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+              ELSE (n - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} + 1
+         END AS n_chunks
+  FROM tokd
+),
+fanned AS (
+  SELECT doc_id, toks, n, CAST(u.chunk_idx AS INT) AS chunk_idx
+  FROM counted, UNNEST(generate_series(0, CAST(n_chunks - 1 AS BIGINT))) AS u(chunk_idx)
+)
+SELECT doc_id,
+       chunk_idx,
+       CAST(chunk_idx * {CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+       CAST(LEN(list_slice(toks, chunk_idx * {CHUNK_STRIDE} + 1,
+                           chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS})) AS INT)
+         AS chunk_len,
+       array_to_string(list_slice(toks, chunk_idx * {CHUNK_STRIDE} + 1,
+                                  chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')
+         AS chunk_text
+FROM fanned
+"""

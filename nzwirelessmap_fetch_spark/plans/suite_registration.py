@@ -103,6 +103,10 @@ registry.register("events_funnel", _ea.events_funnel, _ea.EVENTS_FUNNEL_SQL)
 registry.register("events_retention", _ea.events_retention, _ea.EVENTS_RETENTION_SQL)
 registry.register("agg_key_skew_profile", _r.agg_key_skew_profile, _r.AGG_KEY_SKEW_PROFILE_SQL)
 registry.register("window_percent_rank", _r.window_percent_rank, _r.WINDOW_PERCENT_RANK_SQL)
+registry.register("events_interval_coalesce", _ea.events_interval_coalesce, _ea.EVENTS_INTERVAL_COALESCE_SQL)
+registry.register("dedup_edit_distance", _dd.dedup_edit_distance, _dd.DEDUP_EDIT_DISTANCE_SQL)
+registry.register("text_chunk_overlap", _pk.text_chunk_overlap, _pk.TEXT_CHUNK_OVERLAP_SQL)
+registry.register("graph_bfs_levels", _gr.graph_bfs_levels, _gr.GRAPH_BFS_LEVELS_SQL)
 registry.register("array_funcs", _r.array_funcs, _r.ARRAY_FUNCS_SQL)
 registry.register("agg_histogram", _r.agg_histogram, _r.AGG_HISTOGRAM_SQL)
 registry.register("map_funcs", _r.map_funcs, _r.MAP_FUNCS_SQL)
