@@ -1,0 +1,241 @@
+"""Statistical & exotic aggregate family (SURVEY.md §2.3 aggregation rows).
+
+The reference's SQLite layer exposes the full SQL aggregate surface
+(fetch.go:222 delegates arbitrary SELECTs); this module covers the
+aggregate classes the relational suite had not yet pinned: second-moment
+statistics (variance / correlation), bitwise aggregates, ordered string
+aggregation (LISTAGG), and deterministic MODE.
+
+Cross-engine exactness discipline (see relational.py header):
+- Moment sums go through DECIMAL so summation order cannot flip the hash;
+  the *final* mean/var/corr arithmetic is a single fixed IEEE expression
+  over those exact sums (+,-,*,/ and sqrt are correctly rounded, so two
+  engines evaluating the identical tree agree bit-for-bit).
+- Mode ties break on the smallest group value — total order, no
+  engine-dependent arbitrary pick.
+- String aggregation bounds per-group state by rank-filtering to the
+  first K members BEFORE collecting (collect_list over an unbounded group
+  is the classic OOM at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+
+
+def _pin(c: Column) -> Column:
+    """Normalize a double for the driver's stringified hash."""
+    return c.cast("decimal(18,6)").cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Second-moment statistics from exact decimal sums
+# ---------------------------------------------------------------------------
+
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag mean / population variance / Pearson correlation of
+    (l_quantity, l_extendedprice) — the stats-aggregate capability row
+    (reference users run avg/var/corr through the SQLite layer,
+    fetch.go:222).
+
+    Plan: ONE partial-aggregated shuffle produces the six exact decimal
+    moment sums (n, Σx, Σx², Σy, Σy², Σxy); the derived statistics are a
+    per-row projection over 6 values per group. At 100 TB this is the
+    map-side-combine shape — the shuffle carries 6 decimals per key, not
+    rows. Built-in var_pop/corr would be double-accumulation
+    (order-dependent, hash-unstable cross-engine); the decimal-moment
+    formulation is exact, so both engines derive identical doubles.
+    """
+    li = Catalog(spark, sf_dir).table("lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum((x * x).cast("decimal(38,4)")).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum((y * y).cast("decimal(38,4)")).alias("syy"),
+        F.sum((x * y).cast("decimal(38,4)")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    # Identical IEEE expression trees on both sides → identical bits.
+    mean_x = sx / n
+    var_x = (sxx - (sx * sx) / n) / n
+    var_y = (syy - (sy * sy) / n) / n
+    corr = (sxy - (sx * sy) / n) / (
+        F.sqrt(sxx - (sx * sx) / n) * F.sqrt(syy - (sy * sy) / n)
+    )
+    return sums.select(
+        "l_returnflag",
+        "n",
+        _pin(mean_x).alias("mean_qty"),
+        _pin(var_x).alias("var_qty"),
+        _pin(var_y).alias("var_price"),
+        _pin(corr).alias("corr_qty_price"),
+    )
+
+
+AGG_STATS_MOMENTS_SQL = """
+WITH sums AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+), d AS (
+  SELECT l_returnflag, n,
+         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         CAST(sxx AS DOUBLE) AS sxxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+  FROM sums
+)
+SELECT l_returnflag, n,
+       CAST(CAST(sxd / nd AS DECIMAL(18,6)) AS DOUBLE) AS mean_qty,
+       CAST(CAST((sxxd - (sxd * sxd) / nd) / nd AS DECIMAL(18,6)) AS DOUBLE) AS var_qty,
+       CAST(CAST((syyd - (syd * syd) / nd) / nd AS DECIMAL(18,6)) AS DOUBLE) AS var_price,
+       CAST(CAST((sxyd - (sxd * syd) / nd)
+                 / (SQRT(sxxd - (sxd * sxd) / nd) * SQRT(syyd - (syd * syd) / nd))
+            AS DECIMAL(18,6)) AS DOUBLE) AS corr_qty_price
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bitwise aggregates
+# ---------------------------------------------------------------------------
+
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIT_AND / BIT_OR / BIT_XOR over the order keys per priority class —
+    the bitwise-aggregate capability row (set-membership masks, feature
+    flags rolled up per key).
+
+    Bitwise aggregates are associative+commutative on integers, so they
+    map-side combine perfectly: one shuffle, 3 longs per key. Exact
+    integer math — hash-stable by construction.
+    """
+    o = Catalog(spark, sf_dir).table("orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("bit_and(o_orderkey)").alias("keys_and"),
+        F.expr("bit_or(o_orderkey)").alias("keys_or"),
+        F.expr("bit_xor(o_orderkey)").alias("keys_xor"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+AGG_BITWISE_SQL = """
+SELECT o_orderpriority,
+       BIT_AND(o_orderkey) AS keys_and,
+       BIT_OR(o_orderkey)  AS keys_or,
+       BIT_XOR(o_orderkey) AS keys_xor,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (LISTAGG / STRING_AGG)
+# ---------------------------------------------------------------------------
+
+_LISTAGG_K = 50
+
+
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation ordered, bounded LISTAGG of customer names (the
+    STRING_AGG / GROUP_CONCAT capability row — SQLite exposes
+    group_concat through the reference's query layer).
+
+    State discipline for 100 TB: an unbounded collect_list is the classic
+    aggregation OOM, so membership is rank-limited FIRST (row_number ≤ K
+    inside the nation partition — one window exchange), and only the
+    surviving K rows per group are collected. The final collect therefore
+    carries ≤ K·n_groups rows. Sort-before-concat makes the string
+    deterministic.
+    """
+    c = Catalog(spark, sf_dir).table("customer")
+    n = Catalog(spark, sf_dir).table("nation")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner"
+    ).select("n_name", "c_name")
+    w = Window.partitionBy("n_name").orderBy("c_name")
+    ranked = joined.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _LISTAGG_K
+    )
+    return ranked.groupBy("n_name").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("c_name"))).alias("first_names"),
+        F.count(F.lit(1)).alias("n_listed"),
+    )
+
+
+AGG_STRING_AGG_SQL = f"""
+WITH ranked AS (
+  SELECT n_name, c_name,
+         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_name) AS rn
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name,
+       STRING_AGG(c_name, ',' ORDER BY c_name) AS first_names,
+       COUNT(*) AS n_listed
+FROM ranked WHERE rn <= {_LISTAGG_K}
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic MODE
+# ---------------------------------------------------------------------------
+
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent order priority per order status, ties broken by the
+    smallest priority string (the MODE capability row).
+
+    Built-in ``mode()`` is tie-nondeterministic in both engines, so the
+    pinned formulation is count-then-rank: one keyed aggregation builds
+    (status, priority) counts, then a tiny window (n_status × n_priority
+    rows — dozens, not data-sized) picks the deterministic argmax. The
+    expensive exchange is the count; the window runs on aggregated data.
+    """
+    o = Catalog(spark, sf_dir).table("orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
+AGG_MODE_SQL = """
+WITH counts AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+), ranked AS (
+  SELECT o_orderstatus, o_orderpriority, cnt,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY cnt DESC, o_orderpriority) AS rn
+  FROM counts
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
+FROM ranked WHERE rn = 1
+"""
