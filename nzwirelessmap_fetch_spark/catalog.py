@@ -156,14 +156,24 @@ class Catalog:
         return self._cache[name]
 
     def _read_events(self) -> DataFrame:
-        """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        reader won't widen to TimestampType. Read the raw int64 nanos
-        (``spark.sql.legacy.parquet.nanosAsLong``) and floor-divide to
-        micros — the same truncation DuckDB applies when it loads a
-        nanosecond column into its microsecond TIMESTAMP."""
+        """events.ts unit differs by fixture generation: TIMESTAMP(NANOS)
+        (which Spark's vectorized reader won't widen to TimestampType) or
+        TIMESTAMP(MICROS). One driver-side footer sniff picks the read
+        path — the same one-footer metadata probe a 100 TB table needs,
+        not a data scan.
+
+        Nanos: read the raw int64 (``spark.sql.legacy.parquet.nanosAsLong``)
+        and floor-divide to micros — the truncation DuckDB applies when it
+        loads a nanosecond column into its microsecond TIMESTAMP. Micros:
+        plain schema read (NTZ micros == UTC-naive DuckDB under the pinned
+        UTC session)."""
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
+        if parquet_ts_unit(f"{self.sf_dir}/events.parquet", "ts") != "ns":
+            return self.spark.read.schema(SCHEMAS["events"]).parquet(
+                f"{self.sf_dir}/events.parquet"
+            )
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw_schema = T.StructType(
             [
@@ -179,6 +189,26 @@ class Catalog:
     def register_views(self, names: tuple[str, ...] = TABLES) -> None:
         for name in names:
             self.table(name).createOrReplaceTempView(name)
+
+
+def parquet_ts_unit(path: str, column: str) -> str:
+    """Timestamp unit ('ns'/'us'/'ms') of a parquet column, from ONE
+    footer read on the driver. For a multi-file table, sniffing any one
+    footer suffices (a mixed-unit table would be a writer bug); cost is
+    O(footer), never a data scan."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        part = next(
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        )
+    else:
+        part = path
+    return pq.ParquetFile(part).schema_arrow.field(column).type.unit
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> Catalog:

@@ -20,6 +20,7 @@ from . import corpus_pipeline as _cp
 from . import flagship as _flagship
 from . import registry
 from . import relational as _r
+from . import stats as _st
 
 registry.register("p2p_links", _flagship.flagship, _flagship.FLAGSHIP_ORACLE_SQL)
 
@@ -136,6 +137,14 @@ registry.register("agg_sliding_windows", _r.agg_sliding_windows, _r.AGG_SLIDING_
 registry.register("corpus_ngram_topk", _tx.corpus_ngram_topk, _tx.CORPUS_NGRAM_TOPK_SQL)
 registry.register("corpus_contamination", _tx.corpus_contamination, _tx.CORPUS_CONTAMINATION_SQL)
 registry.register("corpus_dedup_pipeline", _cp.corpus_dedup_pipeline, _cp.CORPUS_DEDUP_PIPELINE_SQL)
+
+# Statistical & exotic aggregate family (plans/stats.py): exact-decimal
+# second moments, bitwise aggregates, bounded ordered LISTAGG, and
+# deterministic MODE.
+registry.register("agg_stats_moments", _st.agg_stats_moments, _st.AGG_STATS_MOMENTS_SQL)
+registry.register("agg_bitwise", _st.agg_bitwise, _st.AGG_BITWISE_SQL)
+registry.register("agg_string_agg", _st.agg_string_agg, _st.AGG_STRING_AGG_SQL)
+registry.register("agg_mode", _st.agg_mode, _st.AGG_MODE_SQL)
 
 # LAST by design: these four all consume the memoized verified-Jaccard
 # pair build — the single most expensive piece of the sf0.01 gate

@@ -42,7 +42,16 @@ _RAW_EVENTS = T.StructType(
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # UTC pin mirrors catalog.Catalog.__post_init__ — streaming reads
     # bypass the Catalog, and the driver's session may not be UTC.
+    from ..catalog import SCHEMAS, parquet_ts_unit
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if parquet_ts_unit(f"{sf_dir}/events.parquet", "ts") != "ns":
+        # TIMESTAMP(MICROS) fixtures: plain typed read, no truncation.
+        return (
+            spark.readStream.schema(SCHEMAS["events"])
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(_RAW_EVENTS)
