@@ -1,0 +1,301 @@
+"""Mergeable-sketch & sampling operators (SURVEY.md §2.3 sketch family,
+§2.4 corpus ops): count-min heavy-hitter estimation, deterministic
+weighted sampling, and the inverted-index build.
+
+These extend the sketch surface beyond HLL (`agg_approx_distinct`),
+percentile sketches (`agg_approx_quantiles`) and the Bloom semi-join
+(`agg_bloom_semijoin`): the count-min sketch is the point-frequency
+member of the family — fixed O(d·w) state per stream regardless of key
+cardinality, mergeable across partitions by cell-wise addition.
+
+Cross-engine determinism discipline (relational.py header): every hash
+is md5-substring-derived so DuckDB replays the sketch BIT-FOR-BIT —
+the oracle checks the actual estimates, not a tolerance band. Integer
+arithmetic only in pinned outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4    # d independent hash rows (md5 hex slices 1-8, 9-16, 17-24, 25-32)
+CMS_WIDTH = 512  # w counters per row
+CMS_TOPK = 20    # report the top-K exact heavy hitters with their estimates
+
+
+def _cms_col(key: Column, row: int) -> Column:
+    """Column index of ``key`` in sketch row ``row``: disjoint 8-hex-char
+    slices of one md5 give CMS_DEPTH independent 32-bit hashes per key
+    for the cost of a single digest."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1 + 8 * row, 8), 16, 10)
+        .cast("long")
+        % CMS_WIDTH
+    )
+
+
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the event stream's user_id frequencies,
+    probed at the exact top-20 users (§2.3 sketch family: the
+    point-frequency sketch; CMS estimate ≥ exact always, overshoot =
+    collision mass).
+
+    Scale plan: the sketch build is ONE partial-aggregated shuffle whose
+    key space is d·w = 2048 cells — state is FIXED no matter how many
+    distinct users exist (the entire point vs an exact groupBy at 100 TB:
+    the shuffle carries 2048 longs, not n_users rows). The probe side
+    broadcasts the 2048-cell table against the candidate keys. The exact
+    top-K here exists only to give the oracle a deterministic probe set;
+    a production rollup keeps just the sketch.
+
+    Oracle: DuckDB replays the identical md5-slice hashing, so estimates
+    (not bounds) are compared — a drifting cell flips the hash.
+    """
+    e = Catalog(spark, sf_dir).table("events")
+    # sketch build: explode each event into its d (row, col) cells
+    cells = F.array(
+        *[
+            F.struct(F.lit(i).alias("r"), _cms_col(F.col("user_id"), i).alias("c"))
+            for i in range(CMS_DEPTH)
+        ]
+    )
+    counters = (
+        e.select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # deterministic probe set: exact top-K users (count desc, user_id asc)
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("user_id"))
+        .limit(CMS_TOPK)
+    )
+    # probe: d broadcast joins against the 2048-cell table, then min
+    probed = top
+    for i in range(CMS_DEPTH):
+        ci = counters.filter(F.col("r") == i).select(
+            F.col("c").alias(f"c{i}"), F.col("cnt").alias(f"cnt{i}")
+        )
+        probed = probed.withColumn(f"h{i}", _cms_col(F.col("user_id"), i)).join(
+            F.broadcast(ci), F.col(f"h{i}") == F.col(f"c{i}"), "inner"
+        )
+    est = F.least(*[F.col(f"cnt{i}") for i in range(CMS_DEPTH)])
+    return probed.select(
+        "user_id",
+        "exact_n",
+        est.alias("cms_est"),
+        (est - F.col("exact_n")).alias("overshoot"),
+    )
+
+
+def _cms_col_sql(key: str, row: int) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({key} AS VARCHAR)), {1 + 8 * row}, 8))::BIGINT"
+        f" % {CMS_WIDTH}"
+    )
+
+
+AGG_CMS_HEAVY_HITTERS_SQL = f"""
+WITH counters AS (
+  SELECT r, ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1 + 8*r, 8))::BIGINT
+            % {CMS_WIDTH} AS c, COUNT(*) AS cnt
+  FROM events CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS r) rs
+  GROUP BY 1, 2
+), top AS (
+  SELECT user_id, COUNT(*) AS exact_n
+  FROM events GROUP BY user_id
+  ORDER BY exact_n DESC, user_id LIMIT {CMS_TOPK}
+), probed AS (
+  SELECT t.user_id, t.exact_n,
+         MIN(cn.cnt) AS cms_est
+  FROM top t
+  JOIN counters cn
+    ON cn.c = ('0x' || substr(md5(CAST(t.user_id AS VARCHAR)), 1 + 8*cn.r, 8))::BIGINT
+               % {CMS_WIDTH}
+  GROUP BY t.user_id, t.exact_n
+)
+SELECT user_id, exact_n, cms_est, cms_est - exact_n AS overshoot
+FROM probed
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (integer A-Res variant)
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 100
+_HASH_HEX = 12  # 48-bit uniform — exact in BIGINT and in IEEE double
+
+
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional deterministic sample of documents (§2.4 data
+    mixing): priority = hash48(doc_id) DIV weight, keep the K smallest.
+    A doc with twice the weight halves its priority — the integer-exact
+    cousin of A-Res reservoir sampling (priority u^(1/w) needs pow; the
+    DIV form keeps the pinned output transcendental-free and bit-stable
+    cross-engine).
+
+    Scale plan: priority is a row-local projection; the top-K is a
+    TakeOrdered (per-partition heaps + driver merge of K·n_partitions
+    rows), never a global sort. Content-keyed hashing makes the sample
+    stable under re-partitioning and re-runs — the reproducibility
+    contract a training-mix builder needs.
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.expr(
+                f"cast(conv(substring(md5(cast(doc_id as string)), 1, {_HASH_HEX}), 16, 10)"
+                " as bigint) div greatest(cast(n_chars as bigint), 1)"
+            ).alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(SAMPLE_K)
+    )
+
+
+CORPUS_WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, n_chars,
+       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, {_HASH_HEX}))::BIGINT
+       // GREATEST(CAST(n_chars AS BIGINT), 1) AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT {SAMPLE_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build
+# ---------------------------------------------------------------------------
+
+_MIN_DF = 20        # emit only terms seen in ≥ this many docs
+_POSTINGS_K = 10    # bounded postings prefix per term
+
+
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the corpus (§2.4 corpus ops): term →
+    document frequency + the first K postings — the search-index build
+    and the substrate for posting-list joins (corpus_contamination).
+
+    State discipline (the agg_string_agg rule): postings are rank-limited
+    to K BEFORE collecting, so per-group state is bounded — an unbounded
+    collect_list over a stopword's postings is the 100 TB OOM. Plan:
+    row-local tokenize/explode (map-side fan-out), one (term, doc_id)
+    distinct exchange, the rank window rides the same partitioning, one
+    final per-term aggregation.
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    term_doc = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("term"), "doc_id")
+        .filter(F.length("term") >= 3)
+        .distinct()
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    ranked = term_doc.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("rn") <= _POSTINGS_K, F.col("doc_id")))
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings_prefix"),
+        )
+        .filter(F.col("df") >= _MIN_DF)
+    )
+
+
+TEXT_INVERTED_INDEX_SQL = f"""
+WITH term_doc AS (
+  SELECT DISTINCT term, doc_id
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS term, doc_id FROM documents)
+  WHERE LENGTH(term) >= 3
+), ranked AS (
+  SELECT term, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM term_doc
+)
+SELECT term, COUNT(*) AS df,
+       STRING_AGG(CASE WHEN rn <= {_POSTINGS_K} THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY doc_id) AS postings_prefix
+FROM ranked
+GROUP BY term
+HAVING COUNT(*) >= {_MIN_DF}
+"""
+
+
+# ---------------------------------------------------------------------------
+# One-pass column profiler
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-profiling rollup over lineitem's numeric columns
+    (§2.3 aggregation/profiling): null count, distinct count, min, max —
+    the schema-drift / data-quality probe a training pipeline runs before
+    ingesting a new drop.
+
+    Plan: ONE scan — stack() unpivots the four columns map-side (an
+    Expand of 4 rows per input row), then a single partial-aggregated
+    shuffle with 4 groups. The naive per-column loop is 4 scans; at
+    100 TB the one-pass shape is the difference between a profiling job
+    and four. Values pin through DECIMAL(18,2) (exact for these
+    2-decimal fixtures) so min/max are hash-stable doubles.
+    """
+    li = Catalog(spark, sf_dir).table("lineitem")
+    pairs = ", ".join(
+        f"'{c}', cast({c} as decimal(18,2))" for c in _PROFILE_COLS
+    )
+    unpivoted = li.select(
+        F.expr(f"stack({len(_PROFILE_COLS)}, {pairs}) as (col_name, val)")
+    )
+    return (
+        unpivoted.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("val").isNull().cast("int")).alias("n_null"),
+            F.countDistinct("val").alias("n_distinct"),
+            F.min("val").cast("double").alias("min_val"),
+            F.max("val").cast("double").alias("max_val"),
+        )
+    )
+
+
+TABLE_PROFILE_SQL = """
+WITH unpivoted AS (
+  SELECT u.col_name, u.val
+  FROM lineitem,
+  LATERAL (SELECT UNNEST(['l_quantity','l_extendedprice','l_discount','l_tax'])
+                  AS col_name,
+                  UNNEST([CAST(l_quantity AS DECIMAL(18,2)),
+                          CAST(l_extendedprice AS DECIMAL(18,2)),
+                          CAST(l_discount AS DECIMAL(18,2)),
+                          CAST(l_tax AS DECIMAL(18,2))]) AS val) u
+)
+SELECT col_name,
+       COUNT(*) AS n_rows,
+       SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS n_null,
+       COUNT(DISTINCT val) AS n_distinct,
+       CAST(MIN(val) AS DOUBLE) AS min_val,
+       CAST(MAX(val) AS DOUBLE) AS max_val
+FROM unpivoted
+GROUP BY col_name
+"""

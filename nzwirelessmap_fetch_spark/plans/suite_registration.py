@@ -13,6 +13,7 @@ from ..operators import graph as _gr
 from ..operators import multimodal as _mm
 from ..operators import packing as _pk
 from ..operators import sessionize as _sess
+from ..operators import sketches as _sk
 from ..operators import similarity as _sim
 from ..operators import text as _tx
 from ..streaming import events_stream as _es
@@ -145,6 +146,15 @@ registry.register("agg_stats_moments", _st.agg_stats_moments, _st.AGG_STATS_MOME
 registry.register("agg_bitwise", _st.agg_bitwise, _st.AGG_BITWISE_SQL)
 registry.register("agg_string_agg", _st.agg_string_agg, _st.AGG_STRING_AGG_SQL)
 registry.register("agg_mode", _st.agg_mode, _st.AGG_MODE_SQL)
+
+# Mergeable sketches & sampling (operators/sketches.py): count-min
+# point-frequency sketch (md5-slice hashing, oracle replays estimates
+# exactly), integer-exact weighted sampling, the inverted-index build,
+# and the one-pass unpivot column profiler.
+registry.register("agg_cms_heavy_hitters", _sk.agg_cms_heavy_hitters, _sk.AGG_CMS_HEAVY_HITTERS_SQL)
+registry.register("corpus_weighted_sample", _sk.corpus_weighted_sample, _sk.CORPUS_WEIGHTED_SAMPLE_SQL)
+registry.register("text_inverted_index", _sk.text_inverted_index, _sk.TEXT_INVERTED_INDEX_SQL)
+registry.register("table_profile", _sk.table_profile, _sk.TABLE_PROFILE_SQL)
 
 # LAST by design: these four all consume the memoized verified-Jaccard
 # pair build — the single most expensive piece of the sf0.01 gate
