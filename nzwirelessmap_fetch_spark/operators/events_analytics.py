@@ -230,3 +230,63 @@ SELECT user_id,
 FROM numbered
 GROUP BY user_id, island
 """
+
+
+ZSCORE_TOPK = 15
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity-volume anomaly scoring (§2.3 aggregation as a
+    data-quality screen): z-score of each user's event count against the
+    population — the bot/spam-account probe a corpus pipeline runs before
+    trusting engagement-weighted sampling.
+
+    Plan: one keyed agg to per-user counts, one scalar agg to the global
+    moments (decimal-exact sums so accumulation order can't flip the
+    hash), a broadcast of the 1-row moments table, and a TakeOrdered
+    top-K — no global sort, nothing driver-side. At 100 TB the only
+    data-sized exchange is the user-count agg; mean/std derive from
+    3 scalars via one fixed IEEE expression both engines share.
+    """
+    e = Catalog(spark, sf_dir).table("events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    moments = per_user.groupBy().agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("n_events").cast("decimal(18,0)")).alias("sc"),
+        F.sum((F.col("n_events") * F.col("n_events")).cast("decimal(38,0)")).alias("scc"),
+    )
+    nd = F.col("n_users").cast("double")
+    sc = F.col("sc").cast("double")
+    scc = F.col("scc").cast("double")
+    mean = sc / nd
+    std = F.sqrt((scc - (sc * sc) / nd) / nd)
+    z = (F.col("n_events").cast("double") - mean) / std
+    return (
+        per_user.join(F.broadcast(moments))
+        .select(
+            "user_id",
+            "n_events",
+            z.cast("decimal(18,6)").cast("double").alias("zscore"),
+        )
+        .orderBy(F.col("zscore").desc(), F.col("user_id"))
+        .limit(ZSCORE_TOPK)
+    )
+
+
+EVENTS_ANOMALY_ZSCORE_SQL = f"""
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+), m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+         CAST(SUM(CAST(n_events AS DECIMAL(18,0))) AS DOUBLE) AS sc,
+         CAST(SUM(CAST(n_events * n_events AS DECIMAL(38,0))) AS DOUBLE) AS scc
+  FROM per_user
+)
+SELECT user_id, n_events,
+       CAST(CAST((CAST(n_events AS DOUBLE) - sc / nd)
+                 / SQRT((scc - (sc * sc) / nd) / nd)
+            AS DECIMAL(18,6)) AS DOUBLE) AS zscore
+FROM per_user, m
+ORDER BY zscore DESC, user_id
+LIMIT {ZSCORE_TOPK}
+"""

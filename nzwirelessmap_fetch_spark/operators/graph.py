@@ -210,3 +210,100 @@ SELECT node AS doc_id, CAST(MIN(lvl) AS INT) AS level
 FROM bfs
 GROUP BY node
 """
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count + clustering coefficient over the Jaccard
+    edge graph (§2.4 graph family): the cohesion probe for duplicate
+    families — near-clique clusters (template farms) triangle densely,
+    chains (drifting revisions) don't.
+
+    Canonical-orientation join: triangles are enumerated ONLY as
+    a < b < c (each counted once), so the self-join fans out on ordered
+    edges — the standard compact-forward trick that keeps the join's
+    per-key fan-in at the out-degree of the ordered graph, not the full
+    degree. Two keyed equi-joins on the edge relation, one scalar agg;
+    wedges come from the symmetric degree in one more keyed agg. At
+    100 TB the ordered edge set is bucketed by its join key and the
+    high-degree hubs are already halved by orientation (a hub's ordered
+    out-degree excludes every smaller neighbor).
+
+    Output pins integers plus the clustering coefficient = 3T/W as a
+    decimal-rounded double (single division — identical IEEE tree both
+    engines)."""
+    sym = _jaccard_edges(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    e = sym.filter(F.col("src") < F.col("dst"))  # canonical a<b, each edge once
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a2"), F.col("dst").alias("c2"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    wedges = (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .groupBy()
+        .agg(
+            F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges"),
+            F.count(F.lit(1)).alias("n_nodes"),
+        )
+    )
+    return (
+        tri.join(F.broadcast(wedges))
+        .select(
+            "n_triangles",
+            "n_wedges",
+            "n_nodes",
+            (3 * F.col("n_triangles") / F.col("n_wedges"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("clustering_coeff"),
+        )
+    )
+
+
+# Oracle: same edge CTE as GRAPH_PAGERANK_SQL; triangles via the ordered
+# a<b<c double join; wedges from symmetric degrees.
+GRAPH_TRIANGLE_COUNT_SQL = """
+WITH
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+                          i -> w[i] || ' ' || w[i+1])) AS shingle
+    FROM w WHERE len(w) >= 2)
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+e AS (SELECT src, dst FROM edges WHERE src < dst),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM e ab JOIN e bc ON ab.dst = bc.src
+            JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst
+),
+wedges AS (
+  SELECT SUM(deg * (deg - 1) // 2) AS n_wedges, COUNT(*) AS n_nodes
+  FROM (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
+)
+SELECT n_triangles, n_wedges, n_nodes,
+       CAST(CAST(3 * n_triangles / n_wedges AS DECIMAL(18,6)) AS DOUBLE)
+         AS clustering_coeff
+FROM tri, wedges
+"""

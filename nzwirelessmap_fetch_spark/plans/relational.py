@@ -1525,3 +1525,60 @@ SELECT o_orderkey, o_orderpriority,
 FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
 """
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation join (§2.3 joins, the missing outer
+    variant): every third customer vs the F-status order population,
+    classified both/left_only/right_only — the two-sided diff shape used
+    to reconcile a dimension snapshot against observed fact keys.
+
+    Both inputs shrink BEFORE the join (filter + distinct push down to
+    the scans), then one keyed shuffle joins them; the classification is
+    a null-pattern projection and the rollup a 3-group agg. Full outer
+    can't broadcast (both sides must be preserved), so the shuffle join
+    is the correct 100 TB plan — AQE coalesces the post-join partitions.
+    """
+    cat = Catalog(spark, sf_dir)
+    c = cat.table("customer").filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", "c_acctbal"
+    )
+    o = (
+        cat.table("orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .distinct()
+    )
+    joined = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    status = (
+        F.when(F.col("c_custkey").isNotNull() & F.col("o_custkey").isNotNull(), "both")
+        .when(F.col("c_custkey").isNotNull(), "left_only")
+        .otherwise("right_only")
+    )
+    return (
+        joined.select(
+            status.alias("match_status"),
+            F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        )
+        .groupBy("match_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("bal").cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+JOIN_FULL_OUTER_SQL = """
+WITH c AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 0
+), o AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+SELECT CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'both'
+            WHEN c_custkey IS NOT NULL THEN 'left_only'
+            ELSE 'right_only' END AS match_status,
+       COUNT(*) AS n_keys,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+GROUP BY 1
+"""

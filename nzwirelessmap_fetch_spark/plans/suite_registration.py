@@ -155,6 +155,10 @@ registry.register("agg_cms_heavy_hitters", _sk.agg_cms_heavy_hitters, _sk.AGG_CM
 registry.register("corpus_weighted_sample", _sk.corpus_weighted_sample, _sk.CORPUS_WEIGHTED_SAMPLE_SQL)
 registry.register("text_inverted_index", _sk.text_inverted_index, _sk.TEXT_INVERTED_INDEX_SQL)
 registry.register("table_profile", _sk.table_profile, _sk.TABLE_PROFILE_SQL)
+registry.register("join_full_outer", _r.join_full_outer, _r.JOIN_FULL_OUTER_SQL)
+registry.register(
+    "events_anomaly_zscore", _ea.events_anomaly_zscore, _ea.EVENTS_ANOMALY_ZSCORE_SQL
+)
 
 # LAST by design: these four all consume the memoized verified-Jaccard
 # pair build — the single most expensive piece of the sf0.01 gate
@@ -167,3 +171,6 @@ registry.register("dedup_connected_components", _dd.dedup_connected_components, 
 # same oracle: identical output contract, log-round star-contraction algorithm
 registry.register("dedup_cc_star", _dd.dedup_cc_star, _dd.DEDUP_CONNECTED_COMPONENTS_SQL)
 registry.register("graph_pagerank", _gr.graph_pagerank, _gr.GRAPH_PAGERANK_SQL)
+registry.register(
+    "graph_triangle_count", _gr.graph_triangle_count, _gr.GRAPH_TRIANGLE_COUNT_SQL
+)
