@@ -279,24 +279,14 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
 """
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs.
+def _minhash_bands(d: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) MinHash band signatures for a document set.
 
-    shingle → md5-derived 32-bit hash → 16 universal-hash permutations
-    ``(a_i·h + b_i) mod P`` → per-doc per-perm min → 4-row band signatures →
-    equi-join docs sharing any band signature.
-
-    The permutation fan-out is a broadcast cross join against a 16-row dim —
-    rows scale as |shingles|×16, shuffled keyed by doc_id. Candidate
-    generation is an equi-join on (band, signature): keyed, broadcastable
-    never, but bucket sizes are the LSH collision classes — exactly the
-    pairs we want."""
-    d = Catalog(spark, sf_dir).table("documents")
+    One aggregation with NUM_PERMS MIN columns (not a 16× row fan-out):
+    the shuffle moves |shingle| rows once, keyed by doc_id, and map-side
+    partial MINs compress it to |docs| rows per partition; the band
+    unpivot is a map-side stack."""
     sh = _shingles(d).withColumn("h", md5_long("shingle"))
-
-    # One aggregation with 16 MIN columns (not a 16× row fan-out): the
-    # shuffle moves |shingle| rows once, keyed by doc_id, and map-side
-    # partial MINs compress it to |docs| rows per partition.
     mins = sh.groupBy("doc_id").agg(
         *[
             F.min((F.lit(2 * i + 1) * F.col("h") + F.lit(104729 * i + 12345)) % MERSENNE_P)
@@ -311,14 +301,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b0 in range(0, NUM_PERMS, BAND_SIZE)
     ]
     sigs = mins.select("doc_id", *band_cols)
-    # unpivot to (doc_id, band, sig) for the bucket equi-join
-    stack_args = ", ".join(
-        f"{i}, band{i}" for i in range(NUM_PERMS // BAND_SIZE)
-    )
-    bands = sigs.selectExpr(
+    stack_args = ", ".join(f"{i}, band{i}" for i in range(NUM_PERMS // BAND_SIZE))
+    return sigs.selectExpr(
         "doc_id",
         f"stack({NUM_PERMS // BAND_SIZE}, {stack_args}) AS (band, sig)",
     )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs.
+
+    shingle → md5-derived 32-bit hash → 16 universal-hash permutations
+    ``(a_i·h + b_i) mod P`` → per-doc per-perm min → 4-row band signatures →
+    equi-join docs sharing any band signature.
+
+    The permutation fan-out is a broadcast cross join against a 16-row dim —
+    rows scale as |shingles|×16, shuffled keyed by doc_id. Candidate
+    generation is an equi-join on (band, signature): keyed, broadcastable
+    never, but bucket sizes are the LSH collision classes — exactly the
+    pairs we want."""
+    d = Catalog(spark, sf_dir).table("documents")
+    bands = _minhash_bands(d)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -872,4 +875,94 @@ JOIN documents b
  AND a.doc_id < b.doc_id
 WHERE levenshtein(substr(a.text, 1, {EDIT_PREFIX_CHARS}),
                   substr(b.text, 1, {EDIT_PREFIX_CHARS})) <= {EDIT_MAX_DISTANCE}
+"""
+
+
+INCREMENTAL_BATCH_MOD = 10  # incoming batch = doc_id % 10 == 0
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup screen (§2.4): an incoming batch
+    (every 10th doc, standing in for "today's crawl") is checked against
+    the existing corpus by MinHash band collision — the gate that keeps
+    near-dups of already-ingested content out WITHOUT re-deduplicating
+    the whole corpus.
+
+    This is the production shape for continuous ingestion: corpus band
+    signatures are precomputed once and stored bucketed by (band, sig)
+    at rest; each day's batch computes its own signatures (map-only over
+    the batch) and probes with a keyed join where ONLY the batch side
+    moves. Contrast dedup_minhash_lsh, which self-joins the full corpus —
+    O(corpus) shuffle per run vs O(batch) here.
+
+    Output: every batch doc with its distinct-corpus-collision count and
+    the keep/drop verdict.
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    bands = _minhash_bands(d)
+    is_batch = F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0
+    batch_bands = bands.filter(is_batch)
+    corpus_bands = bands.filter(~is_batch)
+    hits = (
+        batch_bands.alias("q")
+        .join(corpus_bands.alias("c"), ["band", "sig"])
+        .select(F.col("q.doc_id").alias("doc_id"), F.col("c.doc_id").alias("corpus_id"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("corpus_id").alias("n_corpus_matches"))
+    )
+    return (
+        d.filter(is_batch)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_corpus_matches"), F.lit(0))
+            .cast("int")
+            .alias("n_corpus_matches"),
+            (F.coalesce(F.col("n_corpus_matches"), F.lit(0)) == 0).alias("keep"),
+        )
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w)-1),
+                                 i -> w[i] || ' ' || w[i+1])) AS shingle
+    FROM w WHERE len(w) >= 2)
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh
+),
+perms AS (
+  SELECT i AS perm, 2*i + 1 AS a, 104729*i + 12345 AS b
+  FROM generate_series(0, 15) t(i)
+),
+mh AS (
+  SELECT doc_id, perm, MIN((a*h + b) % 2147483647) AS mh
+  FROM h CROSS JOIN perms
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, perm // 4 AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm) AS sig
+  FROM mh GROUP BY 1, 2
+),
+hits AS (
+  SELECT q.doc_id, COUNT(DISTINCT c.doc_id) AS n_corpus_matches
+  FROM bands q
+  JOIN bands c ON q.band = c.band AND q.sig = c.sig
+  WHERE q.doc_id % {INCREMENTAL_BATCH_MOD} = 0
+    AND c.doc_id % {INCREMENTAL_BATCH_MOD} != 0
+  GROUP BY q.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_corpus_matches, 0) AS INT) AS n_corpus_matches,
+       COALESCE(h.n_corpus_matches, 0) = 0 AS keep
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % {INCREMENTAL_BATCH_MOD} = 0
 """

@@ -686,3 +686,56 @@ SELECT q_id, vec_id, cos, CAST(rank AS INT) AS rank FROM (
   FROM scored)
 WHERE rank <= {TOP_K}
 """
+
+
+RANGE_TAU = 0.30  # cosine radius for range search
+
+
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine range (radius) search: every corpus vector within
+    cosine ≥ τ of each query (§2.4 similarity — the threshold twin of
+    top-k, used for "find ALL near-neighbors" retrieval and recall
+    audits where k is unknowable up front).
+
+    Cheaper than top-k at scale: the corpus streams once against the
+    broadcast query set and the τ-filter is a row-local predicate — NO
+    window, NO shuffle, nothing but a scan with a fused projection, so
+    the plan is embarrassingly parallel at any corpus size. (Top-k needs
+    the per-query rank exchange; range search doesn't.)
+    """
+    e = Catalog(spark, sf_dir).table("embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("embedding")))
+        .filter(F.col("cos") >= RANGE_TAU)
+        .select("q_id", "vec_id", "cos")
+    )
+
+
+SIM_RANGE_SEARCH_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(generate_series(1, len(e.embedding)),
+                            i -> q.q_emb[i]::DOUBLE * e.embedding[i]::DOUBLE)),
+           (a, b) -> a + b)
+         / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(generate_series(1, len(q.q_emb)),
+                              i -> q.q_emb[i]::DOUBLE * q.q_emb[i]::DOUBLE)),
+             (a, b) -> a + b))
+            * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(generate_series(1, len(e.embedding)),
+                              i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)),
+             (a, b) -> a + b))) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, cos FROM scored WHERE cos >= {RANGE_TAU}
+"""

@@ -584,3 +584,89 @@ WITH ranked AS (
 SELECT doc_id, lang, source, CAST(rn AS INT) AS rn
 FROM ranked WHERE rn <= {STRATUM_QUOTA}
 """
+
+
+SPAN_W = 8  # words per span window
+
+
+def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (sub-document) duplication profile (§2.4): slide an
+    8-word window over every document, hash each span, and measure how
+    much of each document consists of spans that also appear in OTHER
+    documents — the boilerplate/quotation detector that document-level
+    dedup (exact, MinHash) cannot see, and the shape line-level dedup
+    of web corpora takes in production.
+
+    Plan: span expansion is a row-local transform+explode (map-side
+    fan-out); spans shuffle ONCE keyed by their md5-derived 32-bit hash
+    (narrow 8-byte key, never the span text); the document rollup rides
+    a second keyed agg on doc_id. Cross-doc span frequency and per-doc
+    dup ratio come out decimal-pinned. At 100 TB a df-cap valve on
+    ultra-hot spans (boilerplate headers) bounds the hot keys — same
+    mitigation as _shingles(max_df=...).
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    spans = (
+        d.select(
+            "doc_id",
+            F.explode(
+                # Spark sequence(1, n) DESCENDS for n <= 0 (ROADMAP
+                # invariant) — short docs must hit the empty branch.
+                F.expr(
+                    f"""CASE WHEN size(split(text, ' ')) >= {SPAN_W}
+                         THEN transform(sequence(1, size(split(text, ' ')) - {SPAN_W} + 1),
+                                        i -> array_join(slice(split(text, ' '), i, {SPAN_W}), ' '))
+                         ELSE array() END"""
+                )
+            ).alias("span"),
+        )
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("span"), 1, 8), 16, 10).cast("long").alias("h"),
+        )
+        .distinct()
+    )
+    span_df = spans.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        spans.join(span_df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("n_docs") >= 2).cast("int")).alias("n_shared_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_shared_spans",
+            (F.col("n_shared_spans").cast("double") / F.col("n_spans"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("shared_ratio"),
+        )
+    )
+
+
+CORPUS_SPAN_DEDUP_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+spans AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, GREATEST(len(w) - {SPAN_W} + 1, 0)),
+                                 i -> array_to_string(w[i:i+{SPAN_W - 1}], ' '))) AS s
+    FROM w)
+),
+span_df AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM spans GROUP BY h
+)
+SELECT s.doc_id,
+       COUNT(*) AS n_spans,
+       SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS n_shared_spans,
+       CAST(CAST(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)
+                 AS DECIMAL(18,6)) AS DOUBLE) AS shared_ratio
+FROM spans s JOIN span_df d USING (h)
+GROUP BY s.doc_id
+"""

@@ -159,6 +159,9 @@ registry.register("join_full_outer", _r.join_full_outer, _r.JOIN_FULL_OUTER_SQL)
 registry.register(
     "events_anomaly_zscore", _ea.events_anomaly_zscore, _ea.EVENTS_ANOMALY_ZSCORE_SQL
 )
+registry.register("dedup_incremental", _dd.dedup_incremental, _dd.DEDUP_INCREMENTAL_SQL)
+registry.register("sim_range_search", _sim.sim_range_search, _sim.SIM_RANGE_SEARCH_SQL)
+registry.register("corpus_span_dedup", _tx.corpus_span_dedup, _tx.CORPUS_SPAN_DEDUP_SQL)
 
 # LAST by design: these four all consume the memoized verified-Jaccard
 # pair build — the single most expensive piece of the sf0.01 gate
