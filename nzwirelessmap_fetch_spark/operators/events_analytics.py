@@ -290,3 +290,107 @@ FROM per_user, m
 ORDER BY zscore DESC, user_id
 LIMIT {ZSCORE_TOPK}
 """
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences (§2.3 windows + aggregation): P(next_type | type), the
+    behavioral-model fit (and the session-synthesis prior) computed
+    straight from the event log.
+
+    ONE user-keyed window exchange produces (type, next_type) pairs via
+    lag/lead; the pair counts and the per-source normalizing totals ride
+    keyed aggs on the pair output (grouping-key count, dozens of rows).
+    Probability = pair/total is a single division of exact integers,
+    decimal-pinned. (ts, event_id) orders ties totally so both engines
+    see identical sequences.
+    """
+    e = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n_transitions").alias("n_from"))
+    return pairs.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (F.col("n_transitions").cast("double") / F.col("n_from"))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("p_transition"),
+    )
+
+
+EVENTS_TRANSITION_MATRIX_SQL = """
+WITH pairs AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions FROM (
+    SELECT event_type AS from_type,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS to_type
+    FROM events)
+  WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+), totals AS (
+  SELECT from_type, SUM(n_transitions) AS n_from FROM pairs GROUP BY 1
+)
+SELECT p.from_type, p.to_type, p.n_transitions,
+       CAST(CAST(p.n_transitions::DOUBLE / t.n_from AS DECIMAL(18,6)) AS DOUBLE)
+         AS p_transition
+FROM pairs p JOIN totals t USING (from_type)
+"""
+
+
+PATHS_TOPK = 15
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent 3-step behavioral paths (§2.3 windows): the
+    event-type trigrams of user journeys, ranked globally — the "what do
+    users actually do" query behind funnel design and session synthesis.
+
+    The SAME user-keyed window exchange as events_transition_matrix
+    (lead ×2 instead of lag) fans each event into its trigram; the
+    global count is one partial-aggregated shuffle over ≤ |types|³ keys
+    and the top-K is a TakeOrdered — no global sort. Ties pin on the
+    path string.
+    """
+    e = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            F.col("event_type").alias("s1"),
+            F.lead("event_type", 1).over(w).alias("s2"),
+            F.lead("event_type", 2).over(w).alias("s3"),
+        )
+        .filter(F.col("s3").isNotNull())
+        .select(F.concat_ws(">", "s1", "s2", "s3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_journeys"))
+        .orderBy(F.col("n_journeys").desc(), F.col("path"))
+        .limit(PATHS_TOPK)
+    )
+
+
+EVENTS_TOP_PATHS_SQL = f"""
+WITH tri AS (
+  SELECT s1 || '>' || s2 || '>' || s3 AS path FROM (
+    SELECT event_type AS s1,
+           LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2,
+           LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s3
+    FROM events)
+  WHERE s3 IS NOT NULL
+)
+SELECT path, COUNT(*) AS n_journeys
+FROM tri
+GROUP BY path
+ORDER BY n_journeys DESC, path
+LIMIT {PATHS_TOPK}
+"""

@@ -160,6 +160,12 @@ registry.register(
     "events_anomaly_zscore", _ea.events_anomaly_zscore, _ea.EVENTS_ANOMALY_ZSCORE_SQL
 )
 registry.register("dedup_incremental", _dd.dedup_incremental, _dd.DEDUP_INCREMENTAL_SQL)
+registry.register(
+    "events_transition_matrix",
+    _ea.events_transition_matrix,
+    _ea.EVENTS_TRANSITION_MATRIX_SQL,
+)
+registry.register("events_top_paths", _ea.events_top_paths, _ea.EVENTS_TOP_PATHS_SQL)
 registry.register("sim_range_search", _sim.sim_range_search, _sim.SIM_RANGE_SEARCH_SQL)
 registry.register("corpus_span_dedup", _tx.corpus_span_dedup, _tx.CORPUS_SPAN_DEDUP_SQL)
 
