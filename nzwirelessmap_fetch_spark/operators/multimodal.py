@@ -212,3 +212,95 @@ SELECT doc_id,
        md5(substring(text, i * {FRAME_CHARS} + 1, {FRAME_CHARS})) AS frame_md5
 FROM idx
 """
+
+
+FRAME_SAMPLES = 256  # 8-bit samples (bytes) per audio frame
+
+
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-pipeline plumbing: payload bytes as 8-bit PCM samples →
+    fixed 256-sample frames → per-frame energy (Σ sample²) → per-item
+    rollup (frame count, total energy, loudest frame), all INSIDE the
+    Arrow batch (§2.4 multimodal — the audio sibling of frame_sample).
+
+    The design point: decode+reduce FUSED executor-side. A real
+    loudness/VAD pass emits per-item summaries, not per-frame rows — so
+    the 1→N frame expansion lives and dies inside ``mapInPandas`` and
+    nothing frame-sized ever shuffles or lands on the driver. Swap the
+    byte interpretation for a real PCM decoder (soundfile/ffmpeg) and
+    the plan is unchanged: a pure scan-bound map over Arrow batches.
+
+    Integer-exact arithmetic (byte values squared and summed as Python
+    ints) keeps the oracle replay bit-stable — no float accumulation.
+    """
+    media = media_table(spark, sf_dir)
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                data = bytes(blob)
+                n = len(data)
+                frames = [
+                    sum(b * b for b in data[i : i + FRAME_SAMPLES])
+                    for i in range(0, n, FRAME_SAMPLES)
+                ]
+                peak_idx = max(range(len(frames)), key=lambda i: (frames[i], -i))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_samples": n,
+                        "n_frames": len(frames),
+                        "total_energy": sum(frames),
+                        "peak_frame_idx": peak_idx,
+                        "peak_energy": frames[peak_idx],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "doc_id long, n_samples int, n_frames int, total_energy long, "
+        "peak_frame_idx int, peak_energy long"
+    )
+    return (
+        media.filter(F.length("media") > 0)  # empty payload = no frames, both engines
+        .select("doc_id", "media")
+        .mapInPandas(energy, schema)
+    )
+
+
+MULTIMODAL_AUDIO_ENERGY_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+  WHERE octet_length(encode(text)) > 0
+),
+f AS (
+  SELECT doc_id, n, text,
+         unnest(range(0, CAST(ceil(n / {FRAME_SAMPLES}.0) AS INT))) AS i
+  FROM d
+),
+e AS (
+  SELECT doc_id, n, i,
+         list_reduce(list_prepend(0::BIGINT,
+             list_transform(string_split(substring(text, i*{FRAME_SAMPLES} + 1,
+                                                   {FRAME_SAMPLES}), ''),
+                            c -> ascii(c)::BIGINT * ascii(c)::BIGINT)),
+           (a, b) -> a + b) AS energy
+  FROM f
+),
+ranked AS (
+  SELECT doc_id, n, i, energy,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY energy DESC, i ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_frames,
+         SUM(energy) OVER (PARTITION BY doc_id) AS total_energy
+  FROM e
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_samples,
+       CAST(n_frames AS INT) AS n_frames,
+       total_energy,
+       CAST(i AS INT) AS peak_frame_idx,
+       energy AS peak_energy
+FROM ranked WHERE rn = 1
+"""

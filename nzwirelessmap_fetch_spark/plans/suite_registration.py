@@ -33,6 +33,9 @@ registry.register("p2p_links", _flagship.flagship, _flagship.FLAGSHIP_ORACLE_SQL
 registry.register("multimodal_features", _mm.multimodal_features, _mm.MULTIMODAL_FEATURES_SQL)
 registry.register("multimodal_resize", _mm.multimodal_resize, _mm.MULTIMODAL_RESIZE_SQL)
 registry.register("multimodal_frame_sample", _mm.multimodal_frame_sample, _mm.MULTIMODAL_FRAME_SAMPLE_SQL)
+registry.register(
+    "multimodal_audio_energy", _mm.multimodal_audio_energy, _mm.MULTIMODAL_AUDIO_ENERGY_SQL
+)
 registry.register("stream_windowed_counts", _es.stream_windowed_counts, _es.STREAM_WINDOWED_COUNTS_SQL)
 registry.register("stream_stream_join", _es.stream_stream_join, _es.STREAM_STREAM_JOIN_SQL)
 registry.register("stream_dedup_events", _es.stream_dedup_events, _es.STREAM_DEDUP_EVENTS_SQL)
