@@ -670,3 +670,65 @@ SELECT s.doc_id,
 FROM spans s JOIN span_df d USING (h)
 GROUP BY s.doc_id
 """
+
+
+def corpus_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-rarity document score (§2.4 text analysis): the mean log2
+    frequency bucket of a document's tokens against the corpus unigram
+    table — the transcendental-free surprisal proxy (rare vocabulary →
+    low bucket → low score; boilerplate → high). The shape of a unigram
+    LM quality filter without an external model.
+
+    log2 is computed EXACTLY as an integer: bucket(f) = len(binary(f))
+    = floor(log2 f)+1 — Spark ``length(conv(f,10,2))``, DuckDB
+    ``length(bin(f))`` — so the pinned mean is a ratio of exact integers
+    (no libm, no rounding divergence).
+
+    Scale plan: token fan-out is map-side; the unigram table is ONE
+    partial-aggregated shuffle; the token→bucket join is keyed by term
+    (Catalyst broadcasts while the vocab fits, falls back to shuffle
+    join beyond — correct either way); per-doc rollup is a second keyed
+    agg. NO global rank window: bucketing by raw frequency instead of
+    rank keeps the vocab table embarrassingly parallel, where a
+    row_number over the whole vocabulary would funnel it through one
+    partition.
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    buckets = (
+        tokens.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .select("term", F.length(F.conv(F.col("n_occ"), 10, 2)).alias("bucket"))
+    )
+    return (
+        tokens.join(buckets, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("bucket").alias("bucket_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("bucket_sum").cast("double") / F.col("n_tokens"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("rarity_score"),
+        )
+    )
+
+
+CORPUS_RARITY_SCORE_SQL = """
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+buckets AS (
+  SELECT term, LENGTH(bin(COUNT(*))) AS bucket FROM tokens GROUP BY term
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(CAST(SUM(b.bucket)::DOUBLE / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE)
+         AS rarity_score
+FROM tokens t JOIN buckets b USING (term)
+GROUP BY t.doc_id
+"""

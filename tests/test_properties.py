@@ -225,3 +225,77 @@ def test_repetition_top_freq_matches_counter(spark, texts):
     got = {r.doc_id: r.f for r in df.select("doc_id", top.alias("f")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == max(Counter(t.split(" ")).values())
+
+
+@SETTINGS
+@given(st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=200))
+def test_cms_never_undercounts(spark, keys):
+    """Count-min structural guarantee: estimate >= exact for EVERY key,
+    on arbitrary key multisets (the property the fixture example can't
+    establish). Replays the operator's md5-slice hashing on a synthetic
+    frame."""
+    from collections import Counter
+
+    from nzwirelessmap_fetch_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        _cms_col,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "user_id long")
+    cells = F.array(
+        *[
+            F.struct(F.lit(i).alias("r"), _cms_col(F.col("user_id"), i).alias("c"))
+            for i in range(CMS_DEPTH)
+        ]
+    )
+    counters = {
+        (r.r, r.c): r.cnt
+        for r in df.select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    coords = {
+        r.user_id: [r[f"h{i}"] for i in range(CMS_DEPTH)]
+        for r in df.distinct()
+        .select("user_id", *[_cms_col(F.col("user_id"), i).alias(f"h{i}") for i in range(CMS_DEPTH)])
+        .collect()
+    }
+    exact = Counter(keys)
+    for k, n in exact.items():
+        est = min(counters[(i, coords[k][i])] for i in range(CMS_DEPTH))
+        assert est >= n, f"CMS undercounted key {k}: {est} < {n}"
+        assert est <= len(keys), "estimate exceeds stream length"
+    assert all(0 <= c < CMS_WIDTH for cs in coords.values() for c in cs)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**6), st.integers(min_value=1, max_value=10**4)),
+        min_size=1,
+        max_size=100,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_weighted_sample_priority_scales_inverse_weight(spark, docs):
+    """corpus_weighted_sample's integer priority: deterministic across
+    partitionings, and monotone — for the SAME doc id, a larger weight
+    never yields a larger priority (the weight-proportional property)."""
+    df = spark.createDataFrame(docs, "doc_id long, n_chars long")
+    prio = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 12), 16, 10)"
+        " as bigint) div greatest(cast(n_chars as bigint), 1)"
+    ).alias("p")
+    a = {r.doc_id: r.p for r in df.select("doc_id", prio).collect()}
+    b = {r.doc_id: r.p for r in df.repartition(5).select("doc_id", prio).collect()}
+    assert a == b
+    doubled = {
+        r.doc_id: r.p
+        for r in df.withColumn("n_chars", F.col("n_chars") * 2)
+        .select("doc_id", prio)
+        .collect()
+    }
+    for k in a:
+        assert doubled[k] <= a[k]
