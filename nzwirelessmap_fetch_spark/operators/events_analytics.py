@@ -317,8 +317,12 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
-    totals = pairs.groupBy("from_type").agg(F.sum("n_transitions").alias("n_from"))
-    return pairs.join(totals, "from_type").select(
+    # Normalizer as a WINDOW over the aggregated pairs (≤ |types|² rows),
+    # not a groupBy+self-join — a join against a derived aggregate makes
+    # Catalyst recompute the whole event-window subtree for the totals
+    # branch (two data-sized exchanges instead of one).
+    wt = Window.partitionBy("from_type")
+    return pairs.withColumn("n_from", F.sum("n_transitions").over(wt)).select(
         "from_type",
         "to_type",
         "n_transitions",

@@ -78,21 +78,27 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_n").desc(), F.col("user_id"))
         .limit(CMS_TOPK)
     )
-    # probe: d broadcast joins against the 2048-cell table, then min
-    probed = top
-    for i in range(CMS_DEPTH):
-        ci = counters.filter(F.col("r") == i).select(
-            F.col("c").alias(f"c{i}"), F.col("cnt").alias(f"cnt{i}")
-        )
-        probed = probed.withColumn(f"h{i}", _cms_col(F.col("user_id"), i)).join(
-            F.broadcast(ci), F.col(f"h{i}") == F.col(f"c{i}"), "inner"
-        )
-    est = F.least(*[F.col(f"cnt{i}") for i in range(CMS_DEPTH)])
-    return probed.select(
+    # probe: explode each candidate into its d (row, col) coordinates and
+    # hit the 2048-cell table with ONE broadcast equi-join (a per-row
+    # filtered join would build d separate counter subtrees), then MIN
+    # over the d matched cells. Every coordinate exists in the sketch by
+    # construction (the key contributed to it), so the inner join keeps
+    # exactly d rows per candidate.
+    probes = top.select(
         "user_id",
         "exact_n",
-        est.alias("cms_est"),
-        (est - F.col("exact_n")).alias("overshoot"),
+        F.explode(cells).alias("cell"),
+    ).select("user_id", "exact_n", F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+    est = (
+        probes.join(F.broadcast(counters), ["r", "c"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "user_id",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).alias("overshoot"),
     )
 
 
