@@ -50,6 +50,7 @@ registry.register(
     _es.STREAM_STATEFUL_USER_STATS_SQL,
 )
 registry.register("stream_sliding_counts", _es.stream_sliding_counts, _es.STREAM_SLIDING_COUNTS_SQL)
+registry.register("stream_cms_cells", _es.stream_cms_cells, _es.STREAM_CMS_CELLS_SQL)
 
 registry.register("agg_pricing_summary", _r.agg_pricing_summary, _r.AGG_PRICING_SUMMARY_SQL)
 registry.register("agg_distinct_stats", _r.agg_distinct_stats, _r.AGG_DISTINCT_STATS_SQL)

@@ -458,3 +458,70 @@ FROM expanded, mx
 WHERE ws + INTERVAL 10 MINUTE <= mt - INTERVAL 10 MINUTE
 GROUP BY ws, event_type
 """
+
+
+def stream_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch (§2.3 streaming × §2.3 sketch family):
+    the running user-frequency sketch maintained over the event stream in
+    COMPLETE output mode — the watermark-free bounded-state case.
+
+    Every other unwindowed streaming aggregation grows state with key
+    cardinality and needs a watermark to stay bounded; a mergeable
+    sketch's state is FIXED at d·w = 2048 cells no matter how long the
+    stream runs or how many distinct users appear — cell counts are
+    associative sums, so micro-batches merge by addition. This is the
+    production shape for "top talkers since launch" dashboards: the
+    sketch IS the state, snapshot each micro-batch.
+
+    Deterministic oracle: cell counts are order-independent sums, so the
+    batch replay (same md5-slice hashing in DuckDB) produces the
+    identical 2048-cell table regardless of micro-batch boundaries.
+    """
+    from ..operators.sketches import CMS_DEPTH, _cms_col
+
+    s = _event_stream(spark, sf_dir)
+    cells = F.array(
+        *[
+            F.struct(F.lit(i).alias("r"), _cms_col(F.col("user_id"), i).alias("c"))
+            for i in range(CMS_DEPTH)
+        ]
+    )
+    agg = (
+        s.select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    name = f"stream_out_{next(_query_counter)}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")  # snapshot the whole sketch
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
+def _stream_cms_cells_sql() -> str:
+    from ..operators.sketches import CMS_DEPTH, CMS_WIDTH
+
+    rows = ",".join(str(i) for i in range(CMS_DEPTH))
+    return f"""
+SELECT r,
+       ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1 + 8*r, 8))::BIGINT
+         % {CMS_WIDTH} AS c,
+       COUNT(*) AS cnt
+FROM events CROSS JOIN (SELECT UNNEST([{rows}]) AS r) rs
+GROUP BY 1, 2
+"""
+
+
+STREAM_CMS_CELLS_SQL = _stream_cms_cells_sql()
