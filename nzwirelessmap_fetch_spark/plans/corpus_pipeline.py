@@ -13,6 +13,10 @@ the same CTE chain in SQL. At 100 TB the stages keep their individual
 scale properties (quality + simhash are scan-local maps; each dedup is
 one keyed window; the split is a hash on the row) — composition adds no
 new shuffles beyond the two dedup windows.
+
+Two registry entries share the chain: ``corpus_dedup_pipeline`` emits the
+curated rows; ``corpus_curation_report`` emits the stage funnel (how many
+rows each stage kept) — the attrition dashboard every curation run ships.
 """
 
 from __future__ import annotations
@@ -31,7 +35,19 @@ from ..operators.text import (
 TRAIN_PCT = 90  # md5-keyed split: 90 train / 10 eval
 
 
-def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _split_col() -> F.Column:
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % 100
+    )
+    return F.when(bucket < TRAIN_PCT, "train").otherwise("eval")
+
+
+def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The shared stage chain. Keys: raw → quality → exact → near; each
+    frame is the survivor set after that stage."""
     d = Catalog(spark, sf_dir).table("documents")
     w = F.split("text", " ")
     n_words = F.size(w)
@@ -59,8 +75,7 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
           CAST(0 AS BIGINT), (acc, v) -> acc + v)
         """
     )
-
-    survivors = d.filter(quality_ok).select(
+    quality = d.filter(quality_ok).select(
         "doc_id",
         "lang",
         "source",
@@ -71,27 +86,49 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each is ONE keyed window (min doc wins, deterministic)
     w_exact = Window.partitionBy("content_hash")
     w_near = Window.partitionBy("simhash")
-    deduped = (
-        survivors.withColumn("canon_exact", F.min("doc_id").over(w_exact))
-        .filter(F.col("doc_id") == F.col("canon_exact"))
-        .withColumn("canon_near", F.min("doc_id").over(w_near))
-        .filter(F.col("doc_id") == F.col("canon_near"))
+    exact = quality.withColumn("canon_exact", F.min("doc_id").over(w_exact)).filter(
+        F.col("doc_id") == F.col("canon_exact")
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-            "long"
-        )
-        % 100
+    near = exact.withColumn("canon_near", F.min("doc_id").over(w_near)).filter(
+        F.col("doc_id") == F.col("canon_near")
     )
-    return deduped.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.when(bucket < TRAIN_PCT, "train").otherwise("eval").alias("split"),
+    return {"raw": d, "quality": quality, "exact": exact, "near": near}
+
+
+def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    near = _stages(spark, sf_dir)["near"]
+    return near.select("doc_id", "lang", "source", _split_col().alias("split"))
+
+
+def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-attrition funnel of the curation pipeline (§2.4 composition):
+    ONE row — raw count, quality survivors, post-exact-dedup, post-near-dup,
+    train/eval split sizes. The report a production curation run publishes
+    next to its output so drops are visible per stage, not just end-to-end.
+
+    Each stage count is a scalar aggregate of the same shared plan
+    (Catalyst reuses the scan; the dedup windows are the only exchanges —
+    identical physical work to the pipeline itself plus four 1-row aggs,
+    combined with broadcast joins of single-row frames, never a collect).
+    """
+    s = _stages(spark, sf_dir)
+    n_raw = s["raw"].agg(F.count(F.lit(1)).alias("n_raw"))
+    n_quality = s["quality"].agg(F.count(F.lit(1)).alias("n_quality"))
+    n_exact = s["exact"].agg(F.count(F.lit(1)).alias("n_exact"))
+    split = s["near"].select(_split_col().alias("split"))
+    n_near = split.agg(
+        F.count(F.lit(1)).alias("n_near"),
+        F.sum((F.col("split") == "train").cast("int")).alias("n_train"),
+        F.sum((F.col("split") == "eval").cast("int")).alias("n_eval"),
+    )
+    return (
+        n_raw.join(F.broadcast(n_quality))
+        .join(F.broadcast(n_exact))
+        .join(F.broadcast(n_near))
     )
 
 
-CORPUS_DEDUP_PIPELINE_SQL = f"""
+_PIPELINE_CTES = f"""
 WITH m AS (
   SELECT doc_id, lang, source, text,
          LEN(string_split(text, ' ')) AS n_words,
@@ -137,10 +174,27 @@ exact AS (
 near AS (
   SELECT *, MIN(doc_id) OVER (PARTITION BY simhash) AS canon_near
   FROM exact WHERE doc_id = canon_exact
+)"""
+
+_SPLIT_SQL = (
+    f"CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+    f" < {TRAIN_PCT} THEN 'train' ELSE 'eval' END"
 )
+
+CORPUS_DEDUP_PIPELINE_SQL = f"""{_PIPELINE_CTES}
 SELECT doc_id, lang, source,
-       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
-                 < {TRAIN_PCT}
-            THEN 'train' ELSE 'eval' END AS split
+       {_SPLIT_SQL} AS split
 FROM near WHERE doc_id = canon_near
+"""
+
+CORPUS_CURATION_REPORT_SQL = f"""{_PIPELINE_CTES},
+final AS (
+  SELECT doc_id, {_SPLIT_SQL} AS split FROM near WHERE doc_id = canon_near
+)
+SELECT (SELECT COUNT(*) FROM documents) AS n_raw,
+       (SELECT COUNT(*) FROM quality)   AS n_quality,
+       (SELECT COUNT(*) FROM exact WHERE doc_id = canon_exact) AS n_exact,
+       (SELECT COUNT(*) FROM final)     AS n_near,
+       (SELECT COUNT(*) FROM final WHERE split = 'train') AS n_train,
+       (SELECT COUNT(*) FROM final WHERE split = 'eval')  AS n_eval
 """

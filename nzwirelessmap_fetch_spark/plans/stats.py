@@ -239,3 +239,88 @@ WITH counts AS (
 SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
 FROM ranked WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: median absolute deviation
+# ---------------------------------------------------------------------------
+
+MAD_OUTLIER_K = 3  # |dev| > K * MAD flags an outlier
+
+
+def agg_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median / MAD / outlier count of event values per type — the robust
+    twin of events_anomaly_zscore (mean/std break under the heavy tails
+    a z-score is supposed to find; median/MAD don't).
+
+    Three passes over events, each a small-key aggregation with map-side
+    combine, stitched with broadcasts of the tiny per-type stats: median
+    per type → |dev| vs the broadcast median → MAD per type → outlier
+    count vs the broadcast MAD. At 100 TB the exact group-gathering
+    percentile swaps for approx_percentile (agg_quantiles documents the
+    same trade); the pass structure is unchanged.
+
+    Exactness: values go through DECIMAL(18,2) so the interpolated
+    median is arithmetic on exact inputs — the identical IEEE expression
+    both engines evaluate (the agg_quantiles parity precedent).
+    """
+    e = Catalog(spark, sf_dir).table("events").select(
+        "event_type", F.col("value").cast("decimal(18,2)").cast("double").alias("v")
+    )
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(v, 0.5)").alias("med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("med").alias("med_raw"),
+            F.max("mad").alias("mad_raw"),
+            F.sum(
+                (F.col("adev") > MAD_OUTLIER_K * F.col("mad")).cast("int")
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            _pin(F.col("med_raw")).alias("med_value"),
+            _pin(F.col("mad_raw")).alias("mad_value"),
+            "n_outliers",
+        )
+    )
+
+
+AGG_ROBUST_MAD_SQL = f"""
+WITH e AS (
+  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v
+  FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(v, 0.5) AS med, COUNT(*) AS n
+  FROM e GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, ABS(e.v - m.med) AS adev, m.med, m.n
+  FROM e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       MAX(d.n) AS n,
+       CAST(CAST(MAX(d.med) AS DECIMAL(18,6)) AS DOUBLE) AS med_value,
+       CAST(CAST(MAX(m.mad) AS DECIMAL(18,6)) AS DOUBLE) AS mad_value,
+       SUM(CASE WHEN d.adev > {MAD_OUTLIER_K} * m.mad THEN 1 ELSE 0 END)
+         AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""

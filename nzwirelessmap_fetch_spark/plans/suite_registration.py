@@ -150,6 +150,10 @@ registry.register("agg_stats_moments", _st.agg_stats_moments, _st.AGG_STATS_MOME
 registry.register("agg_bitwise", _st.agg_bitwise, _st.AGG_BITWISE_SQL)
 registry.register("agg_string_agg", _st.agg_string_agg, _st.AGG_STRING_AGG_SQL)
 registry.register("agg_mode", _st.agg_mode, _st.AGG_MODE_SQL)
+registry.register("agg_robust_mad", _st.agg_robust_mad, _st.AGG_ROBUST_MAD_SQL)
+registry.register(
+    "corpus_curation_report", _cp.corpus_curation_report, _cp.CORPUS_CURATION_REPORT_SQL
+)
 
 # Mergeable sketches & sampling (operators/sketches.py): count-min
 # point-frequency sketch (md5-slice hashing, oracle replays estimates
