@@ -305,3 +305,62 @@ SELECT col_name,
 FROM unpivoted
 GROUP BY col_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids
+# ---------------------------------------------------------------------------
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class centroids of the embedding table (§2.4 similarity substrate):
+    the per-label mean vector, emitted as (label, dim, mean_val) rows —
+    the nearest-class-mean classifier / cluster-drift monitor primitive.
+
+    Exactness: components quantize to 1e-8 fixed point BEFORE summation —
+    ``floor(double(x) · 1e8)`` is bit-identical in any IEEE engine (the
+    float→DECIMAL cast is NOT: Spark rounds via the double's shortest
+    string, DuckDB from the exact binary value, and the two disagree on
+    boundary values) — so the sum is an exact BIGINT and the mean one
+    shared double expression. Plan: posexplode is map-side fan-out
+    (|vecs|·64 narrow rows), then ONE partial-aggregated shuffle on the
+    (label, dim) key — 64·|labels| groups. Emitting rows (not arrays)
+    avoids a second per-label collect exchange; downstream consumers of
+    a centroid MATRIX pivot these few rows, not the data.
+    """
+    e = Catalog(spark, sf_dir).table("embeddings")
+    exploded = e.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("x").cast("double") * F.lit(1e8)).cast("long").alias("fx"),
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("fx").alias("sfx"))
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            (F.col("sfx").cast("double") / F.col("n_vecs") / F.lit(1e8))
+            .cast("decimal(18,8)")
+            .cast("double")
+            .alias("mean_val"),
+        )
+    )
+
+
+EMBEDDING_LABEL_CENTROIDS_SQL = """
+WITH exploded AS (
+  SELECT label, u.dim - 1 AS dim,
+         CAST(FLOOR(CAST(u.x AS DOUBLE) * 100000000.0) AS BIGINT) AS fx
+  FROM embeddings,
+  LATERAL (SELECT UNNEST(embedding) AS x,
+                  UNNEST(generate_series(1, len(embedding))) AS dim) u
+)
+SELECT label, dim, COUNT(*) AS n_vecs,
+       CAST(CAST(CAST(SUM(fx) AS DOUBLE) / COUNT(*) / 100000000.0
+                 AS DECIMAL(18,8)) AS DOUBLE) AS mean_val
+FROM exploded
+GROUP BY label, dim
+"""

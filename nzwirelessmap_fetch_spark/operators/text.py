@@ -732,3 +732,67 @@ SELECT t.doc_id,
 FROM tokens t JOIN buckets b USING (term)
 GROUP BY t.doc_id
 """
+
+
+# Tracking params stripped by canonicalization; the repeated group also
+# swallows the separator so surviving params re-join cleanly.
+_TRACKING_RE = r"(utm_[a-z]+|ref)=[^&]*&?"
+
+
+def corpus_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + collision rollup (§2.4 corpus ops): the
+    crawl-frontier dedup step — strip tracking parameters, then group by
+    canonical URL to find pages fetched under many raw variants. (The
+    fixtures carry no URL column, so raw URLs derive deterministically
+    from (source, lang, doc_id) — the CANONICALIZATION is the operator
+    under test and both engines build identical inputs.)
+
+    Row-local regex canonicalization (scan-bound, zero shuffles), then
+    ONE keyed agg on the canonical URL. At 100 TB this is the exact
+    shape of exact dedup: uniform hash-like key, no skew beyond true
+    hot pages — which is the signal being measured.
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    raw = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/p/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?utm_source=feed&utm_campaign="),
+        F.col("lang"),
+        F.lit("&ref="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&id="),
+        (F.col("doc_id") % 50).cast("string"),
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(raw, _TRACKING_RE, ""), r"[?&]$", ""
+    )
+    return (
+        d.select("doc_id", raw.alias("raw_url"), canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("raw_url").alias("n_raw_variants"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+    )
+
+
+CORPUS_URL_CANONICAL_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/p/' || CAST(doc_id % 50 AS VARCHAR)
+         || '?utm_source=feed&utm_campaign=' || lang
+         || '&ref=' || CAST(doc_id % 7 AS VARCHAR)
+         || '&id=' || CAST(doc_id % 50 AS VARCHAR) AS raw_url
+  FROM documents
+)
+SELECT regexp_replace(regexp_replace(raw_url, '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
+                      '[?&]$', '') AS canonical_url,
+       COUNT(*) AS n_pages,
+       COUNT(DISTINCT raw_url) AS n_raw_variants,
+       MIN(doc_id) AS canonical_id
+FROM u
+GROUP BY 1
+"""

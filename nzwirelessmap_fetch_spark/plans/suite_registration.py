@@ -177,6 +177,12 @@ registry.register("events_top_paths", _ea.events_top_paths, _ea.EVENTS_TOP_PATHS
 registry.register("sim_range_search", _sim.sim_range_search, _sim.SIM_RANGE_SEARCH_SQL)
 registry.register("corpus_span_dedup", _tx.corpus_span_dedup, _tx.CORPUS_SPAN_DEDUP_SQL)
 registry.register("corpus_rarity_score", _tx.corpus_rarity_score, _tx.CORPUS_RARITY_SCORE_SQL)
+registry.register("corpus_url_canonical", _tx.corpus_url_canonical, _tx.CORPUS_URL_CANONICAL_SQL)
+registry.register(
+    "embedding_label_centroids",
+    _sk.embedding_label_centroids,
+    _sk.EMBEDDING_LABEL_CENTROIDS_SQL,
+)
 
 # LAST by design: these four all consume the memoized verified-Jaccard
 # pair build — the single most expensive piece of the sf0.01 gate
