@@ -1582,3 +1582,67 @@ SELECT CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'both'
 FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
 GROUP BY 1
 """
+
+
+ZORDER_BITS = 16   # bits interleaved per dimension → 32-bit Z-value
+ZTILE_SHIFT = 14   # tile id = z >> 14: 256 tiles at sf0.01 key ranges, grows with scale
+
+
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key + tile profile (§2.3 data layout):
+    bit-interleave (l_partkey, l_suppkey) into one 32-bit Z-value and
+    profile the 256 top-level Z-tiles — the multi-column clustering
+    primitive behind Delta/Iceberg OPTIMIZE ZORDER. Rows sorted by this
+    key co-locate 2-D neighborhoods, so a scan filtered on EITHER column
+    touches O(√tiles) files instead of all of them; the tile profile
+    (min/max of both keys per tile) is exactly the file-skipping metadata
+    such a layout yields at 100 TB.
+
+    Pure integer bit arithmetic (fold over 16 bit positions) — row-local,
+    zero shuffles until the 256-group rollup; bit-identical cross-engine.
+    """
+    li = Catalog(spark, sf_dir).table("lineitem")
+    z = F.expr(
+        f"""
+        aggregate(sequence(0, {ZORDER_BITS - 1}), CAST(0 AS BIGINT),
+          (acc, j) -> acc
+            + shiftleft(CAST(shiftright(l_partkey % 65536, j) & 1 AS BIGINT), 2*j)
+            + shiftleft(CAST(shiftright(l_suppkey % 65536, j) & 1 AS BIGINT), 2*j + 1))
+        """
+    )
+    return (
+        li.select(
+            F.shiftright(z, ZTILE_SHIFT).cast("int").alias("z_tile"),
+            "l_partkey",
+            "l_suppkey",
+        )
+        .groupBy("z_tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+    )
+
+
+LAYOUT_ZORDER_KEY_SQL = f"""
+WITH z AS (
+  SELECT l_partkey, l_suppkey,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(generate_series(0, {ZORDER_BITS - 1}),
+             j -> ((((l_partkey % 65536) >> j) & 1)::BIGINT << (2*j))
+                + ((((l_suppkey % 65536) >> j) & 1)::BIGINT << (2*j + 1)))),
+           (a, b) -> a + b) AS zval
+  FROM lineitem
+)
+SELECT CAST(zval >> {ZTILE_SHIFT} AS INT) AS z_tile,
+       COUNT(*) AS n_rows,
+       MIN(l_partkey) AS min_part,
+       MAX(l_partkey) AS max_part,
+       MIN(l_suppkey) AS min_supp,
+       MAX(l_suppkey) AS max_supp
+FROM z
+GROUP BY 1
+"""

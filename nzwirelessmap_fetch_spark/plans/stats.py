@@ -324,3 +324,84 @@ SELECT d.event_type,
 FROM dev d JOIN mad m USING (event_type)
 GROUP BY d.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Regression aggregates (REGR_SLOPE / REGR_INTERCEPT / R²) from exact sums
+# ---------------------------------------------------------------------------
+
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares line of l_extendedprice on l_quantity per return
+    flag — the REGR_* aggregate family (slope, intercept, R²), derived
+    from the SAME six exact decimal moment sums as agg_stats_moments:
+    one partial-aggregated shuffle carrying 6 decimals per key, then a
+    per-group scalar projection. Built-in regr_slope/regr_intercept are
+    double-accumulation (order-dependent); the decimal-moment form is
+    exact, so both engines evaluate an identical IEEE tree.
+    """
+    li = Catalog(spark, sf_dir).table("lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum((x * x).cast("decimal(38,4)")).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum((y * y).cast("decimal(38,4)")).alias("syy"),
+        F.sum((x * y).cast("decimal(38,4)")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov_n = sxy - (sx * sy) / n      # n·cov and n·var cancel in the ratio
+    varx_n = sxx - (sx * sx) / n
+    vary_n = syy - (sy * sy) / n
+    slope = cov_n / varx_n
+    intercept = (sy - slope * sx) / n
+    r2 = (cov_n * cov_n) / (varx_n * vary_n)
+    return sums.select(
+        "l_returnflag",
+        "n",
+        _pin(slope).alias("slope"),
+        _pin(intercept).alias("intercept"),
+        _pin(r2).alias("r2"),
+    )
+
+
+AGG_REGRESSION_SQL = """
+WITH sums AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+), d AS (
+  SELECT l_returnflag, n,
+         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         CAST(sxx AS DOUBLE) AS sxxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+  FROM sums
+), t AS (
+  SELECT l_returnflag, n, nd, sxd, syd,
+         sxyd - (sxd * syd) / nd AS cov_n,
+         sxxd - (sxd * sxd) / nd AS varx_n,
+         syyd - (syd * syd) / nd AS vary_n
+  FROM d
+)
+SELECT l_returnflag, n,
+       CAST(CAST(cov_n / varx_n AS DECIMAL(18,6)) AS DOUBLE) AS slope,
+       CAST(CAST((syd - (cov_n / varx_n) * sxd) / nd AS DECIMAL(18,6)) AS DOUBLE)
+         AS intercept,
+       CAST(CAST((cov_n * cov_n) / (varx_n * vary_n) AS DECIMAL(18,6)) AS DOUBLE)
+         AS r2
+FROM t
+"""

@@ -151,6 +151,8 @@ registry.register("agg_bitwise", _st.agg_bitwise, _st.AGG_BITWISE_SQL)
 registry.register("agg_string_agg", _st.agg_string_agg, _st.AGG_STRING_AGG_SQL)
 registry.register("agg_mode", _st.agg_mode, _st.AGG_MODE_SQL)
 registry.register("agg_robust_mad", _st.agg_robust_mad, _st.AGG_ROBUST_MAD_SQL)
+registry.register("agg_regression", _st.agg_regression, _st.AGG_REGRESSION_SQL)
+registry.register("layout_zorder_key", _r.layout_zorder_key, _r.LAYOUT_ZORDER_KEY_SQL)
 registry.register(
     "corpus_curation_report", _cp.corpus_curation_report, _cp.CORPUS_CURATION_REPORT_SQL
 )
