@@ -966,3 +966,81 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 WHERE d.doc_id % {INCREMENTAL_BATCH_MOD} = 0
 """
+
+
+HAMMING_MAX = 3  # ≤3 bit flips: 4-byte banding then has an intact band (pigeonhole)
+
+
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS within Hamming distance ≤ 3 — the banded
+    scale path the signature operator (dedup_simhash) documents: split
+    the 32-bit signature into 4 bytes; any pair within 3 bit flips has
+    ≥ 1 intact byte (pigeonhole), so candidates come from an equi-join
+    on (band, byte) — LOSSLESS for the ≤3 radius, never all-pairs — and
+    each candidate is verified with one bit_count(XOR).
+
+    Scale shape: the banding explode is map-side ×4; the candidate join
+    is keyed by (band, byte value) — 1024 distinct keys whose sizes are
+    the collision classes; verification is row-local. The oracle states
+    the equivalent semantic form directly (all pairs at Hamming ≤ 3 —
+    equal BY the pigeonhole guarantee, which this query therefore pins).
+    """
+    sigs = dedup_simhash(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), 8 * i)
+                        .bitwiseAND(255)
+                        .alias("byte"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.byte").alias("byte"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band", "byte"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= HAMMING_MAX)
+
+
+DEDUP_SIMHASH_HAMMING_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h FROM words
+),
+votes AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN generate_series(0, 31) t(j)
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+"""

@@ -171,6 +171,9 @@ registry.register(
 )
 registry.register("dedup_incremental", _dd.dedup_incremental, _dd.DEDUP_INCREMENTAL_SQL)
 registry.register(
+    "dedup_simhash_hamming", _dd.dedup_simhash_hamming, _dd.DEDUP_SIMHASH_HAMMING_SQL
+)
+registry.register(
     "events_transition_matrix",
     _ea.events_transition_matrix,
     _ea.EVENTS_TRANSITION_MATRIX_SQL,
