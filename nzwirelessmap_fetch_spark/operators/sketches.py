@@ -41,6 +41,28 @@ def _cms_col(key: Column, row: int) -> Column:
     )
 
 
+def _cms_cells(key: Column) -> Column:
+    """Array of the d (row, col) sketch cells a key contributes to."""
+    return F.array(
+        *[
+            F.struct(F.lit(i).alias("r"), _cms_col(key, i).alias("c"))
+            for i in range(CMS_DEPTH)
+        ]
+    )
+
+
+def cms_cell_counts(df: DataFrame, key: str = "user_id") -> DataFrame:
+    """The sketch build: explode each row into its d cells, count per
+    cell — ONE partial-aggregated shuffle over d·w fixed cells. Shared by
+    the batch query, the streaming query, and the property tests so the
+    three sketches can never silently diverge."""
+    return (
+        df.select(F.explode(_cms_cells(F.col(key))).alias("cell"))
+        .groupBy(F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over the event stream's user_id frequencies,
     probed at the exact top-20 users (§2.3 sketch family: the
@@ -59,18 +81,7 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (not bounds) are compared — a drifting cell flips the hash.
     """
     e = Catalog(spark, sf_dir).table("events")
-    # sketch build: explode each event into its d (row, col) cells
-    cells = F.array(
-        *[
-            F.struct(F.lit(i).alias("r"), _cms_col(F.col("user_id"), i).alias("c"))
-            for i in range(CMS_DEPTH)
-        ]
-    )
-    counters = (
-        e.select(F.explode(cells).alias("cell"))
-        .groupBy(F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    counters = cms_cell_counts(e)
     # deterministic probe set: exact top-K users (count desc, user_id asc)
     top = (
         e.groupBy("user_id")
@@ -87,7 +98,7 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = top.select(
         "user_id",
         "exact_n",
-        F.explode(cells).alias("cell"),
+        F.explode(_cms_cells(F.col("user_id"))).alias("cell"),
     ).select("user_id", "exact_n", F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
     est = (
         probes.join(F.broadcast(counters), ["r", "c"])

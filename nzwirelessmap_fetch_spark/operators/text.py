@@ -734,9 +734,21 @@ GROUP BY t.doc_id
 """
 
 
-# Tracking params stripped by canonicalization; the repeated group also
-# swallows the separator so surviving params re-join cleanly.
-_TRACKING_RE = r"(utm_[a-z]+|ref)=[^&]*&?"
+# Tracking params stripped by canonicalization. The param name is
+# anchored on its [?&] separator (an unanchored '(utm_…|ref)=' would
+# corrupt names that merely END in the pattern: '?pref=1&id=2' must not
+# lose 'ref=1&'). Strategy: unify '?'→'&', strip '&name=value' whole,
+# restore the first '&' to '?' — each step one regex both engines share.
+_TRACKING_RE = r"&(utm_[a-z]+|ref)=[^&]*"
+
+
+def canonical_url(col) -> F.Column:
+    """Strip tracking params from a URL column (the 3-step chain above)."""
+    return F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(col, r"\?", "&"), _TRACKING_RE, ""),
+        r"^([^&]*)&",
+        r"$1?",
+    )
 
 
 def corpus_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -765,9 +777,7 @@ def corpus_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("&id="),
         (F.col("doc_id") % 50).cast("string"),
     )
-    canonical = F.regexp_replace(
-        F.regexp_replace(raw, _TRACKING_RE, ""), r"[?&]$", ""
-    )
+    canonical = canonical_url(raw)
     return (
         d.select("doc_id", raw.alias("raw_url"), canonical.alias("canonical_url"))
         .groupBy("canonical_url")
@@ -788,8 +798,10 @@ WITH u AS (
          || '&id=' || CAST(doc_id % 50 AS VARCHAR) AS raw_url
   FROM documents
 )
-SELECT regexp_replace(regexp_replace(raw_url, '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
-                      '[?&]$', '') AS canonical_url,
+SELECT regexp_replace(
+         regexp_replace(regexp_replace(raw_url, '\\?', '&'),
+                        '&(utm_[a-z]+|ref)=[^&]*', '', 'g'),
+         '^([^&]*)&', '\\1?') AS canonical_url,
        COUNT(*) AS n_pages,
        COUNT(DISTINCT raw_url) AS n_raw_variants,
        MIN(doc_id) AS canonical_id

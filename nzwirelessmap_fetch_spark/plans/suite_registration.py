@@ -189,7 +189,7 @@ registry.register(
     _sk.EMBEDDING_LABEL_CENTROIDS_SQL,
 )
 
-# LAST by design: these four all consume the memoized verified-Jaccard
+# LAST by design: these queries all consume the memoized verified-Jaccard
 # pair build — the single most expensive piece of the sf0.01 gate
 # (~20 s). The driver's correctness harness runs in registration order
 # under a global budget (round 1 cut off at entry #50); putting the

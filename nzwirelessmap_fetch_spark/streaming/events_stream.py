@@ -70,13 +70,15 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_STATE_PARTITIONS = 8
 
 
-def _run_to_completion(agg: DataFrame, spark: SparkSession) -> DataFrame:
+def _run_to_completion(
+    agg: DataFrame, spark: SparkSession, mode: str = "append"
+) -> DataFrame:
     name = f"stream_out_{next(_query_counter)}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
     try:
         q = (
-            agg.writeStream.outputMode("append")
+            agg.writeStream.outputMode(mode)
             .format("memory")
             .queryName(name)
             .start()
@@ -477,37 +479,11 @@ def stream_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch replay (same md5-slice hashing in DuckDB) produces the
     identical 2048-cell table regardless of micro-batch boundaries.
     """
-    from ..operators.sketches import CMS_DEPTH, _cms_col
+    from ..operators.sketches import cms_cell_counts
 
-    s = _event_stream(spark, sf_dir)
-    cells = F.array(
-        *[
-            F.struct(F.lit(i).alias("r"), _cms_col(F.col("user_id"), i).alias("c"))
-            for i in range(CMS_DEPTH)
-        ]
-    )
-    agg = (
-        s.select(F.explode(cells).alias("cell"))
-        .groupBy(F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    name = f"stream_out_{next(_query_counter)}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
-    try:
-        q = (
-            agg.writeStream.outputMode("complete")  # snapshot the whole sketch
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
+    agg = cms_cell_counts(_event_stream(spark, sf_dir))
+    # complete mode snapshots the whole (bounded) sketch each micro-batch
+    return _run_to_completion(agg, spark, mode="complete")
 
 
 def _stream_cms_cells_sql() -> str:

@@ -240,22 +240,11 @@ def test_cms_never_undercounts(spark, keys):
         CMS_DEPTH,
         CMS_WIDTH,
         _cms_col,
+        cms_cell_counts,
     )
 
     df = spark.createDataFrame([(k,) for k in keys], "user_id long")
-    cells = F.array(
-        *[
-            F.struct(F.lit(i).alias("r"), _cms_col(F.col("user_id"), i).alias("c"))
-            for i in range(CMS_DEPTH)
-        ]
-    )
-    counters = {
-        (r.r, r.c): r.cnt
-        for r in df.select(F.explode(cells).alias("cell"))
-        .groupBy(F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    }
+    counters = {(r.r, r.c): r.cnt for r in cms_cell_counts(df).collect()}
     coords = {
         r.user_id: [r[f"h{i}"] for i in range(CMS_DEPTH)]
         for r in df.distinct()
@@ -299,3 +288,23 @@ def test_weighted_sample_priority_scales_inverse_weight(spark, docs):
     }
     for k in a:
         assert doubled[k] <= a[k]
+
+
+def test_canonical_url_anchors_param_names(spark):
+    """The tracking-param stripper must not corrupt params whose NAMES
+    merely end in 'ref' or embed 'utm_' (pref, href, aff_ref…) — the
+    unanchored form turned '?pref=1&id=2' into '?pid=2'."""
+    from nzwirelessmap_fetch_spark.operators.text import canonical_url
+
+    cases = {
+        "https://x.com/p?pref=1&id=2": "https://x.com/p?pref=1&id=2",
+        "https://x.com/p?href=https://y.com&id=2": "https://x.com/p?href=https://y.com&id=2",
+        "https://x.com/p?utm_source=a&id=2": "https://x.com/p?id=2",
+        "https://x.com/p?id=2&utm_campaign=b": "https://x.com/p?id=2",
+        "https://x.com/p?ref=7&utm_medium=c&id=2": "https://x.com/p?id=2",
+        "https://x.com/p?utm_source=a": "https://x.com/p",
+        "https://x.com/p": "https://x.com/p",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    got = {r.u: r.c for r in df.select("u", canonical_url(F.col("u")).alias("c")).collect()}
+    assert got == cases

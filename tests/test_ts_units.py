@@ -9,8 +9,6 @@ pins that both read paths agree on the truncated-to-micros value.
 
 from __future__ import annotations
 
-import datetime as dt
-
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -47,18 +45,14 @@ def _write_events(tmp_path, unit: str) -> str:
 def test_events_read_truncates_to_identical_micros(tmp_path, spark, unit):
     sf_dir = _write_events(tmp_path, unit)
     assert parquet_ts_unit(f"{sf_dir}/events.parquet", "ts") == unit
+    # compare epoch micros: collect() renders TimestampType through the
+    # PYTHON process's local timezone, so naive-datetime comparison would
+    # break on a non-UTC host even though both read paths are correct.
     rows = (
         Catalog(spark, sf_dir)
         .table("events")
         .orderBy("event_id")
-        .select("ts")
+        .selectExpr("unix_micros(ts) AS us")
         .collect()
     )
-    # both units land on the same micros instants (ns tail truncated)
-    expect = [
-        dt.datetime(2024, 1, 1, 0, 0, 0, tzinfo=dt.timezone.utc)
-        + dt.timedelta(microseconds=i)
-        for i in range(4)
-    ]
-    got = [r.ts.replace(tzinfo=dt.timezone.utc) for r in rows]
-    assert got == expect
+    assert [r.us for r in rows] == [_BASE_US + i for i in range(4)]
