@@ -87,3 +87,85 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts > c.ts
 """
+
+
+TOLERANCE_S = 1800  # forward attribution window: 30 minutes
+
+
+def asof_click_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance (the conversion-attribution
+    variant): for every click, the NEXT purchase of the same user with
+    ``purchase.ts > click.ts`` — kept only when it lands within 30
+    minutes, else NULLs (click didn't convert).
+
+    Same union-and-carry shape as the backward join, run in DESCENDING
+    time order so ``last(..., ignoreNulls)`` carries the nearest LATER
+    purchase backward onto each click: ONE user-keyed exchange, no join,
+    no pair materialization. The tolerance is a row-local post-filter
+    that nulls the match — it cannot change which purchase matched, so
+    semantics stay exactly "nearest, then bounded".
+
+    DuckDB oracle: native ASOF LEFT JOIN on ``c.ts < p.ts`` (nearest
+    strictly-later) wrapped in the same tolerance CASE.
+    """
+    e = Catalog(spark, sf_dir).table("events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("marker"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("timestamp").alias("purchase_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("marker"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    # Descending ts: the frame holds strictly-later events. At EQUAL ts a
+    # purchase must NOT be visible (strict >), so clicks (marker 1) sort
+    # first at a tie — the purchase lands after the click row and stays
+    # out of its frame. purchase_id tie-breaks purchases deterministically.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("marker"), "purchase_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = clicks.unionAll(purchases).select(
+        "user_id",
+        "ts",
+        "marker",
+        "click_id",
+        F.last("purchase_id", ignorenulls=True).over(w).alias("next_purchase_id"),
+        F.last("purchase_ts", ignorenulls=True).over(w).alias("next_purchase_ts"),
+    )
+    gap = F.unix_micros(F.col("next_purchase_ts")) - F.unix_micros(F.col("ts"))
+    within = gap <= TOLERANCE_S * 1_000_000
+    return (
+        carried.filter(F.col("marker") == 1)
+        .select(
+            F.col("click_id").alias("event_id"),
+            "user_id",
+            "ts",
+            F.when(within, F.col("next_purchase_id")).alias("purchase_id"),
+            F.when(within, (gap / 1_000_000).cast("decimal(18,6)").cast("double")).alias(
+                "gap_s"
+            ),
+        )
+    )
+
+
+ASOF_CLICK_NEXT_PURCHASE_SQL = f"""
+SELECT c.event_id, c.user_id, c.ts,
+       CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= {TOLERANCE_S} * 1000000
+            THEN p.event_id END AS purchase_id,
+       CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= {TOLERANCE_S} * 1000000
+            THEN CAST(CAST((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0
+                      AS DECIMAL(18,6)) AS DOUBLE) END AS gap_s
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts < p.ts
+"""

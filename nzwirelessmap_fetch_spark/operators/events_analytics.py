@@ -398,3 +398,106 @@ GROUP BY path
 ORDER BY n_journeys DESC, path
 LIMIT {PATHS_TOPK}
 """
+
+
+def _islands(e: DataFrame, event_type: str, label: str) -> DataFrame:
+    """30-min gap-coalesced activity islands for one event type — the
+    events_interval_coalesce chain reused as a building block."""
+    s = e.filter(F.col("event_type") == event_type).select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("ts") + F.expr(f"INTERVAL {COALESCE_WINDOW_MIN} MINUTES")).alias("end_ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_max_end = F.max("end_ts").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    s = s.withColumn(
+        "new_island",
+        F.when(prev_max_end.isNull() | (F.col("ts") > prev_max_end), 1).otherwise(0),
+    ).withColumn(
+        "island", F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return s.groupBy("user_id", "island").agg(
+        F.min("ts").alias(f"{label}_start"), F.max("end_ts").alias(f"{label}_end")
+    ).select("user_id", F.col("island").cast("int").alias(f"{label}_island"),
+             f"{label}_start", f"{label}_end")
+
+
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (§2.3 theta/range family, the two-sided
+    variant): per-user CLICK activity islands × VIEW activity islands,
+    keeping pairs that overlap in time, with the overlap duration — the
+    "which engagement spans coincided" primitive (range join probes a
+    point against intervals; this joins intervals against intervals).
+
+    Plan: each island set is the interval_coalesce chain (one user
+    exchange each); the pair join is an equi-join ON user_id with the
+    overlap predicate as a residual — fan-in per user is bounded by that
+    user's island count, so the quadratic term is per-key tiny, never
+    corpus-wide. At 100 TB both sides bucket by user_id and the join is
+    co-located. Overlap length is exact integer micros → pinned seconds.
+    """
+    e = Catalog(spark, sf_dir).table("events")
+    a = _islands(e, "click", "click")
+    b = _islands(e, "view", "view")
+    ov_start = F.greatest(F.col("click_start"), F.col("view_start"))
+    ov_end = F.least(F.col("click_end"), F.col("view_end"))
+    return (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("click_start") < F.col("view_end"))
+            & (F.col("view_start") < F.col("click_end"))
+        )
+        .select(
+            "user_id",
+            "click_island",
+            "view_island",
+            ((F.unix_micros(ov_end) - F.unix_micros(ov_start)) / 1_000_000)
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("overlap_s"),
+        )
+    )
+
+
+def _islands_sql(event_type: str, label: str) -> str:
+    return f"""
+{label}_spans AS (
+  SELECT user_id, event_id, ts,
+         ts + INTERVAL {COALESCE_WINDOW_MIN} MINUTE AS end_ts
+  FROM events WHERE event_type = '{event_type}'
+),
+{label}_flagged AS (
+  SELECT user_id, ts, end_ts, event_id,
+         CASE WHEN MAX(end_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+                OR ts > MAX(end_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM {label}_spans
+),
+{label}_numbered AS (
+  SELECT user_id, ts, end_ts,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM {label}_flagged
+),
+{label}_islands AS (
+  SELECT user_id, CAST(island AS INT) AS {label}_island,
+         MIN(ts) AS {label}_start, MAX(end_ts) AS {label}_end
+  FROM {label}_numbered GROUP BY user_id, island
+)"""
+
+
+JOIN_INTERVAL_OVERLAP_SQL = f"""
+WITH {_islands_sql("click", "click").lstrip()},
+{_islands_sql("view", "view").lstrip()}
+SELECT a.user_id, a.click_island, b.view_island,
+       CAST(CAST((epoch_us(LEAST(a.click_end, b.view_end))
+                  - epoch_us(GREATEST(a.click_start, b.view_start))) / 1000000.0
+            AS DECIMAL(18,6)) AS DOUBLE) AS overlap_s
+FROM click_islands a JOIN view_islands b USING (user_id)
+WHERE a.click_start < b.view_end AND b.view_start < a.click_end
+"""

@@ -405,3 +405,52 @@ SELECT l_returnflag, n,
          AS r2
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# Gini impurity (log-free diversity)
+# ---------------------------------------------------------------------------
+
+def agg_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language SOURCE diversity as Gini impurity, 1 − Σpᵢ² — the
+    data-mixing health metric (is each language slice drawing from many
+    sources or dominated by one?). Gini is the log-free twin of Shannon
+    entropy: rational arithmetic on exact counts, so it obeys the
+    no-transcendentals pinning rule where entropy couldn't.
+
+    Two keyed aggregations, both map-side-combining: (lang, source)
+    counts — bounded by the label-pair cardinality — then the per-lang
+    fold of Σnᵢ² and N. The impurity is one fixed expression over two
+    exact integers: 1 − Σnᵢ²/N², identical IEEE tree both engines.
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    pair = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    per_lang = pair.groupBy("lang").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+    )
+    gini = F.lit(1.0) - F.col("sum_sq").cast("double") / (
+        F.col("n_docs").cast("double") * F.col("n_docs").cast("double")
+    )
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "n_sources",
+        gini.cast("decimal(18,6)").cast("double").alias("gini_impurity"),
+    )
+
+
+AGG_GINI_IMPURITY_SQL = """
+WITH pair AS (
+  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2
+)
+SELECT lang,
+       SUM(n) AS n_docs,
+       COUNT(*) AS n_sources,
+       CAST(CAST(1.0 - CAST(SUM(n*n) AS DOUBLE)
+                       / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE))
+            AS DECIMAL(18,6)) AS DOUBLE) AS gini_impurity
+FROM pair
+GROUP BY lang
+"""

@@ -102,6 +102,15 @@ registry.register("sim_ivf_kmeans", _sim.sim_ivf_kmeans, _sim.SIM_IVF_KMEANS_SQL
 registry.register("sim_topk_numpy", _sim.sim_topk_numpy, _sim.SIM_TOPK_NUMPY_SQL)
 
 registry.register("asof_purchase_click", _asof.asof_purchase_click, _asof.ASOF_PURCHASE_CLICK_SQL)
+registry.register(
+    "asof_click_next_purchase",
+    _asof.asof_click_next_purchase,
+    _asof.ASOF_CLICK_NEXT_PURCHASE_SQL,
+)
+registry.register(
+    "join_interval_overlap", _ea.join_interval_overlap, _ea.JOIN_INTERVAL_OVERLAP_SQL
+)
+registry.register("agg_gini_impurity", _st.agg_gini_impurity, _st.AGG_GINI_IMPURITY_SQL)
 registry.register("sessionize", _sess.sessionize, _sess.SESSIONIZE_SQL)
 registry.register("events_scd2", _sess.events_scd2, _sess.EVENTS_SCD2_SQL)
 registry.register("events_gap_fill", _sess.events_gap_fill, _sess.EVENTS_GAP_FILL_SQL)
