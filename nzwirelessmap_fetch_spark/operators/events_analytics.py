@@ -501,3 +501,49 @@ SELECT a.user_id, a.click_island, b.view_island,
 FROM click_islands a JOIN view_islands b USING (user_id)
 WHERE a.click_start < b.view_end AND b.view_start < a.click_end
 """
+
+
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity time rollup (§2.3 aggregation —
+    the charter's 'hypertable rollup' example): minute, hour, and day
+    continuous aggregates of the event stream in ONE pass, via ROLLUP
+    over the truncation hierarchy (day ⊃ hour ⊃ minute).
+
+    Spark lowers the rollup to a single map-side Expand (4 rows per
+    input: minute, hour, day, grand total) feeding ONE
+    partial-aggregated shuffle — the same cost structure as a
+    TimescaleDB continuous-aggregate refresh, with no second pass per
+    granularity (the naive form is one groupBy per level = 3 scans).
+    grouping_id() pins which level each output row belongs to.
+    """
+    e = Catalog(spark, sf_dir).table("events")
+    t = e.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.date_trunc("minute", "ts").alias("minute"),
+        "value",
+    )
+    return (
+        t.rollup("day", "hour", "minute")
+        .agg(
+            # grouping_id() must be computed IN the rollup aggregate
+            F.grouping_id().cast("int").alias("level"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select("day", "hour", "minute", "level", "n", "total_value")
+    )
+
+
+EVENTS_TIME_ROLLUP_SQL = """
+SELECT date_trunc('day', ts)    AS day,
+       date_trunc('hour', ts)   AS hour,
+       date_trunc('minute', ts) AS minute,
+       CAST(GROUPING(date_trunc('day', ts), date_trunc('hour', ts),
+                     date_trunc('minute', ts)) AS INT) AS level,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts),
+                 date_trunc('minute', ts))
+"""
