@@ -547,3 +547,60 @@ FROM events
 GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts),
                  date_trunc('minute', ts))
 """
+
+
+def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile of the event stream (§2.3 streaming
+    support tooling): how late does each event arrive relative to the
+    max event-time already seen in its arrival order? This distribution
+    IS the watermark-delay decision — the delay bound covering p99 of
+    lateness is what ``withWatermark`` should be set to, and this batch
+    profile is how it's chosen from history.
+
+    Arrival order = event_id (the append sequence); lateness = running
+    max(ts) so far (per user) minus ts, banded into standard delay
+    buckets. ONE user-keyed window exchange + a tiny banded rollup.
+    Exact integer micros throughout.
+    """
+    e = Catalog(spark, sf_dir).table("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late_us = F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts"))
+    lateness = F.greatest(late_us, F.lit(0)).alias("late_us")
+    banded = e.select(lateness)
+    band = (
+        F.when(F.col("late_us") == 0, "on-time")
+        .when(F.col("late_us") <= 60 * 1_000_000, "<=1m")
+        .when(F.col("late_us") <= 300 * 1_000_000, "<=5m")
+        .when(F.col("late_us") <= 900 * 1_000_000, "<=15m")
+        .when(F.col("late_us") <= 3600 * 1_000_000, "<=1h")
+        .otherwise(">1h")
+    )
+    return (
+        banded.select(band.alias("lateness_band"))
+        .groupBy("lateness_band")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+EVENTS_LATENESS_PROFILE_SQL = """
+WITH l AS (
+  SELECT GREATEST(
+           COALESCE(epoch_us(MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+                    - epoch_us(ts), 0), 0) AS late_us
+  FROM events
+)
+SELECT CASE WHEN late_us = 0 THEN 'on-time'
+            WHEN late_us <= 60 * 1000000 THEN '<=1m'
+            WHEN late_us <= 300 * 1000000 THEN '<=5m'
+            WHEN late_us <= 900 * 1000000 THEN '<=15m'
+            WHEN late_us <= 3600 * 1000000 THEN '<=1h'
+            ELSE '>1h' END AS lateness_band,
+       COUNT(*) AS n_events
+FROM l
+GROUP BY 1
+"""

@@ -112,6 +112,11 @@ registry.register(
 )
 registry.register("agg_gini_impurity", _st.agg_gini_impurity, _st.AGG_GINI_IMPURITY_SQL)
 registry.register("events_time_rollup", _ea.events_time_rollup, _ea.EVENTS_TIME_ROLLUP_SQL)
+registry.register(
+    "events_lateness_profile",
+    _ea.events_lateness_profile,
+    _ea.EVENTS_LATENESS_PROFILE_SQL,
+)
 registry.register("sessionize", _sess.sessionize, _sess.SESSIONIZE_SQL)
 registry.register("events_scd2", _sess.events_scd2, _sess.EVENTS_SCD2_SQL)
 registry.register("events_gap_fill", _sess.events_gap_fill, _sess.EVENTS_GAP_FILL_SQL)
