@@ -1044,3 +1044,102 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 """
+
+
+def dedup_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit (§2.4 dedup meta-tooling): precision and
+    recall of the MinHash-LSH candidate generator against the EXACT
+    Jaccard ≥ 0.5 pair set — the evaluation every production dedup
+    deployment runs before trusting a banding configuration, expressed
+    as a query over the engine's own operators.
+
+    Candidates come from the band equi-join (dedup_minhash_lsh);
+    ground truth is the memoized verified pair set (the expensive exact
+    build, shared with the Jaccard/CC/PageRank queries). Both sides are
+    canonical (doc_a < doc_b) pair sets, so precision/recall reduce to
+    two keyed anti/semi joins and exact integer counts; the ratios pin
+    as one division each.
+    """
+    cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    truth = _verified_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_hit = (
+        cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    joined = n_cand.join(F.broadcast(n_truth)).join(F.broadcast(n_hit))
+    ratio = lambda num, den: (
+        (F.col(num).cast("double") / F.col(den))
+        .cast("decimal(18,6)")
+        .cast("double")
+    )
+    return joined.select(
+        "n_candidates",
+        "n_true_pairs",
+        "n_hits",
+        ratio("n_hits", "n_candidates").alias("precision"),
+        ratio("n_hits", "n_true_pairs").alias("recall"),
+    )
+
+
+# Oracle: candidate CTE = DEDUP_MINHASH_LSH_SQL's band join; truth CTE =
+# DEDUP_NGRAM_JACCARD_SQL's exact pairs; scalar subqueries count the
+# overlap.
+DEDUP_LSH_QUALITY_EVAL_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w)-1),
+                                 i -> w[i] || ' ' || w[i+1])) AS shingle
+    FROM w WHERE len(w) >= 2)
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh
+),
+perms AS (
+  SELECT i AS perm, 2*i + 1 AS a, 104729*i + 12345 AS b
+  FROM generate_series(0, 15) t(i)
+),
+mh AS (
+  SELECT doc_id, perm, MIN((a*h + b) % 2147483647) AS mh
+  FROM h CROSS JOIN perms
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, perm // 4 AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm) AS sig
+  FROM mh GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+),
+hit AS (SELECT doc_a, doc_b FROM cand INTERSECT SELECT doc_a, doc_b FROM truth)
+SELECT (SELECT COUNT(*) FROM cand)  AS n_candidates,
+       (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+       (SELECT COUNT(*) FROM hit)   AS n_hits,
+       CAST(CAST((SELECT COUNT(*) FROM hit)::DOUBLE
+                 / (SELECT COUNT(*) FROM cand) AS DECIMAL(18,6)) AS DOUBLE)
+         AS precision,
+       CAST(CAST((SELECT COUNT(*) FROM hit)::DOUBLE
+                 / (SELECT COUNT(*) FROM truth) AS DECIMAL(18,6)) AS DOUBLE)
+         AS recall
+"""

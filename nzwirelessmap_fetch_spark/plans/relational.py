@@ -1646,3 +1646,109 @@ SELECT CAST(zval >> {ZTILE_SHIFT} AS INT) AS z_tile,
 FROM z
 GROUP BY 1
 """
+
+
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (§2.3 aggregation): the actual data value at
+    each quantile rank — the percentile_disc/quantile_disc semantic,
+    where agg_quantiles is the interpolated (_cont) twin. Discrete
+    selection sidesteps interpolation arithmetic entirely (the returned
+    value EXISTS in the data), which is why production SLO dashboards
+    prefer it: a p99 latency that was never observed is an artifact.
+
+    Formulation: min value whose cumulative row rank reaches ⌈p·n⌉,
+    via one rank window per group + conditional MIN — one keyed
+    exchange, aggregates ride the same partitioning.
+    """
+    li = Catalog(spark, sf_dir).table("lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    n = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(n).alias("n"),
+    )
+    def disc(p: float, name: str):
+        return F.min(
+            F.when(F.col("rn") >= F.ceil(F.lit(p) * F.col("n")), F.col("v"))
+        ).alias(name)
+    return ranked.groupBy("l_returnflag").agg(
+        F.max("n").alias("n"),
+        disc(0.25, "p25_disc"),
+        disc(0.50, "p50_disc"),
+        disc(0.95, "p95_disc"),
+    )
+
+
+AGG_PERCENTILE_DISC_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       quantile_disc(l_extendedprice, 0.25) AS p25_disc,
+       quantile_disc(l_extendedprice, 0.5)  AS p50_disc,
+       quantile_disc(l_extendedprice, 0.95) AS p95_disc
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+ROLLING_DISTINCT_DAYS = 7
+
+
+def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (§2.3 aggregation —
+    the DAU/WAU shape). COUNT(DISTINCT) does not merge across windows,
+    so the rolling set is computed by fanning each (day, user) pair into
+    the 7 window-ends it supports (map-side sequence+explode on the
+    DEDUPLICATED day grain, not raw events) and counting distinct per
+    window end — the standard exact formulation; an HLL-sketch merge is
+    the at-scale drop-in (agg_approx_distinct documents the trade).
+
+    Exchanges: day-grain dedup (1), windowed distinct (2) — both keyed,
+    partial-aggregated; the ×7 fan-out happens AFTER dedup so it scales
+    with active (day × user), not event volume.
+    """
+    e = Catalog(spark, sf_dir).table("events")
+    day_user = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    fanned = day_user.select(
+        F.explode(
+            F.expr(f"sequence(day, date_add(day, {ROLLING_DISTINCT_DAYS - 1}))")
+        ).alias("window_end"),
+        "user_id",
+    )
+    # per window end: distinct users active in [end-6, end]
+    out = fanned.groupBy("window_end").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    dau = day_user.groupBy(F.col("day").alias("window_end")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    return (
+        out.join(dau, "window_end", "inner")  # only ends that are real days
+        .select(
+            F.date_format("window_end", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+        )
+    )
+
+
+EVENTS_ROLLING_DISTINCT_SQL = f"""
+WITH day_user AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+fanned AS (
+  SELECT CAST(unnest(generate_series(day, day + INTERVAL {ROLLING_DISTINCT_DAYS - 1} DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS window_end,
+         user_id
+  FROM day_user
+),
+wau AS (
+  SELECT window_end, COUNT(DISTINCT user_id) AS wau FROM fanned GROUP BY 1
+),
+dau AS (
+  SELECT day AS window_end, COUNT(DISTINCT user_id) AS dau FROM day_user GROUP BY 1
+)
+SELECT strftime(w.window_end, '%Y-%m-%d') AS day, d.dau, w.wau
+FROM wau w JOIN dau d USING (window_end)
+"""

@@ -117,6 +117,12 @@ registry.register(
     _ea.events_lateness_profile,
     _ea.EVENTS_LATENESS_PROFILE_SQL,
 )
+registry.register("agg_percentile_disc", _r.agg_percentile_disc, _r.AGG_PERCENTILE_DISC_SQL)
+registry.register(
+    "events_rolling_distinct",
+    _r.events_rolling_distinct,
+    _r.EVENTS_ROLLING_DISTINCT_SQL,
+)
 registry.register("sessionize", _sess.sessionize, _sess.SESSIONIZE_SQL)
 registry.register("events_scd2", _sess.events_scd2, _sess.EVENTS_SCD2_SQL)
 registry.register("events_gap_fill", _sess.events_gap_fill, _sess.EVENTS_GAP_FILL_SQL)
@@ -215,6 +221,9 @@ registry.register("dedup_connected_components", _dd.dedup_connected_components, 
 # same oracle: identical output contract, log-round star-contraction algorithm
 registry.register("dedup_cc_star", _dd.dedup_cc_star, _dd.DEDUP_CONNECTED_COMPONENTS_SQL)
 registry.register("graph_pagerank", _gr.graph_pagerank, _gr.GRAPH_PAGERANK_SQL)
+registry.register(
+    "dedup_lsh_quality_eval", _dd.dedup_lsh_quality_eval, _dd.DEDUP_LSH_QUALITY_EVAL_SQL
+)
 registry.register(
     "graph_triangle_count", _gr.graph_triangle_count, _gr.GRAPH_TRIANGLE_COUNT_SQL
 )
