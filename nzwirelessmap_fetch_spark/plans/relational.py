@@ -1752,3 +1752,53 @@ dau AS (
 SELECT strftime(w.window_end, '%Y-%m-%d') AS day, d.dau, w.wau
 FROM wau w JOIN dau d USING (window_end)
 """
+
+
+def window_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function tie semantics pinned (§2.3 windows): RANK (gaps
+    after ties) vs DENSE_RANK (no gaps) over the heavily-tied
+    l_quantity column, rolled up per tie group — the query that makes
+    the difference between the three ranking functions auditable (a
+    report that silently swaps rank for dense_rank shifts every
+    position after the first tie).
+
+    One keyed window exchange; the per-(flag, quantity) rollup rides the
+    same partitioning. Tie groups collapse to one row each, so the
+    output is |flags|·|distinct quantities| — audit-sized, not
+    data-sized. row_number is EXCLUDED deliberately: it is
+    tie-nondeterministic without a total order, which is itself part of
+    the pinned lesson (the other window queries always tie-break).
+    """
+    li = Catalog(spark, sf_dir).table("lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    ranked = li.select(
+        "l_returnflag",
+        F.col("l_quantity").alias("qty"),  # integral-valued double: hash-stable as-is
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+    return (
+        ranked.groupBy("l_returnflag", "qty")
+        .agg(
+            F.count(F.lit(1)).alias("tie_size"),
+            F.min("rnk").alias("rank_pos"),
+            F.min("drnk").cast("int").alias("dense_pos"),
+        )
+    )
+
+
+WINDOW_RANK_TIES_SQL = """
+WITH ranked AS (
+  SELECT l_returnflag,
+         l_quantity AS qty,
+         RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rnk,
+         DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS drnk
+  FROM lineitem
+)
+SELECT l_returnflag, qty,
+       COUNT(*) AS tie_size,
+       MIN(rnk) AS rank_pos,
+       CAST(MIN(drnk) AS INT) AS dense_pos
+FROM ranked
+GROUP BY l_returnflag, qty
+"""

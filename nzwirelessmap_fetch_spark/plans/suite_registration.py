@@ -118,6 +118,7 @@ registry.register(
     _ea.EVENTS_LATENESS_PROFILE_SQL,
 )
 registry.register("agg_percentile_disc", _r.agg_percentile_disc, _r.AGG_PERCENTILE_DISC_SQL)
+registry.register("window_rank_ties", _r.window_rank_ties, _r.WINDOW_RANK_TIES_SQL)
 registry.register(
     "events_rolling_distinct",
     _r.events_rolling_distinct,
