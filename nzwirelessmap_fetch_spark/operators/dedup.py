@@ -1062,19 +1062,29 @@ def dedup_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     truth = _verified_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-    n_truth = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
-    n_hit = (
-        cand.join(truth, ["doc_a", "doc_b"], "left_semi")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    hit = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+    # three scalar counts folded through ONE tagged union + conditional
+    # agg — no 1-row joins (dedup.py carries a no-broadcast-hint pin, and
+    # an unhinted 1-row join degenerates to a cartesian node)
+    tagged = (
+        cand.select(F.lit("cand").alias("k"))
+        .unionAll(truth.select(F.lit("truth").alias("k")))
+        .unionAll(hit.select(F.lit("hit").alias("k")))
     )
-    joined = n_cand.join(F.broadcast(n_truth)).join(F.broadcast(n_hit))
-    ratio = lambda num, den: (
-        (F.col(num).cast("double") / F.col(den))
-        .cast("decimal(18,6)")
-        .cast("double")
+    counts = tagged.groupBy().agg(
+        F.sum((F.col("k") == "cand").cast("long")).alias("n_candidates"),
+        F.sum((F.col("k") == "truth").cast("long")).alias("n_true_pairs"),
+        F.sum((F.col("k") == "hit").cast("long")).alias("n_hits"),
     )
-    return joined.select(
+
+    def ratio(num: str, den: str) -> F.Column:
+        return (
+            (F.col(num).cast("double") / F.col(den))
+            .cast("decimal(18,6)")
+            .cast("double")
+        )
+
+    return counts.select(
         "n_candidates",
         "n_true_pairs",
         "n_hits",
