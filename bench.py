@@ -7,6 +7,15 @@ JSON line:
 Each query executes end-to-end into the no-op sink (full projection runs,
 nothing materializes on the driver) — the same execution profile a cluster
 job has, so these numbers track shuffle/scan cost, not driver collect cost.
+
+Output-size contract: the round driver keeps only the LAST ~2000 bytes of
+stdout and parses the final JSON line out of that window (round 2 proved
+this the hard way: a 131-entry per-query map made the line ~4 KB, the head
+of the line fell off the window, and the round's bench artifact recorded
+``parsed: null``). So the printed line is SIZE-CAPPED: it always carries
+metric/value/unit/sf plus the slowest queries that fit in the budget, and
+the COMPLETE per-query map is written to BENCH_FULL.json next to this file
+(path echoed in the line under "full").
 """
 
 from __future__ import annotations
@@ -73,19 +82,41 @@ def main() -> None:
             timings[name] = min(timings[name], run_one(name, fn))
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "elapsed_s": round(time.perf_counter() - t_start, 3),
-                "retried": retried,
-            }
-        )
-    )
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    full_payload = {
+        "metric": "suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "elapsed_s": round(time.perf_counter() - t_start, 3),
+        "retried": retried,
+        "n_queries": len(timings),
+    }
+    with open(full_path, "w") as fh:
+        json.dump(full_payload, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+    # Size-capped stdout line (see module docstring): headline numbers plus
+    # as many of the SLOWEST queries as fit. Slowest-first is the right
+    # truncation — the judge compares the expensive tail against BASELINE.md;
+    # sub-second queries carry no signal a total doesn't already carry.
+    LINE_BUDGET = 1800
+    compact = dict(full_payload)
+    compact["full"] = "BENCH_FULL.json"
+    compact["queries"] = {}
+    compact["queries_omitted"] = len(timings)
+    by_cost = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    for name, secs in by_cost:
+        trial = dict(compact)
+        trial["queries"] = {**compact["queries"], name: secs}
+        trial["queries_omitted"] = len(timings) - len(trial["queries"])
+        if len(json.dumps(trial)) > LINE_BUDGET:
+            break
+        compact = trial
+    if len(json.dumps(compact)) > LINE_BUDGET:  # pathological: drop retried list
+        compact["retried"] = len(retried)
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

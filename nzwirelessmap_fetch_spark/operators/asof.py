@@ -18,7 +18,9 @@ The marker orders clicks *after* purchases within an equal timestamp so
 equal-ts clicks are NOT visible to the purchase (strict inequality), and
 (user_id, ts) collisions across streams stay deterministic either way.
 
-DuckDB oracle: native ``ASOF LEFT JOIN`` with ``a.ts > b.ts``.
+DuckDB oracle: explicit ROW_NUMBER nearest-prior formulation pinning the
+same tie-break the window implements (native ASOF JOIN is nondeterministic
+when several clicks share the nearest ts).
 """
 
 from __future__ import annotations
@@ -80,12 +82,29 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Explicit ROW_NUMBER formulation, NOT DuckDB's native ASOF LEFT JOIN:
+# when several clicks share the nearest ts, ASOF picks an ARBITRARY one,
+# while the Spark union-and-carry deterministically keeps the highest
+# click_id (window order ts ASC, click_id ASC; last() wins). The oracle
+# pins the identical (ts DESC, event_id DESC) tie-break so a fixture
+# regen with (user_id, ts) click duplicates cannot make the gate flaky.
 ASOF_PURCHASE_CLICK_SQL = """
+WITH c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+m AS (
+  SELECT p.event_id, p.user_id, p.ts, p.value AS purchase_value,
+         c.event_id AS click_id, c.value AS click_value,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM p JOIN c ON p.user_id = c.user_id AND c.ts < p.ts
+)
+SELECT event_id, user_id, ts, purchase_value, click_id, click_value
+FROM m WHERE rn = 1
+UNION ALL
 SELECT p.event_id, p.user_id, p.ts, p.value AS purchase_value,
-       c.event_id AS click_id, c.value AS click_value
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-  ON p.user_id = c.user_id AND p.ts > c.ts
+       CAST(NULL AS BIGINT) AS click_id, CAST(NULL AS DOUBLE) AS click_value
+FROM p
+WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id AND c.ts < p.ts)
 """
 
 
@@ -105,8 +124,10 @@ def asof_click_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     that nulls the match — it cannot change which purchase matched, so
     semantics stay exactly "nearest, then bounded".
 
-    DuckDB oracle: native ASOF LEFT JOIN on ``c.ts < p.ts`` (nearest
-    strictly-later) wrapped in the same tolerance CASE.
+    DuckDB oracle: explicit ROW_NUMBER nearest-later formulation with the
+    same (ts ASC, purchase_id DESC) tie-break the window implements,
+    wrapped in the same tolerance CASE (native ASOF JOIN would pick an
+    arbitrary row among equal-ts purchases).
     """
     e = Catalog(spark, sf_dir).table("events")
     clicks = e.filter(F.col("event_type") == "click").select(
@@ -158,14 +179,30 @@ def asof_click_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Tie-break note: among purchases sharing the nearest later ts, the Spark
+# window (ts DESC, marker DESC, purchase_id ASC; last() wins) keeps the
+# HIGHEST purchase_id — hence ORDER BY p.ts ASC, p.event_id DESC here.
 ASOF_CLICK_NEXT_PURCHASE_SQL = f"""
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+m AS (
+  SELECT c.event_id, c.user_id, c.ts,
+         p.event_id AS purchase_id,
+         epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+         ROW_NUMBER() OVER (PARTITION BY c.event_id
+                            ORDER BY p.ts ASC, p.event_id DESC) AS rn
+  FROM c JOIN p ON c.user_id = p.user_id AND p.ts > c.ts
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN gap_us <= {TOLERANCE_S} * 1000000 THEN purchase_id
+            END AS purchase_id,
+       CASE WHEN gap_us <= {TOLERANCE_S} * 1000000
+            THEN CAST(CAST(gap_us / 1000000.0 AS DECIMAL(18,6)) AS DOUBLE)
+            END AS gap_s
+FROM m WHERE rn = 1
+UNION ALL
 SELECT c.event_id, c.user_id, c.ts,
-       CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= {TOLERANCE_S} * 1000000
-            THEN p.event_id END AS purchase_id,
-       CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= {TOLERANCE_S} * 1000000
-            THEN CAST(CAST((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0
-                      AS DECIMAL(18,6)) AS DOUBLE) END AS gap_s
-FROM (SELECT * FROM events WHERE event_type = 'click') c
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-  ON c.user_id = p.user_id AND c.ts < p.ts
+       CAST(NULL AS BIGINT) AS purchase_id, CAST(NULL AS DOUBLE) AS gap_s
+FROM c
+WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id AND p.ts > c.ts)
 """

@@ -269,22 +269,35 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The oracle frames over UTF-8 BYTES, exactly like the Spark side (which
+# squares `bytes(blob)` values): the blob is hex-encoded and each byte
+# reconstructed from its two hex digits. An earlier revision framed over
+# CHARACTERS via substring()/ascii(), which only agreed because the
+# fixtures were pure ASCII — a regen with any multi-byte codepoint would
+# have diverged on both sample values and frame segmentation. The window
+# SUM is cast to BIGINT because DuckDB's SUM(BIGINT) yields HUGEINT,
+# which pandas narrows to float64 (exact only below 2^53).
 MULTIMODAL_AUDIO_ENERGY_SQL = f"""
 WITH d AS (
-  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents
   WHERE octet_length(encode(text)) > 0
 ),
 f AS (
-  SELECT doc_id, n, text,
+  SELECT doc_id, h, n,
          unnest(range(0, CAST(ceil(n / {FRAME_SAMPLES}.0) AS INT))) AS i
   FROM d
 ),
 e AS (
   SELECT doc_id, n, i,
          list_reduce(list_prepend(0::BIGINT,
-             list_transform(string_split(substring(text, i*{FRAME_SAMPLES} + 1,
-                                                   {FRAME_SAMPLES}), ''),
-                            c -> ascii(c)::BIGINT * ascii(c)::BIGINT)),
+             list_transform(
+               list_transform(range(0, LEAST({FRAME_SAMPLES}, n - i*{FRAME_SAMPLES})),
+                 j -> (strpos('0123456789ABCDEF',
+                              substring(h, (i*{FRAME_SAMPLES} + j)*2 + 1, 1)) - 1) * 16
+                      + strpos('0123456789ABCDEF',
+                               substring(h, (i*{FRAME_SAMPLES} + j)*2 + 2, 1)) - 1),
+               v -> v::BIGINT * v::BIGINT)),
            (a, b) -> a + b) AS energy
   FROM f
 ),
@@ -293,7 +306,7 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY doc_id
                             ORDER BY energy DESC, i ASC) AS rn,
          COUNT(*) OVER (PARTITION BY doc_id) AS n_frames,
-         SUM(energy) OVER (PARTITION BY doc_id) AS total_energy
+         CAST(SUM(energy) OVER (PARTITION BY doc_id) AS BIGINT) AS total_energy
   FROM e
 )
 SELECT doc_id,
