@@ -739,3 +739,166 @@ scored AS (
 )
 SELECT q_id, vec_id, cos FROM scored WHERE cos >= {RANGE_TAU}
 """
+
+
+# Product quantization (§2.4 ANN, the compressed-domain scan): M subspaces
+# × K codewords. At fixture scale the codebook is the K seed subvectors
+# (vec_id < K); at 100 TB you train each subspace codebook with the
+# sim_ivf_kmeans Lloyd recipe on a sample — the plan below is unchanged,
+# only the codebook row's contents differ.
+PQ_M = 8        # subspaces
+PQ_SUBDIM = 8   # dims per subspace (64-dim embeddings)
+PQ_K = 16       # codewords per subspace → 4-bit codes, 8 codes/vector
+
+
+def _pq_sqdist(vec_col: str, m_var: str, k_var: str) -> str:
+    """Spark SQL fragment: squared L2 between subvector ``m`` of
+    ``vec_col`` and codebook entry ``cb[m][k]`` — a left fold in dim
+    order, the same associativity the DuckDB oracle replays."""
+    x = f"CAST(element_at({vec_col}, {m_var}*{PQ_SUBDIM} + d + 1) AS DOUBLE)"
+    c = f"element_at(element_at(element_at(cb, {m_var}+1), {k_var}+1), d+1)"
+    return (
+        f"aggregate(sequence(0, {PQ_SUBDIM - 1}), CAST(0.0 AS DOUBLE), "
+        f"(acc, d) -> acc + ({x} - {c}) * ({x} - {c}))"
+    )
+
+
+def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via product quantization with asymmetric distance computation
+    (ADC) — the compressed-domain scan from Jégou et al., "Product
+    Quantization for Nearest Neighbor Search" (TPAMI 2011).
+
+    Offline path (here, inline): the 64-dim space splits into M=8
+    subspaces; each subspace gets a K=16-codeword codebook; every corpus
+    vector is encoded as 8 argmin codes (4 bits each) — 32× smaller than
+    the raw floats. Query path: per query, an M×K lookup table of exact
+    subspace distances to every codeword; a corpus row's approximate
+    distance is then M table adds — no per-dimension float math against
+    the corpus at all.
+
+    Plan shape (the part that matters at 100 TB):
+    - the codebook is ONE broadcast row (K seed rows folded into a nested
+      array via collect_list — kilobytes, never grows with the corpus);
+    - encode is a zero-shuffle map over the corpus scan (broadcast
+      nested-loop join against the 1-row codebook, then a pure
+      projection). In production the codes are written at rest
+      (8 bytes/vector vs 256), so the ANN scan reads 32× less;
+    - the ADC scan is again map-only: corpus codes × broadcast(5 queries
+      + their LUTs) → fold-add → per-query top-k window (the only
+      exchange, keyed by q_id, same as sim_topk_bruteforce).
+
+    Determinism contract: subspace distances are left folds in dim
+    order; the ADC sum is a left fold in subspace order; argmin
+    tie-breaks to the smallest codeword index — each replayed exactly by
+    the DuckDB oracle, so ranks AND the double-valued distances
+    hash-match.
+    """
+    e = Catalog(spark, sf_dir).table("embeddings")
+    seeds = e.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("k"), F.col("embedding").alias("cemb")
+    )
+    # cb[m][k][d]: K seed rows → one nested-array row (k ordered by vec_id)
+    cb_row = (
+        seeds.agg(F.array_sort(F.collect_list(F.struct("k", "cemb"))).alias("s"))
+        .select(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), m -> "
+                f"  transform(s, x -> "
+                f"    transform(sequence(0, {PQ_SUBDIM - 1}), d -> "
+                f"      CAST(element_at(x.cemb, m*{PQ_SUBDIM} + d + 1) AS DOUBLE))))"
+            ).alias("cb")
+        )
+    )
+
+    # encode: argmin codeword per subspace (first-occurrence = smallest k)
+    dists = f"transform(sequence(0, {PQ_K - 1}), k -> {_pq_sqdist('embedding', 'm', 'k')})"
+    codes_expr = (
+        f"transform(sequence(0, {PQ_M - 1}), m -> "
+        f"  CAST(element_at(transform(array({dists}), "
+        f"    ds -> array_position(ds, array_min(ds))), 1) - 1 AS INT))"
+    )
+    corpus = (
+        e.crossJoin(F.broadcast(cb_row))
+        .select("vec_id", F.expr(codes_expr).alias("codes"))
+    )
+
+    # queries: exact per-codeword LUT, lut[m][k]
+    lut_expr = (
+        f"transform(sequence(0, {PQ_M - 1}), m -> "
+        f"  transform(sequence(0, {PQ_K - 1}), k -> {_pq_sqdist('q_emb', 'm', 'k')}))"
+    )
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+        .crossJoin(F.broadcast(cb_row))
+        .select("q_id", F.expr(lut_expr).alias("lut"))
+    )
+
+    adist_expr = (
+        f"aggregate(sequence(0, {PQ_M - 1}), CAST(0.0 AS DOUBLE), "
+        f"(acc, m) -> acc + element_at(element_at(lut, m+1), "
+        f"element_at(codes, m+1) + 1))"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("adist", F.expr(adist_expr))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "adist", "rank")
+    )
+
+
+def _ddb_pq_sqdist(vec: str, m: str, cvec: str) -> str:
+    """DuckDB twin of ``_pq_sqdist``: same subvector slice, same fold."""
+    x = f"{vec}[{m}*{PQ_SUBDIM} + d + 1]::DOUBLE"
+    c = f"{cvec}[{m}*{PQ_SUBDIM} + d + 1]::DOUBLE"
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(0, {PQ_SUBDIM}), d -> ({x} - {c}) * ({x} - {c}))), "
+        f"(a, b) -> a + b)"
+    )
+
+
+SIM_PQ_ADC_SQL = f"""
+WITH seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, embedding AS cemb
+  FROM embeddings WHERE vec_id < {PQ_K}
+),
+sub AS (
+  SELECT vec_id, embedding, unnest(range(0, {PQ_M})) AS m FROM embeddings
+),
+dist AS (
+  SELECT s.vec_id, s.m, sd.k,
+         {_ddb_pq_sqdist('s.embedding', 's.m', 'sd.cemb')} AS dd
+  FROM sub s CROSS JOIN seeds sd
+),
+codes AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT vec_id, m, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dd ASC, k ASC) AS rn
+    FROM dist) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+lut AS (
+  SELECT q.q_id, cs.m, cs.k,
+         {_ddb_pq_sqdist('q.q_emb', 'cs.m', 'cs.cemb')} AS dd
+  FROM q CROSS JOIN (
+    SELECT k, cemb, unnest(range(0, {PQ_M})) AS m FROM seeds) cs
+),
+adc AS (
+  SELECT l.q_id, c.vec_id,
+         list_reduce(list_prepend(0.0::DOUBLE, list(l.dd ORDER BY c.m)),
+                     (a, b) -> a + b) AS adist
+  FROM codes c JOIN lut l ON l.m = c.m AND l.k = c.code
+  GROUP BY l.q_id, c.vec_id
+)
+SELECT q_id, vec_id, adist, CAST(rank AS INT) AS rank FROM (
+  SELECT q_id, vec_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rank
+  FROM adc WHERE vec_id <> q_id)
+WHERE rank <= {TOP_K}
+"""

@@ -157,6 +157,7 @@ registry.register("sim_lsh_multiprobe", _sim.sim_lsh_multiprobe, _sim.SIM_LSH_MU
 registry.register("sim_ivf", _sim.sim_ivf, _sim.SIM_IVF_SQL)
 # rank-only oracle: BLAS floats differ from the fold in the last ulp
 registry.register("sim_topk_numpy", _sim.sim_topk_numpy, _sim.SIM_TOPK_NUMPY_SQL)
+registry.register("sim_pq_adc", _sim.sim_pq_adc, _sim.SIM_PQ_ADC_SQL)
 
 registry.register(
     "asof_click_next_purchase",
