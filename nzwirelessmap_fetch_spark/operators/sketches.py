@@ -375,3 +375,132 @@ SELECT label, dim, COUNT(*) AS n_vecs,
 FROM exploded
 GROUP BY label, dim
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+# Static query workload: common terms (df ~ 0.8·N) mixed with the rare
+# 'dup' (df ~ 0.05·N) so IDF separation actually shows in the ranking.
+BM25_QUERIES = [
+    (0, "hash"), (0, "join"), (0, "spark"),
+    (1, "dup"), (1, "scan"),
+    (2, "sort"), (2, "merge"), (2, "window"),
+]
+
+
+def corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the corpus (§2.4 corpus ops): per-query
+    top-k documents under the Robertson/Okapi weighting — the classic
+    lexical-retrieval sibling of the embedding similarity family, and the
+    scoring half of a contamination/attribution pipeline (find the
+    training docs that "answer" an eval query).
+
+    Weighting: tf-saturation term  tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
+    times the Robertson–Spärck-Jones idf ratio  (N-df+0.5)/(df+0.5) kept
+    UN-LOGGED: the oracle discipline bans transcendentals in pinned
+    outputs (ln() is not guaranteed bit-identical across engines), and
+    the log is monotone per term, so single-term ranking is unchanged;
+    at deploy time it's a one-line swap. All arithmetic is IEEE double
+    with a pinned evaluation order, and per-document scores sum via a
+    term-ordered left fold — bit-identical in any IEEE engine.
+
+    Plan shape at 100 TB: tokenize/explode is map-side; the only
+    corpus-sized exchanges are the (doc, term) tf aggregation and the
+    final per-query top-k — both keyed, both combiner-friendly. df and
+    the query table are tiny and broadcast; dl rides the token rows so
+    no per-doc side join is needed. With an inverted index at rest
+    (text_inverted_index) the tf pass becomes a posting-list scan.
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    base = toks.select("doc_id", F.size("t").alias("dl"))
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+    )
+    terms = sorted({t for _, t in BM25_QUERIES})
+    tf = (
+        toks.select("doc_id", F.size("t").alias("dl"), F.explode("t").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    q = spark.createDataFrame(BM25_QUERIES, "query_id int, term string")
+
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    denom = tfd + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * (dld / (F.col("sum_dl") / F.col("n_docs")))
+    )
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("score_t", idf * ((tfd * F.lit(2.2)) / denom))
+    )
+    doc_scores = (
+        scored.groupBy("query_id", "doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("term", "score_t"))).alias("s"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                "aggregate(s, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.score_t)"
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        doc_scores.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+_BM25_VALUES = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
+
+CORPUS_BM25_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+base AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS sum_dl
+  FROM base
+),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, len(t) AS dl, UNNEST(t) AS term FROM toks)
+  WHERE term IN ({", ".join("'" + t + "'" for t in sorted({t for _, t in BM25_QUERIES}))})
+  GROUP BY doc_id, dl, term
+),
+df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {_BM25_VALUES}),
+scored AS (
+  SELECT q.query_id, tf.doc_id, tf.term,
+         ((s.n_docs - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE)))
+         * ((CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+            / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+               * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+                  * (CAST(tf.dl AS DOUBLE) / (s.sum_dl / s.n_docs))))) AS score_t
+  FROM tf JOIN q USING (term) JOIN df USING (term) CROSS JOIN stats s
+),
+doc_scores AS (
+  SELECT query_id, doc_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(score_t ORDER BY term)),
+                     (a, b) -> a + b) AS score
+  FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM doc_scores)
+WHERE rank <= {BM25_TOP_K}
+"""

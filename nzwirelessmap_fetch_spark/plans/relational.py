@@ -1802,3 +1802,155 @@ SELECT l_returnflag, qty,
 FROM ranked
 GROUP BY l_returnflag, qty
 """
+
+
+def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / CDC derivation: compare two versions of a table and
+    emit the change stream (insert / update / delete, with a changed-column
+    mask and old→new values for the measure) — the inverse of
+    ``merge_upsert``: MERGE applies a change set, diff RECOVERS one from
+    two snapshots, which is how you bootstrap incremental pipelines over
+    sources that only publish full dumps (exactly the reference's
+    full-snapshot-per-fetch model, SURVEY §2.1 P3).
+
+    v2 is derived deterministically from the fixture: the merge_upsert
+    change set (10% price bump on o_orderkey % 10 = 0, one synthetic
+    order per nation) plus deletes of o_orderkey % 13 = 0 — so updates,
+    inserts, deletes AND update∩delete precedence (delete wins) are all
+    exercised.
+
+    Plan: ONE full-outer join keyed on o_orderkey — both sides shuffle
+    once on the key (or zero exchanges with both snapshots bucketed by
+    key at rest, sinks/writers.write_bucketed_table); the column compare
+    is a row-local null-safe projection, and unchanged rows are dropped
+    before anything else sees them, so the output is change-volume-sized,
+    not table-sized. At 100 TB that's the only viable shape: never
+    materialize the pair table, never collect either snapshot.
+    """
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    o = Catalog(spark, sf_dir).table("orders").select("o_orderkey", *cols)
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") * F.lit(1.1).cast("decimal(4,2)"))
+        .cast("double")
+        .alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    inserts = (
+        Catalog(spark, sf_dir)
+        .table("nation")
+        .select(
+            (F.lit(9_000_000_000) + F.col("n_nationkey").cast("long")).alias(
+                "o_orderkey"
+            ),
+            F.lit(1).cast("long").alias("o_custkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(0.0).alias("o_totalprice"),
+            F.lit("5-LOW").alias("o_orderpriority"),
+        )
+    )
+    deletes = o.filter(F.col("o_orderkey") % 13 == 0).select("o_orderkey")
+    changes = updates.unionByName(inserts)
+    v2 = (
+        o.join(changes.select("o_orderkey"), "o_orderkey", "left_anti")
+        .unionByName(changes)
+        .join(deletes, "o_orderkey", "left_anti")
+    )
+
+    b = o.select(
+        F.col("o_orderkey").alias("k_b"),
+        *[F.col(c).alias(f"b_{c}") for c in cols],
+    )
+    n = v2.select(
+        F.col("o_orderkey").alias("k_n"),
+        *[F.col(c).alias(f"n_{c}") for c in cols],
+    )
+    j = b.join(n, F.col("k_b") == F.col("k_n"), "full_outer")
+    same = [F.col(f"b_{c}").eqNullSafe(F.col(f"n_{c}")) for c in cols]
+    all_same = same[0]
+    for s in same[1:]:
+        all_same = all_same & s
+    change_type = (
+        F.when(F.col("k_b").isNull(), F.lit("insert"))
+        .when(F.col("k_n").isNull(), F.lit("delete"))
+        .when(all_same, F.lit(None))
+        .otherwise(F.lit("update"))
+    )
+    # concat_ws skips NULLs in both engines → compact changed-column mask
+    mask = F.concat_ws(
+        ",", *[F.when(~same[i], F.lit(c)) for i, c in enumerate(cols)]
+    )
+    return (
+        j.withColumn("change_type", change_type)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            F.coalesce(F.col("k_b"), F.col("k_n")).alias("o_orderkey"),
+            "change_type",
+            F.when(F.col("change_type") == "update", mask).alias("changed_cols"),
+            F.col("b_o_totalprice").alias("old_totalprice"),
+            F.col("n_o_totalprice").alias("new_totalprice"),
+        )
+    )
+
+
+TABLE_SNAPSHOT_DIFF_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders
+),
+updates AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(4,2)) AS DOUBLE)
+           AS o_totalprice,
+         o_orderpriority
+  FROM base WHERE o_orderkey % 10 = 0
+),
+inserts AS (
+  SELECT 9000000000 + n_nationkey AS o_orderkey,
+         CAST(1 AS BIGINT) AS o_custkey,
+         'N' AS o_orderstatus,
+         0.0 AS o_totalprice,
+         '5-LOW' AS o_orderpriority
+  FROM nation
+),
+changes AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts),
+v2 AS (
+  SELECT * FROM (
+    SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+    UNION ALL
+    SELECT * FROM changes)
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base WHERE o_orderkey % 13 = 0)
+),
+j AS (
+  SELECT b.o_orderkey AS k_b, n.o_orderkey AS k_n,
+         b.o_custkey AS b_custkey, n.o_custkey AS n_custkey,
+         b.o_orderstatus AS b_status, n.o_orderstatus AS n_status,
+         b.o_totalprice AS b_price, n.o_totalprice AS n_price,
+         b.o_orderpriority AS b_prio, n.o_orderpriority AS n_prio
+  FROM base b FULL OUTER JOIN v2 n ON b.o_orderkey = n.o_orderkey
+),
+typed AS (
+  SELECT *,
+         CASE WHEN k_b IS NULL THEN 'insert'
+              WHEN k_n IS NULL THEN 'delete'
+              WHEN (b_custkey IS NOT DISTINCT FROM n_custkey)
+               AND (b_status IS NOT DISTINCT FROM n_status)
+               AND (b_price IS NOT DISTINCT FROM n_price)
+               AND (b_prio IS NOT DISTINCT FROM n_prio) THEN NULL
+              ELSE 'update' END AS change_type
+  FROM j
+)
+SELECT COALESCE(k_b, k_n) AS o_orderkey,
+       change_type,
+       CASE WHEN change_type = 'update' THEN concat_ws(',',
+         CASE WHEN NOT (b_custkey IS NOT DISTINCT FROM n_custkey) THEN 'o_custkey' END,
+         CASE WHEN NOT (b_status IS NOT DISTINCT FROM n_status) THEN 'o_orderstatus' END,
+         CASE WHEN NOT (b_price IS NOT DISTINCT FROM n_price) THEN 'o_totalprice' END,
+         CASE WHEN NOT (b_prio IS NOT DISTINCT FROM n_prio) THEN 'o_orderpriority' END)
+       END AS changed_cols,
+       b_price AS old_totalprice,
+       n_price AS new_totalprice
+FROM typed WHERE change_type IS NOT NULL
+"""

@@ -63,6 +63,11 @@ registry.register(
 )
 registry.register("stream_sliding_counts", _es.stream_sliding_counts, _es.STREAM_SLIDING_COUNTS_SQL)
 registry.register("stream_cms_cells", _es.stream_cms_cells, _es.STREAM_CMS_CELLS_SQL)
+registry.register(
+    "stream_windowed_distinct",
+    _es.stream_windowed_distinct,
+    _es.STREAM_WINDOWED_DISTINCT_SQL,
+)
 
 # 13–16 — aggregation family: plain group-by, HLL sketch, grouping sets, pivot
 registry.register("agg_pricing_summary", _r.agg_pricing_summary, _r.AGG_PRICING_SUMMARY_SQL)
@@ -79,9 +84,8 @@ registry.register("join_full_outer", _r.join_full_outer, _r.JOIN_FULL_OUTER_SQL)
 # 21 — set operations
 registry.register("set_ops", _r.set_ops, _r.SET_OPS_SQL)
 
-# 22–23 — window functions: ranked top-N, RANGE frame
+# 23 — window functions: ranked top-N (RANGE frame rep sits below the cut)
 registry.register("window_top3_per_nation", _r.window_top3_per_nation, _r.WINDOW_TOP3_PER_NATION_SQL)
-registry.register("window_range_frame", _r.window_range_frame, _r.WINDOW_RANGE_FRAME_SQL)
 
 # 24 — MERGE/upsert
 registry.register("merge_upsert", _r.merge_upsert, _r.MERGE_UPSERT_SQL)
@@ -145,6 +149,7 @@ registry.register("join_left_outer_agg", _r.join_left_outer_agg, _r.JOIN_LEFT_OU
 registry.register("join_cross_small", _r.join_cross_small, _r.JOIN_CROSS_SMALL_SQL)
 registry.register("distinct_pairs", _r.distinct_pairs, _r.DISTINCT_PAIRS_SQL)
 registry.register("topk_orders", _r.topk_orders, _r.TOPK_ORDERS_SQL)
+registry.register("window_range_frame", _r.window_range_frame, _r.WINDOW_RANGE_FRAME_SQL)
 registry.register("window_running_sum", _r.window_running_sum, _r.WINDOW_RUNNING_SUM_SQL)
 registry.register("window_lag_gap", _r.window_lag_gap, _r.WINDOW_LAG_GAP_SQL)
 registry.register("date_funcs", _r.date_funcs, _r.DATE_FUNCS_SQL)
@@ -235,6 +240,8 @@ registry.register(
 registry.register("agg_cms_heavy_hitters", _sk.agg_cms_heavy_hitters, _sk.AGG_CMS_HEAVY_HITTERS_SQL)
 registry.register("corpus_weighted_sample", _sk.corpus_weighted_sample, _sk.CORPUS_WEIGHTED_SAMPLE_SQL)
 registry.register("text_inverted_index", _sk.text_inverted_index, _sk.TEXT_INVERTED_INDEX_SQL)
+registry.register("corpus_bm25_topk", _sk.corpus_bm25_topk, _sk.CORPUS_BM25_TOPK_SQL)
+registry.register("table_diff", _r.table_snapshot_diff, _r.TABLE_SNAPSHOT_DIFF_SQL)
 registry.register("table_profile", _sk.table_profile, _sk.TABLE_PROFILE_SQL)
 registry.register(
     "events_anomaly_zscore", _ea.events_anomaly_zscore, _ea.EVENTS_ANOMALY_ZSCORE_SQL

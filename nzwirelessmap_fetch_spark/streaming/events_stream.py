@@ -501,3 +501,51 @@ GROUP BY 1, 2
 
 
 STREAM_CMS_CELLS_SQL = _stream_cms_cells_sql()
+
+
+def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per tumbling window — the CHAINED-stateful
+    pattern: streaming aggregations cannot hold a COUNT(DISTINCT) (state
+    would be a per-group set with no merge-discard bound), so the distinct
+    runs as its own upstream stateful operator: watermark →
+    dropDuplicates on (event_type, user_id, window) → windowed count of
+    the survivors. Two state stores, each with a watermark-driven
+    eviction bound: the dedup store holds one row per distinct key per
+    in-flight window, the agg store one counter per (window, type).
+
+    This multi-stateful chain (dedup feeding an event-time aggregation in
+    one query) is the load-bearing capability — the same shape implements
+    exact sessionized uniques and first-touch attribution. At scale the
+    dedup store dominates; STREAM_STATE_PARTITIONS sizes to ITS volume.
+    """
+    s = _event_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    dedup = s.select(
+        "ts", "user_id", "event_type", F.window("ts", WINDOW).alias("w")
+    ).dropDuplicates(["event_type", "user_id", "w"])
+    agg = dedup.groupBy("w", "event_type").agg(
+        F.count(F.lit(1)).alias("distinct_users")
+    )
+    out = _run_to_completion(agg, spark)
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "distinct_users",
+    )
+
+
+STREAM_WINDOWED_DISTINCT_SQL = """
+WITH b AS (
+  SELECT event_type, user_id,
+         make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS ws
+  FROM events
+),
+mx AS (SELECT MAX(ts) AS mt FROM events)
+SELECT ws                          AS window_start,
+       ws + INTERVAL 5 MINUTE      AS window_end,
+       event_type,
+       COUNT(DISTINCT user_id)     AS distinct_users
+FROM b, mx
+WHERE ws + INTERVAL 5 MINUTE <= mt - INTERVAL 10 MINUTE
+GROUP BY ws, event_type
+"""
