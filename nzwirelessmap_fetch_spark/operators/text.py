@@ -808,3 +808,117 @@ SELECT regexp_replace(
 FROM u
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-training substrate: BPE pair statistics
+# ---------------------------------------------------------------------------
+
+BPE_TOPK = 20
+
+
+def corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-character pair frequencies across the corpus — the inner
+    statistic of byte-pair-encoding tokenizer training (each BPE round
+    merges the argmax of exactly this table, re-counts, repeats). Pairs
+    are word-internal (split on space first), matching how BPE pre-
+    tokenizes on whitespace boundaries.
+
+    Plan: two map-side expansions (word explode, then zip_with char
+    pairing — no index arithmetic on short words) → ONE partial-
+    aggregated shuffle on the pair key → global top-k via TakeOrdered.
+    The full training loop at scale is this plan in a driver loop with
+    the current merge table broadcast — counts stay the only shuffle.
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    word = F.explode(F.split(F.col("text"), " ")).alias("word")
+    chars = F.split(F.col("word"), "")
+    pairs = F.zip_with(
+        F.slice(chars, 1, F.greatest(F.size(chars) - 1, F.lit(0))),
+        F.slice(chars, 2, F.greatest(F.size(chars) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, b),
+    )
+    return (
+        d.select(word)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_TOPK)
+    )
+
+
+CORPUS_BPE_PAIR_COUNTS_SQL = f"""
+WITH words AS (
+  SELECT UNNEST(string_split(text, ' ')) AS word FROM documents
+),
+chars AS (
+  SELECT string_split(word, '') AS c FROM words
+),
+pairs AS (
+  SELECT UNNEST(list_transform(range(1, LEN(c)), i -> c[i] || c[i + 1])) AS pair
+  FROM chars
+)
+SELECT pair, COUNT(*) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT {BPE_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Temperature resampling (corpus balance)
+# ---------------------------------------------------------------------------
+
+RESAMPLE_BUDGET = 1000  # documents in the resampled corpus
+
+
+def corpus_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (the multilingual-corpus
+    recipe: sample group g with probability ∝ n_g^τ so head languages
+    shrink and tail languages grow). τ is pinned to 0.5 — n^0.5 is
+    sqrt(), which IEEE 754 requires correctly rounded, so BOTH engines
+    produce bit-identical weights with no transcendental in the pinned
+    output (ln/pow carry no such guarantee — the oracle discipline).
+
+    Plan: one tiny group-by (|languages| rows), then the share
+    normalization folds the group list in lang order inside a single-row
+    aggregate — group-cardinality-sized, never corpus-sized. Output per
+    language: raw count, weight, normalized share, and the expected doc
+    budget floor(share · budget).
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    g = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("lang", "n", F.sqrt(F.col("n").cast("double")).alias("w"))
+    )
+    packed = g.agg(F.array_sort(F.collect_list(F.struct("lang", "n", "w"))).alias("s"))
+    exploded = packed.select(
+        F.expr("aggregate(s, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.w)").alias("dn"),
+        F.explode("s").alias("x"),
+    )
+    share = F.col("x.w") / F.col("dn")
+    return exploded.select(
+        F.col("x.lang").alias("lang"),
+        F.col("x.n").alias("n_docs"),
+        F.col("x.w").alias("weight"),
+        share.alias("sample_share"),
+        F.floor(share * F.lit(float(RESAMPLE_BUDGET))).cast("long").alias("expected_docs"),
+    )
+
+
+CORPUS_TEMPERATURE_RESAMPLE_SQL = f"""
+WITH g AS (
+  SELECT lang, COUNT(*) AS n, sqrt(CAST(COUNT(*) AS DOUBLE)) AS w
+  FROM documents GROUP BY lang
+),
+dn AS (
+  SELECT list_reduce(list_prepend(0.0::DOUBLE, list(w ORDER BY lang)),
+                     (a, b) -> a + b) AS dn
+  FROM g
+)
+SELECT lang, n AS n_docs, w AS weight, w / dn AS sample_share,
+       CAST(floor(w / dn * CAST({RESAMPLE_BUDGET} AS DOUBLE)) AS BIGINT) AS expected_docs
+FROM g, dn
+"""

@@ -1804,29 +1804,12 @@ GROUP BY l_returnflag, qty
 """
 
 
-def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot diff / CDC derivation: compare two versions of a table and
-    emit the change stream (insert / update / delete, with a changed-column
-    mask and old→new values for the measure) — the inverse of
-    ``merge_upsert``: MERGE applies a change set, diff RECOVERS one from
-    two snapshots, which is how you bootstrap incremental pipelines over
-    sources that only publish full dumps (exactly the reference's
-    full-snapshot-per-fetch model, SURVEY §2.1 P3).
-
-    v2 is derived deterministically from the fixture: the merge_upsert
-    change set (10% price bump on o_orderkey % 10 = 0, one synthetic
-    order per nation) plus deletes of o_orderkey % 13 = 0 — so updates,
-    inserts, deletes AND update∩delete precedence (delete wins) are all
-    exercised.
-
-    Plan: ONE full-outer join keyed on o_orderkey — both sides shuffle
-    once on the key (or zero exchanges with both snapshots bucketed by
-    key at rest, sinks/writers.write_bucketed_table); the column compare
-    is a row-local null-safe projection, and unchanged rows are dropped
-    before anything else sees them, so the output is change-volume-sized,
-    not table-sized. At 100 TB that's the only viable shape: never
-    materialize the pair table, never collect either snapshot.
-    """
+def _orders_change_set(spark: SparkSession, sf_dir: str):
+    """The deterministic v1→v2 evolution shared by ``table_snapshot_diff``
+    and ``agg_incremental_maintenance``: (base, updates, inserts, deletes).
+    Updates = 10% price bump on o_orderkey % 10 = 0 (the merge_upsert
+    change set), inserts = one synthetic order per nation, deletes =
+    base keys with o_orderkey % 13 = 0 (delete wins over update)."""
     cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
     o = Catalog(spark, sf_dir).table("orders").select("o_orderkey", *cols)
     updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
@@ -1852,6 +1835,34 @@ def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     deletes = o.filter(F.col("o_orderkey") % 13 == 0).select("o_orderkey")
+    return o, updates, inserts, deletes
+
+
+def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / CDC derivation: compare two versions of a table and
+    emit the change stream (insert / update / delete, with a changed-column
+    mask and old→new values for the measure) — the inverse of
+    ``merge_upsert``: MERGE applies a change set, diff RECOVERS one from
+    two snapshots, which is how you bootstrap incremental pipelines over
+    sources that only publish full dumps (exactly the reference's
+    full-snapshot-per-fetch model, SURVEY §2.1 P3).
+
+    v2 is derived deterministically from the fixture: the merge_upsert
+    change set (10% price bump on o_orderkey % 10 = 0, one synthetic
+    order per nation) plus deletes of o_orderkey % 13 = 0 — so updates,
+    inserts, deletes AND update∩delete precedence (delete wins) are all
+    exercised.
+
+    Plan: ONE full-outer join keyed on o_orderkey — both sides shuffle
+    once on the key (or zero exchanges with both snapshots bucketed by
+    key at rest, sinks/writers.write_bucketed_table); the column compare
+    is a row-local null-safe projection, and unchanged rows are dropped
+    before anything else sees them, so the output is change-volume-sized,
+    not table-sized. At 100 TB that's the only viable shape: never
+    materialize the pair table, never collect either snapshot.
+    """
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    o, updates, inserts, deletes = _orders_change_set(spark, sf_dir)
     changes = updates.unionByName(inserts)
     v2 = (
         o.join(changes.select("o_orderkey"), "o_orderkey", "left_anti")
@@ -1953,4 +1964,119 @@ SELECT COALESCE(k_b, k_n) AS o_orderkey,
        b_price AS old_totalprice,
        n_price AS new_totalprice
 FROM typed WHERE change_type IS NOT NULL
+"""
+
+
+def agg_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (IVM): keep a per-priority
+    (count, revenue) aggregate current across the v1→v2 snapshot
+    evolution by applying ONLY the change stream to the v1 aggregate —
+    never rescanning v2. Deltas: insert → (+1, +price), delete →
+    (−1, −old price), update → (0, new−old); an updated-then-deleted key
+    contributes only its delete (the ``_orders_change_set`` precedence).
+
+    This is the capability that turns the snapshot-diff operator into a
+    pipeline: at 100 TB the change stream is ~0.1% of the table, so
+    maintenance costs shuffle(changes) instead of scan(v2) — the same
+    asymmetry the reference exploits wholesale with its idempotency gate
+    (P3: skip everything when nothing changed), applied per row.
+
+    Sums run in DECIMAL(18,4)/(28,4) — exact, order-independent — and
+    only the final projection casts to double, so the maintained view is
+    BIT-IDENTICAL to recomputation. Scale 4, not 2: updated prices carry
+    FOUR decimals (price × 1.10), and rounding a 4-decimal double down to
+    scale 2 is the cross-engine half-ulp trap (Spark rounds the shortest
+    repr, DuckDB the exact binary); at scale 4 every value is exactly
+    representable, so the cast never rounds. The DuckDB oracle IS the
+    recomputation (aggregate v2 directly): two different algorithms,
+    one hash — the strongest equivalence the gate can state.
+    """
+    o, updates, inserts, deletes = _orders_change_set(spark, sf_dir)
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+
+    base_agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum(dec("o_totalprice")).alias("s1"),
+    )
+
+    upd_eff = updates.join(deletes, "o_orderkey", "left_anti")
+    old_vals = o.select("o_orderkey", F.col("o_totalprice").alias("old_price"))
+    d_upd = (
+        upd_eff.join(old_vals, "o_orderkey")
+        .select(
+            "o_orderpriority",
+            F.lit(0).cast("long").alias("dc"),
+            (dec("o_totalprice") - dec("old_price")).alias("dv"),
+        )
+    )
+    d_ins = inserts.select(
+        "o_orderpriority",
+        F.lit(1).cast("long").alias("dc"),
+        dec("o_totalprice").alias("dv"),
+    )
+    d_del = (
+        o.join(deletes, "o_orderkey")
+        .select(
+            "o_orderpriority",
+            F.lit(-1).cast("long").alias("dc"),
+            (-dec("o_totalprice")).alias("dv"),
+        )
+    )
+    delta_agg = (
+        d_upd.unionByName(d_ins)
+        .unionByName(d_del)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("dc").alias("dn"), F.sum("dv").alias("ds"))
+    )
+
+    return (
+        base_agg.join(delta_agg, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (F.coalesce("n1", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_orders"),
+            (
+                F.coalesce(F.col("s1"), F.lit(0).cast("decimal(28,4)"))
+                + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(28,4)"))
+            )
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+# The oracle RECOMPUTES the aggregate from the materialized v2 snapshot —
+# deliberately a different algorithm than the delta maintenance it checks.
+AGG_INCREMENTAL_MAINTENANCE_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders
+),
+updates AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(4,2)) AS DOUBLE)
+           AS o_totalprice,
+         o_orderpriority
+  FROM base WHERE o_orderkey % 10 = 0
+),
+inserts AS (
+  SELECT 9000000000 + n_nationkey AS o_orderkey,
+         CAST(1 AS BIGINT) AS o_custkey,
+         'N' AS o_orderstatus,
+         0.0 AS o_totalprice,
+         '5-LOW' AS o_orderpriority
+  FROM nation
+),
+changes AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts),
+v2 AS (
+  SELECT * FROM (
+    SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+    UNION ALL
+    SELECT * FROM changes)
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base WHERE o_orderkey % 13 = 0)
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM v2
+GROUP BY o_orderpriority
 """

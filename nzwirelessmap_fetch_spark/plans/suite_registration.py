@@ -217,6 +217,12 @@ registry.register("text_repetition", _tx.text_repetition, _tx.TEXT_REPETITION_SQ
 registry.register("pack_bins_ffd", _pk.pack_bins_ffd, _pk.PACK_BINS_FFD_SQL)
 registry.register("agg_sliding_windows", _r.agg_sliding_windows, _r.AGG_SLIDING_WINDOWS_SQL)
 registry.register("corpus_ngram_topk", _tx.corpus_ngram_topk, _tx.CORPUS_NGRAM_TOPK_SQL)
+registry.register("corpus_bpe_pair_counts", _tx.corpus_bpe_pair_counts, _tx.CORPUS_BPE_PAIR_COUNTS_SQL)
+registry.register(
+    "corpus_temperature_resample",
+    _tx.corpus_temperature_resample,
+    _tx.CORPUS_TEMPERATURE_RESAMPLE_SQL,
+)
 registry.register("corpus_contamination", _tx.corpus_contamination, _tx.CORPUS_CONTAMINATION_SQL)
 
 # Statistical & exotic aggregate family (plans/stats.py): exact-decimal
@@ -242,6 +248,11 @@ registry.register("corpus_weighted_sample", _sk.corpus_weighted_sample, _sk.CORP
 registry.register("text_inverted_index", _sk.text_inverted_index, _sk.TEXT_INVERTED_INDEX_SQL)
 registry.register("corpus_bm25_topk", _sk.corpus_bm25_topk, _sk.CORPUS_BM25_TOPK_SQL)
 registry.register("table_diff", _r.table_snapshot_diff, _r.TABLE_SNAPSHOT_DIFF_SQL)
+registry.register(
+    "agg_incremental_maintenance",
+    _r.agg_incremental_maintenance,
+    _r.AGG_INCREMENTAL_MAINTENANCE_SQL,
+)
 registry.register("table_profile", _sk.table_profile, _sk.TABLE_PROFILE_SQL)
 registry.register(
     "events_anomaly_zscore", _ea.events_anomaly_zscore, _ea.EVENTS_ANOMALY_ZSCORE_SQL
