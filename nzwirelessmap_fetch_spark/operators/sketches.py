@@ -504,3 +504,173 @@ SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank FROM (
   FROM doc_scores)
 WHERE rank <= {BM25_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Principal component (power iteration on the Gram matrix)
+# ---------------------------------------------------------------------------
+
+_PC_DIM = 64
+_PC_SCALE = 1.0e12
+_PC_ITERS = 3  # G·v products: two normalized steps + the Rayleigh step
+
+
+def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power iteration toward the top principal direction of the
+    embedding corpus on the Gram matrix G = Σ x xᵀ — the one-component
+    PCA that anchors whitening, ABTT ("all-but-the-top") embedding
+    cleanup, and drift monitoring over training corpora.
+
+    The operator contract is the ITERATE, not the limit: exactly
+    _PC_ITERS G·v products from the all-ones start (convergence rate
+    (λ₂/λ₁)^k — the synthetic fixture is near-isotropic, λ₂/λ₁ ≈ 0.98,
+    so 3 steps return a dominant-subspace blend there; iteration count
+    is the production knob and each step is one more join+fold round,
+    plan shape unchanged). What IS pinned: every step is bit-exact and
+    the oracle replays the full trajectory, loadings and eigenvalue.
+
+    Two-phase plan, each phase the right scale shape:
+    1. GRAM ACCUMULATION (the only corpus-sized work): every vector
+       fans out its 64×64 products map-side; one partial-aggregated
+       shuffle over the FIXED 4096 (i,j) cells — state is dim², never
+       corpus-sized, the same mergeable-sketch discipline as the CMS.
+       Products are quantized floor(xᵢ·xⱼ·10¹²) BIGINT *before* the sum
+       (double multiply + floor is bit-identical in any IEEE engine, and
+       integer sums are order-free) — the float-sum-order trap cannot
+       touch the hash.
+    2. POWER ITERATION on the 4096-row Gram table: w = G·v as an
+       equi-join on j with a j-ordered fold per row of G; normalization
+       via a single-row sqrt fold (sqrt is IEEE-correctly-rounded).
+       Three G·v products: two normalized steps from the all-ones start,
+       then the Rayleigh quotient λ = v·(G·v) on the last. Every fold
+       order is pinned, so the DuckDB oracle replays loadings AND
+       eigenvalue bit-for-bit.
+
+    Output: one row per dimension (dim, loading of the unit principal
+    vector, shared eigval column).
+    """
+    e = Catalog(spark, sf_dir).table("embeddings")
+    pairs = (
+        e.select(F.posexplode("embedding").alias("i", "xi"), "embedding")
+        .select(
+            "i",
+            F.col("xi").cast("double").alias("xi"),
+            F.posexplode("embedding").alias("j", "xj"),
+        )
+        .select(
+            "i",
+            "j",
+            F.floor(F.col("xi") * F.col("xj").cast("double") * F.lit(_PC_SCALE))
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    gram = (
+        pairs.groupBy("i", "j")
+        .agg(F.sum("q").alias("gq"))
+        .select("i", "j", (F.col("gq").cast("double") / F.lit(_PC_SCALE)).alias("g"))
+    )
+
+    def matvec(v: DataFrame) -> DataFrame:
+        """w = G·v with a j-ordered fold per output row."""
+        return (
+            gram.join(v, "j")
+            .select("i", "j", (F.col("g") * F.col("v")).alias("t"))
+            .groupBy("i")
+            .agg(F.array_sort(F.collect_list(F.struct("j", "t"))).alias("s"))
+            .select(
+                "i",
+                F.expr(
+                    "aggregate(s, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.t)"
+                ).alias("w"),
+            )
+        )
+
+    def normalized(w: DataFrame) -> DataFrame:
+        nrm = w.agg(
+            F.array_sort(F.collect_list(F.struct("i", "w"))).alias("s")
+        ).select(
+            F.sqrt(
+                F.expr(
+                    "aggregate(s, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.w * x.w)"
+                )
+            ).alias("nrm")
+        )
+        return w.crossJoin(F.broadcast(nrm)).select(
+            F.col("i").alias("j"), (F.col("w") / F.col("nrm")).alias("v")
+        )
+
+    v = spark.range(_PC_DIM).select(F.col("id").cast("int").alias("j"), F.lit(1.0).alias("v"))
+    for _ in range(_PC_ITERS - 1):
+        v = normalized(matvec(v))
+    w_last = matvec(v)  # unnormalized G·v with unit v → Rayleigh numerator
+    lam = (
+        w_last.join(v.select(F.col("j").alias("i"), "v"), "i")
+        .agg(F.array_sort(F.collect_list(F.struct("i", (F.col("v") * F.col("w")).alias("t")))).alias("s"))
+        .select(
+            F.expr("aggregate(s, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.t)").alias(
+                "eigval"
+            )
+        )
+    )
+    principal = normalized(w_last)
+    return principal.crossJoin(F.broadcast(lam)).select(
+        F.col("j").cast("int").alias("dim"),
+        F.col("v").alias("loading"),
+        "eigval",
+    )
+
+
+def _ddb_matvec(gram: str, v: str, out: str) -> str:
+    """DuckDB CTE twin of ``matvec``: j-ordered fold per Gram row."""
+    return f"""{out} AS (
+  SELECT g.i,
+         list_reduce(list_prepend(0.0::DOUBLE, list(g.g * {v}.v ORDER BY g.j)),
+                     (a, b) -> a + b) AS w
+  FROM {gram} g JOIN {v} ON g.j = {v}.j
+  GROUP BY g.i
+)"""
+
+
+def _ddb_normalize(w: str, out: str) -> str:
+    return f"""{out}_nrm AS (
+  SELECT sqrt(list_reduce(list_prepend(0.0::DOUBLE, list(w * w ORDER BY i)),
+                          (a, b) -> a + b)) AS nrm
+  FROM {w}
+),
+{out} AS (
+  SELECT i AS j, w / nrm AS v FROM {w}, {out}_nrm
+)"""
+
+
+EMBEDDING_PRINCIPAL_COMPONENT_SQL = f"""
+WITH pairs AS (
+  SELECT ii.i, jj.j,
+         CAST(floor(CAST(e.embedding[ii.i + 1] AS DOUBLE)
+                    * CAST(e.embedding[jj.j + 1] AS DOUBLE)
+                    * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS q
+  FROM embeddings e,
+       generate_series(0, {_PC_DIM - 1}) ii(i),
+       generate_series(0, {_PC_DIM - 1}) jj(j)
+),
+gram AS (
+  SELECT i, j,
+         CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE)
+           / CAST(1000000000000 AS DOUBLE) AS g
+  FROM pairs GROUP BY i, j
+),
+v0 AS (SELECT i AS j, 1.0::DOUBLE AS v FROM generate_series(0, {_PC_DIM - 1}) t(i)),
+{_ddb_matvec('gram', 'v0', 'w1')},
+{_ddb_normalize('w1', 'v1')},
+{_ddb_matvec('gram', 'v1', 'w2')},
+{_ddb_normalize('w2', 'v2')},
+{_ddb_matvec('gram', 'v2', 'w3')},
+lam AS (
+  SELECT list_reduce(list_prepend(0.0::DOUBLE, list(v2.v * w3.w ORDER BY w3.i)),
+                     (a, b) -> a + b) AS eigval
+  FROM w3 JOIN v2 ON w3.i = v2.j
+),
+{_ddb_normalize('w3', 'v3')}
+SELECT CAST(v3.j AS INT) AS dim, v3.v AS loading, lam.eigval
+FROM v3, lam
+"""

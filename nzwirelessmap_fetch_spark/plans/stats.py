@@ -454,3 +454,48 @@ SELECT lang,
 FROM pair
 GROUP BY lang
 """
+
+
+K_ANON = 5
+
+
+def agg_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (data-governance surface of the curation
+    pipeline): group the table by its quasi-identifier tuple —
+    (nation, market segment, high-balance flag), the columns an attacker
+    could link against external data — and flag every group smaller than
+    k=5. A release is k-anonymous iff NO flagged groups remain; the
+    flagged rows are exactly what a suppression/generalization pass must
+    fix, so this operator is both the audit and the worklist.
+
+    Plan: ONE partial-aggregated group-by (the QI tuple is the shuffle
+    key, |groups| is bounded by the QI domain, not the table), flags are
+    row-local on the aggregated rows. The same shape audits any PII
+    release at 100 TB — the shuffle carries one row per QI combination.
+    """
+    c = Catalog(spark, sf_dir).table("customer")
+    return (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            (F.col("c_acctbal") >= 5000.0).alias("high_balance"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "high_balance",
+            "n",
+            (F.col("n") >= K_ANON).alias("k_anonymous"),
+        )
+    )
+
+
+AGG_K_ANONYMITY_SQL = f"""
+SELECT c_nationkey, c_mktsegment,
+       c_acctbal >= 5000.0 AS high_balance,
+       COUNT(*) AS n,
+       COUNT(*) >= {K_ANON} AS k_anonymous
+FROM customer
+GROUP BY c_nationkey, c_mktsegment, c_acctbal >= 5000.0
+"""

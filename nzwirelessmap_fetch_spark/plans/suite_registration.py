@@ -173,6 +173,7 @@ registry.register(
     "join_interval_overlap", _ea.join_interval_overlap, _ea.JOIN_INTERVAL_OVERLAP_SQL
 )
 registry.register("agg_gini_impurity", _st.agg_gini_impurity, _st.AGG_GINI_IMPURITY_SQL)
+registry.register("agg_k_anonymity", _st.agg_k_anonymity, _st.AGG_K_ANONYMITY_SQL)
 registry.register("events_time_rollup", _ea.events_time_rollup, _ea.EVENTS_TIME_ROLLUP_SQL)
 registry.register(
     "events_lateness_profile",
@@ -275,6 +276,11 @@ registry.register(
     "embedding_label_centroids",
     _sk.embedding_label_centroids,
     _sk.EMBEDDING_LABEL_CENTROIDS_SQL,
+)
+registry.register(
+    "embedding_principal_component",
+    _sk.embedding_principal_component,
+    _sk.EMBEDDING_PRINCIPAL_COMPONENT_SQL,
 )
 
 # Consumers of the memoized verified-Jaccard pair build whose family

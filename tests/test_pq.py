@@ -54,3 +54,43 @@ def test_pq_tracks_exact_neighbors(spark):
     bf = sim_topk_bruteforce(spark, SF_SMOKE).select("q_id", "vec_id")
     hits = pq.intersect(bf).count()
     assert hits >= 2 * N_QUERIES
+
+
+def test_principal_component_matches_numpy_trajectory(spark):
+    """The operator pins a 3-step power iteration on the quantized Gram
+    matrix. Replicate the same trajectory in numpy float64 (same
+    quantization, same step count) — loadings must agree to float-fold
+    tolerance and the output must be a unit vector with positive
+    Rayleigh quotient."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from nzwirelessmap_fetch_spark.operators.sketches import (
+        _PC_ITERS,
+        _PC_SCALE,
+        embedding_principal_component,
+    )
+
+    rows = embedding_principal_component(spark, SF_SMOKE).collect()
+    got = np.zeros(64)
+    for r in rows:
+        got[r.dim] = r.loading
+    lam = rows[0].eigval
+
+    t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet")
+    X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    Q = np.zeros((64, 64), dtype=np.int64)
+    for x in X:
+        Q += np.floor(np.outer(x, x) * _PC_SCALE).astype(np.int64)
+    G = Q.astype(np.float64) / _PC_SCALE
+    v = np.ones(64)
+    for _ in range(_PC_ITERS - 1):
+        w = G @ v
+        v = w / np.sqrt((w * w).sum())
+    w3 = G @ v
+    lam_np = float(v @ w3)
+    v3 = w3 / np.sqrt((w3 * w3).sum())
+
+    assert abs(np.sqrt((got * got).sum()) - 1.0) < 1e-12
+    assert lam > 0 and abs(lam - lam_np) < 1e-6
+    assert np.max(np.abs(got - v3)) < 1e-9
