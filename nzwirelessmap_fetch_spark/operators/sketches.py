@@ -549,6 +549,19 @@ def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame
     Output: one row per dimension (dim, loading of the unit principal
     vector, shared eigval column).
     """
+    principal, lam = _pc_trajectory(spark, sf_dir)
+    return principal.crossJoin(F.broadcast(lam)).select(
+        F.col("j").cast("int").alias("dim"),
+        F.col("v").alias("loading"),
+        "eigval",
+    )
+
+
+def _pc_trajectory(spark: SparkSession, sf_dir: str):
+    """The shared power-iteration trajectory: returns (principal (j, v)
+    unit vector after _PC_ITERS G·v products, lam 1-row Rayleigh
+    quotient). Consumed by ``embedding_principal_component`` and the
+    ABTT residual projection."""
     e = Catalog(spark, sf_dir).table("embeddings")
     pairs = (
         e.select(F.posexplode("embedding").alias("i", "xi"), "embedding")
@@ -613,12 +626,7 @@ def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         )
     )
-    principal = normalized(w_last)
-    return principal.crossJoin(F.broadcast(lam)).select(
-        F.col("j").cast("int").alias("dim"),
-        F.col("v").alias("loading"),
-        "eigval",
-    )
+    return normalized(w_last), lam
 
 
 def _ddb_matvec(gram: str, v: str, out: str) -> str:
@@ -673,4 +681,107 @@ lam AS (
 {_ddb_normalize('w3', 'v3')}
 SELECT CAST(v3.j AS INT) AS dim, v3.v AS loading, lam.eigval
 FROM v3, lam
+"""
+
+
+def embedding_abtt_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABTT ("all-but-the-top") cleanup profile: project every embedding
+    onto the corpus principal direction and report the residual — the
+    standard post-processing that strips the dominant common component
+    from embedding spaces (Mu & Viswanath, ICLR 2018) before similarity
+    search. Composes ``_pc_trajectory``: the expensive Gram pass is the
+    SAME one shuffle; the per-vector projection is a row-local fold
+    against the broadcast unit vector (one row, 64 doubles).
+
+    Per-vector scalars only (projection coefficient, norm before/after)
+    — the cleaned vectors themselves would be written columnar at rest;
+    emitting scalars keeps the audit (and the oracle) change-sized.
+    All folds run in dim order on both engines: bit-exact doubles.
+    """
+    principal, _ = _pc_trajectory(spark, sf_dir)
+    pvec = principal.agg(
+        F.array_sort(F.collect_list(F.struct("j", "v"))).alias("s")
+    ).select(F.expr("transform(s, x -> x.v)").alias("pv"))
+
+    e = Catalog(spark, sf_dir).table("embeddings")
+    x_d = "CAST(element_at(embedding, d + 1) AS DOUBLE)"
+    pv_d = "element_at(pv, d + 1)"
+    base = (
+        e.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(pvec))
+        .withColumn(
+            "proj_coeff",
+            F.expr(
+                f"aggregate(sequence(0, {_PC_DIM - 1}), CAST(0.0 AS DOUBLE), "
+                f"(acc, d) -> acc + {x_d} * {pv_d})"
+            ),
+        )
+        .withColumn(
+            "norm_before",
+            F.sqrt(
+                F.expr(
+                    f"aggregate(sequence(0, {_PC_DIM - 1}), CAST(0.0 AS DOUBLE), "
+                    f"(acc, d) -> acc + {x_d} * {x_d})"
+                )
+            ),
+        )
+    )
+    return base.select(
+        "vec_id",
+        "proj_coeff",
+        "norm_before",
+        F.sqrt(
+            F.expr(
+                f"aggregate(sequence(0, {_PC_DIM - 1}), CAST(0.0 AS DOUBLE), "
+                f"(acc, d) -> acc + ({x_d} - proj_coeff * {pv_d}) "
+                f"* ({x_d} - proj_coeff * {pv_d}))"
+            )
+        ).alias("norm_after"),
+    )
+
+
+EMBEDDING_ABTT_RESIDUAL_SQL = f"""
+WITH pairs AS (
+  SELECT ii.i, jj.j,
+         CAST(floor(CAST(e.embedding[ii.i + 1] AS DOUBLE)
+                    * CAST(e.embedding[jj.j + 1] AS DOUBLE)
+                    * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS q
+  FROM embeddings e,
+       generate_series(0, {_PC_DIM - 1}) ii(i),
+       generate_series(0, {_PC_DIM - 1}) jj(j)
+),
+gram AS (
+  SELECT i, j,
+         CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE)
+           / CAST(1000000000000 AS DOUBLE) AS g
+  FROM pairs GROUP BY i, j
+),
+v0 AS (SELECT i AS j, 1.0::DOUBLE AS v FROM generate_series(0, {_PC_DIM - 1}) t(i)),
+{_ddb_matvec('gram', 'v0', 'w1')},
+{_ddb_normalize('w1', 'v1')},
+{_ddb_matvec('gram', 'v1', 'w2')},
+{_ddb_normalize('w2', 'v2')},
+{_ddb_matvec('gram', 'v2', 'w3')},
+{_ddb_normalize('w3', 'v3')},
+pvec AS (SELECT list(v ORDER BY j) AS pv FROM v3),
+base AS (
+  SELECT e.vec_id, e.embedding, pv,
+         list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(0, {_PC_DIM}),
+                            d -> CAST(e.embedding[d + 1] AS DOUBLE) * pv[d + 1])),
+           (a, b) -> a + b) AS proj_coeff,
+         sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(0, {_PC_DIM}),
+                            d -> CAST(e.embedding[d + 1] AS DOUBLE)
+                                 * CAST(e.embedding[d + 1] AS DOUBLE))),
+           (a, b) -> a + b)) AS norm_before
+  FROM embeddings e, pvec
+)
+SELECT vec_id, proj_coeff, norm_before,
+       sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(range(0, {_PC_DIM}),
+             d -> (CAST(embedding[d + 1] AS DOUBLE) - proj_coeff * pv[d + 1])
+                  * (CAST(embedding[d + 1] AS DOUBLE) - proj_coeff * pv[d + 1]))),
+         (a, b) -> a + b)) AS norm_after
+FROM base
 """

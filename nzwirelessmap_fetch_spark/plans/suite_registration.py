@@ -282,6 +282,11 @@ registry.register(
     _sk.embedding_principal_component,
     _sk.EMBEDDING_PRINCIPAL_COMPONENT_SQL,
 )
+registry.register(
+    "embedding_abtt_residual",
+    _sk.embedding_abtt_residual,
+    _sk.EMBEDDING_ABTT_RESIDUAL_SQL,
+)
 
 # Consumers of the memoized verified-Jaccard pair build whose family
 # already has driver-visible rows (entries 35–36): kept at the tail.

@@ -94,3 +94,42 @@ def test_principal_component_matches_numpy_trajectory(spark):
     assert abs(np.sqrt((got * got).sum()) - 1.0) < 1e-12
     assert lam > 0 and abs(lam - lam_np) < 1e-6
     assert np.max(np.abs(got - v3)) < 1e-9
+
+
+def test_abtt_residual_properties(spark):
+    """Pythagoras on the projection: norm_after² + proj² = norm_before²
+    (to float tolerance), residual never exceeds the original, and the
+    numpy replication of the same trajectory agrees."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from nzwirelessmap_fetch_spark.operators.sketches import (
+        _PC_ITERS,
+        _PC_SCALE,
+        embedding_abtt_residual,
+    )
+
+    rows = embedding_abtt_residual(spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r.norm_after <= r.norm_before + 1e-9
+        assert (
+            abs(r.norm_after**2 + r.proj_coeff**2 - r.norm_before**2) < 1e-6
+        )
+
+    t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet")
+    X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    ids = t.column("vec_id").to_pylist()
+    Q = np.zeros((64, 64), dtype=np.int64)
+    for x in X:
+        Q += np.floor(np.outer(x, x) * _PC_SCALE).astype(np.int64)
+    G = Q.astype(np.float64) / _PC_SCALE
+    v = np.ones(64)
+    for _ in range(_PC_ITERS - 1):
+        w = G @ v
+        v = w / np.sqrt((w * w).sum())
+    w3 = G @ v
+    v3 = w3 / np.sqrt((w3 * w3).sum())
+    proj_np = dict(zip(ids, X @ v3))
+    for r in rows[:50]:
+        assert abs(r.proj_coeff - proj_np[r.vec_id]) < 1e-9
