@@ -457,6 +457,14 @@ WHERE list_reduce(list_prepend(0.0::DOUBLE,
 # the exact shape dedup_minhash_lsh already uses for set similarity.
 LSH_BANDS = 2
 LSH_BAND_BITS = 8
+# Bucket-population valve: (band, code) buckets larger than this are
+# excluded from pair generation. Bounded cost (≤ cap² pairs per bucket)
+# for a documented recall trade on skew-clustered corpora — raising r
+# thins RANDOM collisions but cannot thin a tight cluster sharing every
+# sign bit, so the valve is the load-bearing guard at 100 TB. The valve
+# is DETERMINISTIC (a group count), so unlike the dedup-side valves the
+# oracle replays it and the capped configuration IS the checked one.
+LSH_MAX_BUCKET = 64
 
 
 def sim_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,15 +474,17 @@ def sim_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: corpus → b band codes per row (pure map) → unpivot to
     (band, code) — IDS ONLY, the 64-float payload never rides through
-    pair generation — → self-equi-join keyed by (band, code) →
-    pair-distinct → embeddings re-attached by two keyed joins for exact
-    verification (the n-gram Jaccard verify shape: at 100 TB the vector
-    table is corpus-sized, so shuffling the small id-pair stream to the
-    vectors beats dragging payloads through the join+distinct). The join
-    key space is b·2^r and grows with the plane budget, so candidate
-    volume stays bounded as n scales — at 100 TB you raise r with log(n)
-    (e.g. 20-24 bits/band) and leave the plan untouched; a flat bucket
-    index would need a rewrite."""
+    pair generation — → bucket-size valve (one count per occupied
+    bucket, semi-joined back — drops buckets over LSH_MAX_BUCKET
+    members BEFORE the self-join, so no bucket can go quadratic) →
+    self-equi-join keyed by (band, code) → pair-distinct → embeddings
+    re-attached by two keyed joins for exact verification (the n-gram
+    Jaccard verify shape: at 100 TB the vector table is corpus-sized, so
+    shuffling the small id-pair stream to the vectors beats dragging
+    payloads through the join+distinct). The join key space is b·2^r and
+    grows with the plane budget — raise r with log(n) against random
+    collisions, and the valve bounds the adversarial/clustered case r
+    cannot reach; the plan is untouched by either knob."""
     e = Catalog(spark, sf_dir).table("embeddings")
     coded = e.select(
         "vec_id",
@@ -487,6 +497,13 @@ def sim_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = coded.selectExpr(
         "vec_id", f"stack({LSH_BANDS}, {stack_args}) AS (band, code)"
     )
+    keep = (
+        bands.groupBy("band", "code")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= LSH_MAX_BUCKET)
+        .select("band", "code")
+    )
+    bands = bands.join(keep, ["band", "code"])
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, ["band", "code"])
@@ -528,10 +545,17 @@ WITH coded AS (
          {_ddb_code(LSH_BAND_BITS, LSH_BAND_BITS)} AS c1
   FROM embeddings
 ),
-bands AS (
+bands_all AS (
   SELECT vec_id, embedding, 0 AS band, c0 AS code FROM coded
   UNION ALL
   SELECT vec_id, embedding, 1 AS band, c1 AS code FROM coded
+),
+kept AS (
+  SELECT band, code FROM bands_all
+  GROUP BY band, code HAVING COUNT(*) <= {LSH_MAX_BUCKET}
+),
+bands AS (
+  SELECT b.* FROM bands_all b JOIN kept USING (band, code)
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -557,11 +557,8 @@ def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _pc_trajectory(spark: SparkSession, sf_dir: str):
-    """The shared power-iteration trajectory: returns (principal (j, v)
-    unit vector after _PC_ITERS G·v products, lam 1-row Rayleigh
-    quotient). Consumed by ``embedding_principal_component`` and the
-    ABTT residual projection."""
+def _pc_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-exact Gram accumulation — the only corpus-sized pass."""
     e = Catalog(spark, sf_dir).table("embeddings")
     pairs = (
         e.select(F.posexplode("embedding").alias("i", "xi"), "embedding")
@@ -578,11 +575,18 @@ def _pc_trajectory(spark: SparkSession, sf_dir: str):
             .alias("q"),
         )
     )
-    gram = (
+    return (
         pairs.groupBy("i", "j")
         .agg(F.sum("q").alias("gq"))
         .select("i", "j", (F.col("gq").cast("double") / F.lit(_PC_SCALE)).alias("g"))
     )
+
+
+def _pc_iterate(spark: SparkSession, gram: DataFrame):
+    """_PC_ITERS G·v products on an (i, j, g) matrix table from the
+    all-ones start: returns (principal (j, v) unit vector, lam 1-row
+    Rayleigh quotient). Works on the raw Gram (component 1) or any
+    deflated matrix (later components)."""
 
     def matvec(v: DataFrame) -> DataFrame:
         """w = G·v with a j-ordered fold per output row."""
@@ -627,6 +631,13 @@ def _pc_trajectory(spark: SparkSession, sf_dir: str):
         )
     )
     return normalized(w_last), lam
+
+
+def _pc_trajectory(spark: SparkSession, sf_dir: str):
+    """The shared power-iteration trajectory on the corpus Gram matrix.
+    Consumed by ``embedding_principal_component`` and the ABTT residual
+    projection."""
+    return _pc_iterate(spark, _pc_gram(spark, sf_dir))
 
 
 def _ddb_matvec(gram: str, v: str, out: str) -> str:
@@ -784,4 +795,101 @@ SELECT vec_id, proj_coeff, norm_before,
                   * (CAST(embedding[d + 1] AS DOUBLE) - proj_coeff * pv[d + 1]))),
          (a, b) -> a + b)) AS norm_after
 FROM base
+"""
+
+
+def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal directions via Hotelling DEFLATION: component 1 is
+    the plain power iterate; component 2 power-iterates the deflated
+    matrix G₂ = G − λ₁·v₁v₁ᵀ, which zeroes v₁'s spectral mass so the
+    iterate converges toward the next direction — the standard sequential
+    route to k-component PCA/whitening when k is small.
+
+    The corpus is touched ONCE (the shared Gram pass); deflation and the
+    second trajectory run entirely on the 4096-row matrix table — adding
+    components costs dim²-sized joins, never another corpus scan. The
+    deflation expression g − λ·vᵢ·vⱼ and every fold keep pinned order, so
+    the oracle replays BOTH trajectories bit-for-bit.
+
+    Output: (component 1|2, dim, loading, eigval).
+    """
+    gram = _pc_gram(spark, sf_dir)
+    v1, lam1 = _pc_iterate(spark, gram)
+    vi = v1.select(F.col("j").alias("i"), F.col("v").alias("vi"))
+    vj = v1.select("j", F.col("v").alias("vj"))
+    gram2 = (
+        gram.join(vi, "i")
+        .join(vj, "j")
+        .crossJoin(F.broadcast(lam1))
+        .select(
+            "i",
+            "j",
+            (F.col("g") - F.col("eigval") * F.col("vi") * F.col("vj")).alias("g"),
+        )
+    )
+    v2, lam2 = _pc_iterate(spark, gram2)
+
+    def emit(comp: int, v: DataFrame, lam: DataFrame) -> DataFrame:
+        return v.crossJoin(F.broadcast(lam)).select(
+            F.lit(comp).alias("component"),
+            F.col("j").cast("int").alias("dim"),
+            F.col("v").alias("loading"),
+            "eigval",
+        )
+
+    return emit(1, v1, lam1).unionByName(emit(2, v2, lam2))
+
+
+_DDB_PC_GRAM = f"""pairs AS (
+  SELECT ii.i, jj.j,
+         CAST(floor(CAST(e.embedding[ii.i + 1] AS DOUBLE)
+                    * CAST(e.embedding[jj.j + 1] AS DOUBLE)
+                    * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS q
+  FROM embeddings e,
+       generate_series(0, {_PC_DIM - 1}) ii(i),
+       generate_series(0, {_PC_DIM - 1}) jj(j)
+),
+gram AS (
+  SELECT i, j,
+         CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE)
+           / CAST(1000000000000 AS DOUBLE) AS g
+  FROM pairs GROUP BY i, j
+)"""
+
+
+def _ddb_power(gram: str, tag: str) -> str:
+    """Full 3-product trajectory CTE chain over matrix table ``gram``:
+    defines v0{tag}..v3{tag} and lam{tag}."""
+    return f"""v0{tag} AS (
+  SELECT i AS j, 1.0::DOUBLE AS v FROM generate_series(0, {_PC_DIM - 1}) t(i)),
+{_ddb_matvec(gram, f'v0{tag}', f'w1{tag}')},
+{_ddb_normalize(f'w1{tag}', f'v1{tag}')},
+{_ddb_matvec(gram, f'v1{tag}', f'w2{tag}')},
+{_ddb_normalize(f'w2{tag}', f'v2{tag}')},
+{_ddb_matvec(gram, f'v2{tag}', f'w3{tag}')},
+lam{tag} AS (
+  SELECT list_reduce(list_prepend(0.0::DOUBLE,
+           list(v2{tag}.v * w3{tag}.w ORDER BY w3{tag}.i)),
+         (a, b) -> a + b) AS eigval
+  FROM w3{tag} JOIN v2{tag} ON w3{tag}.i = v2{tag}.j
+),
+{_ddb_normalize(f'w3{tag}', f'v3{tag}')}"""
+
+
+EMBEDDING_PCA_TOP2_SQL = f"""
+WITH {_DDB_PC_GRAM},
+{_ddb_power('gram', 'a')},
+gram2 AS (
+  SELECT g.i, g.j, g.g - lama.eigval * a.v * b.v AS g
+  FROM gram g
+  JOIN v3a a ON a.j = g.i
+  JOIN v3a b ON b.j = g.j
+  CROSS JOIN lama
+),
+{_ddb_power('gram2', 'b')}
+SELECT 1 AS component, CAST(v3a.j AS INT) AS dim, v3a.v AS loading, lama.eigval
+FROM v3a, lama
+UNION ALL
+SELECT 2 AS component, CAST(v3b.j AS INT) AS dim, v3b.v AS loading, lamb.eigval
+FROM v3b, lamb
 """

@@ -2080,3 +2080,62 @@ SELECT o_orderpriority,
 FROM v2
 GROUP BY o_orderpriority
 """
+
+
+def agg_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set INTERSECTION cardinality from mergeable sketches via
+    inclusion-exclusion: |buyers ∩ clickers| ≈ â + b̂ − û from three
+    HLL++ estimates (rsd=0.02) computed in ONE aggregation pass — the
+    audience-overlap primitive (set algebra on sketches) that exact
+    distinct-counting needs two distinct shuffles and a semi-join for.
+
+    At 100 TB the three sketches are ~kB of mergeable state each and the
+    pass is map-side-combining; the exact counts here exist only to state
+    the oracle contract (agg_approx_distinct pattern): the query emits
+    exact cardinalities plus booleans that each estimate landed inside
+    its band — 5% of the union for the three direct estimates, 10% for
+    the differenced intersection (subtraction compounds the error).
+    A drifting estimator flips a boolean and fails the gate.
+    """
+    e = Catalog(spark, sf_dir).table("events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    pur = F.when(F.col("event_type") == "purchase", F.col("user_id"))
+    clk = F.when(F.col("event_type") == "click", F.col("user_id"))
+    row = e.agg(
+        F.countDistinct(pur).alias("exact_buyers"),
+        F.countDistinct(clk).alias("exact_clickers"),
+        F.countDistinct("user_id").alias("exact_union"),
+        F.approx_count_distinct(pur, 0.02).alias("apx_a"),
+        F.approx_count_distinct(clk, 0.02).alias("apx_b"),
+        F.approx_count_distinct(F.col("user_id"), 0.02).alias("apx_u"),
+    )
+    est_int = F.col("apx_a") + F.col("apx_b") - F.col("apx_u")
+    exact_int = F.col("exact_buyers") + F.col("exact_clickers") - F.col("exact_union")
+    band = lambda err, tol: err <= tol * F.col("exact_union")  # noqa: E731
+    return row.select(
+        "exact_buyers",
+        "exact_clickers",
+        "exact_union",
+        exact_int.alias("exact_intersection"),
+        band(F.abs(F.col("apx_a") - F.col("exact_buyers")), 0.05).alias("a_within_5pct"),
+        band(F.abs(F.col("apx_b") - F.col("exact_clickers")), 0.05).alias("b_within_5pct"),
+        band(F.abs(F.col("apx_u") - F.col("exact_union")), 0.05).alias("u_within_5pct"),
+        band(F.abs(est_int - exact_int), 0.10).alias("intersection_within_10pct"),
+    )
+
+
+AGG_SKETCH_INTERSECTION_SQL = """
+WITH e AS (SELECT event_type, user_id FROM events WHERE event_type IN ('purchase', 'click'))
+SELECT COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS exact_buyers,
+       COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS exact_clickers,
+       COUNT(DISTINCT user_id) AS exact_union,
+       COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+         + COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+         - COUNT(DISTINCT user_id) AS exact_intersection,
+       TRUE AS a_within_5pct,
+       TRUE AS b_within_5pct,
+       TRUE AS u_within_5pct,
+       TRUE AS intersection_within_10pct
+FROM e
+"""

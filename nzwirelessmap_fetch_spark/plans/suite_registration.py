@@ -254,6 +254,11 @@ registry.register(
     _r.agg_incremental_maintenance,
     _r.AGG_INCREMENTAL_MAINTENANCE_SQL,
 )
+registry.register(
+    "agg_sketch_intersection",
+    _r.agg_sketch_intersection,
+    _r.AGG_SKETCH_INTERSECTION_SQL,
+)
 registry.register("table_profile", _sk.table_profile, _sk.TABLE_PROFILE_SQL)
 registry.register(
     "events_anomaly_zscore", _ea.events_anomaly_zscore, _ea.EVENTS_ANOMALY_ZSCORE_SQL
@@ -286,6 +291,9 @@ registry.register(
     "embedding_abtt_residual",
     _sk.embedding_abtt_residual,
     _sk.EMBEDDING_ABTT_RESIDUAL_SQL,
+)
+registry.register(
+    "embedding_pca_top2", _sk.embedding_pca_top2, _sk.EMBEDDING_PCA_TOP2_SQL
 )
 
 # Consumers of the memoized verified-Jaccard pair build whose family
