@@ -2139,3 +2139,58 @@ SELECT COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS exa
        TRUE AS intersection_within_10pct
 FROM e
 """
+
+
+TARGET_FILE_MB = 128
+_EST_ROW_BYTES = 120  # avg serialized orders row (stats-derived constant)
+
+
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planning (the operational twin of
+    layout_zorder_key): per month-partition of orders, estimate the
+    at-rest size and emit the target file count for a 128 MB file goal —
+    the planning pass an OPTIMIZE/compaction job runs before rewriting,
+    and the number a partitioned writer needs for
+    ``repartition(n, key)``-per-partition output sizing. Small files are
+    the silent 100 TB scan killer: a month that should be 8 files of
+    128 MB but landed as 3000 × 350 KB costs 3000 footer reads and 3000
+    task schedulings per scan.
+
+    Plan: one partial-aggregated group-by on the partition key; byte
+    estimation is a stats constant here (a real deployment reads
+    per-partition bytes from the table's file listing or Delta/Iceberg
+    metadata — same output contract). Integer arithmetic only.
+    """
+    o = Catalog(spark, sf_dir).table("orders")
+    part = F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("month")
+    target_bytes = TARGET_FILE_MB * 1024 * 1024
+    g = o.groupBy(part).agg(F.count(F.lit(1)).alias("n_rows"))
+    est_bytes = F.col("n_rows") * F.lit(_EST_ROW_BYTES)
+    target_files = F.greatest(
+        F.lit(1).cast("long"), F.ceil(est_bytes / F.lit(target_bytes))
+    )
+    return g.select(
+        "month",
+        "n_rows",
+        est_bytes.alias("est_bytes"),
+        target_files.alias("target_files"),
+        F.ceil(F.col("n_rows") / target_files).alias("rows_per_file"),
+    )
+
+
+LAYOUT_COMPACTION_PLAN_SQL = f"""
+WITH g AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_rows
+  FROM orders GROUP BY 1
+)
+SELECT month, n_rows,
+       n_rows * {_EST_ROW_BYTES} AS est_bytes,
+       GREATEST(1, CAST(ceil(CAST(n_rows * {_EST_ROW_BYTES} AS DOUBLE)
+                             / ({TARGET_FILE_MB} * 1024 * 1024)) AS BIGINT))
+         AS target_files,
+       CAST(ceil(CAST(n_rows AS DOUBLE)
+                 / GREATEST(1, CAST(ceil(CAST(n_rows * {_EST_ROW_BYTES} AS DOUBLE)
+                                         / ({TARGET_FILE_MB} * 1024 * 1024)) AS BIGINT)))
+            AS BIGINT) AS rows_per_file
+FROM g
+"""

@@ -237,6 +237,9 @@ registry.register("agg_robust_mad", _st.agg_robust_mad, _st.AGG_ROBUST_MAD_SQL)
 registry.register("agg_regression", _st.agg_regression, _st.AGG_REGRESSION_SQL)
 registry.register("layout_zorder_key", _r.layout_zorder_key, _r.LAYOUT_ZORDER_KEY_SQL)
 registry.register(
+    "layout_compaction_plan", _r.layout_compaction_plan, _r.LAYOUT_COMPACTION_PLAN_SQL
+)
+registry.register(
     "corpus_curation_report", _cp.corpus_curation_report, _cp.CORPUS_CURATION_REPORT_SQL
 )
 

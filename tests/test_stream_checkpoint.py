@@ -1,0 +1,60 @@
+"""Streaming checkpoint/restart: exactly-once resume across process-level
+query restarts — the durability half of the streaming story (the registry
+queries pin semantics on a complete input; this pins recovery).
+
+A file-source → parquet-sink query with a checkpointLocation is run to
+completion on batch A, stopped, handed batch B, and restarted with the
+SAME checkpoint + sink. The WAL must replay nothing: the sink ends with
+exactly A ∪ B. A third no-new-data restart must add nothing."""
+
+from __future__ import annotations
+
+import pathlib
+
+from pyspark.sql import functions as F
+
+
+def _run_stream(spark, src, sink, ckpt):
+    q = (
+        spark.readStream.schema("k long, v string")
+        .parquet(src)
+        .withColumn("tagged", F.concat(F.col("v"), F.lit(":seen")))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_exactly_once_resume(spark, tmp_path):
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    pathlib.Path(src).mkdir()
+
+    batch_a = spark.range(100).select(
+        F.col("id").alias("k"), F.concat(F.lit("a"), F.col("id")).alias("v")
+    )
+    batch_a.coalesce(1).write.mode("append").parquet(src)
+    _run_stream(spark, src, sink, ckpt)
+    assert spark.read.parquet(sink).count() == 100
+
+    batch_b = spark.range(100, 140).select(
+        F.col("id").alias("k"), F.concat(F.lit("b"), F.col("id")).alias("v")
+    )
+    batch_b.coalesce(1).write.mode("append").parquet(src)
+    _run_stream(spark, src, sink, ckpt)
+    out = spark.read.parquet(sink)
+    # exactly-once: batch A NOT reprocessed, batch B fully present
+    assert out.count() == 140
+    assert out.filter(F.col("v").startswith("b")).count() == 40
+    assert out.select("k").distinct().count() == 140
+
+    # idle restart: committed offsets stand, nothing re-emitted
+    _run_stream(spark, src, sink, ckpt)
+    assert spark.read.parquet(sink).count() == 140
