@@ -985,7 +985,10 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     the equivalent semantic form directly (all pairs at Hamming ≤ 3 —
     equal BY the pigeonhole guarantee, which this query therefore pins).
     """
-    sigs = dedup_simhash(spark, sf_dir)
+    # persist: the signature build (tokenize + per-word md5 + fold over
+    # the whole corpus) feeds BOTH sides of the self-join; without it
+    # Spark computes the subtree twice (measured 2× at sf0.1)
+    sigs = dedup_simhash(spark, sf_dir).persist()
     bands = sigs.select(
         "doc_id",
         "simhash",

@@ -113,7 +113,9 @@ def _bucket_expr() -> F.Column:
 def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-neighbor pairs via LSH buckets + exact cosine re-rank."""
     e = Catalog(spark, sf_dir).table("embeddings")
-    bucketed = e.withColumn("bucket", _bucket_expr().cast("int"))
+    # persist: the 8-plane code (a 512-term fold per row) feeds both
+    # sides of the self-join — without it Spark evaluates it twice
+    bucketed = e.withColumn("bucket", _bucket_expr().cast("int")).persist()
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = (
@@ -362,7 +364,8 @@ def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification. Probing is directional (a-probes meet b-home), which
     covers Hamming-1 symmetrically without double fan-out."""
     e = Catalog(spark, sf_dir).table("embeddings")
-    home = e.withColumn("bucket", _bucket_expr().cast("int"))
+    # persist: home codes feed the probe fan-out AND the index side
+    home = e.withColumn("bucket", _bucket_expr().cast("int")).persist()
     probes = home.select(
         "vec_id",
         "embedding",
@@ -497,6 +500,9 @@ def sim_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = coded.selectExpr(
         "vec_id", f"stack({LSH_BANDS}, {stack_args}) AS (band, code)"
     )
+    # persist: the banded codes feed the valve count AND both self-join
+    # sides — three consumers of a 1024-term fold per row
+    bands = bands.persist()
     keep = (
         bands.groupBy("band", "code")
         .agg(F.count(F.lit(1)).alias("bsz"))
@@ -628,6 +634,10 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(KMEANS_ITERATIONS):
         cents = _update_centroids(_assign_cells(e, cents))
+    # persist: the trained 16-row centroid table is consumed by the final
+    # assignment AND the query-probe ranking — without it each consumer
+    # re-runs both Lloyd iterations
+    cents = cents.persist()
     assigned = _assign_cells(e, cents)
 
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
