@@ -28,6 +28,19 @@ def md5_long(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
+def md5_long60(col: Column | str) -> Column:
+    """First 60 bits of md5 as a non-negative long (0 .. 2^60-1) — the
+    join-key-narrowing hash: collision odds stay negligible at corpus
+    scale (birthday bound ~2^30 keys) while the wire key shrinks from an
+    arbitrary-width string to 8 bytes. 15 hex chars so the value always
+    fits signed int64 in every engine.
+
+    DuckDB twin: ``('0x' || substr(md5(x), 1, 15))::BIGINT``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def perm_hash(h: Column, a: Column | int, b: Column | int) -> Column:
     """Universal-hash permutation ``(a*h + b) mod P`` for MinHash."""
     a = F.lit(a) if isinstance(a, int) else a

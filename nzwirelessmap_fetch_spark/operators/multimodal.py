@@ -317,3 +317,141 @@ SELECT doc_id,
        energy AS peak_energy
 FROM ranked WHERE rn = 1
 """
+
+
+# --- Perceptual-hash near-dup over the media column -----------------------
+
+PHASH_BUCKETS = 49       # 49 bucket means -> 48 gradient bits (fits signed int64)
+PHASH_BITS = PHASH_BUCKETS - 1
+PHASH_BANDS = 4          # 4 x 12-bit bands: pigeonhole-lossless for Hamming <= 3
+PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS
+PHASH_HAMMING_MAX = 3
+
+
+def phash_dhash(data: bytes) -> int:
+    """Difference-hash (dHash) over the 1-D byte signal: downsample the
+    payload to ``PHASH_BUCKETS`` equal-span bucket sums, then emit one
+    bit per adjacent-bucket gradient (``sum[i] > sum[i+1]``). This IS the
+    classic image dHash with the 2-D 9x8 grid flattened to a byte line —
+    swap the bucket stage for a real resampled-luminance grid (PIL) and
+    nothing downstream changes. Locality: edits touching few bytes
+    perturb few bucket sums, so near-identical payloads land within a
+    small Hamming radius (unlike md5, which avalanches).
+
+    Integer-only arithmetic; replayed bit-exactly by the DuckDB oracle
+    from the hex-encoded payload."""
+    n = len(data)
+    sums = [
+        sum(data[j * n // PHASH_BUCKETS : (j + 1) * n // PHASH_BUCKETS])
+        for j in range(PHASH_BUCKETS)
+    ]
+    h = 0
+    for i in range(PHASH_BITS):
+        h = (h << 1) | (1 if sums[i] > sums[i + 1] else 0)
+    return h
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup PAIRS over the media binary column
+    (§2.4 multimodal x dedup): dHash each payload inside the Arrow batch
+    (mapInPandas — the only Python stage), then find all pairs within
+    Hamming distance ≤ {PHASH_HAMMING_MAX} via 12-bit banding — the
+    image-dedup pipeline (near-identical images under re-encode/resize
+    collide) run on the deterministic byte-signal stand-in.
+
+    Scale shape: hashing is scan-bound map-side work (64 bits out per
+    item, whatever the payload size); the band explode is map-side x4;
+    candidates come from the (band, key) equi-join — LOSSLESS for the
+    ≤3 radius by pigeonhole (4 bands, ≤3 flips -> ≥1 intact band), never
+    all-pairs — and one bit_count(XOR) verifies each. The quadratic
+    oracle states the semantic form directly, so the gate pins the
+    losslessness claim. Mirrors dedup_simhash_hamming; reference has no
+    media surface (SURVEY §2.4 charter extension).
+    """
+    media = media_table(spark, sf_dir)
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                data = bytes(blob)
+                if len(data) < PHASH_BUCKETS:
+                    continue  # sub-bucket payloads filtered upstream too
+                rows.append({"doc_id": doc_id, "phash": phash_dhash(data)})
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    # persist: the hash build feeds both sides of the band self-join
+    hashed = (
+        media.filter(F.length("media") >= PHASH_BUCKETS)
+        .select("doc_id", "media")
+        .mapInPandas(hash_batch, "doc_id long, phash long")
+        .persist()
+    )
+    mask = (1 << PHASH_BAND_BITS) - 1
+    bands = hashed.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("phash"), PHASH_BAND_BITS * i)
+                        .bitwiseAND(mask)
+                        .alias("key"),
+                    )
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "phash", "b.band", "b.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+    )
+
+
+# Bucket sums replayed from the hex-encoded payload (the audio-energy
+# byte-extraction pattern); DuckDB lists are 1-indexed, so sums[i] is
+# s[i+1]. The pair scan is quadratic ON PURPOSE: it is the semantic
+# definition the banded plan must equal.
+MULTIMODAL_PHASH_DEDUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents
+  WHERE octet_length(encode(text)) >= {PHASH_BUCKETS}
+),
+sums AS (
+  SELECT doc_id,
+         list_transform(range(0, {PHASH_BUCKETS}), j ->
+           list_reduce(list_prepend(0::BIGINT,
+             list_transform(range(j * n // {PHASH_BUCKETS},
+                                  (j + 1) * n // {PHASH_BUCKETS}),
+               p -> ((strpos('0123456789ABCDEF', substring(h, p*2 + 1, 1)) - 1) * 16
+                     + strpos('0123456789ABCDEF', substring(h, p*2 + 2, 1)) - 1)::BIGINT)),
+             (a, b) -> a + b)) AS s
+  FROM d
+),
+sig AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(range(0, {PHASH_BITS}),
+             i -> CASE WHEN s[i + 1] > s[i + 2] THEN 1::BIGINT ELSE 0::BIGINT END)),
+           (acc, bit) -> acc * 2 + bit) AS phash
+  FROM sums
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.phash, b.phash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
+"""

@@ -893,3 +893,54 @@ UNION ALL
 SELECT 2 AS component, CAST(v3b.j AS INT) AS dim, v3b.v AS loading, lamb.eigval
 FROM v3b, lamb
 """
+
+
+def agg_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count rollup (§2.3 sketch family — the
+    incremental-rollup-table pattern): per-DAY Datasketches HLL sketches
+    of active users are built in one pass, stored as mergeable binary
+    state, then WEEKLY cardinality comes from ``hll_union_agg`` over the
+    daily sketches — never re-reading the raw events. This is the plan
+    behind every "daily rollup, arbitrary-window distinct" serving table
+    at 100 TB: the second level aggregates kilobyte sketches, so weekly /
+    monthly / YTD uniques cost O(days), not O(events), and late
+    partitions merge in by union.
+
+    Both levels are map-side-combining single-shuffle aggs. The exact
+    weekly distinct (one extra expand shuffle, fixture-cheap) exists to
+    state the oracle contract: the merged estimate must land within 5%
+    of exact — at daily-user cardinalities the sketch is in sparse mode
+    and typically exact, and a drifting estimator flips the boolean.
+    """
+    e = Catalog(spark, sf_dir).table("events")
+    week = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    daily = e.groupBy(week.alias("week"), day.alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    weekly = daily.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = e.groupBy(week.alias("week")).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return weekly.join(exact, "week").select(
+        "week",
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("merged_within_5pct"),
+    )
+
+
+AGG_HLL_PARTITION_MERGE_SQL = """
+SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+       COUNT(DISTINCT date_trunc('day', ts)) AS n_days,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS merged_within_5pct
+FROM events
+GROUP BY 1
+"""

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
-from ..functions.hashing import rolling_hash
+from ..functions.hashing import md5_long60, rolling_hash
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
@@ -451,10 +451,11 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast probe discards the overwhelming non-matching majority
     map-side, and countDistinct absorbs duplicate postings afterward, so
     the only shuffle in the whole plan is the final per-doc group-by of
-    the (rare) contaminated hits. Joined on raw shingle text so the
-    DuckDB oracle can replay it — at 100 TB the join key is
-    xxhash64(shingle) (8-byte keys on the wire), exactly as
-    operators/dedup.py hashes shingles."""
+    the (rare) contaminated hits. The join key is the 60-bit md5 slice
+    of the shingle (``md5_long60``) — 8 bytes on the wire instead of the
+    ~40-char shingle text, and still bit-replayable by the DuckDB oracle
+    (collision odds ~2^-60 per pair are far below the screen's own
+    n-gram false-positive rate)."""
     d = Catalog(spark, sf_dir).table("documents")
     toks = _words()
     n_sh = F.size(toks) - (SHINGLE_WIDTH - 1)
@@ -467,18 +468,20 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(toks, i, SHINGLE_WIDTH), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    postings = d.select("doc_id", "source", F.explode(shingles).alias("shingle"))
+    postings = d.select(
+        "doc_id", "source", F.explode(shingles).alias("shingle")
+    ).select("doc_id", "source", md5_long60("shingle").alias("sh_h"))
     bench = (
         postings.filter(F.col("source") == BENCHMARK_SOURCE)
-        .select(F.col("doc_id").alias("bench_id"), "shingle")
+        .select(F.col("doc_id").alias("bench_id"), "sh_h")
         .distinct()
     )
     train = postings.filter(F.col("source") != BENCHMARK_SOURCE)
     return (
-        train.join(F.broadcast(bench), "shingle")
+        train.join(F.broadcast(bench), "sh_h")
         .groupBy("doc_id")
         .agg(
-            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("sh_h").alias("n_shared_shingles"),
             F.countDistinct("bench_id").alias("n_bench_docs_hit"),
         )
     )
@@ -488,24 +491,29 @@ CORPUS_CONTAMINATION_SQL = f"""
 WITH tokd AS (
   SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
 ),
-postings AS (
-  SELECT DISTINCT doc_id, source,
+raw_postings AS (
+  SELECT doc_id, source,
          UNNEST(list_transform(
            generate_series(1, GREATEST(LEN(t) - {SHINGLE_WIDTH - 1}, 0)),
            i -> array_to_string(t[i:i + {SHINGLE_WIDTH - 1}], ' '))) AS shingle
   FROM tokd
 ),
+postings AS (
+  SELECT DISTINCT doc_id, source,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh_h
+  FROM raw_postings
+),
 bench AS (
-  SELECT doc_id AS bench_id, shingle FROM postings
+  SELECT doc_id AS bench_id, sh_h FROM postings
   WHERE source = '{BENCHMARK_SOURCE}'
 ),
 train AS (
-  SELECT doc_id, shingle FROM postings WHERE source <> '{BENCHMARK_SOURCE}'
+  SELECT doc_id, sh_h FROM postings WHERE source <> '{BENCHMARK_SOURCE}'
 )
 SELECT t.doc_id,
-       COUNT(DISTINCT t.shingle) AS n_shared_shingles,
+       COUNT(DISTINCT t.sh_h) AS n_shared_shingles,
        COUNT(DISTINCT b.bench_id) AS n_bench_docs_hit
-FROM train t JOIN bench b ON t.shingle = b.shingle
+FROM train t JOIN bench b ON t.sh_h = b.sh_h
 GROUP BY t.doc_id
 """
 

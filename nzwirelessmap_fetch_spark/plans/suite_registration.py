@@ -299,6 +299,15 @@ registry.register(
     "embedding_pca_top2", _sk.embedding_pca_top2, _sk.EMBEDDING_PCA_TOP2_SQL
 )
 
+registry.register(
+    "multimodal_phash_dedup", _mm.multimodal_phash_dedup, _mm.MULTIMODAL_PHASH_DEDUP_SQL
+)
+registry.register(
+    "agg_hll_partition_merge",
+    _sk.agg_hll_partition_merge,
+    _sk.AGG_HLL_PARTITION_MERGE_SQL,
+)
+
 # Consumers of the memoized verified-Jaccard pair build whose family
 # already has driver-visible rows (entries 35–36): kept at the tail.
 # same oracle: identical output contract, log-round star-contraction algorithm
