@@ -544,8 +544,9 @@ def _ddb_code(bits: int, offset: int) -> str:
            (a, b) -> a + b) AS INT)"""
 
 
-SIM_LSH_BANDED_SQL = f"""
-WITH coded AS (
+# CTE prefix shared with SIM_KNN_GRAPH_SQL (which consumes the same
+# verified banded-LSH pair stream).
+_BANDED_CTES = f"""coded AS (
   SELECT vec_id, embedding,
          {_ddb_code(LSH_BAND_BITS, 0)} AS c0,
          {_ddb_code(LSH_BAND_BITS, LSH_BAND_BITS)} AS c1
@@ -567,13 +568,82 @@ cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM bands a
   JOIN bands b ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id
+),
+banded_pairs AS (
+  SELECT vec_a, vec_b,
+         {_DDB_COS.format(a='ea.embedding', b='eb.embedding')} AS cos
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = vec_a
+  JOIN embeddings eb ON eb.vec_id = vec_b
+  WHERE {_DDB_COS.format(a='ea.embedding', b='eb.embedding')} >= {PAIR_THRESHOLD}
+)"""
+
+SIM_LSH_BANDED_SQL = f"""
+WITH {_BANDED_CTES}
+SELECT vec_a, vec_b, cos FROM banded_pairs
+"""
+
+
+K_NN = 5
+
+
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph construction (§2.4 similarity substrate): edges
+    (a, b) where each endpoint ranks the other within its top-{K_NN}
+    cosine neighbors — the standard graph substrate for embedding-space
+    clustering, diversity filtering, and label propagation (mutual-kNN
+    prunes hub nodes' asymmetric edges, which plain kNN graphs keep).
+
+    Built on the banded-LSH verified pair stream (approximate kNN — the
+    production shape: exact all-pairs kNN is O(n²) at corpus scale while
+    candidates here come from bucket-local joins): symmetrize the pairs,
+    one window exchange keyed by source node for per-node rank, then the
+    mutuality check is a self-equi-join on the REVERSED (a, b) key —
+    edge-stream-sized, never touching the vectors again. Ranks pin ties
+    by (cos DESC, neighbor id)."""
+    # persist: the verified pair stream feeds both union branches, and
+    # the ranked kNN feeds both sides of the mutuality join
+    pairs = sim_lsh_banded(spark, sf_dir).persist()
+    sym = pairs.select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b"), "cos"
+    ).union(pairs.select(F.col("vec_b").alias("a"), F.col("vec_a").alias("b"), "cos"))
+    w = Window.partitionBy("a").orderBy(F.desc("cos"), F.asc("b"))
+    knn = (
+        sym.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= K_NN)
+        .persist()
+    )
+    x, y = knn.alias("x"), knn.alias("y")
+    return (
+        x.join(y, (F.col("x.a") == F.col("y.b")) & (F.col("x.b") == F.col("y.a")))
+        .filter(F.col("x.a") < F.col("x.b"))
+        .select(
+            F.col("x.a").alias("vec_a"),
+            F.col("x.b").alias("vec_b"),
+            F.col("x.cos").alias("cos"),
+            F.col("x.rk").alias("rank_ab"),
+            F.col("y.rk").alias("rank_ba"),
+        )
+    )
+
+
+SIM_KNN_GRAPH_SQL = f"""
+WITH {_BANDED_CTES},
+sym AS (
+  SELECT vec_a AS a, vec_b AS b, cos FROM banded_pairs
+  UNION ALL
+  SELECT vec_b AS a, vec_a AS b, cos FROM banded_pairs
+),
+knn AS (
+  SELECT a, b, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos DESC, b ASC) AS INT) AS rk
+  FROM sym
+  QUALIFY rk <= {K_NN}
 )
-SELECT vec_a, vec_b,
-       {_DDB_COS.format(a='ea.embedding', b='eb.embedding')} AS cos
-FROM cand
-JOIN embeddings ea ON ea.vec_id = vec_a
-JOIN embeddings eb ON eb.vec_id = vec_b
-WHERE {_DDB_COS.format(a='ea.embedding', b='eb.embedding')} >= {PAIR_THRESHOLD}
+SELECT x.a AS vec_a, x.b AS vec_b, x.cos AS cos,
+       x.rk AS rank_ab, y.rk AS rank_ba
+FROM knn x JOIN knn y ON x.a = y.b AND x.b = y.a
+WHERE x.a < x.b
 """
 
 

@@ -586,7 +586,17 @@ def _pc_iterate(spark: SparkSession, gram: DataFrame):
     """_PC_ITERS G·v products on an (i, j, g) matrix table from the
     all-ones start: returns (principal (j, v) unit vector, lam 1-row
     Rayleigh quotient). Works on the raw Gram (component 1) or any
-    deflated matrix (later components)."""
+    deflated matrix (later components).
+
+    Lineage discipline (the CC-loop lesson, dedup.py:622): the Gram and
+    every per-round iterate are EAGERLY localCheckpoint'd. Each matvec
+    references the matrix plus the previous v, so without truncation the
+    logical plan nests the whole corpus subtree once per round per
+    consumer — a second (deflated) trajectory then multiplies it and
+    Catalyst optimization time explodes (measured: 350 s at sf0.01 for
+    embedding_pca_top2, vs ~2 s truncated). The checkpointed state is
+    dim² + dim rows — trivial at any corpus size."""
+    gram = gram.localCheckpoint(eager=True)
 
     def matvec(v: DataFrame) -> DataFrame:
         """w = G·v with a j-ordered fold per output row."""
@@ -619,8 +629,10 @@ def _pc_iterate(spark: SparkSession, gram: DataFrame):
 
     v = spark.range(_PC_DIM).select(F.col("id").cast("int").alias("j"), F.lit(1.0).alias("v"))
     for _ in range(_PC_ITERS - 1):
-        v = normalized(matvec(v))
-    w_last = matvec(v)  # unnormalized G·v with unit v → Rayleigh numerator
+        v = normalized(matvec(v)).localCheckpoint(eager=True)
+    # unnormalized G·v with unit v → Rayleigh numerator; feeds lam AND the
+    # returned normalized vector, so truncate before fan-out
+    w_last = matvec(v).localCheckpoint(eager=True)
     lam = (
         w_last.join(v.select(F.col("j").alias("i"), "v"), "i")
         .agg(F.array_sort(F.collect_list(F.struct("i", (F.col("v") * F.col("w")).alias("t")))).alias("s"))
@@ -798,6 +810,29 @@ FROM base
 """
 
 
+def _top2_components(spark: SparkSession, sf_dir: str):
+    """Shared top-2 trajectory: power-iterate the Gram matrix, deflate
+    (G₂ = G − λ₁·v₁v₁ᵀ), iterate again. Returns (v1, lam1, v2, lam2) —
+    per-dim loading frames and 1-row eigenvalue frames."""
+    gram = _pc_gram(spark, sf_dir)
+    v1, lam1 = _pc_iterate(spark, gram)
+    vi = v1.select(F.col("j").alias("i"), F.col("v").alias("vi"))
+    vj = v1.select("j", F.col("v").alias("vj"))
+    gram2 = (
+        gram.join(vi, "i")
+        .join(vj, "j")
+        .crossJoin(F.broadcast(lam1))
+        .select(
+            "i",
+            "j",
+            (F.col("g") - F.col("eigval") * F.col("vi") * F.col("vj")).alias("g"),
+        )
+    )
+    # dim²-row deflated matrix; _pc_iterate checkpoints it on entry
+    v2, lam2 = _pc_iterate(spark, gram2)
+    return v1, lam1, v2, lam2
+
+
 def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 principal directions via Hotelling DEFLATION: component 1 is
     the plain power iterate; component 2 power-iterates the deflated
@@ -813,21 +848,7 @@ def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (component 1|2, dim, loading, eigval).
     """
-    gram = _pc_gram(spark, sf_dir)
-    v1, lam1 = _pc_iterate(spark, gram)
-    vi = v1.select(F.col("j").alias("i"), F.col("v").alias("vi"))
-    vj = v1.select("j", F.col("v").alias("vj"))
-    gram2 = (
-        gram.join(vi, "i")
-        .join(vj, "j")
-        .crossJoin(F.broadcast(lam1))
-        .select(
-            "i",
-            "j",
-            (F.col("g") - F.col("eigval") * F.col("vi") * F.col("vj")).alias("g"),
-        )
-    )
-    v2, lam2 = _pc_iterate(spark, gram2)
+    v1, lam1, v2, lam2 = _top2_components(spark, sf_dir)
 
     def emit(comp: int, v: DataFrame, lam: DataFrame) -> DataFrame:
         return v.crossJoin(F.broadcast(lam)).select(
@@ -943,4 +964,91 @@ SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
        TRUE AS merged_within_5pct
 FROM events
 GROUP BY 1
+"""
+
+
+def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening coordinates (§2.4 similarity substrate — the
+    preprocessing that equalizes variance before cosine/dot retrieval):
+    per vector, project onto the two pinned principal directions and
+    scale each coordinate by 1/sqrt(λ) — whitened coordinates have unit
+    variance along each component, removing the dominant directions'
+    outsized pull on distances (the retrieval twin of ABTT's removal).
+
+    Composes ``_top2_components``: the corpus is touched once by the
+    shared Gram pass; both directions + eigenvalues broadcast as ONE row
+    of 2·dim+2 doubles, and the per-vector work is two row-local
+    dim-ordered folds — zero additional shuffles, output is one row per
+    vector. sqrt is IEEE-correctly-rounded (allowed in pinned outputs);
+    fold order pinned on both engines.
+    """
+    v1, lam1, v2, lam2 = _top2_components(spark, sf_dir)
+
+    def as_list(v: DataFrame, name: str) -> DataFrame:
+        return v.agg(
+            F.array_sort(F.collect_list(F.struct("j", "v"))).alias("s")
+        ).select(F.expr("transform(s, x -> x.v)").alias(name))
+
+    ctx = (
+        as_list(v1, "pv1")
+        .crossJoin(as_list(v2, "pv2"))
+        .crossJoin(lam1.select(F.col("eigval").alias("lam1")))
+        .crossJoin(lam2.select(F.col("eigval").alias("lam2")))
+    )
+    e = Catalog(spark, sf_dir).table("embeddings")
+    x_d = "CAST(element_at(embedding, d + 1) AS DOUBLE)"
+
+    def proj(pv: str) -> str:
+        return (
+            f"aggregate(sequence(0, {_PC_DIM - 1}), CAST(0.0 AS DOUBLE), "
+            f"(acc, d) -> acc + {x_d} * element_at({pv}, d + 1))"
+        )
+
+    return (
+        e.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(ctx))
+        .select(
+            "vec_id",
+            F.expr(proj("pv1")).alias("proj1"),
+            F.expr(proj("pv2")).alias("proj2"),
+            (F.expr(proj("pv1")) / F.sqrt(F.col("lam1"))).alias("white1"),
+            (F.expr(proj("pv2")) / F.sqrt(F.col("lam2"))).alias("white2"),
+        )
+    )
+
+
+EMBEDDING_WHITENING_SQL = f"""
+WITH {_DDB_PC_GRAM},
+{_ddb_power('gram', 'a')},
+gram2 AS (
+  SELECT g.i, g.j, g.g - lama.eigval * a.v * b.v AS g
+  FROM gram g
+  JOIN v3a a ON a.j = g.i
+  JOIN v3a b ON b.j = g.j
+  CROSS JOIN lama
+),
+{_ddb_power('gram2', 'b')},
+ctx AS (
+  SELECT (SELECT list(v ORDER BY j) FROM v3a) AS pv1,
+         (SELECT list(v ORDER BY j) FROM v3b) AS pv2,
+         (SELECT eigval FROM lama) AS lam1,
+         (SELECT eigval FROM lamb) AS lam2
+),
+base AS (
+  SELECT e.vec_id,
+         list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(0, {_PC_DIM}),
+                            d -> CAST(e.embedding[d + 1] AS DOUBLE) * pv1[d + 1])),
+           (a, b) -> a + b) AS proj1,
+         list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(0, {_PC_DIM}),
+                            d -> CAST(e.embedding[d + 1] AS DOUBLE) * pv2[d + 1])),
+           (a, b) -> a + b) AS proj2,
+         lam1, lam2
+  FROM embeddings e, ctx
+)
+SELECT vec_id, proj1, proj2,
+       proj1 / sqrt(lam1) AS white1,
+       proj2 / sqrt(lam2) AS white2
+FROM base
 """

@@ -302,6 +302,10 @@ registry.register(
 registry.register(
     "multimodal_phash_dedup", _mm.multimodal_phash_dedup, _mm.MULTIMODAL_PHASH_DEDUP_SQL
 )
+registry.register("sim_knn_graph", _sim.sim_knn_graph, _sim.SIM_KNN_GRAPH_SQL)
+registry.register(
+    "embedding_whitening", _sk.embedding_whitening, _sk.EMBEDDING_WHITENING_SQL
+)
 registry.register(
     "agg_hll_partition_merge",
     _sk.agg_hll_partition_merge,
