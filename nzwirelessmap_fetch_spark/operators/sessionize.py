@@ -64,18 +64,9 @@ GROUP BY user_id, session_idx
 """
 
 
-def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Slowly-changing-dimension type 2 build (§2.3 incremental, the
-    temporal-table sibling of merge_upsert): compress each user's event
-    stream into validity intervals of their ``event_type`` state — a row
-    survives only when the state CHANGES, and carries
-    [valid_from, valid_to) with an open (NULL) end on the current state.
-
-    Same physical shape as sessionize: ONE shuffle (by user), two window
-    passes over the same sort (lag to detect change, lead for the closing
-    timestamp — Catalyst reuses the exchange+sort). This is how a 100 TB
-    event log becomes a point-in-time-joinable dimension table."""
-    e = Catalog(spark, sf_dir).table("events")
+def _scd2(e: DataFrame) -> DataFrame:
+    """SCD-2 compression of an event stream: validity intervals of the
+    per-user ``event_type`` state (see events_scd2)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changed = e.withColumn("prev_type", F.lag("event_type").over(w)).filter(
         F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
@@ -88,6 +79,20 @@ def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w2).alias("valid_to"),
         F.lead("ts").over(w2).isNull().alias("is_current"),
     )
+
+
+def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build (§2.3 incremental, the
+    temporal-table sibling of merge_upsert): compress each user's event
+    stream into validity intervals of their ``event_type`` state — a row
+    survives only when the state CHANGES, and carries
+    [valid_from, valid_to) with an open (NULL) end on the current state.
+
+    Same physical shape as sessionize: ONE shuffle (by user), two window
+    passes over the same sort (lag to detect change, lead for the closing
+    timestamp — Catalyst reuses the exchange+sort). This is how a 100 TB
+    event log becomes a point-in-time-joinable dimension table."""
+    return _scd2(Catalog(spark, sf_dir).table("events"))
 
 
 EVENTS_SCD2_SQL = """
@@ -165,4 +170,75 @@ SELECT d.user_id, d.b AS bucket_hour,
        COALESCE(c.n, 0) AS n,
        c.n IS NULL AS synthesized
 FROM dense d LEFT JOIN counts c ON c.user_id = d.user_id AND c.b = d.b
+"""
+
+
+def join_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup (§2.3 joins — the fact→SCD2 join
+    every warehouse runs): for each purchase, the user's browsing state
+    (SCD-2 intervals over the NON-purchase events) valid at purchase
+    time — "what was the user doing when they bought". Purchases before
+    any browse state keep a NULL state (left join).
+
+    Plan: both sides are user-keyed, so this is ONE equi-join on
+    user_id with the interval-containment residual
+    (valid_from ≤ ts < valid_to) — per-key fan-in bounded by that
+    user's interval count, co-located for free when both tables are
+    bucketed by user. The anti-pattern at 100 TB is joining on the raw
+    range (a broadcast nested loop over corpus-sized sides); keying by
+    the dimension's natural key keeps the shuffle hash-partitioned.
+    Intervals partition each user's timeline (half-open, abutting), so
+    at most one dimension row matches — row count is exactly the fact
+    count, pinned by the oracle."""
+    e = Catalog(spark, sf_dir).table("events")
+    dim = _scd2(e.filter(F.col("event_type") != "purchase")).alias("d")
+    fact = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .alias("f")
+    )
+    cond = (
+        (F.col("f.user_id") == F.col("d.user_id"))
+        & (F.col("d.valid_from") <= F.col("f.ts"))
+        & (F.col("d.valid_to").isNull() | (F.col("f.ts") < F.col("d.valid_to")))
+    )
+    return fact.join(dim, cond, "left").select(
+        "f.event_id",
+        F.col("f.user_id").alias("user_id"),
+        "f.ts",
+        F.col("d.event_type").alias("state_at_purchase"),
+        F.col("d.valid_from").alias("state_since"),
+    )
+
+
+JOIN_SCD2_LOOKUP_SQL = """
+WITH browse AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+  WHERE event_type <> 'purchase'
+),
+marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM browse
+),
+changed AS (
+  SELECT user_id, event_type, ts, event_id FROM marked
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+dim AS (
+  SELECT user_id, event_type,
+         ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM changed
+)
+SELECT f.event_id, f.user_id, f.ts,
+       d.event_type AS state_at_purchase,
+       d.valid_from AS state_since
+FROM events f
+LEFT JOIN dim d
+  ON d.user_id = f.user_id
+ AND d.valid_from <= f.ts
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+WHERE f.event_type = 'purchase'
 """

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
-from ..functions.hashing import md5_long60, rolling_hash
+from ..functions.hashing import md5_long, md5_long60, rolling_hash
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
@@ -929,4 +929,52 @@ dn AS (
 SELECT lang, n AS n_docs, w AS weight, w / dn AS sample_share,
        CAST(floor(w / dn * CAST({RESAMPLE_BUDGET} AS DOUBLE)) AS BIGINT) AS expected_docs
 FROM g, dn
+"""
+
+
+N_SHARDS = 16
+
+
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle (§2.4 training assembly —
+    the "shuffle the corpus" step every pretraining run needs, made
+    reproducible): shard = hash(doc_id) mod {N_SHARDS}, position within
+    the shard = rank by an INDEPENDENT hash (a disjoint md5 slice) — a
+    content-keyed permutation that is stable under re-partitioning,
+    re-runs, and engine choice, unlike rand()-based shuffles (whose
+    order depends on partition layout and seed plumbing).
+
+    Plan: hashes are row-local projections; the only exchange is the
+    per-shard rank window, keyed by shard — shards are the parallel
+    unit, so the sort is |corpus|/{N_SHARDS} per task and there is no
+    global sort. Readers stream shard files in position order; epoch k
+    re-shuffles by salting the order hash with k (same plan).
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    shard = (md5_long("doc_id_s") % N_SHARDS).cast("int")
+    order_h = F.conv(F.substring(F.md5("doc_id_s"), 9, 12), 16, 10).cast("long")
+    w = Window.partitionBy("shard").orderBy("order_h", "doc_id")
+    return (
+        d.select(
+            "doc_id", F.col("doc_id").cast("string").alias("doc_id_s"), "n_chars"
+        )
+        .select("doc_id", "n_chars", shard.alias("shard"), order_h.alias("order_h"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos", "n_chars")
+    )
+
+
+CORPUS_SHUFFLE_SHARDS_SQL = f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % {N_SHARDS} AS INT) AS shard,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 12))::BIGINT AS order_h
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY order_h, doc_id)
+            AS BIGINT) AS pos,
+       n_chars
+FROM h
 """

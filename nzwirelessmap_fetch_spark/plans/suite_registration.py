@@ -307,6 +307,12 @@ registry.register(
     "embedding_whitening", _sk.embedding_whitening, _sk.EMBEDDING_WHITENING_SQL
 )
 registry.register(
+    "join_scd2_lookup", _sess.join_scd2_lookup, _sess.JOIN_SCD2_LOOKUP_SQL
+)
+registry.register(
+    "corpus_shuffle_shards", _tx.corpus_shuffle_shards, _tx.CORPUS_SHUFFLE_SHARDS_SQL
+)
+registry.register(
     "agg_hll_partition_merge",
     _sk.agg_hll_partition_merge,
     _sk.AGG_HLL_PARTITION_MERGE_SQL,

@@ -1,0 +1,70 @@
+"""join_scd2_lookup + corpus_shuffle_shards properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nzwirelessmap_fetch_spark.catalog import Catalog
+from nzwirelessmap_fetch_spark.operators.sessionize import join_scd2_lookup
+from nzwirelessmap_fetch_spark.operators.text import N_SHARDS, corpus_shuffle_shards
+from tests.conftest import SF_SMOKE
+
+
+def test_scd2_lookup_row_count_equals_fact_count(spark):
+    """Intervals partition each user's timeline, so the left join is
+    1:≤1 — output rows == purchase rows exactly (no fan-out, no loss)."""
+    e = Catalog(spark, SF_SMOKE).table("events")
+    n_purchases = e.filter(F.col("event_type") == "purchase").count()
+    out = join_scd2_lookup(spark, SF_SMOKE)
+    assert out.count() == n_purchases
+    # any matched state is a browse state, never 'purchase'
+    assert (
+        out.filter(F.col("state_at_purchase") == "purchase").count() == 0
+    )
+
+
+def test_scd2_lookup_state_is_latest_browse_event(spark):
+    """Spot-check the semantic: state_at_purchase equals the event_type
+    of the latest non-purchase event at-or-before the purchase ts."""
+    e = Catalog(spark, SF_SMOKE).table("events")
+    out = join_scd2_lookup(spark, SF_SMOKE).orderBy("event_id").limit(20).collect()
+    browse = (
+        e.filter(F.col("event_type") != "purchase")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    for r in out:
+        prior = [
+            b
+            for b in browse
+            if b.user_id == r.user_id and b.ts <= r.ts
+        ]
+        if not prior:
+            assert r.state_at_purchase is None
+        else:
+            latest = max(prior, key=lambda b: (b.ts, b.event_id))
+            assert r.state_at_purchase == latest.event_type
+
+
+def test_shuffle_shards_is_permutation(spark):
+    d = Catalog(spark, SF_SMOKE).table("documents")
+    out = corpus_shuffle_shards(spark, SF_SMOKE)
+    rows = out.collect()
+    assert len(rows) == d.count()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard < N_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    # positions within each shard are exactly 1..len (dense ranks)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_shuffle_shards_stable_under_repartition(spark):
+    a = {(r.doc_id, r.shard, r.pos) for r in corpus_shuffle_shards(spark, SF_SMOKE).collect()}
+    b = {
+        (r.doc_id, r.shard, r.pos)
+        for r in corpus_shuffle_shards(spark, SF_SMOKE).repartition(7).collect()
+    }
+    assert a == b
