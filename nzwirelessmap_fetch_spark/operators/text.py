@@ -978,3 +978,71 @@ SELECT doc_id, shard,
        n_chars
 FROM h
 """
+
+
+TOKEN_BUDGET = 100_000
+
+
+def corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix budget apportionment (§2.4 data mixing — the planner
+    that turns "sample {TOKEN_BUDGET} tokens proportionally to corpus
+    share" into per-language integer quotas): largest-remainder method
+    (Hamilton) over per-language token counts. Floor quotas sum ≤ budget;
+    the leftover seats go to the largest fractional remainders — exact
+    integer arithmetic (remainders compared as cross-multiplied BIGINTs,
+    no doubles), so quotas sum to the budget EXACTLY and replay
+    bit-identically anywhere.
+
+    Plan: one partial-agg shuffle to per-lang counts (≤ |langs| rows);
+    the total and the remainder rank ride those aggregated rows
+    (broadcast + tiny window) — nothing corpus-sized after the first
+    aggregate. The output feeds corpus_stratified_sample / temperature
+    resampling as the per-stratum quota input.
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    per_lang = d.groupBy("lang").agg(
+        F.sum(((F.col("n_chars") + 3) / 4).cast("long")).alias("tokens")
+    )
+    total = per_lang.agg(F.sum("tokens").alias("total_tokens"))
+    base = per_lang.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "tokens",
+        "total_tokens",
+        # `div` = exact BIGINT division (DuckDB `//` twin); a double
+        # divide + cast could floor the wrong side of an exact quotient
+        F.expr(f"tokens * {TOKEN_BUDGET} div total_tokens").alias("floor_quota"),
+        ((F.col("tokens") * TOKEN_BUDGET) % F.col("total_tokens")).alias("rem"),
+    )
+    leftover = F.lit(TOKEN_BUDGET) - F.sum("floor_quota").over(
+        Window.partitionBy(F.lit(1))
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("rem"), F.asc("lang"))
+    return base.select(
+        "lang",
+        "tokens",
+        "floor_quota",
+        "rem",
+        (
+            F.col("floor_quota")
+            + F.when(F.row_number().over(w) <= leftover, 1).otherwise(0)
+        ).alias("quota"),
+    )
+
+
+CORPUS_TOKEN_BUDGET_MIX_SQL = f"""
+WITH per_lang AS (
+  SELECT lang, SUM((n_chars + 3) // 4) AS tokens FROM documents GROUP BY lang
+),
+base AS (
+  SELECT lang, tokens,
+         (SELECT SUM(tokens) FROM per_lang) AS total_tokens,
+         tokens * {TOKEN_BUDGET} // (SELECT SUM(tokens) FROM per_lang) AS floor_quota,
+         tokens * {TOKEN_BUDGET} % (SELECT SUM(tokens) FROM per_lang) AS rem
+  FROM per_lang
+)
+SELECT lang, tokens, floor_quota, rem,
+       floor_quota + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC)
+                          <= {TOKEN_BUDGET} - (SELECT SUM(floor_quota) FROM base)
+                     THEN 1 ELSE 0 END AS quota
+FROM base
+"""

@@ -313,6 +313,11 @@ registry.register(
     "corpus_shuffle_shards", _tx.corpus_shuffle_shards, _tx.CORPUS_SHUFFLE_SHARDS_SQL
 )
 registry.register(
+    "corpus_token_budget_mix",
+    _tx.corpus_token_budget_mix,
+    _tx.CORPUS_TOKEN_BUDGET_MIX_SQL,
+)
+registry.register(
     "agg_hll_partition_merge",
     _sk.agg_hll_partition_merge,
     _sk.AGG_HLL_PARTITION_MERGE_SQL,

@@ -68,3 +68,31 @@ def test_shuffle_shards_stable_under_repartition(spark):
         for r in corpus_shuffle_shards(spark, SF_SMOKE).repartition(7).collect()
     }
     assert a == b
+
+
+def test_scd2_lookup_plans_equi_join_not_nested_loop(spark):
+    """The containment residual must ride the user_id equi-join —
+    a BroadcastNestedLoopJoin here would be the corpus×corpus range-join
+    anti-pattern the docstring warns about."""
+    plan = (
+        join_scd2_lookup(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_token_budget_quotas_sum_exactly(spark):
+    from nzwirelessmap_fetch_spark.operators.text import (
+        TOKEN_BUDGET,
+        corpus_token_budget_mix,
+    )
+
+    rows = corpus_token_budget_mix(spark, SF_SMOKE).collect()
+    assert sum(r.quota for r in rows) == TOKEN_BUDGET
+    for r in rows:
+        assert r.quota in (r.floor_quota, r.floor_quota + 1)
