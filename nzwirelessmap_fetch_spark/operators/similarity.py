@@ -1006,3 +1006,84 @@ SELECT q_id, vec_id, adist, CAST(rank AS INT) AS rank FROM (
   FROM adc WHERE vec_id <> q_id)
 WHERE rank <= {TOP_K}
 """
+
+
+MRL_PREFIX_DIM = 8
+MRL_K = 10
+
+
+def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-dimension retrieval audit (§2.4 similarity meta-tooling
+    — the Matryoshka/MRL question): if retrieval ran on only the first
+    {MRL_PREFIX_DIM} dimensions (a {MRL_PREFIX_DIM}/dim storage+FLOP
+    cut), how much of the full-dimension top-{MRL_K} survives? Reports
+    per-query overlap@k between the full-cosine and prefix-cosine
+    rankings — the evaluation run before committing to truncated
+    embeddings at serving time.
+
+    Plan: ONE corpus scan computes both scores per (query, vector) pair
+    (queries broadcast); both rank windows ride the SAME q_id exchange
+    (Catalyst reuses the sort), and the overlap count aggregates on the
+    aggregated k-row stream. Ties pinned by vec_id on both rankings."""
+    e = Catalog(spark, sf_dir).table("embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.slice(F.col("embedding"), 1, MRL_PREFIX_DIM).alias("q_pre"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_full"),
+            cosine(
+                F.col("q_pre"), F.slice(F.col("embedding"), 1, MRL_PREFIX_DIM)
+            ).alias("cos_pre"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("cos_full"), F.asc("vec_id"))
+    wp = Window.partitionBy("q_id").orderBy(F.desc("cos_pre"), F.asc("vec_id"))
+    ranked = scored.select(
+        "q_id",
+        "vec_id",
+        F.row_number().over(wf).alias("r_full"),
+        F.row_number().over(wp).alias("r_pre"),
+    )
+    return ranked.groupBy("q_id").agg(
+        F.sum(
+            F.when((F.col("r_full") <= MRL_K) & (F.col("r_pre") <= MRL_K), 1).otherwise(
+                0
+            )
+        ).alias("n_overlap"),
+        F.lit(MRL_K).alias("k"),
+    )
+
+
+SIM_MATRYOSHKA_PREFIX_RECALL_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb,
+         embedding[1:{MRL_PREFIX_DIM}] AS q_pre
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         {_DDB_COS.format(a='q.q_emb', b='e.embedding')} AS cos_full,
+         {_DDB_COS.format(a='q.q_pre', b=f'e.embedding[1:{MRL_PREFIX_DIM}]')} AS cos_pre
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_full DESC, vec_id ASC) AS r_full,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_pre DESC, vec_id ASC) AS r_pre
+  FROM scored
+)
+SELECT q_id,
+       SUM(CASE WHEN r_full <= {MRL_K} AND r_pre <= {MRL_K} THEN 1 ELSE 0 END)
+         AS n_overlap,
+       {MRL_K} AS k
+FROM ranked
+GROUP BY q_id
+"""

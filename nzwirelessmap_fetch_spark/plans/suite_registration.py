@@ -318,6 +318,11 @@ registry.register(
     _tx.CORPUS_TOKEN_BUDGET_MIX_SQL,
 )
 registry.register(
+    "sim_matryoshka_prefix_recall",
+    _sim.sim_matryoshka_prefix_recall,
+    _sim.SIM_MATRYOSHKA_PREFIX_RECALL_SQL,
+)
+registry.register(
     "agg_hll_partition_merge",
     _sk.agg_hll_partition_merge,
     _sk.AGG_HLL_PARTITION_MERGE_SQL,
