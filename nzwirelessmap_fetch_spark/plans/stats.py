@@ -499,3 +499,107 @@ SELECT c_nationkey, c_mktsegment,
 FROM customer
 GROUP BY c_nationkey, c_mktsegment, c_acctbal >= 5000.0
 """
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment read-out: hash-bucketed arms + Welch t from exact sums
+# ---------------------------------------------------------------------------
+
+def events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment read-out (§2.3 aggregation — the experimentation
+    primitive): users are hash-bucketed into two arms exactly as real
+    assignment services do (md5(user) mod 2 — sticky, uniform, no
+    assignment table to join), and the purchase-value difference is
+    summarized as a Welch t statistic computed from exact decimal sums.
+
+    ONE map-side-combining pass produces both arms' (n, Σx, Σx²) via
+    conditional aggregates — no second scan, no join; the t statistic is
+    a fixed IEEE expression over six exact values (sqrt is correctly
+    rounded — transcendental-free, so the pinned output hash-matches).
+    The p-value lookup (a CDF) is deliberately NOT here: that belongs to
+    the (tiny) reporting layer, not the corpus scan.
+    """
+    e = Catalog(spark, sf_dir).table("events").filter(
+        F.col("event_type") == "purchase"
+    )
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+    )
+    x = F.col("value").cast("decimal(18,2)")
+    in_a = arm == 0
+    sums = e.agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~in_a, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(in_a, x).otherwise(F.lit(0).cast("decimal(18,2)"))).alias("sx_a"),
+        F.sum(F.when(~in_a, x).otherwise(F.lit(0).cast("decimal(18,2)"))).alias("sx_b"),
+        F.sum(
+            F.when(in_a, (x * x).cast("decimal(38,4)")).otherwise(
+                F.lit(0).cast("decimal(38,4)")
+            )
+        ).alias("sxx_a"),
+        F.sum(
+            F.when(~in_a, (x * x).cast("decimal(38,4)")).otherwise(
+                F.lit(0).cast("decimal(38,4)")
+            )
+        ).alias("sxx_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    sa = F.col("sx_a").cast("double")
+    sb = F.col("sx_b").cast("double")
+    qa = F.col("sxx_a").cast("double")
+    qb = F.col("sxx_b").cast("double")
+    mean_a = sa / na
+    mean_b = sb / nb
+    # sample (n-1) variances; identical expression tree in the oracle
+    var_a = (qa - (sa * sa) / na) / (na - 1)
+    var_b = (qb - (sb * sb) / nb) / (nb - 1)
+    t = (mean_a - mean_b) / F.sqrt(var_a / na + var_b / nb)
+    return sums.select(
+        "n_a",
+        "n_b",
+        _pin(mean_a).alias("mean_a"),
+        _pin(mean_b).alias("mean_b"),
+        _pin(var_a).alias("var_a"),
+        _pin(var_b).alias("var_b"),
+        _pin(t).alias("t_welch"),
+    )
+
+
+EVENTS_AB_TTEST_SQL = """
+WITH p AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm,
+         CAST(value AS DECIMAL(18,2)) AS x
+  FROM events WHERE event_type = 'purchase'
+),
+sums AS (
+  SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN arm = 0 THEN x ELSE CAST(0 AS DECIMAL(18,2)) END) AS sx_a,
+         SUM(CASE WHEN arm <> 0 THEN x ELSE CAST(0 AS DECIMAL(18,2)) END) AS sx_b,
+         SUM(CASE WHEN arm = 0 THEN CAST(x * x AS DECIMAL(38,4))
+                  ELSE CAST(0 AS DECIMAL(38,4)) END) AS sxx_a,
+         SUM(CASE WHEN arm <> 0 THEN CAST(x * x AS DECIMAL(38,4))
+                  ELSE CAST(0 AS DECIMAL(38,4)) END) AS sxx_b
+  FROM p
+),
+d AS (
+  SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+         CAST(sx_a AS DOUBLE) AS sad, CAST(sx_b AS DOUBLE) AS sbd,
+         CAST(sxx_a AS DOUBLE) AS qad, CAST(sxx_b AS DOUBLE) AS qbd
+  FROM sums
+)
+SELECT n_a, n_b,
+       CAST(CAST(sad / nad AS DECIMAL(18,6)) AS DOUBLE) AS mean_a,
+       CAST(CAST(sbd / nbd AS DECIMAL(18,6)) AS DOUBLE) AS mean_b,
+       CAST(CAST((qad - (sad * sad) / nad) / (nad - 1) AS DECIMAL(18,6)) AS DOUBLE) AS var_a,
+       CAST(CAST((qbd - (sbd * sbd) / nbd) / (nbd - 1) AS DECIMAL(18,6)) AS DOUBLE) AS var_b,
+       CAST(CAST((sad / nad - sbd / nbd)
+                 / SQRT(((qad - (sad * sad) / nad) / (nad - 1)) / nad
+                        + ((qbd - (sbd * sbd) / nbd) / (nbd - 1)) / nbd)
+            AS DECIMAL(18,6)) AS DOUBLE) AS t_welch
+FROM d
+"""

@@ -322,6 +322,7 @@ registry.register(
     _sim.sim_matryoshka_prefix_recall,
     _sim.SIM_MATRYOSHKA_PREFIX_RECALL_SQL,
 )
+registry.register("events_ab_ttest", _st.events_ab_ttest, _st.EVENTS_AB_TTEST_SQL)
 registry.register(
     "agg_hll_partition_merge",
     _sk.agg_hll_partition_merge,
