@@ -1087,3 +1087,162 @@ SELECT q_id,
 FROM ranked
 GROUP BY q_id
 """
+
+
+def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the production ANN layout (Jégou et al. TPAMI 2011, the
+    FAISS ``IVFx,PQy`` index) composed from the two audited halves: the
+    inverted file (sim_ivf) bounds WHICH vectors are scanned per query
+    (N_PROBE of N_CELLS cells), and product-quantization ADC (sim_pq_adc)
+    bounds WHAT the scan reads per vector (M 4-bit codes + LUT adds, no
+    float vector math). At rest this is codes bucketed by cell: a query
+    touches probe_cells/num_cells of the corpus AND 32× fewer bytes per
+    touched row — the two multiplicative savings every production
+    deployment stacks.
+
+    Plan: assignment and encode are the audited map-side shapes (both
+    against broadcast rows); the candidate join is keyed by cell
+    (the inverted file); the ADC fold and the per-query top-k window
+    (the one q_id exchange) are unchanged from sim_pq_adc. Determinism:
+    same pinned folds/tie-breaks as the parents, so the oracle
+    hash-matches distances, not just ranks."""
+    e = Catalog(spark, sf_dir).table("embeddings")
+    cents = e.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", cosine(F.col("embedding"), F.col("c_emb")))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cell", F.struct(F.col("ccos"), (-F.col("cell")).alias("nc"))
+            ).alias("cell"),
+            F.first("embedding").alias("embedding"),
+        )
+    )
+    seeds = e.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("k"), F.col("embedding").alias("cemb")
+    )
+    cb_row = (
+        seeds.agg(F.array_sort(F.collect_list(F.struct("k", "cemb"))).alias("s"))
+        .select(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), m -> "
+                f"  transform(s, x -> "
+                f"    transform(sequence(0, {PQ_SUBDIM - 1}), d -> "
+                f"      CAST(element_at(x.cemb, m*{PQ_SUBDIM} + d + 1) AS DOUBLE))))"
+            ).alias("cb")
+        )
+    )
+    dists = f"transform(sequence(0, {PQ_K - 1}), k -> {_pq_sqdist('embedding', 'm', 'k')})"
+    codes_expr = (
+        f"transform(sequence(0, {PQ_M - 1}), m -> "
+        f"  CAST(element_at(transform(array({dists}), "
+        f"    ds -> array_position(ds, array_min(ds))), 1) - 1 AS INT))"
+    )
+    corpus = (
+        assigned.crossJoin(F.broadcast(cb_row))
+        .select("vec_id", "cell", F.expr(codes_expr).alias("codes"))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("q_id").orderBy(F.desc("pcos"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("pcos", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= N_PROBE)
+        .select("q_id", "q_emb", "cell")
+    )
+    lut_expr = (
+        f"transform(sequence(0, {PQ_M - 1}), m -> "
+        f"  transform(sequence(0, {PQ_K - 1}), k -> {_pq_sqdist('q_emb', 'm', 'k')}))"
+    )
+    probes_lut = (
+        probes.crossJoin(F.broadcast(cb_row))
+        .select("q_id", "cell", F.expr(lut_expr).alias("lut"))
+    )
+    adist_expr = (
+        f"aggregate(sequence(0, {PQ_M - 1}), CAST(0.0 AS DOUBLE), "
+        f"(acc, m) -> acc + element_at(element_at(lut, m+1), "
+        f"element_at(codes, m+1) + 1))"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        corpus.join(F.broadcast(probes_lut), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("adist", F.expr(adist_expr))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "adist", "rank")
+    )
+
+
+SIM_IVF_PQ_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings WHERE vec_id < {N_CELLS}
+),
+assign_scored AS (
+  SELECT e.vec_id, c.cell,
+         {_DDB_COS.format(a='e.embedding', b='c.c_emb')} AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+    FROM assign_scored) WHERE rn = 1
+),
+seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, embedding AS cemb
+  FROM embeddings WHERE vec_id < {PQ_K}
+),
+sub AS (
+  SELECT vec_id, embedding, unnest(range(0, {PQ_M})) AS m FROM embeddings
+),
+dist AS (
+  SELECT s.vec_id, s.m, sd.k,
+         {_ddb_pq_sqdist('s.embedding', 's.m', 'sd.cemb')} AS dd
+  FROM sub s CROSS JOIN seeds sd
+),
+codes AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT vec_id, m, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dd ASC, k ASC) AS rn
+    FROM dist) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+probes AS (
+  SELECT q_id, q_emb, cell FROM (
+    SELECT q.q_id, q.q_emb, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+             {_DDB_COS.format(a='q.q_emb', b='c.c_emb')} DESC, c.cell ASC) AS pr
+    FROM q CROSS JOIN cents c) WHERE pr <= {N_PROBE}
+),
+lut AS (
+  SELECT q.q_id, cs.m, cs.k,
+         {_ddb_pq_sqdist('q.q_emb', 'cs.m', 'cs.cemb')} AS dd
+  FROM q CROSS JOIN (
+    SELECT k, cemb, unnest(range(0, {PQ_M})) AS m FROM seeds) cs
+),
+adc AS (
+  SELECT p.q_id, c.vec_id,
+         list_reduce(list_prepend(0.0::DOUBLE, list(l.dd ORDER BY c.m)),
+                     (a, b) -> a + b) AS adist
+  FROM codes c
+  JOIN assigned a ON a.vec_id = c.vec_id
+  JOIN probes p ON p.cell = a.cell
+  JOIN lut l ON l.q_id = p.q_id AND l.m = c.m AND l.k = c.code
+  WHERE c.vec_id <> p.q_id
+  GROUP BY p.q_id, c.vec_id
+)
+SELECT q_id, vec_id, adist, CAST(rank AS INT) AS rank FROM (
+  SELECT q_id, vec_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rank
+  FROM adc)
+WHERE rank <= {TOP_K}
+"""

@@ -1052,3 +1052,86 @@ SELECT vec_id, proj1, proj2,
        proj2 / sqrt(lam2) AS white2
 FROM base
 """
+
+
+def table_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (§2.3 profiling — the dbt-test /
+    expectations primitive): evaluate a constraint suite over
+    orders/lineitem and emit one row per constraint with its violation
+    count — NOT NULL, primary-key uniqueness, referential integrity
+    (orphaned lineitems), and domain rules. The report a pipeline gates
+    a publish on.
+
+    Plan shape per constraint class: null/domain checks fold into ONE
+    conditional-aggregate scan (map-side combining, zero extra
+    shuffles); PK uniqueness is one keyed count-having pass; the FK
+    orphan check is a left-anti join keyed on the FK — each the minimal
+    shuffle its semantic needs, and the union of 1-row results is
+    driver-free. At 100 TB the anti-join prunes with a Bloom/runtime
+    filter (agg_bloom_semijoin is the explicit form).
+    """
+    o = Catalog(spark, sf_dir).table("orders")
+    li = Catalog(spark, sf_dir).table("lineitem")
+
+    def one(name: str, cnt) -> DataFrame:
+        return cnt.select(
+            F.lit(name).alias("check_name"),
+            F.col("violations").cast("long").alias("violations"),
+        )
+
+    scan_checks = o.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("nn"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("dom"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderstatus").isin("O", "F", "P"), 1
+            ).otherwise(0)
+        ).alias("enum_v"),
+    )
+    dup_pk = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("violations"))
+    )
+    orphans = (
+        li.join(o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    return (
+        one("orders.o_custkey NOT NULL", scan_checks.select(F.col("nn").alias("violations")))
+        .unionByName(
+            one(
+                "orders.o_totalprice > 0",
+                scan_checks.select(F.col("dom").alias("violations")),
+            )
+        )
+        .unionByName(
+            one(
+                "orders.o_orderstatus IN (O,F,P)",
+                scan_checks.select(F.col("enum_v").alias("violations")),
+            )
+        )
+        .unionByName(one("orders.o_orderkey UNIQUE", dup_pk))
+        .unionByName(one("lineitem.l_orderkey FK orders", orphans))
+    )
+
+
+TABLE_CONSTRAINT_CHECK_SQL = """
+SELECT 'orders.o_custkey NOT NULL' AS check_name,
+       COUNT(*) FILTER (o_custkey IS NULL) AS violations FROM orders
+UNION ALL
+SELECT 'orders.o_totalprice > 0',
+       COUNT(*) FILTER (o_totalprice <= 0) FROM orders
+UNION ALL
+SELECT 'orders.o_orderstatus IN (O,F,P)',
+       COUNT(*) FILTER (o_orderstatus NOT IN ('O','F','P')) FROM orders
+UNION ALL
+SELECT 'orders.o_orderkey UNIQUE',
+       COALESCE(SUM(n - 1), 0)
+FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'lineitem.l_orderkey FK orders',
+       COUNT(*)
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+"""

@@ -324,6 +324,12 @@ registry.register(
 )
 registry.register("events_ab_ttest", _st.events_ab_ttest, _st.EVENTS_AB_TTEST_SQL)
 registry.register(
+    "table_constraint_check",
+    _sk.table_constraint_check,
+    _sk.TABLE_CONSTRAINT_CHECK_SQL,
+)
+registry.register("sim_ivf_pq", _sim.sim_ivf_pq, _sim.SIM_IVF_PQ_SQL)
+registry.register(
     "agg_hll_partition_merge",
     _sk.agg_hll_partition_merge,
     _sk.AGG_HLL_PARTITION_MERGE_SQL,
