@@ -1046,3 +1046,78 @@ SELECT lang, tokens, floor_quota, rem,
                      THEN 1 ELSE 0 END AS quota
 FROM base
 """
+
+
+LM_TOP_SUCCESSORS = 3
+
+
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram language-model table (§2.4 corpus ops — the
+    n-gram LM estimation step; KenLM's count pass): for every word, its
+    top-{LM_TOP_SUCCESSORS} successors with integer-ppm conditional
+    probability P(next|word) = count(w,next)·10⁶ div count(w,·). The
+    word-level sibling of corpus_bpe_pair_counts (char pairs) and
+    events_transition_matrix (event types) — same estimation shape,
+    vocabulary-sized key space.
+
+    Plan: adjacent-pair expansion is map-side (transform over the token
+    array, no self-join); ONE keyed shuffle aggregates (w1, w2) counts;
+    the per-word total and the successor rank ride the SAME w1
+    partitioning (Catalyst reuses the exchange); integer div keeps the
+    pinned probability transcendental- and rounding-free."""
+    d = Catalog(spark, sf_dir).table("documents")
+    # materialize the token array ONCE per row — inlining split() into the
+    # transform lambda re-tokenizes the document per element (O(words²))
+    tokd = d.select(_words().alias("t"))
+    pairs = F.when(
+        F.size(F.col("t")) >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1), "
+            "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+    counts = (
+        tokd.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_tot = Window.partitionBy("w1")
+    w_rank = Window.partitionBy("w1").orderBy(F.desc("n"), F.asc("w2"))
+    return (
+        counts.withColumn("total", F.sum("n").over(w_tot))
+        .withColumn("rk", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rk") <= LM_TOP_SUCCESSORS)
+        .select(
+            "w1",
+            "w2",
+            "n",
+            "total",
+            "rk",
+            F.expr("n * 1000000 div total").alias("p_ppm"),
+        )
+    )
+
+
+TEXT_BIGRAM_LM_SQL = f"""
+WITH tokd AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+),
+pairs AS (
+  SELECT UNNEST(list_transform(generate_series(1, GREATEST(LEN(t) - 1, 0)),
+                               i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS p
+  FROM tokd
+),
+counts AS (
+  SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS n FROM pairs GROUP BY 1, 2
+),
+ranked AS (
+  SELECT w1, w2, n,
+         SUM(n) OVER (PARTITION BY w1) AS total,
+         CAST(ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY n DESC, w2 ASC) AS INT) AS rk
+  FROM counts
+)
+SELECT w1, w2, n, CAST(total AS BIGINT) AS total, rk,
+       n * 1000000 // CAST(total AS BIGINT) AS p_ppm
+FROM ranked WHERE rk <= {LM_TOP_SUCCESSORS}
+"""

@@ -329,6 +329,7 @@ registry.register(
     _sk.TABLE_CONSTRAINT_CHECK_SQL,
 )
 registry.register("sim_ivf_pq", _sim.sim_ivf_pq, _sim.SIM_IVF_PQ_SQL)
+registry.register("text_bigram_lm", _tx.text_bigram_lm, _tx.TEXT_BIGRAM_LM_SQL)
 registry.register(
     "agg_hll_partition_merge",
     _sk.agg_hll_partition_merge,

@@ -96,3 +96,26 @@ def test_token_budget_quotas_sum_exactly(spark):
     assert sum(r.quota for r in rows) == TOKEN_BUDGET
     for r in rows:
         assert r.quota in (r.floor_quota, r.floor_quota + 1)
+
+
+def test_bigram_lm_probabilities_coherent(spark):
+    from nzwirelessmap_fetch_spark.operators.text import (
+        LM_TOP_SUCCESSORS,
+        text_bigram_lm,
+    )
+
+    rows = text_bigram_lm(spark, SF_SMOKE).collect()
+    assert rows
+    by_w1: dict[str, list] = {}
+    for r in rows:
+        assert 1 <= r.rk <= LM_TOP_SUCCESSORS
+        assert 0 <= r.p_ppm <= 1_000_000
+        assert r.n <= r.total
+        by_w1.setdefault(r.w1, []).append(r)
+    for w1, succ in by_w1.items():
+        # ranks are dense from 1 and counts non-increasing in rank order
+        succ.sort(key=lambda r: r.rk)
+        assert [r.rk for r in succ] == list(range(1, len(succ) + 1))
+        assert all(a.n >= b.n for a, b in zip(succ, succ[1:]))
+        # top successors cannot exceed the word's total mass
+        assert sum(r.p_ppm for r in succ) <= 1_000_000
