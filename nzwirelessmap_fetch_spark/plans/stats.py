@@ -603,3 +603,114 @@ SELECT n_a, n_b,
             AS DECIMAL(18,6)) AS DOUBLE) AS t_welch
 FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift monitor: month-over-month histogram L1 distance
+# ---------------------------------------------------------------------------
+
+def agg_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (§2.3 profiling — the data-drift check
+    every production feature pipeline schedules): per month, the
+    o_totalprice equi-width histogram as integer-ppm shares; drift =
+    the L1 distance (total variation ×2) between consecutive months'
+    share vectors. The transcendental-free sibling of PSI/KL (whose logs
+    would break the exact-hash contract) — same monotone "distributions
+    diverged" signal, same alerting threshold workflow.
+
+    Plan: ONE (month, bin) partial-aggregated shuffle over ≤ months·bins
+    groups; the dense grid is manufactured map-side (sequence+explode
+    over the observed month span — same trick as events_gap_fill) so
+    empty bins contribute their share to the L1 sum; the
+    previous-month share arrives via ONE lag window partitioned by bin;
+    the closing per-month rollup rides ≤ grid rows. Integer ppm shares
+    make the whole chain exact.
+    """
+    from .relational import HIST_BINS, HIST_HI, HIST_LO
+
+    o = Catalog(spark, sf_dir).table("orders")
+    step = (HIST_HI - HIST_LO) / HIST_BINS
+    raw = F.floor((F.col("o_totalprice") - HIST_LO) / step)
+    bin_ = F.greatest(F.lit(0), F.least(F.lit(HIST_BINS - 1), raw)).cast("int")
+    # month index = months since epoch — integer, lag-safe across years
+    midx = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("int")
+    # persist: the binned counts feed the span probe AND the dense grid
+    # join — without it the orders scan+shuffle runs twice
+    counts = (
+        o.select(midx.alias("m"), bin_.alias("bin"))
+        .groupBy("m", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    span = counts.agg(
+        F.min("m").alias("m_lo"), F.max("m").alias("m_hi")
+    )
+    grid = span.select(
+        F.explode(F.sequence("m_lo", "m_hi")).alias("m")
+    ).crossJoin(
+        spark.range(HIST_BINS).select(F.col("id").cast("int").alias("bin"))
+    )
+    dense = grid.join(counts, ["m", "bin"], "left").select(
+        "m", "bin", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    shared = dense.withColumn(
+        "share_ppm",
+        F.expr("n * 1000000 div greatest(sum(n) over (partition by m), 1)"),
+    )
+    w_lag = Window.partitionBy("bin").orderBy("m")
+    diffs = shared.withColumn(
+        "prev_share", F.lag("share_ppm").over(w_lag)
+    ).filter(F.col("prev_share").isNotNull())
+    return (
+        diffs.groupBy("m")
+        .agg(
+            F.sum(F.abs(F.col("share_ppm") - F.col("prev_share"))).alias(
+                "l1_drift_ppm"
+            ),
+            F.sum("n").alias("n_rows"),
+        )
+        .select(
+            F.concat_ws(
+                "-",
+                F.format_string("%04d", F.expr("m div 12").cast("int")),
+                F.format_string("%02d", (F.col("m") % 12 + 1).cast("int")),
+            ).alias("month"),
+            "l1_drift_ppm",
+            "n_rows",
+        )
+    )
+
+
+AGG_HISTOGRAM_DRIFT_SQL = """
+WITH counts AS (
+  SELECT (YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1) AS m,
+         CAST(GREATEST(0, LEAST(11, FLOOR((o_totalprice - 0.0) / 50000.0))) AS INT) AS bin,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+span AS (SELECT MIN(m) AS m_lo, MAX(m) AS m_hi FROM counts),
+grid AS (
+  SELECT UNNEST(generate_series(m_lo, m_hi)) AS m FROM span
+),
+dense AS (
+  SELECT g.m, b.bin, COALESCE(c.n, 0) AS n
+  FROM grid g
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 11)) AS bin) b
+  LEFT JOIN counts c ON c.m = g.m AND c.bin = b.bin
+),
+shared AS (
+  SELECT m, bin, n,
+         n * 1000000 // GREATEST(SUM(n) OVER (PARTITION BY m), 1) AS share_ppm
+  FROM dense
+),
+diffs AS (
+  SELECT m, bin, n, share_ppm,
+         LAG(share_ppm) OVER (PARTITION BY bin ORDER BY m) AS prev_share
+  FROM shared
+)
+SELECT printf('%04d-%02d', m // 12, m % 12 + 1) AS month,
+       CAST(SUM(ABS(share_ppm - prev_share)) AS BIGINT) AS l1_drift_ppm,
+       CAST(SUM(n) AS BIGINT) AS n_rows
+FROM diffs WHERE prev_share IS NOT NULL
+GROUP BY m
+"""

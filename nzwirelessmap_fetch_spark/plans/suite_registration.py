@@ -331,6 +331,9 @@ registry.register(
 registry.register("sim_ivf_pq", _sim.sim_ivf_pq, _sim.SIM_IVF_PQ_SQL)
 registry.register("text_bigram_lm", _tx.text_bigram_lm, _tx.TEXT_BIGRAM_LM_SQL)
 registry.register(
+    "agg_histogram_drift", _st.agg_histogram_drift, _st.AGG_HISTOGRAM_DRIFT_SQL
+)
+registry.register(
     "agg_hll_partition_merge",
     _sk.agg_hll_partition_merge,
     _sk.AGG_HLL_PARTITION_MERGE_SQL,
