@@ -714,3 +714,167 @@ SELECT printf('%04d-%02d', m // 12, m % 12 + 1) AS month,
 FROM diffs WHERE prev_share IS NOT NULL
 GROUP BY m
 """
+
+
+# ---------------------------------------------------------------------------
+# Survival analysis: Kaplan-Meier over time-to-first-error
+# ---------------------------------------------------------------------------
+
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve (§2.3 aggregation — churn/reliability
+    analytics): time-to-first-`error` per user in days, right-censored at
+    the user's last observed event; the curve S(d) = Π_{d'≤d} (1 − deaths
+    /at-risk) over death times. The estimator behind every retention and
+    time-to-failure read-out.
+
+    Plan: ONE user-keyed aggregate builds (duration, observed); a
+    duration-grain rollup is then tiny (≤ observed-span days), and both
+    the reverse-cumulative at-risk count and the ordered product ride
+    windows over THAT aggregated table. Censor-only durations multiply
+    S by exactly 1, so the product runs over death times only — but
+    their population still leaves the risk set via the reverse cumsum.
+    Determinism: the cumulative product is a fold over an array_sort'd
+    (duration, factor) list — same order both engines, bit-equal
+    doubles from exact integer ratios.
+    """
+    e = Catalog(spark, sf_dir).table("events")
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias("err_ts"),
+    )
+    durations = per_user.select(
+        F.datediff(
+            F.coalesce(F.col("err_ts"), F.col("last_ts")), F.col("first_ts")
+        ).alias("d"),
+        F.col("err_ts").isNotNull().alias("observed"),
+    )
+    grain = durations.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).alias("n_deaths"),
+    )
+    w_risk = Window.orderBy("d").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    risk = grain.withColumn("n_at_risk", F.sum("n_total").over(w_risk)).filter(
+        F.col("n_deaths") > 0
+    )
+    factor = F.lit(1.0) - F.col("n_deaths").cast("double") / F.col(
+        "n_at_risk"
+    ).cast("double")
+    w_all = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        risk.withColumn("f", factor)
+        .withColumn("fs", F.collect_list(F.struct("d", "f")).over(w_all))
+        .select(
+            "d",
+            "n_at_risk",
+            "n_deaths",
+            _pin(
+                F.expr(
+                    "aggregate(array_sort(fs), CAST(1.0 AS DOUBLE), "
+                    "(acc, x) -> acc * x.f)"
+                )
+            ).alias("survival"),
+        )
+    )
+
+
+EVENTS_SURVIVAL_KM_SQL = """
+WITH per_user AS (
+  SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+         MIN(CASE WHEN event_type = 'error' THEN ts END) AS err_ts
+  FROM events GROUP BY user_id
+),
+durations AS (
+  SELECT date_diff('day', CAST(first_ts AS DATE),
+                   CAST(COALESCE(err_ts, last_ts) AS DATE)) AS d,
+         err_ts IS NOT NULL AS observed
+  FROM per_user
+),
+grain AS (
+  SELECT d, COUNT(*) AS n_total,
+         SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS n_deaths
+  FROM durations GROUP BY d
+),
+risk AS (
+  SELECT d, n_deaths,
+         SUM(n_total) OVER (ORDER BY d ROWS BETWEEN CURRENT ROW
+                            AND UNBOUNDED FOLLOWING) AS n_at_risk
+  FROM grain
+),
+deaths AS (
+  SELECT d, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+         CAST(n_deaths AS BIGINT) AS n_deaths,
+         1.0::DOUBLE - CAST(n_deaths AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS f
+  FROM risk WHERE n_deaths > 0
+)
+SELECT d, n_at_risk, n_deaths,
+       CAST(CAST(list_reduce(
+         list_prepend(1.0::DOUBLE,
+           list(f) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)),
+         (a, b) -> a * b) AS DECIMAL(18,6)) AS DOUBLE) AS survival
+FROM deaths
+"""
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest: seasonal-naive baseline with integer-cent errors
+# ---------------------------------------------------------------------------
+
+def orders_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting backtest (§2.3 aggregation — the time-series baseline
+    every demand-planning pipeline evaluates against): monthly revenue
+    forecast by the seasonal-naive rule ŷ(m) = y(m−12), with per-month
+    absolute error and APE in ppm. Beating this baseline is the
+    admission bar for any real model; the backtest harness (groupBy to
+    the grain, lag the season, score) is identical for fancier models.
+
+    Plan: one partial-aggregated shuffle to monthly totals (exact cents
+    via DECIMAL→BIGINT — float month sums would drift cross-engine),
+    one lag-12 window over ≤ n_months rows. Integer arithmetic end to
+    end."""
+    o = Catalog(spark, sf_dir).table("orders")
+    midx = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("int")
+    monthly = o.groupBy(midx.alias("m")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("m")
+    scored = monthly.withColumn("forecast_cents", F.lag("cents", 12).over(w)).filter(
+        F.col("forecast_cents").isNotNull()
+    )
+    abs_err = F.abs(F.col("cents") - F.col("forecast_cents"))
+    return scored.select(
+        F.concat_ws(
+            "-",
+            F.format_string("%04d", F.expr("m div 12").cast("int")),
+            F.format_string("%02d", (F.col("m") % 12 + 1).cast("int")),
+        ).alias("month"),
+        F.col("cents").alias("actual_cents"),
+        "forecast_cents",
+        abs_err.alias("abs_err_cents"),
+        F.expr(
+            "abs(cents - forecast_cents) * 1000000 div greatest(cents, 1)"
+        ).alias("ape_ppm"),
+    )
+
+
+ORDERS_SEASONAL_NAIVE_EVAL_SQL = """
+WITH monthly AS (
+  SELECT (YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1) AS m,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT m, cents, LAG(cents, 12) OVER (ORDER BY m) AS forecast_cents
+  FROM monthly
+)
+SELECT printf('%04d-%02d', m // 12, m % 12 + 1) AS month,
+       cents AS actual_cents, forecast_cents,
+       ABS(cents - forecast_cents) AS abs_err_cents,
+       ABS(cents - forecast_cents) * 1000000 // GREATEST(cents, 1) AS ape_ppm
+FROM scored WHERE forecast_cents IS NOT NULL
+"""

@@ -334,6 +334,14 @@ registry.register(
     "agg_histogram_drift", _st.agg_histogram_drift, _st.AGG_HISTOGRAM_DRIFT_SQL
 )
 registry.register(
+    "events_survival_km", _st.events_survival_km, _st.EVENTS_SURVIVAL_KM_SQL
+)
+registry.register(
+    "orders_seasonal_naive_eval",
+    _st.orders_seasonal_naive_eval,
+    _st.ORDERS_SEASONAL_NAIVE_EVAL_SQL,
+)
+registry.register(
     "agg_hll_partition_merge",
     _sk.agg_hll_partition_merge,
     _sk.AGG_HLL_PARTITION_MERGE_SQL,

@@ -119,3 +119,25 @@ def test_bigram_lm_probabilities_coherent(spark):
         assert all(a.n >= b.n for a, b in zip(succ, succ[1:]))
         # top successors cannot exceed the word's total mass
         assert sum(r.p_ppm for r in succ) <= 1_000_000
+
+
+def test_survival_km_monotone_decreasing(spark):
+    from nzwirelessmap_fetch_spark.plans.stats import events_survival_km
+
+    rows = sorted(events_survival_km(spark, SF_SMOKE).collect(), key=lambda r: r.d)
+    assert rows
+    prev = 1.0
+    for r in rows:
+        assert 0.0 <= r.survival <= prev + 1e-12  # S(d) non-increasing from 1
+        assert 0 < r.n_deaths <= r.n_at_risk
+        prev = r.survival
+
+
+def test_seasonal_naive_errors_consistent(spark):
+    from nzwirelessmap_fetch_spark.plans.stats import orders_seasonal_naive_eval
+
+    rows = orders_seasonal_naive_eval(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.abs_err_cents == abs(r.actual_cents - r.forecast_cents)
+        assert r.ape_ppm == r.abs_err_cents * 1_000_000 // max(r.actual_cents, 1)
