@@ -878,3 +878,166 @@ SELECT printf('%04d-%02d', m // 12, m % 12 + 1) AS month,
        ABS(cents - forecast_cents) * 1000000 // GREATEST(cents, 1) AS ape_ppm
 FROM scored WHERE forecast_cents IS NOT NULL
 """
+
+
+# ---------------------------------------------------------------------------
+# Customer RFM segmentation + Pareto/ABC classification
+# ---------------------------------------------------------------------------
+
+RFM_BUCKETS = 5
+
+
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (§2.3 windows/aggregation — the
+    marketing-analytics staple): per customer, Recency (days since last
+    order, against the corpus max date), Frequency (order count) and
+    Monetary (exact cents), each scored into {RFM_BUCKETS} ntile buckets;
+    the concatenated RFM code is the segment key campaigns target.
+
+    Plan: one customer-keyed aggregate; the corpus max date is a 1-row
+    broadcast; the three ntiles ride ONE global window exchange over the
+    aggregated (|customers|-row) table — fine at dimension scale. For a
+    100 TB *event-grain* RFM the global ntile would become the
+    bottleneck: swap in approx_percentile cut-points broadcast against
+    the same aggregate (same output contract, sketch-graded buckets).
+    Ntile order pins ties by customer key, so buckets are deterministic.
+    """
+    o = Catalog(spark, sf_dir).table("orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    maxd = o.agg(F.max("o_orderdate").alias("corpus_max"))
+    base = per_cust.crossJoin(F.broadcast(maxd)).select(
+        "o_custkey",
+        F.datediff(F.col("corpus_max"), F.col("last_order")).alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    w_m = Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey"))
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(RFM_BUCKETS).over(w_r).alias("r_score"),
+        F.ntile(RFM_BUCKETS).over(w_f).alias("f_score"),
+        F.ntile(RFM_BUCKETS).over(w_m).alias("m_score"),
+    ).withColumn(
+        "rfm",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ),
+    )
+
+
+ORDERS_RFM_SEGMENTATION_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+base AS (
+  SELECT o_custkey,
+         date_diff('day', last_order, (SELECT MAX(o_orderdate) FROM orders))
+           AS recency_days,
+         frequency, monetary_cents
+  FROM per_cust
+)
+SELECT o_custkey, CAST(recency_days AS INT) AS recency_days, frequency,
+       monetary_cents,
+       NTILE({RFM_BUCKETS}) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
+       NTILE({RFM_BUCKETS}) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+       NTILE({RFM_BUCKETS}) OVER (ORDER BY monetary_cents DESC, o_custkey ASC) AS m_score,
+       NTILE({RFM_BUCKETS}) OVER (ORDER BY recency_days ASC, o_custkey ASC) || '' ||
+       NTILE({RFM_BUCKETS}) OVER (ORDER BY frequency DESC, o_custkey ASC) || '' ||
+       NTILE({RFM_BUCKETS}) OVER (ORDER BY monetary_cents DESC, o_custkey ASC) AS rfm
+FROM base
+"""
+
+
+ABC_A_PPM = 700_000  # cumulative-share class edges (ppm of total revenue)
+ABC_B_PPM = 900_000
+
+
+def parts_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC classification (§2.3 windows — inventory analytics):
+    parts ranked by revenue; class A = parts covering the first
+    {ABC_A_PPM/10000:.0f}% of cumulative revenue, B to
+    {ABC_B_PPM/10000:.0f}%, C the tail. The 80/20 report behind stock
+    and curation prioritization (same shape prioritizes which dup
+    clusters or domains to clean first).
+
+    Plan: one partkey-keyed aggregate (exact cents); the cumulative
+    share rides one global window over the aggregated part table —
+    dimension-sized, not fact-sized. Integer ppm arithmetic; ties pinned
+    by partkey. The class edge uses the PREVIOUS row's cumulative share
+    (classic ABC: a part belongs to A if the revenue BEFORE it has not
+    yet reached the A edge), keeping every class non-empty even when one
+    part dominates."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("rev_cents")
+    )
+    w = Window.orderBy(F.desc("rev_cents"), F.asc("l_partkey"))
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = rev.agg(F.sum("rev_cents").alias("total_cents"))
+    ranked = (
+        rev.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn("cum_cents", F.sum("rev_cents").over(w_cum))
+        .withColumn(
+            "cum_ppm",
+            F.expr("cum_cents * 1000000 div greatest(total_cents, 1)"),
+        )
+        .withColumn(
+            "prev_ppm",
+            F.expr("(cum_cents - rev_cents) * 1000000 div greatest(total_cents, 1)"),
+        )
+    )
+    cls = (
+        F.when(F.col("prev_ppm") < ABC_A_PPM, "A")
+        .when(F.col("prev_ppm") < ABC_B_PPM, "B")
+        .otherwise("C")
+    )
+    return ranked.select(
+        "l_partkey", "rev_cents", "rank", "cum_ppm", cls.alias("abc_class")
+    )
+
+
+PARTS_PARETO_ABC_SQL = f"""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS rev_cents
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT l_partkey, rev_cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY rev_cents DESC, l_partkey ASC) AS INT)
+           AS rank,
+         SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_cents,
+         (SELECT SUM(rev_cents) FROM rev) AS total_cents
+  FROM rev
+)
+SELECT l_partkey, rev_cents, rank,
+       cum_cents * 1000000 // GREATEST(total_cents, 1) AS cum_ppm,
+       CASE WHEN (cum_cents - rev_cents) * 1000000 // GREATEST(total_cents, 1)
+                 < {ABC_A_PPM} THEN 'A'
+            WHEN (cum_cents - rev_cents) * 1000000 // GREATEST(total_cents, 1)
+                 < {ABC_B_PPM} THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+"""

@@ -342,6 +342,12 @@ registry.register(
     _st.ORDERS_SEASONAL_NAIVE_EVAL_SQL,
 )
 registry.register(
+    "orders_rfm_segmentation",
+    _st.orders_rfm_segmentation,
+    _st.ORDERS_RFM_SEGMENTATION_SQL,
+)
+registry.register("parts_pareto_abc", _st.parts_pareto_abc, _st.PARTS_PARETO_ABC_SQL)
+registry.register(
     "agg_hll_partition_merge",
     _sk.agg_hll_partition_merge,
     _sk.AGG_HLL_PARTITION_MERGE_SQL,
