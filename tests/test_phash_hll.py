@@ -84,3 +84,40 @@ def test_matryoshka_full_ranking_matches_bruteforce(spark):
     assert any(r.n_overlap > 0 for r in out)
     bf = sim_topk_bruteforce(spark, SF_SMOKE)
     assert bf.count() > 0
+
+
+def test_phash_duckdb_replay_matches_python():
+    """The oracle's hex-decode bucket-sum machinery must equal the Arrow
+    UDF's python arithmetic on ARBITRARY ascii payloads — pins the
+    cross-engine contract against fixture regens (the
+    multimodal_audio_energy round-2 lesson)."""
+    import random
+    import string
+
+    import duckdb
+
+    from nzwirelessmap_fetch_spark.operators.multimodal import (
+        MULTIMODAL_PHASH_DEDUP_SQL,
+    )
+
+    rng = random.Random(42)
+    docs = [
+        (
+            i,
+            "".join(
+                rng.choice(string.ascii_lowercase + " 0123456789")
+                for _ in range(rng.randrange(PHASH_BUCKETS, 800))
+            ),
+        )
+        for i in range(20)
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    # reuse the registered oracle's CTE chain up to `sig`
+    sig_sql = MULTIMODAL_PHASH_DEDUP_SQL.split("\nSELECT a.doc_id")[0]
+    got = dict(
+        con.execute(sig_sql + "\nSELECT doc_id, phash FROM sig").fetchall()
+    )
+    for doc_id, text in docs:
+        assert got[doc_id] == phash_dhash(text.encode()), doc_id
