@@ -604,3 +604,81 @@ SELECT CASE WHEN late_us = 0 THEN 'on-time'
 FROM l
 GROUP BY 1
 """
+
+
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day (§2.3 windows — the sweep-line
+    algorithm): sessionized activity intervals become +1/−1 boundary
+    events; a running sum over the time-ordered boundary stream is the
+    live concurrency, and its per-day max is the capacity-planning
+    number (peak load, license seats, connection pools).
+
+    Plan: sessions come from the audited gap-sessionize shape (one user
+    exchange); boundaries are a map-side ×2 expansion; the sweep rides
+    ONE global time-ordered window over the boundary stream — at 100 TB
+    the stream is session-grain (not event-grain) and the window
+    partitions naturally by coarse time bucket with per-bucket offsets
+    (documented; the fixture span fits one partition). Tie pin: at equal
+    timestamps ends (−1) apply before starts (+1) — touching intervals
+    never double-count — and user_id breaks exact (ts, delta) ties.
+    """
+    from .sessionize import sessionize as _sessionize  # session intervals
+
+    s = _sessionize(spark, sf_dir).select(
+        "user_id", "session_start", "session_end"
+    )
+    starts = s.select(
+        F.col("session_start").alias("ts"), F.lit(1).alias("delta"), "user_id"
+    )
+    ends = s.select(
+        F.col("session_end").alias("ts"), F.lit(-1).alias("delta"), "user_id"
+    )
+    bounds = starts.unionByName(ends)
+    w = Window.orderBy("ts", "delta", "user_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    swept = bounds.withColumn("live", F.sum("delta").over(w))
+    return (
+        swept.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.max("live").alias("peak_concurrency"), F.count(F.lit(1)).alias("n_boundaries"))
+    )
+
+
+EVENTS_PEAK_CONCURRENCY_SQL = f"""
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         epoch_us(ts) - LAG(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN gap_us IS NULL OR gap_us > {{gap}} THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM gaps
+),
+sessions AS (
+  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM marked GROUP BY user_id, session_idx
+),
+bounds AS (
+  SELECT session_start AS ts, 1 AS delta, user_id FROM sessions
+  UNION ALL
+  SELECT session_end AS ts, -1 AS delta, user_id FROM sessions
+),
+swept AS (
+  SELECT ts,
+         SUM(delta) OVER (ORDER BY ts, delta, user_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+  FROM bounds
+)
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(MAX(live) AS BIGINT) AS peak_concurrency,
+       COUNT(*) AS n_boundaries
+FROM swept
+GROUP BY 1
+"""
+EVENTS_PEAK_CONCURRENCY_SQL = EVENTS_PEAK_CONCURRENCY_SQL.replace(
+    "{gap}", str(30 * 60 * 1_000_000)
+)

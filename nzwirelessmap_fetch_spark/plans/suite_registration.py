@@ -348,6 +348,11 @@ registry.register(
 )
 registry.register("parts_pareto_abc", _st.parts_pareto_abc, _st.PARTS_PARETO_ABC_SQL)
 registry.register(
+    "events_peak_concurrency",
+    _ea.events_peak_concurrency,
+    _ea.EVENTS_PEAK_CONCURRENCY_SQL,
+)
+registry.register(
     "agg_hll_partition_merge",
     _sk.agg_hll_partition_merge,
     _sk.AGG_HLL_PARTITION_MERGE_SQL,
