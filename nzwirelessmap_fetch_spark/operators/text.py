@@ -1121,3 +1121,86 @@ SELECT w1, w2, n, CAST(total AS BIGINT) AS total, rk,
        n * 1000000 // CAST(total AS BIGINT) AS p_ppm
 FROM ranked WHERE rk <= {LM_TOP_SUCCESSORS}
 """
+
+
+RAKE_TOP_K = 25
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (§2.4 text analysis — Rose et al. 2010):
+    stopwords split each document into candidate phrases; every content
+    word scores degree (Σ length of its phrases — co-occurrence mass)
+    over frequency; the corpus-level top-{RAKE_TOP_K} by degree/freq
+    surfaces multiword-topic carriers the plain frequency top-k misses.
+
+    Plan: tokenize+position is map-side; the phrase id is a running
+    stopword count per doc (one doc-keyed window) and the phrase length
+    a second window ON THE SAME exchange; the word rollup is one keyed
+    agg; TakeOrdered bounds the output. Integer score_ppm = degree·10⁶
+    div freq keeps the pinned output exact."""
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = d.select(
+        "doc_id", F.posexplode(_words()).alias("pos", "w")
+    ).withColumn("is_stop", F.col("w").isin(*STOPWORDS).cast("int"))
+    w_doc = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    phrased = toks.withColumn("phrase_id", F.sum("is_stop").over(w_doc)).filter(
+        F.col("is_stop") == 0
+    )
+    w_phrase = Window.partitionBy("doc_id", "phrase_id")
+    scored = phrased.withColumn("phrase_len", F.count(F.lit(1)).over(w_phrase))
+    words = scored.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("phrase_len").alias("degree"),
+    )
+    return (
+        words.select(
+            "w",
+            "freq",
+            "degree",
+            F.expr("degree * 1000000 div freq").alias("score_ppm"),
+        )
+        .orderBy(F.desc("score_ppm"), F.asc("w"))
+        .limit(RAKE_TOP_K)
+    )
+
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+TEXT_RAKE_KEYWORDS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(string_split(text, ' ')) AS w,
+         UNNEST(generate_series(1, LEN(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+marked AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN w IN ({_STOP_LIST}) THEN 1 ELSE 0 END AS is_stop
+  FROM toks
+),
+phrased AS (
+  SELECT doc_id, w,
+         SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS phrase_id,
+         is_stop
+  FROM marked
+),
+content AS (
+  SELECT doc_id, w, phrase_id FROM phrased WHERE is_stop = 0
+),
+scored AS (
+  SELECT doc_id, w,
+         COUNT(*) OVER (PARTITION BY doc_id, phrase_id) AS phrase_len
+  FROM content
+)
+SELECT w, COUNT(*) AS freq,
+       CAST(SUM(phrase_len) AS BIGINT) AS degree,
+       CAST(SUM(phrase_len) AS BIGINT) * 1000000 // COUNT(*) AS score_ppm
+FROM scored
+GROUP BY w
+ORDER BY score_ppm DESC, w ASC
+LIMIT {RAKE_TOP_K}
+"""

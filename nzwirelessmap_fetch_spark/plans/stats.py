@@ -1041,3 +1041,95 @@ SELECT l_partkey, rev_cents, rank,
             ELSE 'C' END AS abc_class
 FROM ranked
 """
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules over order line items
+# ---------------------------------------------------------------------------
+
+BASKET_TOP_K = 50
+
+
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining (§2.3 aggregation — the market-basket
+    staple): for part pairs co-purchased in the same order, support,
+    confidence and lift in integer ppm; the top-{BASKET_TOP_K} rules by
+    support. The Apriori first level — and on a corpus, the same shape
+    mines co-occurring domains/tags for curation.
+
+    Plan: the pair space comes from an order-keyed SELF-join whose
+    fan-in is bounded by basket size (|items|² per order, never corpus²)
+    — the equi-join on l_orderkey is the scale guard; item supports are
+    one keyed agg broadcast back onto the (small) rule table; TakeOrdered
+    bounds the output. Integer-ppm arithmetic end to end: lift > 1e6
+    means positively associated."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().count()
+    a, b = items.alias("a"), items.alias("b")
+    pair_counts = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    item_counts = items.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    ca = item_counts.select(
+        F.col("part").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    cb = item_counts.select(
+        F.col("part").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    rules = (
+        pair_counts.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(f"n_ab * 1000000 div {n_orders}").alias("support_ppm"),
+            F.expr("n_ab * 1000000 div n_a").alias("confidence_ppm"),
+            F.expr(
+                f"(n_ab * 1000000 div n_a) * 1000000 div "
+                f"greatest(n_b * 1000000 div {n_orders}, 1)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return rules.orderBy(
+        F.desc("n_ab"), F.asc("part_a"), F.asc("part_b")
+    ).limit(BASKET_TOP_K)
+
+
+ORDERS_MARKET_BASKET_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+pair_counts AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+item_counts AS (
+  SELECT l_partkey AS part, COUNT(*) AS n_item FROM items GROUP BY 1
+)
+SELECT part_a, part_b, n_ab,
+       ca.n_item AS n_a, cb.n_item AS n_b,
+       n_ab * 1000000 // (SELECT n FROM n_orders) AS support_ppm,
+       n_ab * 1000000 // ca.n_item AS confidence_ppm,
+       (n_ab * 1000000 // ca.n_item) * 1000000
+         // GREATEST(cb.n_item * 1000000 // (SELECT n FROM n_orders), 1) AS lift_ppm
+FROM pair_counts
+JOIN item_counts ca ON ca.part = part_a
+JOIN item_counts cb ON cb.part = part_b
+ORDER BY n_ab DESC, part_a ASC, part_b ASC
+LIMIT {BASKET_TOP_K}
+"""

@@ -353,6 +353,12 @@ registry.register(
     _ea.EVENTS_PEAK_CONCURRENCY_SQL,
 )
 registry.register(
+    "orders_market_basket", _st.orders_market_basket, _st.ORDERS_MARKET_BASKET_SQL
+)
+registry.register(
+    "text_rake_keywords", _tx.text_rake_keywords, _tx.TEXT_RAKE_KEYWORDS_SQL
+)
+registry.register(
     "agg_hll_partition_merge",
     _sk.agg_hll_partition_merge,
     _sk.AGG_HLL_PARTITION_MERGE_SQL,
