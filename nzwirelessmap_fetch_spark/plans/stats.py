@@ -1133,3 +1133,69 @@ JOIN item_counts cb ON cb.part = part_b
 ORDER BY n_ab DESC, part_a ASC, part_b ASC
 LIMIT {BASKET_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) in ppm — constants of the law, precomputed so the
+# runtime stays transcendental-free (the exact-hash contract).
+_BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910,
+                5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit (§2.3 profiling — the classic
+    fraud/fabrication screen on financial columns): the distribution of
+    leading digits of order totals vs the Benford expectation, with
+    per-digit deviation in ppm. Naturally-occurring multi-scale amounts
+    follow the law; fabricated or capped data shows up as fat deviation
+    on specific digits.
+
+    Plan: leading digit is a row-local string head over exact cents; ONE
+    9-group partial-aggregated shuffle; expectations are literal
+    constants (log10 precomputed — nothing transcendental executes).
+    """
+    o = Catalog(spark, sf_dir).table("orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    benford = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 1000000 div total").alias("share_ppm"),
+            benford[F.col("digit")].alias("benford_ppm"),
+        )
+        .withColumn(
+            "deviation_ppm", F.abs(F.col("share_ppm") - F.col("benford_ppm"))
+        )
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+)
+
+ORDERS_BENFORD_AUDIT_SQL = f"""
+WITH counts AS (
+  SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT digit, n,
+       n * 1000000 // (SELECT SUM(n) FROM counts) AS share_ppm,
+       CASE digit {_BENFORD_CASE} END AS benford_ppm,
+       ABS(n * 1000000 // (SELECT SUM(n) FROM counts)
+           - CASE digit {_BENFORD_CASE} END) AS deviation_ppm
+FROM counts
+"""

@@ -359,6 +359,9 @@ registry.register(
     "text_rake_keywords", _tx.text_rake_keywords, _tx.TEXT_RAKE_KEYWORDS_SQL
 )
 registry.register(
+    "orders_benford_audit", _st.orders_benford_audit, _st.ORDERS_BENFORD_AUDIT_SQL
+)
+registry.register(
     "agg_hll_partition_merge",
     _sk.agg_hll_partition_merge,
     _sk.AGG_HLL_PARTITION_MERGE_SQL,
