@@ -682,3 +682,98 @@ GROUP BY 1
 EVENTS_PEAK_CONCURRENCY_SQL = EVENTS_PEAK_CONCURRENCY_SQL.replace(
     "{gap}", str(30 * 60 * 1_000_000)
 )
+
+
+MARKOV_ITERS = 3
+
+
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the behavioral Markov chain (§2.3
+    aggregation — the long-run state mix implied by the transition
+    matrix): {MARKOV_ITERS} pinned power-iteration steps of π ← πP from
+    the uniform start. Where the users end up if the observed dynamics
+    persist — the prior a session synthesizer or load model samples
+    from.
+
+    Plan: the matrix is the audited one-exchange transition build,
+    eagerly checkpointed (the iterative-lineage discipline — see
+    PLANS.md: without truncation each round re-nests the event-window
+    subtree); every iterate is |types| rows, each round ONE tiny
+    broadcast join + fold. Folds run in from_type order on both engines
+    → bit-stable doubles; output decimal-pinned.
+    """
+    P = events_transition_matrix(spark, sf_dir).localCheckpoint(eager=True)
+    types = [
+        r.t
+        for r in P.select(F.col("from_type").alias("t")).distinct().collect()
+    ]
+    start = 1.0 / len(types)  # python double == DuckDB 1.0/n (IEEE division)
+    pi = spark.createDataFrame(
+        [(t, start) for t in sorted(types)], "t string, pi double"
+    )
+    for _ in range(MARKOV_ITERS):
+        pi = (
+            P.join(F.broadcast(pi), P["from_type"] == pi["t"])
+            .select(
+                "to_type",
+                "from_type",
+                (F.col("p_transition") * F.col("pi")).alias("term"),
+            )
+            .groupBy("to_type")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("from_type", "term"))).alias(
+                    "s"
+                )
+            )
+            .select(
+                F.col("to_type").alias("t"),
+                F.expr(
+                    "aggregate(s, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"
+                ).alias("pi"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pi.select(
+        F.col("t").alias("state"),
+        F.col("pi").cast("decimal(18,6)").cast("double").alias("pi"),
+    )
+
+
+def _ddb_markov_step(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT p.to_type AS t,
+         list_reduce(list_prepend(0.0::DOUBLE,
+             list(p.p_transition * {prev}.pi ORDER BY p.from_type)),
+           (a, b) -> a + b) AS pi
+  FROM pmat p JOIN {prev} ON {prev}.t = p.from_type
+  GROUP BY p.to_type
+)"""
+
+
+EVENTS_MARKOV_STATIONARY_SQL = f"""
+WITH pairs AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions FROM (
+    SELECT event_type AS from_type,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS to_type
+    FROM events
+  ) WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+),
+pmat AS (
+  SELECT from_type, to_type,
+         CAST(CAST(CAST(n_transitions AS DOUBLE)
+                   / SUM(n_transitions) OVER (PARTITION BY from_type)
+              AS DECIMAL(18,6)) AS DOUBLE) AS p_transition
+  FROM pairs
+),
+pi0 AS (
+  SELECT DISTINCT from_type AS t,
+         1.0::DOUBLE / (SELECT COUNT(DISTINCT from_type) FROM pmat) AS pi
+  FROM pmat
+),
+{_ddb_markov_step('pi0', 'pi1')},
+{_ddb_markov_step('pi1', 'pi2')},
+{_ddb_markov_step('pi2', 'pi3')}
+SELECT t AS state, CAST(CAST(pi AS DECIMAL(18,6)) AS DOUBLE) AS pi FROM pi3
+"""

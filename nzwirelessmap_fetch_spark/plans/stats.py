@@ -1199,3 +1199,93 @@ SELECT digit, n,
            - CASE digit {_BENFORD_CASE} END) AS deviation_ppm
 FROM counts
 """
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov statistic (exact integer ECDFs)
+# ---------------------------------------------------------------------------
+
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance (§2.3 aggregation — the
+    distribution-equality companion of events_ab_ttest): D = max over
+    the pooled support of |ECDF_A − ECDF_B| for purchase values across
+    the same hash-bucketed A/B arms. The mean can match while shapes
+    diverge — KS is the detector for that.
+
+    EXACT arithmetic throughout: per-value arm counts (one keyed agg),
+    running cumulative counts via one value-ordered window over the
+    (distinct-value-sized) aggregated table, and the ECDF gap compared
+    as cross-multiplied BIGINTs |cum_a·n_b − cum_b·n_a| — no division
+    until the final reported ppm. Argmax tie pins to the smallest
+    value. At 100 TB the distinct-value grain (not the event grain)
+    carries the window — value distributions are low-cardinality after
+    quantization, and the fallback is binning first (agg_histogram's
+    shape)."""
+    e = Catalog(spark, sf_dir).table("events").filter(
+        F.col("event_type") == "purchase"
+    )
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+    )
+    v = F.col("value").cast("decimal(18,2)")
+    per_val = e.select(arm.alias("arm"), v.alias("v")).groupBy("v").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("arm") != 0, 1).otherwise(0)).alias("cb"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per_val.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    gaps = (
+        per_val.crossJoin(F.broadcast(tot))
+        .withColumn("cum_a", F.sum("ca").over(w_cum))
+        .withColumn("cum_b", F.sum("cb").over(w_cum))
+        .withColumn(
+            "gap_num", F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+        )
+    )
+    return (
+        gaps.orderBy(F.desc("gap_num"), F.asc("v"))
+        .limit(1)
+        .select(
+            "n_a",
+            "n_b",
+            F.col("v").cast("double").alias("at_value"),
+            "gap_num",
+            F.expr("gap_num * 1000000 div (n_a * n_b)").alias("d_ppm"),
+        )
+    )
+
+
+EVENTS_KS_TEST_SQL = """
+WITH p AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+per_val AS (
+  SELECT v,
+         SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS cb
+  FROM p GROUP BY v
+),
+tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b FROM per_val),
+gaps AS (
+  SELECT v, t.n_a, t.n_b,
+         CAST(SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS cum_a,
+         CAST(SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS cum_b
+  FROM per_val, tot t
+)
+SELECT n_a, n_b, CAST(v AS DOUBLE) AS at_value,
+       ABS(cum_a * n_b - cum_b * n_a) AS gap_num,
+       ABS(cum_a * n_b - cum_b * n_a) * 1000000 // (n_a * n_b) AS d_ppm
+FROM gaps
+ORDER BY gap_num DESC, v ASC
+LIMIT 1
+"""

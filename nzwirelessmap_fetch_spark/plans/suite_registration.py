@@ -362,6 +362,12 @@ registry.register(
     "orders_benford_audit", _st.orders_benford_audit, _st.ORDERS_BENFORD_AUDIT_SQL
 )
 registry.register(
+    "events_markov_stationary",
+    _ea.events_markov_stationary,
+    _ea.EVENTS_MARKOV_STATIONARY_SQL,
+)
+registry.register("events_ks_test", _st.events_ks_test, _st.EVENTS_KS_TEST_SQL)
+registry.register(
     "agg_hll_partition_merge",
     _sk.agg_hll_partition_merge,
     _sk.AGG_HLL_PARTITION_MERGE_SQL,
