@@ -141,3 +141,23 @@ def test_seasonal_naive_errors_consistent(spark):
     for r in rows:
         assert r.abs_err_cents == abs(r.actual_cents - r.forecast_cents)
         assert r.ape_ppm == r.abs_err_cents * 1_000_000 // max(r.actual_cents, 1)
+
+
+def test_markov_stationary_is_distribution(spark):
+    from nzwirelessmap_fetch_spark.operators.events_analytics import (
+        events_markov_stationary,
+    )
+
+    rows = events_markov_stationary(spark, SF_SMOKE).collect()
+    assert rows
+    total = sum(r.pi for r in rows)
+    assert abs(total - 1.0) < 1e-4  # row-stochastic P preserves mass
+    assert all(r.pi >= 0 for r in rows)
+
+
+def test_ks_test_bounds(spark):
+    from nzwirelessmap_fetch_spark.plans.stats import events_ks_test
+
+    (r,) = events_ks_test(spark, SF_SMOKE).collect()
+    assert 0 <= r.d_ppm <= 1_000_000
+    assert r.gap_num <= r.n_a * r.n_b
