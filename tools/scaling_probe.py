@@ -1,0 +1,64 @@
+"""Scale-factor sweep: times representative queries at sf0.001/0.01/0.1
+(100× data range) and prints a markdown table with the 0.01→0.1 time
+ratio — direct evidence of how each plan's cost grows with data volume
+(a 10× data step costing ~≤10× time = the linear-scan/shuffle regime;
+super-linear ratios flag quadratic candidate generation).
+
+    python tools/scaling_probe.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nzwirelessmap_fetch_spark.plans import registry  # noqa: E402
+from nzwirelessmap_fetch_spark.session import get_spark  # noqa: E402
+
+SFS = ["0.001", "0.01", "0.1"]
+QUERIES = [
+    "p2p_links",              # broadcast join pipeline (scan-bound)
+    "agg_pricing_summary",    # partial-agg shuffle
+    "text_stats",             # zero-shuffle scan
+    "dedup_exact",            # one keyed shuffle
+    "dedup_minhash_lsh",      # signature agg + band join
+    "dedup_simhash_hamming",  # banded pair generation
+    "sim_lsh_banded",         # LSH candidate join + verify
+    "sim_ivf_pq",             # IVF+PQ ANN
+    "corpus_span_dedup",      # span fan-out + narrow-key shuffle
+    "corpus_bm25_topk",       # inverted-index retrieval
+    "events_funnel",          # one user-exchange window chain
+    "multimodal_phash_dedup", # Arrow hash + banded pairs
+]
+
+
+def main() -> None:
+    spark = get_spark("scaling-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+    spark.range(1000).count()
+    qs = registry.queries()
+    results: dict[str, dict[str, float]] = {}
+    for sf in SFS:
+        sf_dir = f"/root/testdata/sf{sf}"
+        for name in QUERIES:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            el = time.perf_counter() - t0
+            results.setdefault(name, {})[sf] = el
+            spark.catalog.clearCache()
+    print("| query | sf0.001 s | sf0.01 s | sf0.1 s | 0.01→0.1 ratio (10× data) |")
+    print("|---|---|---|---|---|")
+    for name in QUERIES:
+        r = results[name]
+        ratio = r["0.1"] / max(r["0.01"], 1e-9)
+        print(
+            f"| {name} | {r['0.001']:.2f} | {r['0.01']:.2f} | {r['0.1']:.2f} "
+            f"| {ratio:.1f}× |"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
