@@ -1289,3 +1289,84 @@ FROM gaps
 ORDER BY gap_num DESC, v ASC
 LIMIT 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Holt linear (double exponential) smoothing as a pinned fold
+# ---------------------------------------------------------------------------
+
+def orders_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing over monthly revenue (§2.3
+    aggregation — the recursive time-series smoother): level/trend state
+    threaded through every month with α=β=1/2, plus the one-step-ahead
+    forecast. The recurrence l_t = αy_t + (1−α)(l_{t−1}+b_{t−1}) cannot
+    be phrased as a window (each step depends on the previous OUTPUT) —
+    the engine answer is a higher-order fold with a STRUCT accumulator
+    over the ordered month array, the same escape hatch as pack_bins'
+    bin-state threading but fully declarative.
+
+    Plan: one shuffle to monthly totals; the series (≤ n_months values)
+    folds row-locally after an array_sort'd collect — months-grain
+    state, corpus never re-scanned. α=β=1/2 are exact halves and the
+    fold inlines an identical expression tree on both engines →
+    bit-stable doubles. Init: l₀ = y₁, b₀ = y₂ − y₁ (textbook)."""
+    o = Catalog(spark, sf_dir).table("orders")
+    midx = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("int")
+    monthly = o.groupBy(midx.alias("m")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .cast("double")
+        .alias("v")
+    )
+    series = monthly.agg(
+        F.array_sort(F.collect_list(F.struct("m", "v"))).alias("s")
+    ).select(F.expr("transform(s, x -> x.v)").alias("vals"))
+    new_l = "0.5D * x + 0.5D * (acc.l + acc.b)"
+    fold = (
+        f"aggregate(slice(vals, 3, greatest(size(vals) - 2, 0)), "
+        f"named_struct('l', element_at(vals, 1), "
+        f"             'b', element_at(vals, 2) - element_at(vals, 1)), "
+        f"(acc, x) -> named_struct("
+        f"  'l', {new_l}, "
+        f"  'b', 0.5D * (({new_l}) - acc.l) + 0.5D * acc.b))"
+    )
+    return series.select(
+        F.expr("size(vals)").alias("n_months"),
+        _pin(F.expr(f"({fold}).l")).alias("level"),
+        _pin(F.expr(f"({fold}).b")).alias("trend"),
+        _pin(F.expr(f"({fold}).l + ({fold}).b")).alias("forecast_next"),
+    )
+
+
+# The recursion is replayed with a recursive CTE threading (l, b) state
+# month by month (the pack_bins_ffd oracle precedent). A list_reduce
+# formulation was tried first and REJECTED: DuckDB's list_reduce with a
+# struct accumulator over ≥3 elements diverged from the left fold
+# (verified: fold of [10,12,14,13,11] gave b=0.5703 vs the hand-traced
+# 0.59375, while single steps were correct) — the CTE is unambiguous.
+_DDB_HOLT_NEW_L = "0.5*vals[i+1] + 0.5*(l + b)"
+
+ORDERS_HOLT_LINEAR_SQL = f"""
+WITH RECURSIVE monthly AS (
+  SELECT (YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1) AS m,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+              AS DOUBLE) AS v
+  FROM orders GROUP BY 1
+),
+series AS (
+  SELECT list(v ORDER BY m) AS vals FROM monthly
+),
+step(i, l, b) AS (
+  SELECT 2, vals[1], vals[2] - vals[1] FROM series
+  UNION ALL
+  SELECT i + 1,
+         {_DDB_HOLT_NEW_L},
+         0.5*(({_DDB_HOLT_NEW_L}) - l) + 0.5*b
+  FROM step, series WHERE i < LEN(vals)
+)
+SELECT (SELECT CAST(LEN(vals) AS INT) FROM series) AS n_months,
+       CAST(CAST(l AS DECIMAL(18,6)) AS DOUBLE) AS level,
+       CAST(CAST(b AS DECIMAL(18,6)) AS DOUBLE) AS trend,
+       CAST(CAST(l + b AS DECIMAL(18,6)) AS DOUBLE) AS forecast_next
+FROM step ORDER BY i DESC LIMIT 1
+"""

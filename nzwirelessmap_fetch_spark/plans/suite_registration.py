@@ -368,6 +368,9 @@ registry.register(
 )
 registry.register("events_ks_test", _st.events_ks_test, _st.EVENTS_KS_TEST_SQL)
 registry.register(
+    "orders_holt_linear", _st.orders_holt_linear, _st.ORDERS_HOLT_LINEAR_SQL
+)
+registry.register(
     "agg_hll_partition_merge",
     _sk.agg_hll_partition_merge,
     _sk.AGG_HLL_PARTITION_MERGE_SQL,
