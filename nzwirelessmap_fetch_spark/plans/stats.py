@@ -1370,3 +1370,132 @@ SELECT (SELECT CAST(LEN(vals) AS INT) FROM series) AS n_months,
        CAST(CAST(l + b AS DECIMAL(18,6)) AS DOUBLE) AS forecast_next
 FROM step ORDER BY i DESC LIMIT 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Winsorized / trimmed means with exact percentile edges
+# ---------------------------------------------------------------------------
+
+WINSOR_LO_PCT = 5
+WINSOR_HI_PCT = 95
+
+
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized and trimmed means per order priority (§2.3 aggregation
+    — the outlier-robust estimators that keep a fat-tailed metric's
+    average honest): values are clamped to (winsorized) or dropped
+    outside (trimmed) the exact [p{WINSOR_LO_PCT}, p{WINSOR_HI_PCT}]
+    band, with percentile_disc-semantics edges (values that EXIST in the
+    data — no interpolation artifacts).
+
+    Plan: one rank window per group gives position; edges are the min
+    value at ⌈p·n⌉ cumulative rank (the agg_percentile_disc shape),
+    joined back as a broadcast of ≤ |groups| rows; clamp is row-local;
+    the means come from exact DECIMAL cent sums divided in one pinned
+    IEEE tree. At 100 TB the exact edges swap for approx_percentile
+    cut-points — same downstream plan."""
+    o = Catalog(spark, sf_dir).table("orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = o.select(F.col("o_orderpriority").alias("grp"), cents.alias("v"))
+    # rank by value only — ties share the same v, so edge extraction by
+    # cumulative position is deterministic regardless of tie order
+    w_pos = Window.partitionBy("grp").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = base.withColumn("pos", F.count(F.lit(1)).over(w_pos)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+    )
+    edges = (
+        ranked.filter(F.col("pos") >= F.ceil(F.col("n") * WINSOR_LO_PCT / 100))
+        .groupBy("grp")
+        .agg(F.min("v").alias("p_lo"))
+        .join(
+            ranked.filter(F.col("pos") >= F.ceil(F.col("n") * WINSOR_HI_PCT / 100))
+            .groupBy("grp")
+            .agg(F.min("v").alias("p_hi")),
+            "grp",
+        )
+    )
+    clamped = base.join(F.broadcast(edges), "grp").select(
+        "grp",
+        "v",
+        "p_lo",
+        "p_hi",
+        F.greatest(F.col("p_lo"), F.least(F.col("p_hi"), F.col("v"))).alias("w"),
+    )
+    agg = clamped.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("p_lo").alias("p_lo_cents"),
+        F.first("p_hi").alias("p_hi_cents"),
+        F.sum("v").alias("sum_cents"),
+        F.sum("w").alias("winsor_sum_cents"),
+        F.sum(F.when(F.col("v").between(F.col("p_lo"), F.col("p_hi")), F.col("v"))).alias(
+            "trim_sum_cents"
+        ),
+        F.sum(
+            F.when(F.col("v").between(F.col("p_lo"), F.col("p_hi")), 1).otherwise(0)
+        ).alias("n_kept"),
+    )
+    return agg.select(
+        "grp",
+        "n",
+        "p_lo_cents",
+        "p_hi_cents",
+        _pin(F.col("sum_cents").cast("double") / F.col("n").cast("double")).alias(
+            "mean_cents"
+        ),
+        _pin(
+            F.col("winsor_sum_cents").cast("double") / F.col("n").cast("double")
+        ).alias("winsorized_mean_cents"),
+        _pin(
+            F.col("trim_sum_cents").cast("double") / F.col("n_kept").cast("double")
+        ).alias("trimmed_mean_cents"),
+    )
+
+
+AGG_WINSORIZED_MEAN_SQL = f"""
+WITH base AS (
+  SELECT o_orderpriority AS grp,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM orders
+),
+ranked AS (
+  SELECT grp, v,
+         COUNT(*) OVER (PARTITION BY grp ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pos,
+         COUNT(*) OVER (PARTITION BY grp) AS n
+  FROM base
+),
+edges AS (
+  SELECT lo.grp, lo.p_lo, hi.p_hi FROM
+    (SELECT grp, MIN(v) AS p_lo FROM ranked
+     WHERE pos >= CEIL(n * {WINSOR_LO_PCT} / 100.0) GROUP BY grp) lo
+  JOIN
+    (SELECT grp, MIN(v) AS p_hi FROM ranked
+     WHERE pos >= CEIL(n * {WINSOR_HI_PCT} / 100.0) GROUP BY grp) hi
+  USING (grp)
+),
+clamped AS (
+  SELECT b.grp, b.v, e.p_lo, e.p_hi,
+         GREATEST(e.p_lo, LEAST(e.p_hi, b.v)) AS w
+  FROM base b JOIN edges e ON e.grp = b.grp
+),
+agg AS (
+  SELECT grp, COUNT(*) AS n,
+         ANY_VALUE(p_lo) AS p_lo_cents, ANY_VALUE(p_hi) AS p_hi_cents,
+         CAST(SUM(v) AS BIGINT) AS sum_cents,
+         CAST(SUM(w) AS BIGINT) AS winsor_sum_cents,
+         CAST(SUM(CASE WHEN v BETWEEN p_lo AND p_hi THEN v END) AS BIGINT)
+           AS trim_sum_cents,
+         SUM(CASE WHEN v BETWEEN p_lo AND p_hi THEN 1 ELSE 0 END) AS n_kept
+  FROM clamped GROUP BY grp
+)
+SELECT grp, n, p_lo_cents, p_hi_cents,
+       CAST(CAST(CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS mean_cents,
+       CAST(CAST(CAST(winsor_sum_cents AS DOUBLE) / CAST(n AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS winsorized_mean_cents,
+       CAST(CAST(CAST(trim_sum_cents AS DOUBLE) / CAST(n_kept AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS trimmed_mean_cents
+FROM agg
+"""

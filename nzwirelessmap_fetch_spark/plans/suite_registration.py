@@ -371,6 +371,9 @@ registry.register(
     "orders_holt_linear", _st.orders_holt_linear, _st.ORDERS_HOLT_LINEAR_SQL
 )
 registry.register(
+    "agg_winsorized_mean", _st.agg_winsorized_mean, _st.AGG_WINSORIZED_MEAN_SQL
+)
+registry.register(
     "agg_hll_partition_merge",
     _sk.agg_hll_partition_merge,
     _sk.AGG_HLL_PARTITION_MERGE_SQL,
