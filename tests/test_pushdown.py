@@ -95,10 +95,12 @@ def test_no_corpus_sized_broadcast_hints():
 
 def test_no_unguarded_driver_materialization():
     """Pin the README scale claim: `.collect()`/`.toPandas()` appear in the
-    engine exactly three times, all bounded — the row-budget-guarded
+    engine exactly four times, all bounded — the row-budget-guarded
     single-array JSON writer (P17 bug-compat), the N_QUERIES-row query-set
-    fetch in the numpy top-k (the broadcast side of a top-k, not data), and
-    the `.limit(n).collect()` display path of the run_query CLI. Any new
+    fetch in the numpy top-k (the broadcast side of a top-k, not data),
+    the |event-types|-row state-list fetch seeding the Markov power
+    iteration (the matrix dimension, never data), and the
+    `.limit(n).collect()` display path of the run_query CLI. Any new
     driver-side materialization must be justified here by name."""
     import pathlib
 
@@ -114,6 +116,7 @@ def test_no_unguarded_driver_materialization():
         )
     nonzero = {k: v for k, v in hits.items() if v}
     assert nonzero == {
+        "operators/events_analytics.py": 1,
         "operators/similarity.py": 1,
         "run_query.py": 1,
         "sinks/writers.py": 1,
