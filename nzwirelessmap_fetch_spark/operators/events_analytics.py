@@ -777,3 +777,101 @@ pi0 AS (
 {_ddb_markov_step('pi2', 'pi3')}
 SELECT t AS state, CAST(CAST(pi AS DECIMAL(18,6)) AS DOUBLE) AS pi FROM pi3
 """
+
+
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar seasonality profile (§2.3 aggregation — the capacity-
+    planning heatmap): event volume per (day-of-week, hour-of-day) cell
+    with integer-ppm share of total — when the load actually arrives,
+    the input to autoscaling schedules and maintenance windows.
+
+    ONE partial-aggregated shuffle over ≤ 168 cells; the share rides the
+    aggregated rows against a 1-row broadcast total. dayofweek is pinned
+    to ISO (1=Monday) on both engines via the weekday formula."""
+    e = Catalog(spark, sf_dir).table("events")
+    # Spark dayofweek: 1=Sunday..7=Saturday → ISO 1=Monday..7=Sunday
+    iso_dow = ((F.dayofweek("ts") + 5) % 7 + 1).cast("int")
+    cells = e.groupBy(
+        iso_dow.alias("iso_dow"), F.hour("ts").cast("int").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    total = cells.agg(F.sum("n").alias("total"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "iso_dow",
+        "hour",
+        "n",
+        F.expr("n * 1000000 div total").alias("share_ppm"),
+    )
+
+
+EVENTS_HOURLY_SEASONALITY_SQL = """
+WITH cells AS (
+  SELECT CAST(isodow(ts) AS INT) AS iso_dow,
+         CAST(hour(ts) AS INT) AS hour,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT iso_dow, hour, n,
+       n * 1000000 // (SELECT SUM(n) FROM cells) AS share_ppm
+FROM cells
+"""
+
+
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve (§2.3 aggregation — the revenue twin
+    of events_retention): customers cohorted by first-order month;
+    cumulative revenue cents per cohort at each month offset — the LTV
+    trajectory payback models read. Exact integer cents throughout.
+
+    Plan: first-touch month via one customer-keyed min-aggregate joined
+    back (broadcast — customer-grain), (cohort × offset) partial-agg
+    shuffle, then the running cumulative rides ONE window per cohort
+    over the tiny grid."""
+    o = Catalog(spark, sf_dir).table("orders")
+    midx = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("int")
+    first = o.groupBy("o_custkey").agg(F.min(midx).alias("cohort_m"))
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    grid = (
+        o.select("o_custkey", midx.alias("m"), cents.alias("cents"))
+        .join(F.broadcast(first), "o_custkey")
+        .groupBy("cohort_m", (F.col("m") - F.col("cohort_m")).alias("offset"))
+        .agg(F.sum("cents").alias("rev_cents"), F.countDistinct("o_custkey").alias("n_active"))
+    )
+    w = Window.partitionBy("cohort_m").orderBy("offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return grid.select(
+        F.concat_ws(
+            "-",
+            F.format_string("%04d", F.expr("cohort_m div 12").cast("int")),
+            F.format_string("%02d", (F.col("cohort_m") % 12 + 1).cast("int")),
+        ).alias("cohort"),
+        F.col("offset").cast("int").alias("offset_months"),
+        "n_active",
+        "rev_cents",
+        F.sum("rev_cents").over(w).alias("cum_rev_cents"),
+    )
+
+
+ORDERS_COHORT_LTV_SQL = """
+WITH m AS (
+  SELECT o_custkey,
+         (YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1) AS m,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+first AS (SELECT o_custkey, MIN(m) AS cohort_m FROM m GROUP BY o_custkey),
+grid AS (
+  SELECT f.cohort_m, x.m - f.cohort_m AS off_m,
+         CAST(SUM(x.cents) AS BIGINT) AS rev_cents,
+         COUNT(DISTINCT x.o_custkey) AS n_active
+  FROM m x JOIN first f ON f.o_custkey = x.o_custkey
+  GROUP BY 1, 2
+)
+SELECT printf('%04d-%02d', cohort_m // 12, cohort_m % 12 + 1) AS cohort,
+       CAST(off_m AS INT) AS offset_months,
+       n_active, rev_cents,
+       CAST(SUM(rev_cents) OVER (PARTITION BY cohort_m ORDER BY off_m
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum_rev_cents
+FROM grid
+"""

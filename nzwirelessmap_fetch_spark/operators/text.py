@@ -1204,3 +1204,55 @@ GROUP BY w
 ORDER BY score_ppm DESC, w ASC
 LIMIT {RAKE_TOP_K}
 """
+
+
+N_FOLDS = 5
+
+
+def corpus_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment (§2.4 training
+    assembly — the CV-split step): fold = hash(doc_id) mod {N_FOLDS},
+    reported as per-(fold, lang) counts with each fold's train-side
+    complement size. Content-keyed like corpus_deterministic_sample, so
+    folds are stable under re-partitioning, re-runs, and engine choice
+    — the reproducibility contract an eval harness needs (a rand()-based
+    split silently reshuffles between runs).
+
+    Plan: the fold id is a row-local projection; ONE partial-aggregated
+    shuffle to the (fold × lang) grain; the complement count rides the
+    aggregated rows via a broadcast of the per-fold totals. Nothing
+    corpus-sized after the first aggregate."""
+    d = Catalog(spark, sf_dir).table("documents")
+    fold = (md5_long(F.col("doc_id").cast("string")) % N_FOLDS).cast("int")
+    per = d.select(fold.alias("fold"), "lang").groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = per.groupBy("fold").agg(F.sum("n_docs").alias("fold_total"))
+    grand = per.agg(F.sum("n_docs").alias("grand"))
+    return (
+        per.join(F.broadcast(totals), "fold")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "fold",
+            "lang",
+            "n_docs",
+            "fold_total",
+            (F.col("grand") - F.col("fold_total")).alias("train_complement"),
+        )
+    )
+
+
+CORPUS_KFOLD_SPLIT_SQL = f"""
+WITH per AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % {N_FOLDS} AS INT) AS fold,
+         lang, COUNT(*) AS n_docs
+  FROM documents GROUP BY 1, 2
+),
+totals AS (SELECT fold, SUM(n_docs) AS fold_total FROM per GROUP BY fold),
+grand AS (SELECT SUM(n_docs) AS grand FROM per)
+SELECT p.fold, p.lang, p.n_docs,
+       CAST(t.fold_total AS BIGINT) AS fold_total,
+       CAST(g.grand - t.fold_total AS BIGINT) AS train_complement
+FROM per p JOIN totals t ON t.fold = p.fold CROSS JOIN grand g
+"""

@@ -374,6 +374,15 @@ registry.register(
     "agg_winsorized_mean", _st.agg_winsorized_mean, _st.AGG_WINSORIZED_MEAN_SQL
 )
 registry.register(
+    "corpus_kfold_split", _tx.corpus_kfold_split, _tx.CORPUS_KFOLD_SPLIT_SQL
+)
+registry.register(
+    "events_hourly_seasonality",
+    _ea.events_hourly_seasonality,
+    _ea.EVENTS_HOURLY_SEASONALITY_SQL,
+)
+registry.register("orders_cohort_ltv", _ea.orders_cohort_ltv, _ea.ORDERS_COHORT_LTV_SQL)
+registry.register(
     "agg_hll_partition_merge",
     _sk.agg_hll_partition_merge,
     _sk.AGG_HLL_PARTITION_MERGE_SQL,
