@@ -875,3 +875,68 @@ SELECT printf('%04d-%02d', cohort_m // 12, cohort_m % 12 + 1) AS cohort,
                                  AND CURRENT ROW) AS BIGINT) AS cum_rev_cents
 FROM grid
 """
+
+
+SLO_WINDOW_H = 6
+
+
+def events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate monitor (§2.3 windows — the SRE
+    error-budget alerting pattern): per hour, the error rate over the
+    hour itself and over the trailing {SLO_WINDOW_H}-hour window, plus
+    the burn ratio and the page condition (short-window rate > 2× the
+    long-window rate — a fast burn against a slow baseline). Two window
+    lengths is what separates a blip from a budget fire.
+
+    Plan: ONE partial-aggregated shuffle to the hour grain; both rates
+    and the trailing sums ride RANGE frames over the tiny hourly table
+    (value-based frames bridge missing hours correctly — a ROWS frame
+    would silently span gaps). Integer ppm arithmetic end to end."""
+    e = Catalog(spark, sf_dir).table("events")
+    h = F.floor(F.unix_micros(F.col("ts")) / 3_600_000_000).cast("long")
+    hourly = e.groupBy(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_errors"
+        ),
+    )
+    w6 = Window.orderBy("h").rangeBetween(-(SLO_WINDOW_H - 1), 0)
+    rated = (
+        hourly.withColumn("ev6", F.sum("n_events").over(w6))
+        .withColumn("er6", F.sum("n_errors").over(w6))
+        .select(
+            "h",
+            "n_events",
+            "n_errors",
+            F.expr("n_errors * 1000000 div n_events").alias("rate_1h_ppm"),
+            F.expr("er6 * 1000000 div ev6").alias(f"rate_{SLO_WINDOW_H}h_ppm"),
+        )
+    )
+    return rated.withColumn(
+        "fast_burn",
+        F.col("rate_1h_ppm") > 2 * F.col(f"rate_{SLO_WINDOW_H}h_ppm"),
+    )
+
+
+EVENTS_SLO_BURN_SQL = f"""
+WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS h,
+         COUNT(*) AS n_events,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+  FROM events GROUP BY 1
+),
+rated AS (
+  SELECT h, n_events, CAST(n_errors AS BIGINT) AS n_errors,
+         CAST(n_errors AS BIGINT) * 1000000 // n_events AS rate_1h_ppm,
+         CAST(SUM(n_errors) OVER (ORDER BY h RANGE BETWEEN {SLO_WINDOW_H - 1}
+                                  PRECEDING AND CURRENT ROW) AS BIGINT)
+           * 1000000
+           // CAST(SUM(n_events) OVER (ORDER BY h RANGE BETWEEN {SLO_WINDOW_H - 1}
+                                       PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS rate_{SLO_WINDOW_H}h_ppm
+  FROM hourly
+)
+SELECT h, n_events, n_errors, rate_1h_ppm, rate_{SLO_WINDOW_H}h_ppm,
+       rate_1h_ppm > 2 * rate_{SLO_WINDOW_H}h_ppm AS fast_burn
+FROM rated
+"""

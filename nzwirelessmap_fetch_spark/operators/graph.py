@@ -307,3 +307,106 @@ SELECT n_triangles, n_wedges, n_nodes,
          AS clustering_coeff
 FROM tri, wedges
 """
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the Jaccard near-dup graph (§2.4 graph
+    family — Newman's r): the Pearson correlation of endpoint degrees
+    over all directed edges. Positive r = hubs link hubs (template-farm
+    clusters fused together); negative r = hubs link leaves (one
+    canonical page with many drifted copies) — tells a dedup operator
+    which cleanup strategy the duplicate topology wants.
+
+    Plan: degrees are one keyed agg over the shared (memoized) edge
+    build; attaching both endpoint degrees is two keyed joins on the
+    edge stream; the correlation comes from EXACT integer moment sums
+    (degrees are ints — no decimal needed) folded in ONE
+    map-side-combining pass, with the agg_stats_moments IEEE tree for
+    the final doubles. Symmetric edge set ⇒ the two marginals coincide,
+    which the oracle replicates by construction."""
+    sym = _jaccard_edges(spark, sf_dir)
+    deg = sym.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("doc_a").alias("node"), "deg"
+    )
+    da = deg.select(F.col("node").alias("doc_a"), F.col("deg").alias("dx"))
+    db = deg.select(F.col("node").alias("doc_b"), F.col("deg").alias("dy"))
+    e = sym.join(da, "doc_a").join(db, "doc_b")
+    sums = e.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    n = F.col("m").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    corr = (sxy - (sx * sy) / n) / (
+        F.sqrt(sxx - (sx * sx) / n) * F.sqrt(syy - (sy * sy) / n)
+    )
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        sums.crossJoin(F.broadcast(nodes))
+        .select(
+            F.col("m").alias("n_directed_edges"),
+            "n_nodes",
+            corr.cast("decimal(18,6)").cast("double").alias("assortativity"),
+            (sx / n).cast("decimal(18,6)").cast("double").alias("mean_edge_degree"),
+        )
+    )
+
+
+GRAPH_ASSORTATIVITY_SQL = """
+WITH
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+                          i -> w[i] || ' ' || w[i+1])) AS shingle
+    FROM w WHERE len(w) >= 2)
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+deg AS (SELECT doc_a AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+joined AS (
+  SELECT da.deg AS dx, db.deg AS dy
+  FROM edges e JOIN deg da ON da.node = e.doc_a JOIN deg db ON db.node = e.doc_b
+),
+sums AS (
+  SELECT COUNT(*) AS m,
+         CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dx*dx) AS BIGINT) AS sxx,
+         CAST(SUM(dy) AS BIGINT) AS sy, CAST(SUM(dy*dy) AS BIGINT) AS syy,
+         CAST(SUM(dx*dy) AS BIGINT) AS sxy
+  FROM joined
+),
+d AS (
+  SELECT m, CAST(m AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sxx AS DOUBLE) AS sxxd,
+         CAST(sy AS DOUBLE) AS syd, CAST(syy AS DOUBLE) AS syyd,
+         CAST(sxy AS DOUBLE) AS sxyd
+  FROM sums
+)
+SELECT m AS n_directed_edges,
+       (SELECT COUNT(*) FROM deg) AS n_nodes,
+       CAST(CAST((sxyd - (sxd * syd) / nd)
+                 / (SQRT(sxxd - (sxd * sxd) / nd) * SQRT(syyd - (syd * syd) / nd))
+            AS DECIMAL(18,6)) AS DOUBLE) AS assortativity,
+       CAST(CAST(sxd / nd AS DECIMAL(18,6)) AS DOUBLE) AS mean_edge_degree
+FROM d
+"""

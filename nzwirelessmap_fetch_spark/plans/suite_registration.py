@@ -382,6 +382,10 @@ registry.register(
     _ea.EVENTS_HOURLY_SEASONALITY_SQL,
 )
 registry.register("orders_cohort_ltv", _ea.orders_cohort_ltv, _ea.ORDERS_COHORT_LTV_SQL)
+registry.register("events_slo_burn", _ea.events_slo_burn, _ea.EVENTS_SLO_BURN_SQL)
+registry.register(
+    "graph_assortativity", _gr.graph_assortativity, _gr.GRAPH_ASSORTATIVITY_SQL
+)
 registry.register(
     "agg_hll_partition_merge",
     _sk.agg_hll_partition_merge,
