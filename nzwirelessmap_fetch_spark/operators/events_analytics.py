@@ -940,3 +940,83 @@ SELECT h, n_events, n_errors, rate_1h_ppm, rate_{SLO_WINDOW_H}h_ppm,
        rate_1h_ppm > 2 * rate_{SLO_WINDOW_H}h_ppm AS fast_burn
 FROM rated
 """
+
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the hourly error stream (§2.3
+    aggregation — the classic sequential drift detector): the one-sided
+    cumulative sum s_t = max(0, s_{t-1} + err_t − k) with drift
+    allowance k, alarming when s_t ≥ 5k. Unlike the SLO burn ratio
+    (level alarm), CUSUM accumulates small persistent shifts — the
+    detector that catches a slow regression long before any single
+    window looks bad.
+
+    The recurrence resets at zero, so no window expresses it (same
+    class as Holt): the hour grain folds through a STRUCT accumulator
+    that carries the running state AND emits the per-hour trace, then
+    explodes back to rows. ALL-INTEGER arithmetic (counts vs the
+    integer allowance k = ⌊total/n⌋+1) — exact on any engine; the
+    oracle replays the recursion with a recursive CTE. Corpus-sized
+    work is the one hour-grain aggregate; the fold runs over ≤ n_hours
+    elements row-locally."""
+    e = Catalog(spark, sf_dir).table("events")
+    h = F.floor(F.unix_micros(F.col("ts")) / 3_600_000_000).cast("long")
+    hourly = e.groupBy(h.alias("h")).agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("err")
+    )
+    params = hourly.agg(
+        (F.expr("sum(err) div count(1)") + 1).alias("k"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    series = (
+        hourly.agg(F.array_sort(F.collect_list(F.struct("h", "err"))).alias("s"))
+        .crossJoin(F.broadcast(params))
+    )
+    fold = (
+        "aggregate(s, "
+        "named_struct('c', CAST(0 AS BIGINT), 'rows', "
+        "  CAST(array() AS array<struct<h:bigint,err:bigint,cusum:bigint>>)), "
+        "(acc, x) -> named_struct("
+        "  'c', greatest(CAST(0 AS BIGINT), acc.c + x.err - k), "
+        "  'rows', concat(acc.rows, array(named_struct("
+        "     'h', x.h, 'err', CAST(x.err AS BIGINT), "
+        "     'cusum', greatest(CAST(0 AS BIGINT), acc.c + x.err - k))))))"
+    )
+    return (
+        series.select("k", F.explode(F.expr(f"({fold}).rows")).alias("r"))
+        .select(
+            F.col("r.h").alias("h"),
+            F.col("r.err").alias("n_errors"),
+            "k",
+            F.col("r.cusum").alias("cusum"),
+            (F.col("r.cusum") >= 5 * F.col("k")).alias("alarm"),
+        )
+    )
+
+
+EVENTS_CUSUM_CHANGEPOINT_SQL = """
+WITH RECURSIVE hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS h,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS err
+  FROM events GROUP BY 1
+),
+params AS (
+  SELECT CAST(SUM(err) // COUNT(*) + 1 AS BIGINT) AS k FROM hourly
+),
+ordered AS (
+  SELECT h, err, ROW_NUMBER() OVER (ORDER BY h) AS i FROM hourly
+),
+step(i, h, err, cusum) AS (
+  SELECT o.i, o.h, o.err,
+         GREATEST(0, o.err - (SELECT k FROM params))
+  FROM ordered o WHERE o.i = 1
+  UNION ALL
+  SELECT o.i, o.h, o.err,
+         GREATEST(0, s.cusum + o.err - (SELECT k FROM params))
+  FROM step s JOIN ordered o ON o.i = s.i + 1
+)
+SELECT h, err AS n_errors, (SELECT k FROM params) AS k, cusum,
+       cusum >= 5 * (SELECT k FROM params) AS alarm
+FROM step
+"""

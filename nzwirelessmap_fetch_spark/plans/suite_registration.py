@@ -384,6 +384,11 @@ registry.register(
 registry.register("orders_cohort_ltv", _ea.orders_cohort_ltv, _ea.ORDERS_COHORT_LTV_SQL)
 registry.register("events_slo_burn", _ea.events_slo_burn, _ea.EVENTS_SLO_BURN_SQL)
 registry.register(
+    "events_cusum_changepoint",
+    _ea.events_cusum_changepoint,
+    _ea.EVENTS_CUSUM_CHANGEPOINT_SQL,
+)
+registry.register(
     "graph_assortativity", _gr.graph_assortativity, _gr.GRAPH_ASSORTATIVITY_SQL
 )
 registry.register(
