@@ -1499,3 +1499,132 @@ SELECT grp, n, p_lo_cents, p_hi_cents,
             AS DECIMAL(18,6)) AS DOUBLE) AS trimmed_mean_cents
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (companion of agg_k_anonymity)
+# ---------------------------------------------------------------------------
+
+L_DIVERSE = 3
+
+
+def agg_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (§2.3 governance — the attribute-disclosure
+    companion of agg_k_anonymity): k-anonymity stops identity linkage
+    but a uniform group still leaks its sensitive value ("every customer
+    in this QI cell is BUILDING segment... wait, that IS the QI" — here
+    the sensitive attribute is the balance quartile); l-diversity
+    requires ≥ {L_DIVERSE} distinct sensitive values per QI group. The
+    audit emits per-group distinct counts and the violation flag — both
+    report and suppression worklist, like its k- sibling.
+
+    Plan: same ONE QI-keyed partial-aggregated shuffle; the distinct
+    count of the sensitive attribute rides the same aggregation
+    (count_distinct expands, still QI-domain-bounded). The sensitive
+    bucket is an exact integer quartile of acctbal cents.
+    """
+    c = Catalog(spark, sf_dir).table("customer")
+    # explicit FLOOR on both engines: a bare double→int cast TRUNCATES
+    # in Spark but ROUNDS in DuckDB — divergent on every non-boundary
+    # value (found by the gate)
+    sensitive = F.floor(
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+        / F.lit(250_000.0)
+    )  # ~quartile-width balance buckets (2500.00 each)
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(sensitive).alias("l_distinct"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n",
+            "l_distinct",
+            (F.col("l_distinct") >= L_DIVERSE).alias("l_diverse"),
+        )
+    )
+
+
+AGG_L_DIVERSITY_SQL = f"""
+SELECT c_nationkey, c_mktsegment,
+       COUNT(*) AS n,
+       COUNT(DISTINCT FLOOR(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                            / 250000.0)) AS l_distinct,
+       COUNT(DISTINCT FLOOR(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                            / 250000.0)) >= 3 AS l_diverse
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Numeric tolerance band join
+# ---------------------------------------------------------------------------
+
+BAND_EPS_CENTS = 1_000  # ±10.00 balance tolerance
+
+
+def join_band_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric tolerance (band) join (§2.3 joins — the fuzzy numeric
+    reconciliation shape): supplier × customer pairs whose account
+    balances agree within ±{BAND_EPS_CENTS} cents. The naive form is a
+    theta join (|a−b| ≤ ε → broadcast nested loop, corpus×corpus at
+    scale); the scalable form buckets both sides at ε width and explodes
+    the SMALLER side into its 3 adjacent buckets — candidates become an
+    EQUI-join on bucket id (hash-partitioned, per-key bounded by local
+    density) and one row-local |diff| verify. The same pattern serves
+    timestamp-tolerance reconciliation and near-equal measurement joins.
+
+    Exact integer cents end to end; pair output pins both keys."""
+    s = Catalog(spark, sf_dir).table("supplier")
+    c = Catalog(spark, sf_dir).table("customer")
+    s_cents = (F.col("s_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    c_cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    sb = s.select(
+        "s_suppkey",
+        s_cents.alias("s_cents"),
+        F.explode(
+            F.array(
+                *[
+                    (F.floor(s_cents / BAND_EPS_CENTS) + d).cast("long")
+                    for d in (-1, 0, 1)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    cb = c.select(
+        "c_custkey",
+        c_cents.alias("c_cents"),
+        F.floor(c_cents / BAND_EPS_CENTS).cast("long").alias("bucket"),
+    )
+    return (
+        sb.join(cb, "bucket")
+        .filter(F.abs(F.col("s_cents") - F.col("c_cents")) <= BAND_EPS_CENTS)
+        .select(
+            "s_suppkey",
+            "c_custkey",
+            "s_cents",
+            "c_cents",
+            F.abs(F.col("s_cents") - F.col("c_cents")).alias("diff_cents"),
+        )
+        .distinct()
+    )
+
+
+JOIN_BAND_NUMERIC_SQL = f"""
+WITH s AS (
+  SELECT s_suppkey,
+         CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS s_cents
+  FROM supplier
+),
+c AS (
+  SELECT c_custkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS c_cents
+  FROM customer
+)
+SELECT DISTINCT s_suppkey, c_custkey, s_cents, c_cents,
+       ABS(s_cents - c_cents) AS diff_cents
+FROM s JOIN c ON ABS(s_cents - c_cents) <= {BAND_EPS_CENTS}
+"""

@@ -388,6 +388,8 @@ registry.register(
     _ea.events_cusum_changepoint,
     _ea.EVENTS_CUSUM_CHANGEPOINT_SQL,
 )
+registry.register("agg_l_diversity", _st.agg_l_diversity, _st.AGG_L_DIVERSITY_SQL)
+registry.register("join_band_numeric", _st.join_band_numeric, _st.JOIN_BAND_NUMERIC_SQL)
 registry.register(
     "graph_assortativity", _gr.graph_assortativity, _gr.GRAPH_ASSORTATIVITY_SQL
 )
