@@ -1256,3 +1256,38 @@ SELECT p.fold, p.lang, p.n_docs,
        CAST(g.grand - t.fold_total AS BIGINT) AS train_complement
 FROM per p JOIN totals t ON t.fold = p.fold CROSS JOIN grand g
 """
+
+
+def corpus_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix (§2.4 text analysis meta-tooling —
+    the evaluation of the engine's own text_langid operator): labeled
+    lang × predicted lang counts with per-label recall share in ppm.
+    The eval every classifier-driven curation gate needs before its
+    predictions route documents (the same grid shape audits any
+    model-vs-label column pair at corpus scale).
+
+    Plan: text_langid is zero-shuffle row-local scoring; the confusion
+    grid is ONE partial-aggregated shuffle over ≤ |langs|² keys; recall
+    shares ride a per-label window on the aggregated grid."""
+    pred = text_langid(spark, sf_dir)
+    grid = pred.groupBy("lang", "predicted").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang")
+    return grid.select(
+        "lang",
+        "predicted",
+        "n",
+        F.expr("n * 1000000 div sum(n) over (partition by lang)").alias(
+            "share_ppm"
+        ),
+        (F.col("lang") == F.col("predicted")).alias("correct"),
+    )
+
+
+CORPUS_LANGID_CONFUSION_SQL = (
+    "WITH pred AS (" + TEXT_LANGID_SQL + ")\n"
+    """SELECT lang, predicted, COUNT(*) AS n,
+       COUNT(*) * 1000000 // SUM(COUNT(*)) OVER (PARTITION BY lang) AS share_ppm,
+       lang = predicted AS correct
+FROM pred
+GROUP BY lang, predicted"""
+)

@@ -1628,3 +1628,89 @@ SELECT DISTINCT s_suppkey, c_custkey, s_cents, c_cents,
        ABS(s_cents - c_cents) AS diff_cents
 FROM s JOIN c ON ABS(s_cents - c_cents) <= {BAND_EPS_CENTS}
 """
+
+
+# ---------------------------------------------------------------------------
+# Market concentration: Gini coefficient + Herfindahl index
+# ---------------------------------------------------------------------------
+
+def orders_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration metrics over customers (§2.3 aggregation —
+    the inequality read-out behind "top-N% of customers drive M% of
+    revenue"): the Gini coefficient from the sorted-cumulative closed
+    form G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n, and the Herfindahl–Hirschman
+    index Σshareᵢ² (the antitrust concentration metric; 1/HHI is the
+    "effective number of customers"). The same pair measures corpus
+    domain concentration before training-mix decisions.
+
+    Plan: one customer-keyed aggregate (exact cents); the rank index
+    rides ONE window over the aggregated customer table; Σi·xᵢ and
+    Σx·x are exact BIGINT sums in a single closing pass — the final
+    doubles come from one pinned IEEE tree each. Ranks pin ties by
+    customer key (any total order yields the same Gini for tied
+    values)."""
+    o = Catalog(spark, sf_dir).table("orders")
+    rev = o.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = rev.withColumn("i", F.row_number().over(w).cast("long"))
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("i") * F.col("cents")).alias("six"),
+        F.sum(
+            (F.col("cents").cast("decimal(38,0)") * F.col("cents")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    six = F.col("six").cast("double")
+    sxx = F.col("sxx").cast("double")
+    gini = (F.lit(2.0) * six) / (n * sx) - (n + F.lit(1.0)) / n
+    hhi = sxx / (sx * sx)
+    return sums.select(
+        "n",
+        F.col("sx").alias("total_cents"),
+        _pin(gini).alias("gini"),
+        _pin(hhi).alias("hhi"),
+        _pin(F.lit(1.0) / hhi).alias("effective_customers"),
+    )
+
+
+ORDERS_MARKET_CONCENTRATION_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i
+  FROM rev
+),
+sums AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(cents) AS BIGINT) AS sx,
+         CAST(SUM(i * cents) AS BIGINT) AS six,
+         SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS sxx
+  FROM ranked
+),
+d AS (
+  SELECT n, sx,
+         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         CAST(six AS DOUBLE) AS sixd, CAST(sxx AS DOUBLE) AS sxxd
+  FROM sums
+)
+SELECT n, sx AS total_cents,
+       CAST(CAST((2.0 * sixd) / (nd * sxd) - (nd + 1.0) / nd
+            AS DECIMAL(18,6)) AS DOUBLE) AS gini,
+       CAST(CAST(sxxd / (sxd * sxd) AS DECIMAL(18,6)) AS DOUBLE) AS hhi,
+       CAST(CAST(1.0 / (sxxd / (sxd * sxd)) AS DECIMAL(18,6)) AS DOUBLE)
+         AS effective_customers
+FROM d
+"""

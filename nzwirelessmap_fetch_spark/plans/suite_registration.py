@@ -391,6 +391,16 @@ registry.register(
 registry.register("agg_l_diversity", _st.agg_l_diversity, _st.AGG_L_DIVERSITY_SQL)
 registry.register("join_band_numeric", _st.join_band_numeric, _st.JOIN_BAND_NUMERIC_SQL)
 registry.register(
+    "corpus_langid_confusion",
+    _tx.corpus_langid_confusion,
+    _tx.CORPUS_LANGID_CONFUSION_SQL,
+)
+registry.register(
+    "orders_market_concentration",
+    _st.orders_market_concentration,
+    _st.ORDERS_MARKET_CONCENTRATION_SQL,
+)
+registry.register(
     "graph_assortativity", _gr.graph_assortativity, _gr.GRAPH_ASSORTATIVITY_SQL
 )
 registry.register(
