@@ -1020,3 +1020,95 @@ SELECT h, err AS n_errors, (SELECT k FROM params) AS k, cusum,
        cusum >= 5 * (SELECT k FROM params) AS alarm
 FROM step
 """
+
+
+INCIDENT_GAP_US = 30 * 60 * 1_000_000  # errors within 30 min = one incident
+
+
+def events_incident_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability read-out (§2.3 windows — MTTR/MTBF from the raw error
+    stream): error events within {INCIDENT_GAP_US//60_000_000} minutes
+    of each other coalesce into INCIDENTS (the gaps-and-islands shape);
+    the report is one row — incident count, mean incident duration
+    (≈ MTTR) and mean gap between consecutive incident starts (≈ MTBF),
+    in exact integer seconds. The ops-dashboard twin of the SLO burn
+    monitor: burn says "paging now", MTTR/MTBF say how the quarter went.
+
+    Plan: one time-ordered window over ERROR events only (filter pushed
+    to the scan — the stream is error-sized, not event-sized), island
+    ids by gap cumsum, per-incident min/max agg, then a lag window +
+    1-row closing agg on the incident grain. Integer micros → seconds
+    via `div` end to end."""
+    e = Catalog(spark, sf_dir).table("events").filter(
+        F.col("event_type") == "error"
+    )
+    us = F.unix_micros(F.col("ts"))
+    w = Window.orderBy("ts", "event_id")
+    gap = us - F.lag(us).over(w)
+    marked = e.withColumn(
+        "new_inc",
+        F.when(gap.isNull() | (gap > INCIDENT_GAP_US), 1).otherwise(0),
+    ).withColumn(
+        "inc_id",
+        F.sum("new_inc").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    incidents = marked.groupBy("inc_id").agg(
+        F.min(us).alias("start_us"),
+        F.max(us).alias("end_us"),
+        F.count(F.lit(1)).alias("n_errors"),
+    )
+    w_inc = Window.orderBy("start_us")
+    with_gap = incidents.withColumn(
+        "gap_us", F.col("start_us") - F.lag("end_us").over(w_inc)
+    )
+    return with_gap.agg(
+        F.count(F.lit(1)).alias("n_incidents"),
+        F.sum("n_errors").alias("n_error_events"),
+        F.expr("sum(end_us - start_us) div count(1) div 1000000").alias(
+            "mean_duration_s"
+        ),
+        F.expr(
+            "sum(gap_us) div greatest(count(gap_us), 1) div 1000000"
+        ).alias("mean_gap_s"),
+        F.expr("max(end_us - start_us) div 1000000").alias("max_duration_s"),
+    )
+
+
+EVENTS_INCIDENT_MTTR_SQL = f"""
+WITH err AS (
+  SELECT ts, event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'error'
+),
+marked AS (
+  SELECT us,
+         CASE WHEN us - LAG(us) OVER (ORDER BY ts, event_id) IS NULL
+                OR us - LAG(us) OVER (ORDER BY ts, event_id) > {INCIDENT_GAP_US}
+              THEN 1 ELSE 0 END AS new_inc,
+         ts, event_id
+  FROM err
+),
+islands AS (
+  SELECT us,
+         SUM(new_inc) OVER (ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS inc_id
+  FROM marked
+),
+incidents AS (
+  SELECT inc_id, MIN(us) AS start_us, MAX(us) AS end_us, COUNT(*) AS n_errors
+  FROM islands GROUP BY inc_id
+),
+with_gap AS (
+  SELECT *, start_us - LAG(end_us) OVER (ORDER BY start_us) AS gap_us
+  FROM incidents
+)
+SELECT COUNT(*) AS n_incidents,
+       CAST(SUM(n_errors) AS BIGINT) AS n_error_events,
+       CAST(SUM(end_us - start_us) AS BIGINT) // COUNT(*) // 1000000
+         AS mean_duration_s,
+       CAST(SUM(gap_us) AS BIGINT) // GREATEST(COUNT(gap_us), 1) // 1000000
+         AS mean_gap_s,
+       CAST(MAX(end_us - start_us) AS BIGINT) // 1000000 AS max_duration_s
+FROM with_gap
+"""

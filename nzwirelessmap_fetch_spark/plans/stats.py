@@ -1714,3 +1714,65 @@ SELECT n, sx AS total_cents,
          AS effective_customers
 FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# Open-order aging report
+# ---------------------------------------------------------------------------
+
+AGING_EDGES_DAYS = (30, 60, 90)
+
+
+def orders_aging_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounts-receivable-style aging report (§2.3 aggregation — the
+    finance classic): OPEN orders bucketed by age at the corpus max
+    date into 0-30/31-60/61-90/90+ day bands, with counts and exact
+    open-value cents per (priority, band). The same shape ages unclosed
+    tickets, stale documents, or unprocessed queue items.
+
+    Plan: status filter pushes to the scan; age is a row-local datediff
+    against the 1-row broadcast max date; ONE partial-aggregated shuffle
+    over (priority × 4 bands)."""
+    o = Catalog(spark, sf_dir).table("orders")
+    maxd = o.agg(F.max("o_orderdate").alias("maxd"))
+    aged = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(maxd))
+        .withColumn("age_d", F.datediff(F.col("maxd"), F.col("o_orderdate")))
+    )
+    e1, e2, e3 = AGING_EDGES_DAYS
+    band = (
+        F.when(F.col("age_d") <= e1, "0-30")
+        .when(F.col("age_d") <= e2, "31-60")
+        .when(F.col("age_d") <= e3, "61-90")
+        .otherwise("90+")
+    )
+    return (
+        aged.groupBy(F.col("o_orderpriority").alias("priority"), band.alias("age_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_open"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("open_cents"),
+        )
+    )
+
+
+ORDERS_AGING_REPORT_SQL = f"""
+WITH maxd AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+aged AS (
+  SELECT o_orderpriority,
+         date_diff('day', o_orderdate, (SELECT maxd FROM maxd)) AS age_d,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT o_orderpriority AS priority,
+       CASE WHEN age_d <= {AGING_EDGES_DAYS[0]} THEN '0-30'
+            WHEN age_d <= {AGING_EDGES_DAYS[1]} THEN '31-60'
+            WHEN age_d <= {AGING_EDGES_DAYS[2]} THEN '61-90'
+            ELSE '90+' END AS age_band,
+       COUNT(*) AS n_open,
+       CAST(SUM(cents) AS BIGINT) AS open_cents
+FROM aged
+GROUP BY 1, 2
+"""

@@ -401,6 +401,12 @@ registry.register(
     _st.ORDERS_MARKET_CONCENTRATION_SQL,
 )
 registry.register(
+    "events_incident_mttr", _ea.events_incident_mttr, _ea.EVENTS_INCIDENT_MTTR_SQL
+)
+registry.register(
+    "orders_aging_report", _st.orders_aging_report, _st.ORDERS_AGING_REPORT_SQL
+)
+registry.register(
     "graph_assortativity", _gr.graph_assortativity, _gr.GRAPH_ASSORTATIVITY_SQL
 )
 registry.register(
