@@ -1112,3 +1112,85 @@ SELECT COUNT(*) AS n_incidents,
        CAST(MAX(end_us - start_us) AS BIGINT) // 1000000 AS max_duration_s
 FROM with_gap
 """
+
+
+ACF_LAGS = (1, 24, 168)  # hour, daily cycle, weekly cycle
+
+
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-volume series at lags
+    {ACF_LAGS} (§2.3 aggregation — the seasonality diagnostic): ACF(24)
+    spiking says "daily cycle", ACF(168) "weekly cycle" — the check run
+    before committing to seasonal forecast baselines
+    (orders_seasonal_naive_eval) or capacity schedules
+    (events_hourly_seasonality).
+
+    Plan: ONE hour-grain aggregate; per lag, a self-equi-join on
+    h = h + k over the tiny hourly table pairs x_t with x_{t+k}; the
+    Pearson r per lag comes from exact integer moment sums in one
+    closing pass (the agg_stats_moments tree). Hour-grain work
+    throughout — the corpus is touched once."""
+    e = Catalog(spark, sf_dir).table("events")
+    h = F.floor(F.unix_micros(F.col("ts")) / 3_600_000_000).cast("long")
+    hourly = e.groupBy(h.alias("h")).agg(F.count(F.lit(1)).alias("x")).persist()
+    out = None
+    for k in ACF_LAGS:
+        a = hourly.select(F.col("h").alias("ha"), F.col("x").alias("xa"))
+        b = hourly.select((F.col("h") - k).alias("ha"), F.col("x").alias("xb"))
+        sums = (
+            a.join(b, "ha")
+            .agg(
+                F.lit(k).alias("lag_h"),
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum("xa").alias("sx"),
+                F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+                F.sum("xb").alias("sy"),
+                F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+                F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+            )
+        )
+        out = sums if out is None else out.unionByName(sums)
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    acf = (sxy - (sx * sy) / n) / (
+        F.sqrt(sxx - (sx * sx) / n) * F.sqrt(syy - (sy * sy) / n)
+    )
+    return out.select(
+        "lag_h",
+        "n_pairs",
+        acf.cast("decimal(18,6)").cast("double").alias("acf"),
+    )
+
+
+def _ddb_acf_lag(k: int) -> str:
+    return f"""
+  SELECT {k} AS lag_h, COUNT(*) AS n_pairs,
+         CAST(SUM(a.x) AS BIGINT) AS sx, CAST(SUM(a.x*a.x) AS BIGINT) AS sxx,
+         CAST(SUM(b.x) AS BIGINT) AS sy, CAST(SUM(b.x*b.x) AS BIGINT) AS syy,
+         CAST(SUM(a.x*b.x) AS BIGINT) AS sxy
+  FROM hourly a JOIN hourly b ON b.h = a.h + {k}"""
+
+
+EVENTS_AUTOCORRELATION_SQL = f"""
+WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS h, COUNT(*) AS x
+  FROM events GROUP BY 1
+),
+sums AS ({" UNION ALL ".join(_ddb_acf_lag(k) for k in ACF_LAGS)}),
+d AS (
+  SELECT lag_h, n_pairs, CAST(n_pairs AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sxx AS DOUBLE) AS sxxd,
+         CAST(sy AS DOUBLE) AS syd, CAST(syy AS DOUBLE) AS syyd,
+         CAST(sxy AS DOUBLE) AS sxyd
+  FROM sums
+)
+SELECT lag_h, n_pairs,
+       CAST(CAST((sxyd - (sxd * syd) / nd)
+                 / (SQRT(sxxd - (sxd * sxd) / nd) * SQRT(syyd - (syd * syd) / nd))
+            AS DECIMAL(18,6)) AS DOUBLE) AS acf
+FROM d
+"""

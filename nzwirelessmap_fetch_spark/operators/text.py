@@ -1291,3 +1291,73 @@ CORPUS_LANGID_CONFUSION_SQL = (
 FROM pred
 GROUP BY lang, predicted"""
 )
+
+
+BURST_TOP_K = 20
+
+
+def corpus_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness profile (§2.4 corpus stats — Church & Gale's
+    observation that content words CLUMP): for the {BURST_TOP_K}
+    highest-df terms, the Fano factor (variance-to-mean ratio of
+    per-document counts over documents CONTAINING the term) in ppm.
+    Function words sit near Poisson (factor ≈ 1e6 ppm); topical terms
+    burst far above — the signal separating content terms from glue for
+    keyword weighting and boilerplate screens.
+
+    Plan: one (term, doc) aggregate from the map-side token fan-out;
+    per-term exact integer moment sums ride a second keyed agg;
+    TakeOrdered bounds the report to the df top-{BURST_TOP_K}. The
+    variance uses the population form over occurrence docs — exact
+    integers until one pinned IEEE division."""
+    d = Catalog(spark, sf_dir).table("documents")
+    td = (
+        d.select("doc_id", F.explode(_words()).alias("w"))
+        .groupBy("w", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_term = td.groupBy("w").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    n = F.col("df").cast("double")
+    sc = F.col("sc").cast("double")
+    scc = F.col("scc").cast("double")
+    mean = sc / n
+    var = (scc - (sc * sc) / n) / n
+    return (
+        per_term.select(
+            "w",
+            "df",
+            F.col("sc").alias("total_occurrences"),
+            F.expr(
+                "cast(cast((((cast(scc as double) - (cast(sc as double) * cast(sc as double)) / cast(df as double)) / cast(df as double)) / (cast(sc as double) / cast(df as double))) * 1000000 as decimal(18,0)) as bigint)"
+            ).alias("fano_ppm"),
+        )
+        .orderBy(F.desc("df"), F.asc("w"))
+        .limit(BURST_TOP_K)
+    )
+
+
+CORPUS_TERM_BURSTINESS_SQL = f"""
+WITH td AS (
+  SELECT w, doc_id, COUNT(*) AS c FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+  ) GROUP BY 1, 2
+),
+per_term AS (
+  SELECT w, COUNT(*) AS df,
+         CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(SUM(c*c) AS BIGINT) AS scc
+  FROM td GROUP BY w
+)
+SELECT w, df, sc AS total_occurrences,
+       CAST(CAST((((CAST(scc AS DOUBLE) - (CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+                    / CAST(df AS DOUBLE)) / CAST(df AS DOUBLE))
+                  / (CAST(sc AS DOUBLE) / CAST(df AS DOUBLE))) * 1000000
+            AS DECIMAL(18,0)) AS BIGINT) AS fano_ppm
+FROM per_term
+ORDER BY df DESC, w ASC
+LIMIT {BURST_TOP_K}
+"""

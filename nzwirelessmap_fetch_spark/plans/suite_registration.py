@@ -407,6 +407,16 @@ registry.register(
     "orders_aging_report", _st.orders_aging_report, _st.ORDERS_AGING_REPORT_SQL
 )
 registry.register(
+    "events_autocorrelation",
+    _ea.events_autocorrelation,
+    _ea.EVENTS_AUTOCORRELATION_SQL,
+)
+registry.register(
+    "corpus_term_burstiness",
+    _tx.corpus_term_burstiness,
+    _tx.CORPUS_TERM_BURSTINESS_SQL,
+)
+registry.register(
     "graph_assortativity", _gr.graph_assortativity, _gr.GRAPH_ASSORTATIVITY_SQL
 )
 registry.register(
