@@ -20,9 +20,10 @@ side is the only thing that moves.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..catalog import Catalog
 from .dedup import _jaccard_edges
 
 N_ITERATIONS = 2
@@ -409,4 +410,206 @@ SELECT m AS n_directed_edges,
             AS DECIMAL(18,6)) AS DOUBLE) AS assortativity,
        CAST(CAST(sxd / nd AS DECIMAL(18,6)) AS DOUBLE) AS mean_edge_degree
 FROM d
+"""
+
+
+# Shared oracle prelude: the Jaccard ≥ 0.5 symmetric edge set (same CTE
+# chain as GRAPH_PAGERANK_SQL — exact word-bigram Jaccard, both
+# directions). New graph oracles compose on top of this text.
+_EDGE_SQL_CTE = """
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+                          i -> w[i] || ' ' || w[i+1])) AS shingle
+    FROM w WHERE len(w) >= 2)
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+)"""
+
+
+K_CORE_K = 2        # keep nodes with degree ≥ 2 (cycles, not pendant pairs)
+K_CORE_ROUNDS = 4   # bounded peel rounds, unrolled identically in the oracle
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k={K_CORE_K}, {K_CORE_ROUNDS} peel rounds)
+    of the Jaccard near-dup graph (§2.4 graph family): the density
+    filter that separates tight template-farm clusters (every member has
+    ≥ k near-dup siblings → survives peeling) from chains and pendant
+    pairs (peeled away). Standard corpus-curation use: 2-core members
+    are "boilerplate families" to collapse aggressively; peeled nodes
+    are drift pairs to adjudicate individually.
+
+    Plan: each peel round is one keyed degree agg + two semi-joins on
+    the edge relation — all shuffles keyed on node id, no driver data.
+    The round count is FIXED and unrolled in both engines (converged or
+    not, the two sides compute the identical bounded iteration — the
+    PageRank determinism discipline). Each round ``localCheckpoint``s
+    the shrinking edge set: lineage would otherwise double per round
+    (the CC-loop lesson, PLANS.md). At 100 TB the edge set is bucketed
+    by src; rounds after the first touch only the surviving subgraph,
+    which shrinks geometrically on real dup topologies."""
+    edges = (
+        _jaccard_edges(spark, sf_dir)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(K_CORE_ROUNDS):
+        alive = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= K_CORE_K)
+            .select("src")
+        )
+        edges = (
+            edges.join(alive, "src", "left_semi")
+            .join(alive.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_deg")
+    )
+
+
+def _kcore_round_sql(r: int) -> str:
+    return f"""
+a{r} AS (SELECT src FROM e{r - 1} GROUP BY src HAVING COUNT(*) >= {K_CORE_K}),
+e{r} AS (
+  SELECT e.src, e.dst FROM e{r - 1} e
+  WHERE e.src IN (SELECT src FROM a{r}) AND e.dst IN (SELECT src FROM a{r})
+)"""
+
+
+GRAPH_KCORE_SQL = f"""
+WITH
+{_EDGE_SQL_CTE},
+e0 AS (SELECT src, dst FROM edges),
+{",".join(_kcore_round_sql(r) for r in range(1, K_CORE_ROUNDS + 1))}
+SELECT src AS node, COUNT(*) AS core_deg
+FROM e{K_CORE_ROUNDS} GROUP BY src
+"""
+
+
+LINK_PRED_TOP_N = 20   # report the strongest predicted non-edges only
+COPURCHASE_MIN_W = 2   # edge = parts co-ordered in >= 2 distinct orders
+
+
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction (§2.4 graph family) over the part
+    co-purchase graph (edge = two parts appearing in the same order in
+    ≥ {COPURCHASE_MIN_W} distinct orders): for every NON-adjacent pair
+    sharing neighbors, count shared co-purchase partners and score with
+    the neighborhood Jaccard cn / (deg_a + deg_b − cn). The top-N are
+    "products likely bought together that never were" — recommendation
+    candidates. (The near-dup Jaccard graph is the wrong substrate here:
+    its components are cliques, so every wedge is closed and link
+    prediction is vacuously empty — verified at sf0.01.)
+
+    Plan: the bipartite projection self-joins distinct (order, part)
+    keyed on the ORDER key, so fan-out per key is bounded by order size
+    (≤ 7 lineitems in TPC-H-shaped data) — never quadratic in parts; the
+    wedge join keys on the shared endpoint with fan-in bounded by part
+    degree; existing edges leave via a keyed LEFT ANTI join; only the
+    final top-N passes the global rank window (per-partition top-N + one
+    tiny merge at scale — the topk_orders pattern)."""
+    li = (
+        Catalog(spark, sf_dir)
+        .table("lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= COPURCHASE_MIN_W)
+        .select("src", "dst")
+        .persist()
+    )
+    ab = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    cn = (
+        ab.join(bc, "b")
+        .filter(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    exist = edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("c")
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    cand = (
+        cn.join(exist, ["a", "c"], "left_anti")
+        .join(deg.select(F.col("src").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("src").alias("c"), F.col("deg").alias("dc")), "c")
+    )
+    w = Window.orderBy(F.desc("cn"), F.asc("a"), F.asc("c"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= LINK_PRED_TOP_N)
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("c").alias("part_b"),
+            "cn",
+            F.col("da").cast("int").alias("deg_a"),
+            F.col("dc").cast("int").alias("deg_b"),
+            (F.col("cn") / (F.col("da") + F.col("dc") - F.col("cn")))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("neighbor_jaccard"),
+            "rank",
+        )
+    )
+
+
+GRAPH_LINK_PREDICTION_SQL = f"""
+WITH
+li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {COPURCHASE_MIN_W}
+),
+cn AS (
+  SELECT ab.src AS a, bc.dst AS c, COUNT(*) AS cn
+  FROM edges ab JOIN edges bc ON ab.dst = bc.src
+  WHERE ab.src < bc.dst
+  GROUP BY 1, 2
+),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+cand AS (
+  SELECT cn.a, cn.c, cn.cn, da.deg AS da, dc.deg AS dc
+  FROM cn
+  JOIN deg da ON da.node = cn.a
+  JOIN deg dc ON dc.node = cn.c
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = cn.a AND e.dst = cn.c)
+),
+ranked AS (
+  SELECT a, c, cn, da, dc,
+         ROW_NUMBER() OVER (ORDER BY cn DESC, a ASC, c ASC) AS rank
+  FROM cand
+)
+SELECT a AS part_a, c AS part_b, cn,
+       CAST(da AS INT) AS deg_a, CAST(dc AS INT) AS deg_b,
+       CAST(CAST(cn / (da + dc - cn) AS DECIMAL(18,6)) AS DOUBLE)
+         AS neighbor_jaccard,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {LINK_PRED_TOP_N}
 """

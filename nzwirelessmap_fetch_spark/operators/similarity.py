@@ -1246,3 +1246,146 @@ SELECT q_id, vec_id, adist, CAST(rank AS INT) AS rank FROM (
   FROM adc)
 WHERE rank <= {TOP_K}
 """
+
+
+# ─── Binary (sign) quantization + Hamming scan + exact rerank ──────────────
+
+HAM_CANDIDATES = 40  # Hamming-scan shortlist size per query (then exact rerank)
+
+
+def _sign_code_expr(half: int) -> F.Column:
+    """Bits ``32*half .. 32*half+31`` of the 64-bit sign code, packed into
+    a BIGINT (two halves so neither engine touches the int64 sign bit).
+    Bit d is set iff ``embedding[32*half + d] > 0``."""
+    base = 32 * half
+    return F.expr(
+        f"""
+        aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+          (acc, d) -> acc + IF(embedding[d + {base}] > 0,
+                               shiftleft(CAST(1 AS BIGINT), d),
+                               CAST(0 AS BIGINT)))
+        """
+    )
+
+
+def sim_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN (§2.4 similarity): pack each 64-dim embedding
+    into a 64-bit sign code (1 bit/dim — a 32× compression of float32),
+    scan the corpus by Hamming distance XOR/popcount against each query
+    code, shortlist the top-{HAM_CANDIDATES}, then rerank the shortlist
+    by EXACT cosine for the final top-k. This is the binary-quantization
+    retrieval layout (sign codes at rest, floats touched only for the
+    shortlist) used when the float corpus no longer fits hot storage.
+
+    Plan: code packing is one scan-bound fold (whole-stage codegen, no
+    shuffle); the Hamming scan is integer XOR + bit_count against the
+    broadcast 5-query code table — JVM-side, SIMD-friendly, no floats;
+    only |queries|·{HAM_CANDIDATES} rows reach the float rerank. At
+    100 TB the 16-byte code column is stored as its own compact table
+    (the corpus scan reads 2 BIGINTs, never the vectors) and the rerank
+    fetches vectors by key from the bucketed embedding table — here the
+    vectors ride along because the fixture corpus is one scan anyway.
+
+    Hamming ties at the shortlist boundary and cosine ties in the final
+    rank are pinned by vec_id so both engines cut identical sets."""
+    e = Catalog(spark, sf_dir).table("embeddings")
+    coded = e.select(
+        "vec_id",
+        "embedding",
+        _sign_code_expr(0).alias("c0"),
+        _sign_code_expr(1).alias("c1"),
+    )
+    q = coded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("c0").alias("q0"),
+        F.col("c1").alias("q1"),
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "hamming",
+            (
+                F.bit_count(F.col("c0").bitwiseXOR(F.col("q0")))
+                + F.bit_count(F.col("c1").bitwiseXOR(F.col("q1")))
+            ).cast("int"),
+        )
+    )
+    wh = Window.partitionBy("q_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    cand = scored.withColumn("hrank", F.row_number().over(wh)).filter(
+        F.col("hrank") <= HAM_CANDIDATES
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("cos", cosine(F.col("q_emb"), F.col("embedding")))
+        .withColumn("rank", F.row_number().over(wk).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "hamming", "cos", "rank")
+    )
+
+
+def _ddb_cos(a: str, b: str) -> str:
+    """DuckDB exact-cosine expression between two list columns — the
+    identical ascending-index fold as SIM_TOPK_BRUTEFORCE_SQL (IEEE tree
+    pinned on both sides)."""
+    return f"""
+         list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(generate_series(1, len({b})),
+                            i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)),
+           (x, y) -> x + y)
+         / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(generate_series(1, len({a})),
+                              i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)),
+             (x, y) -> x + y))
+            * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(generate_series(1, len({b})),
+                              i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)),
+             (x, y) -> x + y)))"""
+
+
+def _ddb_sign_code(half: int) -> str:
+    base = 32 * half
+    return f"""
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(generate_series(0, 31),
+            d -> CASE WHEN embedding[d + {base + 1}] > 0
+                      THEN (CAST(1 AS BIGINT) << d) ELSE CAST(0 AS BIGINT) END)),
+      (x, y) -> x + y)"""
+
+
+SIM_BINARY_HAMMING_RERANK_SQL = f"""
+WITH coded AS (
+  SELECT vec_id, embedding,
+         {_ddb_sign_code(0)} AS c0,
+         {_ddb_sign_code(1)} AS c1
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, c0 AS q0, c1 AS q1
+  FROM coded WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.q_id, c.vec_id, c.embedding, q.q_emb,
+         CAST(bit_count(xor(c.c0, q.q0)) + bit_count(xor(c.c1, q.q1)) AS INT)
+           AS hamming
+  FROM coded c CROSS JOIN q WHERE c.vec_id <> q.q_id
+),
+cand AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY hamming ASC, vec_id ASC) AS hrank
+    FROM scored)
+  WHERE hrank <= {HAM_CANDIDATES}
+),
+rer AS (
+  SELECT q_id, vec_id, hamming,
+         {_ddb_cos("q_emb", "embedding")} AS cos
+  FROM cand
+)
+SELECT q_id, vec_id, hamming, cos, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM rer)
+WHERE rank <= {TOP_K}
+"""

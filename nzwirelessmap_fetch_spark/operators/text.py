@@ -1361,3 +1361,85 @@ FROM per_term
 ORDER BY df DESC, w ASC
 LIMIT {BURST_TOP_K}
 """
+
+
+# ─── Readability (Coleman–Liau, integer-exact) ─────────────────────────────
+
+# Coleman–Liau index = 0.0588·L − 0.296·S − 15.8 where L = letters per 100
+# words and S = sentences per 100 words. Chosen over Flesch BECAUSE it is
+# log- and syllable-free: pure rational arithmetic in counts, so both
+# engines replay it exactly in milli-units.
+_CLI_OFFSET = 1_000_000  # shifts the numerator positive so int division = floor
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document readability (§2.4 text analysis): the quality-scoring
+    signal that length/stopword ratios miss — a grade-level estimate.
+    Training-data curricula bucket documents by reading level; this is
+    the standard first-pass scorer when a model-based one is too costly
+    for a full-corpus sweep.
+
+    Integer-exact: cli_milli = floor(1000·CLI) computed as
+    ((5880·letters − 29600·sentences − 15800·words) + OFFSET·words)
+    div words − OFFSET. The additive OFFSET·words keeps the numerator
+    positive, so truncating integer division IS floor in both engines
+    (Spark `div` truncates, DuckDB `//` floors — they only agree on
+    non-negatives; the ROADMAP floor-vs-truncate invariant).
+
+    Plan: one scan, zero shuffles, all codegen'd built-ins — letter count
+    via regexp_replace strip, sentence count via regexp_extract_all on
+    terminal-punctuation runs."""
+    d = Catalog(spark, sf_dir).table("documents")
+    letters = F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("bigint")
+    words = F.greatest(F.size(_words()), F.lit(1)).cast("bigint")
+    sentences = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    ).cast("bigint")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            letters.alias("n_letters"),
+            words.alias("n_words"),
+            sentences.alias("n_sentences"),
+        )
+        .withColumn(
+            "cli_milli",
+            F.expr(
+                f"((5880 * n_letters - 29600 * n_sentences - 15800 * n_words"
+                f" + {_CLI_OFFSET} * n_words) div n_words) - {_CLI_OFFSET}"
+            ),
+        )
+        .withColumn(
+            "grade_band",
+            F.when(F.col("cli_milli") < 6000, "elementary")
+            .when(F.col("cli_milli") < 9000, "middle_school")
+            .when(F.col("cli_milli") < 13000, "high_school")
+            .otherwise("college"),
+        )
+    )
+
+
+TEXT_READABILITY_SQL = f"""
+WITH c AS (
+  SELECT doc_id, lang,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+           AS n_letters,
+         CAST(GREATEST(len(string_split(text, ' ')), 1) AS BIGINT) AS n_words,
+         CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+           AS n_sentences
+  FROM documents
+),
+s AS (
+  SELECT *,
+         ((5880 * n_letters - 29600 * n_sentences - 15800 * n_words
+           + {_CLI_OFFSET} * n_words) // n_words) - {_CLI_OFFSET} AS cli_milli
+  FROM c
+)
+SELECT doc_id, lang, n_letters, n_words, n_sentences, cli_milli,
+       CASE WHEN cli_milli < 6000 THEN 'elementary'
+            WHEN cli_milli < 9000 THEN 'middle_school'
+            WHEN cli_milli < 13000 THEN 'high_school'
+            ELSE 'college' END AS grade_band
+FROM s
+"""

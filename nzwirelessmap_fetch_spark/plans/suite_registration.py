@@ -435,3 +435,18 @@ registry.register(
 registry.register(
     "graph_triangle_count", _gr.graph_triangle_count, _gr.GRAPH_TRIANGLE_COUNT_SQL
 )
+
+# Round-3 continuation batch: binary-quantized ANN, graph density/link
+# prediction (memoized-edge consumers), integer-exact readability.
+registry.register(
+    "sim_binary_hamming_rerank",
+    _sim.sim_binary_hamming_rerank,
+    _sim.SIM_BINARY_HAMMING_RERANK_SQL,
+)
+registry.register("text_readability", _tx.text_readability, _tx.TEXT_READABILITY_SQL)
+registry.register("graph_kcore", _gr.graph_kcore, _gr.GRAPH_KCORE_SQL)
+registry.register(
+    "graph_link_prediction",
+    _gr.graph_link_prediction,
+    _gr.GRAPH_LINK_PREDICTION_SQL,
+)
