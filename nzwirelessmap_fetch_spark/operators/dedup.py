@@ -1156,3 +1156,94 @@ SELECT (SELECT COUNT(*) FROM cand)  AS n_candidates,
                  / (SELECT COUNT(*) FROM truth) AS DECIMAL(18,6)) AS DOUBLE)
          AS recall
 """
+
+
+# ─── Containment (near-superset) detection ─────────────────────────────────
+
+# C(A→B) = |A∩B| / |A| ≥ 4/5, tested as 5·|A∩B| ≥ 4·|A| — pure integer
+# comparison, no float threshold to disagree on.
+CONTAIN_NUM = 4
+CONTAIN_DEN = 5
+
+
+def corpus_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-superset detection (§2.4 dedup family): ordered
+    pairs (A→B) where the CONTAINMENT |A∩B|/|A| ≥ 4/5 — the measure
+    Jaccard dedup is blind to. A quote-heavy aggregator page B that
+    swallows a short article A has J(A,B) ≈ |A|/|B| (tiny, never trips a
+    Jaccard gate) but C(A→B) ≈ 1. Standard corpus-curation use: drop the
+    contained doc, keep the superset — the complement of the J ≥ 0.5
+    near-dup pass.
+
+    Plan: one inverted-index equi-join on the 60-bit shingle hash (8-byte
+    wire keys — the md5_long60 discipline) → per-ordered-pair
+    intersection counts in ONE map-side-combining agg → set sizes attach
+    via two keyed joins → integer threshold filter. No broadcast, no
+    driver data. At 100 TB the hot-shingle skew valve is
+    ``_shingles(max_df=…)`` (stop-shingle removal BEFORE the index join
+    bounds the hottest key); the PPJoin prefix trick does not apply to
+    containment's A-side-only denominator, so df-capping IS the scale
+    lever — same tradeoff as the Jaccard build, documented there."""
+    d = Catalog(spark, sf_dir).table("documents")
+    sh = _shingles(d).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            F.col("n_inter") * CONTAIN_DEN >= F.col("n_a") * CONTAIN_NUM
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            (F.col("n_inter") / F.col("n_a"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("containment"),
+            (F.col("n_inter") == F.col("n_a")).alias("is_subset"),
+        )
+    )
+
+
+CORPUS_CONTAINMENT_SQL = f"""
+WITH
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+                          i -> w[i] || ' ' || w[i+1])) AS shingle
+    FROM w WHERE len(w) >= 2)
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+       CAST(CAST(n_inter / sa.n AS DECIMAL(18,6)) AS DOUBLE) AS containment,
+       n_inter = sa.n AS is_subset
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE n_inter * {CONTAIN_DEN} >= sa.n * {CONTAIN_NUM}
+"""

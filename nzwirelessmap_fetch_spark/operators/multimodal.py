@@ -455,3 +455,116 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
 """
+
+
+# --- Scene-cut detection over the media column ----------------------------
+
+CUT_LUM_DELTA = 2  # scene cut when adjacent frame mean-luminance jumps ≥ 2
+
+
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection plumbing (§2.4 multimodal — the shot-
+    segmentation stage of a video curation pipeline): payload bytes cut
+    into {FRAME_SAMPLES}-byte frames, per-frame "luminance" = integer
+    mean byte value, a CUT wherever adjacent frames jump by
+    ≥ {CUT_LUM_DELTA}, and a per-item summary (frame/cut/scene counts,
+    first cut, mean luminance). Real pipelines sample keyframes per
+    scene, not per frame — this summary is the scheduling input.
+
+    Same fused decode+reduce shape as multimodal_audio_energy: the 1→N
+    frame expansion and the adjacent-frame differencing live entirely
+    inside the Arrow batch; per-item rows are all that leave the
+    executor. Swap the byte luminance for a real frame decoder and the
+    plan is unchanged. Integer-exact (floor-divide means, integer
+    deltas), so the oracle replays the arithmetic from the same blobs
+    via hex decode — the UTF-8 BYTE framing discipline (not characters;
+    see MULTIMODAL_AUDIO_ENERGY_SQL's rationale)."""
+    media = media_table(spark, sf_dir)
+
+    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                data = bytes(blob)
+                frames = [
+                    data[i : i + FRAME_SAMPLES]
+                    for i in range(0, len(data), FRAME_SAMPLES)
+                ]
+                lums = [sum(f) // len(f) for f in frames]
+                cut_idx = [
+                    i
+                    for i in range(1, len(lums))
+                    if abs(lums[i] - lums[i - 1]) >= CUT_LUM_DELTA
+                ]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_frames": len(frames),
+                        "n_cuts": len(cut_idx),
+                        "n_scenes": len(cut_idx) + 1,
+                        "first_cut_idx": cut_idx[0] if cut_idx else -1,
+                        "mean_lum": sum(lums) // len(lums),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "doc_id long, n_frames int, n_cuts int, n_scenes int, "
+        "first_cut_idx int, mean_lum long"
+    )
+    return (
+        media.filter(F.length("media") > 0)
+        .select("doc_id", "media")
+        .mapInPandas(cuts, schema)
+    )
+
+
+# Byte-exact replay: hex-decode the blob, frame it, floor-divide means,
+# lag-diff per doc — the audio-energy oracle's machinery with a window
+# differencing stage on top.
+MULTIMODAL_SCENE_CUTS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents
+  WHERE octet_length(encode(text)) > 0
+),
+f AS (
+  SELECT doc_id, h, n,
+         unnest(range(0, CAST(ceil(n / {FRAME_SAMPLES}.0) AS INT))) AS i
+  FROM d
+),
+lum AS (
+  SELECT doc_id, i,
+         list_reduce(list_prepend(0::BIGINT,
+             list_transform(range(0, LEAST({FRAME_SAMPLES}, n - i*{FRAME_SAMPLES})),
+               j -> CAST((strpos('0123456789ABCDEF',
+                             substring(h, (i*{FRAME_SAMPLES} + j)*2 + 1, 1)) - 1) * 16
+                     + strpos('0123456789ABCDEF',
+                              substring(h, (i*{FRAME_SAMPLES} + j)*2 + 2, 1)) - 1
+                    AS BIGINT))),
+           (a, b) -> a + b)
+         // LEAST({FRAME_SAMPLES}, n - i*{FRAME_SAMPLES}) AS lum
+  FROM f
+),
+diffs AS (
+  SELECT doc_id, i, lum,
+         lum - LAG(lum) OVER (PARTITION BY doc_id ORDER BY i) AS dl
+  FROM lum
+),
+cutrows AS (
+  SELECT doc_id, i,
+         CASE WHEN dl IS NOT NULL AND ABS(dl) >= {CUT_LUM_DELTA}
+              THEN 1 ELSE 0 END AS is_cut,
+         lum
+  FROM diffs
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_frames,
+       CAST(SUM(is_cut) AS INT) AS n_cuts,
+       CAST(SUM(is_cut) + 1 AS INT) AS n_scenes,
+       CAST(COALESCE(MIN(CASE WHEN is_cut = 1 THEN i END), -1) AS INT)
+         AS first_cut_idx,
+       CAST(SUM(lum) AS BIGINT) // COUNT(*) AS mean_lum
+FROM cutrows
+GROUP BY doc_id
+"""

@@ -1135,3 +1135,106 @@ SELECT 'lineitem.l_orderkey FK orders',
        COUNT(*)
 FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
 """
+
+
+# ─── Mergeable histogram quantiles (the t-digest/KLL serving pattern) ──────
+
+HIST_SHARDS = 16    # simulated per-partition summary shards (l_orderkey mod)
+HIST_BIN_W = 2000   # equi-width bin size on l_extendedprice (~52 live bins)
+HIST_QS = (50, 90, 99)
+
+
+def agg_quantile_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable quantile rollup (§2.3 sketch family — the
+    mergeable-summary sibling of agg_hll_partition_merge): each shard
+    (stand-in for a partition/day) reduces its rows to an equi-width
+    HISTOGRAM of l_extendedprice; shards then merge by adding bin counts
+    — an associative, commutative merge, so arbitrary shard subsets
+    re-aggregate without touching raw rows; quantiles read off the merged
+    cumulative distribution with error bounded by one bin width. This is
+    how percentile serving tables work at 100 TB: kilobyte histograms
+    per partition, O(partitions) merge, never O(rows) re-scan.
+
+    Exactness discipline: the bin id is floor(price / W) on the SAME
+    double both engines compute (single IEEE divide, exact floor), the
+    rank threshold ceil(q·N/100) is pure integer arithmetic
+    ((q·N + 99) div 100 on non-negatives), and the selected quantile is
+    a BIN EDGE (bin·W, an integer) — no float quantile interpolation to
+    diverge on. Both aggregation levels are map-side-combining keyed
+    shuffles; the merged histogram (~52 rows) is the only thing the
+    final window touches."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    binned = li.select(
+        F.pmod(F.col("l_orderkey"), F.lit(HIST_SHARDS)).alias("shard"),
+        F.floor(F.col("l_extendedprice") / F.lit(float(HIST_BIN_W)))
+        .cast("bigint")
+        .alias("bin"),
+    )
+    # level 1: per-shard partial histograms (the stored summaries)
+    partial = binned.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # level 2: merge = add counts per bin across shards
+    merged = partial.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n_total", F.sum("cnt").over(Window.partitionBy())
+    )
+    qs = spark.createDataFrame([(q,) for q in HIST_QS], "q int")
+    hit = (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(
+            F.col("cum")
+            >= F.expr("(q * n_total + 99) div 100")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q").orderBy(F.asc("bin"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return hit.select(
+        "q",
+        "n_total",
+        F.col("bin").alias("bin_idx"),
+        (F.col("bin") * HIST_BIN_W).alias("quantile_lo"),
+        ((F.col("bin") + 1) * HIST_BIN_W).alias("quantile_hi"),
+        F.col("cum").alias("cum_count"),
+    )
+
+
+AGG_QUANTILE_PARTITION_MERGE_SQL = f"""
+WITH binned AS (
+  SELECT l_orderkey % {HIST_SHARDS} AS shard,
+         CAST(FLOOR(l_extendedprice / CAST({HIST_BIN_W} AS DOUBLE)) AS BIGINT)
+           AS bin
+  FROM lineitem
+),
+partial AS (
+  SELECT shard, bin, COUNT(*) AS cnt FROM binned GROUP BY 1, 2
+),
+merged AS (
+  SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt FROM partial GROUP BY bin
+),
+cum AS (
+  SELECT bin, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY bin
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n_total
+  FROM merged
+),
+hit AS (
+  SELECT q.q, cum.n_total, cum.bin, cum.cum,
+         ROW_NUMBER() OVER (PARTITION BY q.q ORDER BY cum.bin ASC) AS rn
+  FROM cum CROSS JOIN (SELECT unnest([{", ".join(str(q) for q in HIST_QS)}]) AS q) q
+  WHERE cum.cum >= (q.q * cum.n_total + 99) // 100
+)
+SELECT CAST(q AS INT) AS q, n_total, bin AS bin_idx,
+       bin * {HIST_BIN_W} AS quantile_lo,
+       (bin + 1) * {HIST_BIN_W} AS quantile_hi,
+       cum AS cum_count
+FROM hit WHERE rn = 1
+"""

@@ -450,3 +450,14 @@ registry.register(
     _gr.graph_link_prediction,
     _gr.GRAPH_LINK_PREDICTION_SQL,
 )
+registry.register(
+    "corpus_containment", _dd.corpus_containment, _dd.CORPUS_CONTAINMENT_SQL
+)
+registry.register(
+    "agg_quantile_partition_merge",
+    _sk.agg_quantile_partition_merge,
+    _sk.AGG_QUANTILE_PARTITION_MERGE_SQL,
+)
+registry.register(
+    "multimodal_scene_cuts", _mm.multimodal_scene_cuts, _mm.MULTIMODAL_SCENE_CUTS_SQL
+)

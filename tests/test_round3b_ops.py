@@ -1,0 +1,156 @@
+"""Round-3 continuation batch: binary-Hamming ANN, k-core, link
+prediction, readability, containment, mergeable histogram quantiles,
+scene cuts. Property tests beyond the oracle gate — the oracle pins
+engine parity; these pin the SEMANTICS."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from nzwirelessmap_fetch_spark.catalog import Catalog
+from nzwirelessmap_fetch_spark.operators.dedup import (
+    CONTAIN_DEN,
+    CONTAIN_NUM,
+    corpus_containment,
+)
+from nzwirelessmap_fetch_spark.operators.graph import (
+    K_CORE_K,
+    graph_kcore,
+    graph_link_prediction,
+)
+from nzwirelessmap_fetch_spark.operators.multimodal import (
+    CUT_LUM_DELTA,
+    FRAME_SAMPLES,
+    multimodal_scene_cuts,
+)
+from nzwirelessmap_fetch_spark.operators.similarity import (
+    TOP_K,
+    sim_binary_hamming_rerank,
+    sim_topk_bruteforce,
+)
+from nzwirelessmap_fetch_spark.operators.sketches import (
+    HIST_BIN_W,
+    agg_quantile_partition_merge,
+)
+from nzwirelessmap_fetch_spark.operators.text import text_readability
+from tests.conftest import SF_SMOKE
+
+
+def test_binary_hamming_recall_vs_bruteforce(spark):
+    """The quantized index must agree with exact search on most of the
+    top-k — the recall contract that makes 1-bit codes usable. Fixture
+    recall is deterministic; the bound is a regression floor."""
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in sim_topk_bruteforce(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in sim_binary_hamming_rerank(spark, SF_SMOKE).collect()
+    }
+    assert len(approx) == len(exact)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"binary-code recall collapsed: {recall:.2f}"
+
+
+def test_binary_hamming_rank_is_dense_per_query(spark):
+    rows = sim_binary_hamming_rerank(spark, SF_SMOKE).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, TOP_K + 1)), q
+
+
+def test_kcore_members_have_core_degree(spark):
+    """Every surviving node's degree within the surviving subgraph is
+    ≥ k — the defining k-core invariant (peeling can't strand a node
+    below k after the final round on this fixture)."""
+    out = graph_kcore(spark, SF_SMOKE)
+    assert out.filter(F.col("core_deg") < K_CORE_K).count() == 0
+
+
+def test_link_prediction_pairs_are_nonedges(spark):
+    """Predicted pairs must not already be co-purchase edges, scores in
+    (0, 1], ranks dense from 1."""
+    rows = graph_link_prediction(spark, SF_SMOKE).collect()
+    assert rows, "fixture produced no open wedges"
+    ranks = sorted(r.rank for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert 0 < r.neighbor_jaccard <= 1
+        assert r.cn <= min(r.deg_a, r.deg_b)
+
+
+def test_readability_matches_python_replay(spark):
+    docs = Catalog(spark, SF_SMOKE).table("documents").limit(20).collect()
+    got = {
+        r.doc_id: r
+        for r in text_readability(spark, SF_SMOKE).collect()
+    }
+    import re
+
+    for d in docs:
+        letters = len(re.sub(r"[^A-Za-z]", "", d.text))
+        words = max(len(d.text.split(" ")), 1)
+        sentences = max(len(re.findall(r"[.!?]+", d.text)), 1)
+        cli = (5880 * letters - 29600 * sentences - 15800 * words) / words
+        r = got[d.doc_id]
+        assert r.n_letters == letters and r.n_words == words
+        assert r.cli_milli == int(cli // 1)  # floor
+        assert r.n_sentences == sentences
+
+
+def test_containment_bounds_and_symmetry(spark):
+    rows = corpus_containment(spark, SF_SMOKE).collect()
+    assert rows, "fixture has no contained near-dups"
+    pairs = {(r.doc_a, r.doc_b): r for r in rows}
+    for r in rows:
+        assert r.n_inter * CONTAIN_DEN >= r.n_a * CONTAIN_NUM
+        assert r.n_inter <= min(r.n_a, r.n_b)
+        assert r.is_subset == (r.n_inter == r.n_a)
+        # equal-size mutual containment must appear in both directions
+        if r.n_a == r.n_b:
+            assert (r.doc_b, r.doc_a) in pairs
+
+
+def test_quantile_merge_brackets_exact_percentile(spark):
+    """The histogram answer must bracket the true discrete percentile
+    within its bin — the one-bin-width error bound the docstring
+    promises."""
+    li = Catalog(spark, SF_SMOKE).table("lineitem")
+    n = li.count()
+    vals = sorted(r.l_extendedprice for r in li.select("l_extendedprice").collect())
+    out = {r.q: r for r in agg_quantile_partition_merge(spark, SF_SMOKE).collect()}
+    assert set(out) == {50, 90, 99}
+    for q, r in out.items():
+        assert r.n_total == n
+        exact = vals[(q * n + 99) // 100 - 1]  # rank ceil(q·n/100), 1-based
+        assert r.quantile_lo <= exact < r.quantile_hi
+        assert r.quantile_hi - r.quantile_lo == HIST_BIN_W
+
+
+def test_scene_cuts_match_python_replay(spark):
+    docs = Catalog(spark, SF_SMOKE).table("documents").limit(15).collect()
+    got = {r.doc_id: r for r in multimodal_scene_cuts(spark, SF_SMOKE).collect()}
+    for d in docs:
+        data = d.text.encode("utf-8")
+        if not data:
+            assert d.doc_id not in got
+            continue
+        frames = [data[i : i + FRAME_SAMPLES] for i in range(0, len(data), FRAME_SAMPLES)]
+        lums = [sum(f) // len(f) for f in frames]
+        cuts = [
+            i
+            for i in range(1, len(lums))
+            if abs(lums[i] - lums[i - 1]) >= CUT_LUM_DELTA
+        ]
+        r = got[d.doc_id]
+        assert r.n_frames == len(frames)
+        assert r.n_cuts == len(cuts)
+        assert r.n_scenes == len(cuts) + 1
+        assert r.first_cut_idx == (cuts[0] if cuts else -1)
+        assert r.mean_lum == sum(lums) // len(lums)
