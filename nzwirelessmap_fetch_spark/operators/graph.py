@@ -613,3 +613,135 @@ SELECT a AS part_a, c AS part_b, cn,
        CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {LINK_PRED_TOP_N}
 """
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of two candidate partitions of the near-dup
+    graph (§2.4 graph family): (a) the single-round STAR partition
+    (label = min(self, neighbors) — what one-pass star dedup produces)
+    and (b) the exact CONNECTED COMPONENTS. The gap is the operational
+    signal: low star modularity with high component modularity means
+    chains are being split and canonical assignment should pay for the
+    iterative CC pass; near-equal scores mean the cheap one-round star
+    is already capturing the community structure.
+
+    Exact-integer formulation: with E the DIRECTED edge count,
+    Q = Σ_c [e_c/E − (D_c/E)²] = (Σ_c e_c·E − D_c²) / E², so the
+    numerator q_num is summed in BIGINT (e_c = directed edges inside c,
+    D_c = total degree of c) and only the single closing division is a
+    pinned double — nothing float ever folds.
+
+    Plan per partition: labels attach to the edge list via two keyed
+    joins, e_c and D_c are two map-side-combining aggs, and the closing
+    scalar is a one-row agg. The component labels come from the shared
+    label-propagation loop (bounded rounds, checkpoint-truncated); the
+    star labels are ONE groupBy over the edge set."""
+    from .dedup import _label_propagation
+
+    sym = _jaccard_edges(spark, sf_dir)
+    edges = sym.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
+
+    star = (
+        edges.groupBy(F.col("s").alias("node"))
+        .agg(F.min("t").alias("min_nbr"))
+        .select("node", F.least(F.col("node"), F.col("min_nbr")).alias("c"))
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        comp = _label_propagation(spark, sym).select(
+            F.col("doc_id").alias("node"), F.col("component_id").alias("c")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    out = None
+    for method, labels in (("star", star), ("components", comp)):
+        ls = labels.select(F.col("node").alias("s"), F.col("c").alias("cs"))
+        lt = labels.select(F.col("node").alias("t"), F.col("c").alias("ct"))
+        tagged = edges.join(ls, "s").join(lt, "t")
+        e_c = (
+            tagged.filter(F.col("cs") == F.col("ct"))
+            .groupBy(F.col("cs").alias("c"))
+            .agg(F.count(F.lit(1)).alias("e_c"))
+        )
+        d_c = tagged.groupBy(F.col("cs").alias("c")).agg(
+            F.count(F.lit(1)).alias("d_c")
+        )
+        tot = edges.agg(F.count(F.lit(1)).alias("m"))
+        per_c = (
+            d_c.join(e_c, "c", "left")
+            .withColumn("e_c", F.coalesce(F.col("e_c"), F.lit(0)))
+            .crossJoin(F.broadcast(tot))
+        )
+        row = per_c.agg(
+            F.lit(method).alias("method"),
+            F.count(F.lit(1)).alias("n_communities"),
+            F.max("m").alias("n_directed_edges"),
+            F.sum(
+                F.col("e_c") * F.col("m") - F.col("d_c") * F.col("d_c")
+            ).alias("q_num"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "method",
+        "n_communities",
+        "n_directed_edges",
+        "q_num",
+        (
+            F.col("q_num").cast("double")
+            / (
+                F.col("n_directed_edges").cast("double")
+                * F.col("n_directed_edges").cast("double")
+            )
+        )
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("modularity"),
+    )
+
+
+def _modularity_tail_sql(method: str, labels_cte: str) -> str:
+    return f"""
+  SELECT '{method}' AS method,
+         COUNT(*) AS n_communities,
+         MAX(m) AS n_directed_edges,
+         CAST(SUM(e_c * m - d_c * d_c) AS BIGINT) AS q_num
+  FROM (
+    SELECT d.c, d.d_c, COALESCE(e.e_c, 0) AS e_c, t.m
+    FROM (SELECT ls.c, COUNT(*) AS d_c
+          FROM edges JOIN {labels_cte} ls ON ls.node = edges.src
+          GROUP BY ls.c) d
+    LEFT JOIN (SELECT ls.c, COUNT(*) AS e_c
+               FROM edges
+               JOIN {labels_cte} ls ON ls.node = edges.src
+               JOIN {labels_cte} lt ON lt.node = edges.dst
+               WHERE ls.c = lt.c GROUP BY ls.c) e USING (c)
+    CROSS JOIN (SELECT COUNT(*) AS m FROM edges) t
+  )"""
+
+
+GRAPH_MODULARITY_SQL = f"""
+WITH RECURSIVE
+{_EDGE_SQL_CTE},
+star AS (
+  SELECT src AS node, LEAST(src, MIN(dst)) AS c FROM edges GROUP BY src
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+),
+comp AS (SELECT node, MIN(r) AS c FROM reach GROUP BY node),
+q AS (
+{_modularity_tail_sql("star", "star")}
+  UNION ALL
+{_modularity_tail_sql("components", "comp")}
+)
+SELECT method, n_communities, n_directed_edges, q_num,
+       CAST(CAST(CAST(q_num AS DOUBLE)
+                 / (CAST(n_directed_edges AS DOUBLE)
+                    * CAST(n_directed_edges AS DOUBLE))
+            AS DECIMAL(18,6)) AS DOUBLE) AS modularity
+FROM q
+"""

@@ -1776,3 +1776,229 @@ SELECT o_orderpriority AS priority,
 FROM aged
 GROUP BY 1, 2
 """
+
+
+# ─── Mann-Whitney U (rank-sum A/B read-out) ────────────────────────────────
+
+
+def events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (§2.3 aggregation — the
+    nonparametric sibling of events_ab_ttest): same sticky md5-mod-2 arm
+    assignment, but the read-out compares purchase-value RANKS, immune
+    to the heavy right tail that drags a Welch t around. The standard
+    pairing on revenue metrics: t for the mean shift, U for the
+    distribution shift.
+
+    Exactness discipline: pooled ranks never materialize per row —
+    grouping by distinct value gives tie counts, a cumulative window
+    gives each value's rank block, and DOUBLED rank sums keep midranks
+    integral: 2·R_a = Σ_v n_a(v)·(2·cum_before(v) + t(v) + 1), all
+    BIGINT. 2·U, the tie term Σ(t³−t), and both arm sizes are exact
+    integers; only the closing z statistic (one sqrt — correctly
+    rounded, allowed) is a pinned double.
+
+    Plan: ONE map-side-combining agg by value → a cumulative window over
+    the distinct-value spine (range-partitioned sort at scale; distinct
+    revenue points ≪ rows) → one scalar fold. The corpus is scanned
+    once."""
+    e = Catalog(spark, sf_dir).table("events").filter(
+        F.col("event_type") == "purchase"
+    )
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+    )
+    per_v = e.groupBy("value").agg(
+        F.sum(F.when(arm == 0, 1).otherwise(0)).alias("na_v"),
+        F.sum(F.when(arm != 0, 1).otherwise(0)).alias("nb_v"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.withColumn(
+        "cum_before", F.coalesce(F.sum(F.col("na_v") + F.col("nb_v")).over(w), F.lit(0))
+    ).withColumn("t", F.col("na_v") + F.col("nb_v"))
+    sums = ranked.agg(
+        F.sum("na_v").alias("n_a"),
+        F.sum("nb_v").alias("n_b"),
+        F.sum(
+            F.col("na_v") * (2 * F.col("cum_before") + F.col("t") + 1)
+        ).alias("two_r_a"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_term"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    two_u_a = F.col("two_r_a") - F.col("n_a") * (F.col("n_a") + 1)
+    u_a = two_u_a.cast("double") / 2
+    mu = na * nb / 2
+    sigma = F.sqrt(
+        na * nb / 12 * ((nn + 1) - F.col("tie_term").cast("double") / (nn * (nn - 1)))
+    )
+    return sums.select(
+        "n_a",
+        "n_b",
+        two_u_a.alias("two_u_a"),
+        (2 * F.col("n_a") * F.col("n_b") - two_u_a).alias("two_u_b"),
+        F.col("tie_term").alias("tie_term"),
+        _pin((u_a - mu) / sigma).alias("z"),
+    )
+
+
+EVENTS_MANNWHITNEY_SQL = """
+WITH p AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm,
+         value
+  FROM events WHERE event_type = 'purchase'
+),
+per_v AS (
+  SELECT value,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+         CAST(SUM(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb_v
+  FROM p GROUP BY value
+),
+ranked AS (
+  SELECT na_v, nb_v, na_v + nb_v AS t,
+         CAST(COALESCE(SUM(na_v + nb_v) OVER (ORDER BY value
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM per_v
+),
+sums AS (
+  SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+         CAST(SUM(nb_v) AS BIGINT) AS n_b,
+         CAST(SUM(na_v * (2 * cum_before + t + 1)) AS BIGINT) AS two_r_a,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+  FROM ranked
+),
+d AS (
+  SELECT n_a, n_b, tie_term,
+         two_r_a - n_a * (n_a + 1) AS two_u_a,
+         CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+         CAST(tie_term AS DOUBLE) AS tied
+  FROM sums
+)
+SELECT n_a, n_b, two_u_a,
+       2 * n_a * n_b - two_u_a AS two_u_b,
+       tie_term,
+       CAST(CAST(
+         (CAST(two_u_a AS DOUBLE) / 2 - nad * nbd / 2)
+         / SQRT(nad * nbd / 12 *
+                ((nad + nbd + 1) - tied / ((nad + nbd) * (nad + nbd - 1))))
+       AS DECIMAL(18,6)) AS DOUBLE) AS z
+FROM d
+"""
+
+
+# ─── Chi-square test of independence ───────────────────────────────────────
+
+CHI2_CRITICAL_DOF8_MILLI = 15507  # χ²₀.₀₅ with dof = (5−1)(3−1) = 8, milli-units
+
+
+def orders_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of o_orderpriority × o_orderstatus
+    (§2.3 aggregation — the categorical-association probe): are order
+    priorities distributed the same across statuses? The workhorse
+    pre-check before slicing metrics by a categorical pair.
+
+    The full r×c grid INCLUDING zero-observed cells enters the statistic
+    (E > 0 contributes even when O = 0): the grid is the cross join of
+    the two observed margins — both tiny and broadcast. O, row/col
+    totals and N are exact integers from ONE corpus scan (the margins
+    re-aggregate the cell counts, not the corpus); χ² = Σ(O−E)²/E is a
+    fixed IEEE expression over integers, pinned. The reject flag
+    compares INTEGER milli-units — floor(1000·χ²) vs the pinned χ²₍.05,8₎
+    critical constant — so the boolean cannot flip on a last-ulp
+    difference between engines."""
+    o = Catalog(spark, sf_dir).table("orders")
+    cells = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    rows = cells.groupBy("o_orderpriority").agg(F.sum("obs").alias("row_n"))
+    cols = cells.groupBy("o_orderstatus").agg(F.sum("obs").alias("col_n"))
+    total = cells.agg(F.sum("obs").alias("n"))
+    grid = (
+        rows.crossJoin(F.broadcast(cols))
+        .join(cells, ["o_orderpriority", "o_orderstatus"], "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
+        .crossJoin(F.broadcast(total))
+    )
+    e_exp = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("n").cast("double")
+    )
+    dev = F.col("obs").cast("double") - e_exp
+    # fold-order-pinned float sum (the collect_list/array_sort twin of the
+    # oracle's list(x ORDER BY ...) — 15 cells, so driver-side size is nil)
+    per_cell = grid.select(
+        "o_orderpriority", "o_orderstatus", "n", (dev * dev / e_exp).alias("x")
+    )
+    chi2 = F.expr(
+        "aggregate(array_sort(collect_list("
+        "struct(o_orderpriority, o_orderstatus, x))), "
+        "cast(0.0 as double), (acc, s) -> acc + s.x)"
+    )
+    out = per_cell.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("n").alias("n_orders"),
+        F.floor(chi2 * 1000).cast("bigint").alias("chi2_milli"),
+    )
+    ndist = (
+        (F.countDistinct("o_orderpriority") - 1)
+        * (F.countDistinct("o_orderstatus") - 1)
+    )
+    dof = o.agg(ndist.alias("dof"))
+    return out.crossJoin(F.broadcast(dof)).select(
+        "n_cells",
+        "n_orders",
+        F.col("dof").cast("int").alias("dof"),
+        "chi2_milli",
+        (F.col("chi2_milli") > CHI2_CRITICAL_DOF8_MILLI).alias(
+            "reject_independence_05"
+        ),
+    )
+
+
+ORDERS_CHI_SQUARE_SQL = f"""
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS obs
+  FROM orders GROUP BY 1, 2
+),
+r AS (SELECT o_orderpriority, CAST(SUM(obs) AS BIGINT) AS row_n FROM cells GROUP BY 1),
+c AS (SELECT o_orderstatus, CAST(SUM(obs) AS BIGINT) AS col_n FROM cells GROUP BY 1),
+t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
+grid AS (
+  SELECT r.o_orderpriority, c.o_orderstatus, r.row_n, c.col_n, t.n,
+         CAST(COALESCE(cells.obs, 0) AS BIGINT) AS obs
+  FROM r CROSS JOIN c CROSS JOIN t
+  LEFT JOIN cells USING (o_orderpriority, o_orderstatus)
+),
+per_cell AS (
+  SELECT o_orderpriority, o_orderstatus, n,
+         (CAST(obs AS DOUBLE) -
+            CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE))
+         * (CAST(obs AS DOUBLE) -
+            CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE))
+         / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE))
+           AS x
+  FROM grid
+),
+agg AS (
+  SELECT COUNT(*) AS n_cells, MAX(n) AS n_orders,
+         CAST(FLOOR(1000 * list_reduce(
+           list_prepend(0.0::DOUBLE,
+             list(x ORDER BY o_orderpriority, o_orderstatus)),
+           (a, b) -> a + b)) AS BIGINT) AS chi2_milli
+  FROM per_cell
+),
+dof AS (
+  SELECT (COUNT(DISTINCT o_orderpriority) - 1)
+         * (COUNT(DISTINCT o_orderstatus) - 1) AS dof
+  FROM orders
+)
+SELECT n_cells, n_orders, CAST(dof AS INT) AS dof, chi2_milli,
+       chi2_milli > {CHI2_CRITICAL_DOF8_MILLI} AS reject_independence_05
+FROM agg CROSS JOIN dof
+"""

@@ -461,3 +461,15 @@ registry.register(
 registry.register(
     "multimodal_scene_cuts", _mm.multimodal_scene_cuts, _mm.MULTIMODAL_SCENE_CUTS_SQL
 )
+registry.register(
+    "events_mannwhitney", _st.events_mannwhitney, _st.EVENTS_MANNWHITNEY_SQL
+)
+registry.register(
+    "orders_chi_square", _st.orders_chi_square, _st.ORDERS_CHI_SQUARE_SQL
+)
+registry.register(
+    "graph_modularity", _gr.graph_modularity, _gr.GRAPH_MODULARITY_SQL
+)
+registry.register(
+    "corpus_winnowing", _tx.corpus_winnowing, _tx.CORPUS_WINNOWING_SQL
+)

@@ -154,3 +154,55 @@ def test_scene_cuts_match_python_replay(spark):
         assert r.n_scenes == len(cuts) + 1
         assert r.first_cut_idx == (cuts[0] if cuts else -1)
         assert r.mean_lum == sum(lums) // len(lums)
+
+
+def test_mannwhitney_u_identity(spark):
+    from nzwirelessmap_fetch_spark.plans.stats import events_mannwhitney
+
+    r = events_mannwhitney(spark, SF_SMOKE).collect()[0]
+    # U_a + U_b = n_a·n_b is the defining identity of the rank-sum pair
+    assert r.two_u_a + r.two_u_b == 2 * r.n_a * r.n_b
+    assert r.tie_term >= 0
+    n_purch = (
+        Catalog(spark, SF_SMOKE)
+        .table("events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert r.n_a + r.n_b == n_purch
+
+
+def test_chi_square_grid_shape(spark):
+    from nzwirelessmap_fetch_spark.plans.stats import orders_chi_square
+
+    r = orders_chi_square(spark, SF_SMOKE).collect()[0]
+    o = Catalog(spark, SF_SMOKE).table("orders")
+    n_p = o.select("o_orderpriority").distinct().count()
+    n_s = o.select("o_orderstatus").distinct().count()
+    assert r.n_cells == n_p * n_s
+    assert r.dof == (n_p - 1) * (n_s - 1)
+    assert r.chi2_milli >= 0
+    assert r.n_orders == o.count()
+
+
+def test_modularity_bounds_and_methods(spark):
+    from nzwirelessmap_fetch_spark.operators.graph import graph_modularity
+
+    rows = {r.method: r for r in graph_modularity(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"star", "components"}
+    for r in rows.values():
+        assert -1.0 <= r.modularity <= 1.0
+    # components: every edge is intra-community, so Q = 1 − Σ(D_c/E)² ≥ 0
+    assert rows["components"].modularity >= 0
+
+
+def test_winnowing_pair_invariants(spark):
+    from nzwirelessmap_fetch_spark.operators.text import corpus_winnowing
+
+    rows = corpus_winnowing(spark, SF_SMOKE).collect()
+    assert rows, "fixture corpus has no ≥50%-overlap pairs"
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert r.n_shared <= min(r.n_fp_a, r.n_fp_b)
+        assert 2 * r.n_shared >= min(r.n_fp_a, r.n_fp_b)
+        assert 0 < r.containment_est <= 1
