@@ -1194,3 +1194,105 @@ SELECT lag_h, n_pairs,
             AS DECIMAL(18,6)) AS DOUBLE) AS acf
 FROM d
 """
+
+
+# ─── Multi-touch marketing attribution ─────────────────────────────────────
+
+ATTR_WINDOW_US = 3 * 86_400 * 1_000_000  # 3-day lookback before each purchase
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last/linear-touch attribution (§2.3 events family — the
+    marketing-analytics workhorse): for every purchase, the same user's
+    non-purchase events in the 3-day lookback window are its TOUCHES;
+    each channel (event_type) is credited under three standard models
+    at once — first-touch, last-touch, and linear (1/n per touch).
+
+    Linear credit stays exact: each purchase contributes
+    1000·ch_touches div n_touches milli-credits (integer floor on
+    non-negatives — never a float fold across purchases). First/last
+    pin their tie-breaks on (ts, event_id).
+
+    Plan: the touch join is keyed on user_id with a time-band predicate
+    — fan-in bounded by per-user activity, the asof/sessionize shape;
+    per-purchase windows partition on the purchase key; the channel
+    rollup is a map-side-combining agg over per-(purchase, channel)
+    rows. Nothing global until the ≤5-row channel summary."""
+    e = Catalog(spark, sf_dir).table("events")
+    us = F.unix_micros(F.col("ts"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), us.alias("p_us")
+    )
+    t = e.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("event_id").alias("t_id"),
+        us.alias("t_us"),
+    )
+    j = p.join(t, "user_id").filter(
+        (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - ATTR_WINDOW_US)
+    )
+    wf = Window.partitionBy("p_id").orderBy(F.asc("t_us"), F.asc("t_id"))
+    wl = Window.partitionBy("p_id").orderBy(F.desc("t_us"), F.desc("t_id"))
+    wn = Window.partitionBy("p_id")
+    marked = (
+        j.withColumn("rf", F.row_number().over(wf))
+        .withColumn("rl", F.row_number().over(wl))
+        .withColumn("n_touches", F.count(F.lit(1)).over(wn))
+    )
+    per_pc = marked.groupBy("p_id", "channel").agg(
+        F.count(F.lit(1)).alias("ch_n"),
+        F.max((F.col("rf") == 1).cast("int")).alias("is_first"),
+        F.max((F.col("rl") == 1).cast("int")).alias("is_last"),
+        F.max("n_touches").alias("n_touches"),
+    )
+    return (
+        per_pc.groupBy("channel")
+        .agg(
+            F.sum("is_first").alias("n_first_touch"),
+            F.sum("is_last").alias("n_last_touch"),
+            F.sum(F.expr("1000 * ch_n div n_touches")).alias(
+                "linear_credit_milli"
+            ),
+            F.countDistinct("p_id").alias("n_touched_conversions"),
+        )
+    )
+
+
+EVENTS_ATTRIBUTION_SQL = f"""
+WITH p AS (
+  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, event_type AS channel, event_id AS t_id, epoch_us(ts) AS t_us
+  FROM events WHERE event_type <> 'purchase'
+),
+j AS (
+  SELECT p.p_id, t.channel, t.t_id, t.t_us
+  FROM p JOIN t USING (user_id)
+  WHERE t.t_us < p.p_us AND t.t_us >= p.p_us - {ATTR_WINDOW_US}
+),
+marked AS (
+  SELECT p_id, channel,
+         ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t_us ASC, t_id ASC) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t_us DESC, t_id DESC) AS rl,
+         COUNT(*) OVER (PARTITION BY p_id) AS n_touches
+  FROM j
+),
+per_pc AS (
+  SELECT p_id, channel, COUNT(*) AS ch_n,
+         MAX(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS is_first,
+         MAX(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS is_last,
+         MAX(n_touches) AS n_touches
+  FROM marked GROUP BY 1, 2
+)
+SELECT channel,
+       CAST(SUM(is_first) AS BIGINT) AS n_first_touch,
+       CAST(SUM(is_last) AS BIGINT) AS n_last_touch,
+       CAST(SUM(1000 * ch_n // n_touches) AS BIGINT) AS linear_credit_milli,
+       COUNT(DISTINCT p_id) AS n_touched_conversions
+FROM per_pc
+GROUP BY channel
+"""

@@ -568,3 +568,125 @@ SELECT doc_id,
 FROM cutrows
 GROUP BY doc_id
 """
+
+
+# --- Voice-activity detection over the media column -----------------------
+
+VAD_ENERGY_MIN = 2_000_000  # frame is "active" when Σ sample² ≥ this
+
+
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection plumbing (§2.4 multimodal — the speech
+    sibling of scene cuts): {FRAME_SAMPLES}-byte PCM frames → per-frame
+    energy → active/silent classification at Σ sample² ≥
+    {VAD_ENERGY_MIN} → ISLAND detection over consecutive active frames
+    → per-item segment summary (active frames, segment count, longest
+    run, first active frame). Real ASR pipelines feed exactly this
+    summary to the chunker: transcribe segments, skip silence.
+
+    Decode+classify+segment all fused inside the Arrow batch (the
+    audio_energy design point); integer-exact throughout, so the oracle
+    replays from the same blobs via hex decode and a gaps-and-islands
+    window (i − rank among active frames)."""
+    media = media_table(spark, sf_dir)
+
+    def vad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                data = bytes(blob)
+                energies = [
+                    sum(b * b for b in data[i : i + FRAME_SAMPLES])
+                    for i in range(0, len(data), FRAME_SAMPLES)
+                ]
+                active = [e >= VAD_ENERGY_MIN for e in energies]
+                segs: list[int] = []
+                run = 0
+                for a in active:
+                    if a:
+                        run += 1
+                    elif run:
+                        segs.append(run)
+                        run = 0
+                if run:
+                    segs.append(run)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_frames": len(energies),
+                        "n_active": sum(active),
+                        "n_segments": len(segs),
+                        "longest_segment": max(segs) if segs else 0,
+                        "first_active_idx": active.index(True)
+                        if any(active)
+                        else -1,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "doc_id long, n_frames int, n_active int, n_segments int, "
+        "longest_segment int, first_active_idx int"
+    )
+    return (
+        media.filter(F.length("media") > 0)
+        .select("doc_id", "media")
+        .mapInPandas(vad, schema)
+    )
+
+
+# Island detection: among ACTIVE frames ordered by i, (i − row_number)
+# is constant within a run — the standard gaps-and-islands key.
+MULTIMODAL_AUDIO_VAD_SQL = f"""
+WITH d AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents
+  WHERE octet_length(encode(text)) > 0
+),
+f AS (
+  SELECT doc_id, h, n,
+         unnest(range(0, CAST(ceil(n / {FRAME_SAMPLES}.0) AS INT))) AS i
+  FROM d
+),
+e AS (
+  SELECT doc_id, i,
+         list_reduce(list_prepend(0::BIGINT,
+             list_transform(
+               list_transform(range(0, LEAST({FRAME_SAMPLES}, n - i*{FRAME_SAMPLES})),
+                 j -> (strpos('0123456789ABCDEF',
+                              substring(h, (i*{FRAME_SAMPLES} + j)*2 + 1, 1)) - 1) * 16
+                      + strpos('0123456789ABCDEF',
+                               substring(h, (i*{FRAME_SAMPLES} + j)*2 + 2, 1)) - 1),
+               v -> v::BIGINT * v::BIGINT)),
+           (a, b) -> a + b) AS energy
+  FROM f
+),
+act AS (
+  SELECT doc_id, i,
+         CASE WHEN energy >= {VAD_ENERGY_MIN} THEN 1 ELSE 0 END AS is_active
+  FROM e
+),
+islands AS (
+  SELECT doc_id, i,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM act WHERE is_active = 1
+),
+segs AS (
+  SELECT doc_id, grp, COUNT(*) AS seg_len, MIN(i) AS seg_start
+  FROM islands GROUP BY 1, 2
+),
+seg_sum AS (
+  SELECT doc_id, COUNT(*) AS n_segments,
+         MAX(seg_len) AS longest_segment,
+         MIN(seg_start) AS first_active_idx
+  FROM segs GROUP BY doc_id
+)
+SELECT a.doc_id,
+       CAST(COUNT(*) AS INT) AS n_frames,
+       CAST(SUM(a.is_active) AS INT) AS n_active,
+       CAST(COALESCE(MAX(s.n_segments), 0) AS INT) AS n_segments,
+       CAST(COALESCE(MAX(s.longest_segment), 0) AS INT) AS longest_segment,
+       CAST(COALESCE(MAX(s.first_active_idx), -1) AS INT) AS first_active_idx
+FROM act a LEFT JOIN seg_sum s ON s.doc_id = a.doc_id
+GROUP BY a.doc_id
+"""

@@ -1389,3 +1389,80 @@ SELECT q_id, vec_id, hamming, cos, CAST(rank AS INT) AS rank FROM (
   FROM rer)
 WHERE rank <= {TOP_K}
 """
+
+
+# ─── Reciprocal-rank fusion of two ANN indexes ─────────────────────────────
+
+RRF_K = 60  # the standard RRF damping constant (Cormack et al., SIGIR'09)
+
+
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (§2.4 similarity — the retrieval-ensemble
+    stage): fuse the IVF index's top-k with the binary-Hamming index's
+    top-k per query via RRF(v) = Σ_lists 1/(K + rank_list(v)), K=60.
+    RRF is the standard score-free ensemble for hybrid search (it needs
+    only ranks, so an IVF cosine list and a Hamming-shortlist list fuse
+    without calibrating their incomparable scores); candidates found by
+    both indexes rise, single-index tails sink.
+
+    Determinism: each RRF score is a TWO-term sum of exact reciprocals
+    (one per index, coalesced to 0 when absent) — a fixed IEEE tree, not
+    a data-ordered fold — and final ties pin on vec_id. The fused rank
+    re-window is per query over ≤ 2k rows.
+
+    Plan: both index queries keep their own (already scale-shaped)
+    plans; fusion itself is one full-outer keyed join on (q_id, vec_id)
+    over two k-row-per-query frames plus a per-query window — nil at any
+    scale."""
+    ivf = sim_ivf(spark, sf_dir).select(
+        "q_id", "vec_id", F.col("rank").alias("r_ivf")
+    )
+    ham = sim_binary_hamming_rerank(spark, sf_dir).select(
+        "q_id", "vec_id", F.col("rank").alias("r_ham")
+    )
+    fused = ivf.join(ham, ["q_id", "vec_id"], "full_outer")
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("r_ivf")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_ham")), F.lit(0.0))
+    w = Window.partitionBy("q_id").orderBy(F.desc("rrf"), F.asc("vec_id"))
+    return (
+        fused.withColumn("rrf", score)
+        .withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("fused_rank") <= TOP_K)
+        .select(
+            "q_id",
+            "vec_id",
+            F.col("r_ivf").cast("int").alias("r_ivf"),
+            F.col("r_ham").cast("int").alias("r_ham"),
+            F.col("rrf").cast("decimal(18,9)").cast("double").alias("rrf"),
+            "fused_rank",
+        )
+    )
+
+
+SIM_RRF_FUSION_SQL = f"""
+WITH ivf AS ({{IVF}}),
+ham AS ({{HAM}}),
+fused AS (
+  SELECT COALESCE(ivf.q_id, ham.q_id) AS q_id,
+         COALESCE(ivf.vec_id, ham.vec_id) AS vec_id,
+         ivf.rank AS r_ivf, ham.rank AS r_ham,
+         COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + ivf.rank), CAST(0 AS DOUBLE))
+         + COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + ham.rank), CAST(0 AS DOUBLE))
+           AS rrf
+  FROM ivf FULL OUTER JOIN ham
+    ON ivf.q_id = ham.q_id AND ivf.vec_id = ham.vec_id
+)
+SELECT q_id, vec_id,
+       CAST(r_ivf AS INT) AS r_ivf, CAST(r_ham AS INT) AS r_ham,
+       CAST(CAST(rrf AS DECIMAL(18,9)) AS DOUBLE) AS rrf,
+       CAST(fused_rank AS INT) AS fused_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY rrf DESC, vec_id ASC) AS fused_rank
+  FROM fused)
+WHERE fused_rank <= {TOP_K}
+"""
+SIM_RRF_FUSION_SQL = SIM_RRF_FUSION_SQL.replace("{IVF}", SIM_IVF_SQL).replace(
+    "{HAM}", SIM_BINARY_HAMMING_RERANK_SQL
+)

@@ -2194,3 +2194,124 @@ SELECT month, n_rows,
             AS BIGINT) AS rows_per_file
 FROM g
 """
+
+
+HILBERT_N = 256         # 256×256 grid (8 bits/dim, 16-bit Hilbert distance)
+HILBERT_TILE_SHIFT = 8  # tile id = d >> 8 → 256 tiles
+_HILBERT_LEVELS = (128, 64, 32, 16, 8, 4, 2, 1)
+
+
+def _hilbert_step(st: str, s: str, xor: str, shl: str, shr: str) -> str:
+    """One Hilbert xy2d level as a single integer expression over the
+    packed accumulator ``st`` = d·2¹⁶ | x·2⁸ | y and level mask ``s``
+    (both lambda VARIABLES — referenced, never textually expanded, so
+    the 8-level fold stays linear-size). ``xor``/``shl``/``shr`` are the
+    engine's spellings: Spark's parser rejects the ``>>`` operator
+    inside a lambda body (function spellings required there), DuckDB
+    has only the operators."""
+    x = f"({shr.format(v=st, n=8)} & 255)"
+    y = f"({st} & 255)"
+    d = shr.format(v=st, n=16)
+    rx = f"(CASE WHEN ({x} & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN ({y} & {s}) > 0 THEN 1 ELSE 0 END)"
+    d2 = f"({d} + {s} * {s} * ({xor.format(a=f'(3 * {rx})', b=ry)}))"
+    # rot: ry=0 → transpose (x,y), reflecting both first when rx=1; the
+    # reflection s−1−v can go negative mid-walk — & 255 re-normalizes,
+    # which the exhaustive 65 536-cell validation run pinned as exact
+    nx = (
+        f"(CASE WHEN {ry} = 0 THEN "
+        f"(CASE WHEN {rx} = 1 THEN (({s} - 1 - {y}) & 255) ELSE {y} END) "
+        f"ELSE {x} END)"
+    )
+    ny = (
+        f"(CASE WHEN {ry} = 0 THEN "
+        f"(CASE WHEN {rx} = 1 THEN (({s} - 1 - {x}) & 255) ELSE {x} END) "
+        f"ELSE {y} END)"
+    )
+    return (
+        f"({shl.format(v=d2, n=16)} + {shl.format(v=f'({nx})', n=8)} + {ny})"
+    )
+
+
+def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key + tile profile (§2.3 data layout —
+    the locality-superior sibling of layout_zorder_key): map
+    (l_partkey mod 256, l_suppkey mod 256) through the Hilbert xy2d
+    walk and profile the 256 curve tiles. Hilbert ordering dominates
+    Z-order for file skipping: consecutive keys are ALWAYS adjacent
+    cells (unit-step locality — no Z-curve seams where the key jumps
+    across the grid), so per-tile min/max bounding boxes are tighter
+    and a range scan prunes more files. This is the clustering behind
+    spatial engines' CLUSTER BY HILBERT.
+
+    The classic bit-twiddling loop (quadrant digit + conditional
+    reflect/transpose per level) runs as a FOLD over the 8 bit levels
+    with the (d, x, y) state PACKED into one BIGINT (d·2¹⁶ | x·2⁸ | y):
+    integer accumulators fold reliably in both engines, where a struct
+    accumulator would hit the documented DuckDB left-fold hazard
+    (ROADMAP invariants). Validated exhaustively against the textbook
+    algorithm over all 65 536 grid cells (bijection + unit-step
+    locality) before pinning.
+
+    Row-local integer bit arithmetic, zero shuffles until the 256-group
+    rollup — bit-identical cross-engine."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    init = (
+        f"CAST(((l_partkey % {HILBERT_N}) << 8) + (l_suppkey % {HILBERT_N})"
+        " AS BIGINT)"
+    )
+    step = _hilbert_step(
+        "st", "s", "({a} ^ {b})", "shiftleft({v}, {n})", "shiftright({v}, {n})"
+    )
+    h = F.expr(
+        f"""
+        shiftright(aggregate(
+          array({", ".join(f"CAST({v} AS BIGINT)" for v in _HILBERT_LEVELS)}),
+          {init}, (st, s) -> {step}), 16)
+        """
+    )
+    return (
+        li.select(
+            F.shiftright(h, HILBERT_TILE_SHIFT).cast("int").alias("h_tile"),
+            "l_partkey",
+            "l_suppkey",
+        )
+        .groupBy("h_tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+    )
+
+
+_HILBERT_DDB_STEP = _hilbert_step(
+    "a",
+    "b",
+    "xor(CAST({a} AS BIGINT), CAST({b} AS BIGINT))",
+    "(({v}) << {n})",
+    "(({v}) >> {n})",
+)
+
+LAYOUT_HILBERT_KEY_SQL = f"""
+WITH h AS (
+  SELECT l_partkey, l_suppkey,
+         list_reduce(
+           list_prepend(
+             CAST(((l_partkey % {HILBERT_N}) << 8) + (l_suppkey % {HILBERT_N})
+                  AS BIGINT),
+             [{", ".join(f"CAST({v} AS BIGINT)" for v in _HILBERT_LEVELS)}]),
+           (a, b) -> {_HILBERT_DDB_STEP}) >> 16 AS hval
+  FROM lineitem
+)
+SELECT CAST(hval >> {HILBERT_TILE_SHIFT} AS INT) AS h_tile,
+       COUNT(*) AS n_rows,
+       MIN(l_partkey) AS min_part,
+       MAX(l_partkey) AS max_part,
+       MIN(l_suppkey) AS min_supp,
+       MAX(l_suppkey) AS max_supp
+FROM h
+GROUP BY 1
+"""

@@ -473,3 +473,13 @@ registry.register(
 registry.register(
     "corpus_winnowing", _tx.corpus_winnowing, _tx.CORPUS_WINNOWING_SQL
 )
+registry.register("sim_rrf_fusion", _sim.sim_rrf_fusion, _sim.SIM_RRF_FUSION_SQL)
+registry.register(
+    "layout_hilbert_key", _r.layout_hilbert_key, _r.LAYOUT_HILBERT_KEY_SQL
+)
+registry.register(
+    "events_attribution", _ea.events_attribution, _ea.EVENTS_ATTRIBUTION_SQL
+)
+registry.register(
+    "multimodal_audio_vad", _mm.multimodal_audio_vad, _mm.MULTIMODAL_AUDIO_VAD_SQL
+)

@@ -206,3 +206,108 @@ def test_winnowing_pair_invariants(spark):
         assert r.n_shared <= min(r.n_fp_a, r.n_fp_b)
         assert 2 * r.n_shared >= min(r.n_fp_a, r.n_fp_b)
         assert 0 < r.containment_est <= 1
+
+
+def test_rrf_scores_replay(spark):
+    from nzwirelessmap_fetch_spark.operators.similarity import (
+        RRF_K,
+        sim_rrf_fusion,
+    )
+
+    rows = sim_rrf_fusion(spark, SF_SMOKE).collect()
+    for r in rows:
+        want = 0.0
+        if r.r_ivf is not None:
+            want += 1.0 / (RRF_K + r.r_ivf)
+        if r.r_ham is not None:
+            want += 1.0 / (RRF_K + r.r_ham)
+        assert abs(r.rrf - want) < 1e-9
+        assert r.r_ivf is not None or r.r_ham is not None
+    by_q: dict[int, list[int]] = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r.fused_rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_hilbert_tiles_replay_textbook_walk(spark):
+    """The engine's packed-fold Hilbert key must reproduce the textbook
+    xy2d walk: recompute every row's tile in Python and compare tile
+    histograms exactly."""
+    from nzwirelessmap_fetch_spark.plans.relational import (
+        HILBERT_N,
+        HILBERT_TILE_SHIFT,
+        layout_hilbert_key,
+    )
+
+    def xy2d(x: int, y: int) -> int:
+        d, s = 0, HILBERT_N // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    li = (
+        Catalog(spark, SF_SMOKE)
+        .table("lineitem")
+        .select("l_partkey", "l_suppkey")
+        .collect()
+    )
+    want: dict[int, int] = {}
+    for r in li:
+        t = xy2d(r.l_partkey % HILBERT_N, r.l_suppkey % HILBERT_N) >> HILBERT_TILE_SHIFT
+        want[t] = want.get(t, 0) + 1
+    got = {r.h_tile: r.n_rows for r in layout_hilbert_key(spark, SF_SMOKE).collect()}
+    assert got == want
+
+
+def test_attribution_credit_conservation(spark):
+    from nzwirelessmap_fetch_spark.operators.events_analytics import (
+        events_attribution,
+    )
+
+    rows = events_attribution(spark, SF_SMOKE).collect()
+    assert rows
+    n_first = sum(r.n_first_touch for r in rows)
+    n_last = sum(r.n_last_touch for r in rows)
+    # every touched conversion has exactly one first and one last touch
+    assert n_first == n_last
+    # linear credit floors at the purchase level, so totals stay within
+    # 1000 per touched conversion (and above 1000·(1 − channels/touches))
+    assert sum(r.linear_credit_milli for r in rows) <= 1000 * n_first
+
+
+def test_audio_vad_matches_python_replay(spark):
+    from nzwirelessmap_fetch_spark.operators.multimodal import (
+        VAD_ENERGY_MIN,
+        multimodal_audio_vad,
+    )
+
+    docs = Catalog(spark, SF_SMOKE).table("documents").limit(15).collect()
+    got = {r.doc_id: r for r in multimodal_audio_vad(spark, SF_SMOKE).collect()}
+    for d in docs:
+        data = d.text.encode("utf-8")
+        if not data:
+            continue
+        energies = [
+            sum(b * b for b in data[i : i + FRAME_SAMPLES])
+            for i in range(0, len(data), FRAME_SAMPLES)
+        ]
+        active = [e >= VAD_ENERGY_MIN for e in energies]
+        segs, run = [], 0
+        for a in active:
+            run = run + 1 if a else (segs.append(run) or 0 if run else 0)
+        if run:
+            segs.append(run)
+        r = got[d.doc_id]
+        assert r.n_frames == len(energies)
+        assert r.n_active == sum(active)
+        assert r.n_segments == len(segs)
+        assert r.longest_segment == (max(segs) if segs else 0)
+        assert r.first_active_idx == (active.index(True) if any(active) else -1)
