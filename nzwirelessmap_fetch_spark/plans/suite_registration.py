@@ -33,6 +33,7 @@ from . import flagship as _flagship
 from . import registry
 from . import relational as _r
 from . import stats as _st
+from . import tpch as _tpch
 
 # ─── Entries 1–50: one representative per operator family (driver-checked) ───
 
@@ -482,4 +483,26 @@ registry.register(
 )
 registry.register(
     "multimodal_audio_vad", _mm.multimodal_audio_vad, _mm.MULTIMODAL_AUDIO_VAD_SQL
+)
+
+# ── TPC-H classic suite (plans/tpch.py) — the canonical multi-join
+# aggregate plans an analytics user of the reference's SQLite surface
+# runs; Q1 already lives at agg_pricing_summary ──
+registry.register(
+    "tpch_q3_shipping_priority", _tpch.tpch_q3_shipping_priority, _tpch.TPCH_Q3_SQL
+)
+registry.register(
+    "tpch_q5_local_supplier", _tpch.tpch_q5_local_supplier, _tpch.TPCH_Q5_SQL
+)
+registry.register(
+    "tpch_q6_forecast_revenue", _tpch.tpch_q6_forecast_revenue, _tpch.TPCH_Q6_SQL
+)
+registry.register(
+    "tpch_q10_returned_items", _tpch.tpch_q10_returned_items, _tpch.TPCH_Q10_SQL
+)
+registry.register(
+    "tpch_q14_promo_effect", _tpch.tpch_q14_promo_effect, _tpch.TPCH_Q14_SQL
+)
+registry.register(
+    "tpch_q18_large_volume", _tpch.tpch_q18_large_volume, _tpch.TPCH_Q18_SQL
 )

@@ -1,0 +1,85 @@
+"""TPC-H classic suite (plans/tpch.py): semantic pins beyond the oracle
+gate — revenue identities, predicate containment, limit determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nzwirelessmap_fetch_spark.catalog import Catalog
+from nzwirelessmap_fetch_spark.plans.tpch import (
+    tpch_q3_shipping_priority,
+    tpch_q5_local_supplier,
+    tpch_q6_forecast_revenue,
+    tpch_q10_returned_items,
+    tpch_q14_promo_effect,
+    tpch_q18_large_volume,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_q3_sorted_and_bounded(spark):
+    rows = tpch_q3_shipping_priority(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 10
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_q5_nations_in_asia_only(spark):
+    c = Catalog(spark, SF_SMOKE)
+    asia = {
+        r.n_name
+        for r in c.table("nation")
+        .join(c.table("region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .collect()
+    }
+    got = {r.n_name for r in tpch_q5_local_supplier(spark, SF_SMOKE).collect()}
+    assert got and got <= asia
+
+
+def test_q6_band_containment(spark):
+    """The banded revenue delta is a sub-sum of all-lineitem discount
+    revenue, and every counted line is inside the predicate box."""
+    out = tpch_q6_forecast_revenue(spark, SF_SMOKE).collect()[0]
+    li = Catalog(spark, SF_SMOKE).table("lineitem")
+    manual = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.05)
+        & (F.col("l_quantity") < 24.0)
+    ).count()
+    assert out.n_lines == manual
+    assert out.revenue_delta > 0
+
+
+def test_q10_only_returned_revenue(spark):
+    rows = tpch_q10_returned_items(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 20
+    assert all(r.revenue > 0 for r in rows)
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_q14_ratio_identity(spark):
+    r = tpch_q14_promo_effect(spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= r.promo_pct <= 100.0
+    assert r.promo_revenue <= r.total_revenue
+    assert r.promo_pct == 100.0 * r.promo_revenue / r.total_revenue
+
+
+def test_q18_threshold_is_real(spark):
+    """Every reported order's recomputed lineitem quantity exceeds the
+    300 cap, and no qualifying order is dropped."""
+    rows = tpch_q18_large_volume(spark, SF_SMOKE).collect()
+    li = Catalog(spark, SF_SMOKE).table("lineitem")
+    sums = {
+        r.l_orderkey: r.s
+        for r in li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("s") > 300)
+        .collect()
+    }
+    assert {r.o_orderkey for r in rows} == set(sums)
+    for r in rows:
+        assert r.total_qty == sums[r.o_orderkey]
