@@ -1296,3 +1296,93 @@ SELECT channel,
 FROM per_pc
 GROUP BY channel
 """
+
+
+MAD_K = 3.0
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type anomaly screen via median / MAD (§2.3 aggregation
+    as data quality): events whose value sits more than {MAD_K}·MAD from
+    the per-type median. The heavy-tail-safe twin of
+    ``events_anomaly_zscore`` — one extreme bot value shifts a mean/std
+    gate arbitrarily but moves the median/MAD gate not at all, which is
+    why curation pipelines screen engagement signals with MAD.
+
+    Exactness: "median" here is the LOWER median — the element at rank
+    ⌊(n+1)/2⌋ of the per-type value sort — an order STATISTIC, not an
+    interpolation, so the pinned number is a value that exists in the
+    data and no cross-engine float arithmetic is involved. Deviations
+    |v − med| are single IEEE subtractions both engines share.
+
+    Plan: two keyed window sorts (value rank per type; deviation rank
+    per type) and one keyed count agg — the per-type sort is the
+    irreducible cost of an exact order statistic at 100 TB; both medians
+    broadcast back (one row per type). Nothing driver-side.
+    """
+    e = Catalog(spark, sf_dir).table("events").select("event_type", "event_id", "value")
+    w_rk = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_all = Window.partitionBy("event_type")
+    med = (
+        e.withColumn("rk", F.row_number().over(w_rk))
+        .withColumn("cnt", F.count(F.lit(1)).over(w_all))
+        .filter(F.expr("rk = (cnt + 1) div 2"))
+        .select("event_type", F.col("value").alias("med"))
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    w_drk = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    mad = (
+        dev.withColumn("rk", F.row_number().over(w_drk))
+        .withColumn("cnt", F.count(F.lit(1)).over(w_all))
+        .filter(F.expr("rk = (cnt + 1) div 2"))
+        .select("event_type", F.col("adev").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("adev") > F.lit(MAD_K) * F.col("mad"), 1).otherwise(0)
+            ).alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_ANOMALY_MAD_SQL = f"""
+WITH e AS (
+  SELECT event_type, event_id, value FROM events
+), med AS (
+  SELECT event_type, value AS med FROM (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+           COUNT(*) OVER (PARTITION BY event_type) AS cnt
+    FROM e
+  ) WHERE rk = (cnt + 1) // 2
+), dev AS (
+  SELECT e.event_type, e.event_id, e.value, med.med,
+         ABS(e.value - med.med) AS adev
+  FROM e JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, adev AS mad FROM (
+    SELECT event_type, adev,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rk,
+           COUNT(*) OVER (PARTITION BY event_type) AS cnt
+    FROM dev
+  ) WHERE rk = (cnt + 1) // 2
+)
+SELECT dev.event_type,
+       MIN(dev.med) AS med,
+       MIN(mad.mad) AS mad,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN dev.adev > CAST({MAD_K} AS DOUBLE) * mad.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+ORDER BY dev.event_type
+"""

@@ -1574,3 +1574,81 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE 2 * n_shared >= LEAST(sa.n_fp, sb.n_fp)
 """
+
+
+def text_lm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty against the corpus bigram LM (§2.4 quality
+    scoring — the LM-based filter step of a curation pipeline, with the
+    count table standing in for a trained LM so the score stays
+    integer-exact): a document's novelty is the share of its bigram
+    occurrences that are corpus hapax (total corpus count = 1, i.e. the
+    bigram exists nowhere else). High-novelty docs are either original
+    or garbage; both are exactly what the curation reviewer samples.
+
+    Plan: adjacent-pair expansion is map-side (same transform as
+    ``text_bigram_lm``); ONE keyed agg builds the corpus (w1,w2) counts;
+    doc-pairs re-join those counts keyed by the bigram (vocabulary²-
+    bounded table — at 100 TB this is the shuffle that matters and it is
+    keyed, no broadcast of a corpus-sized side); final doc-keyed agg.
+    novelty_ppm = hapax·10⁶ div n_bigrams is integer-exact.
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    tokd = d.select("doc_id", _words().alias("t"))
+    pairs_expr = F.when(
+        F.size(F.col("t")) >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1), "
+            "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+    doc_pairs = tokd.select("doc_id", F.explode(pairs_expr).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    # doc_pairs feeds the corpus count AND the per-doc join — one
+    # tokenization, two consumers
+    doc_pairs = doc_pairs.persist()
+    counts = doc_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cn"))
+    return (
+        doc_pairs.join(counts, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("cn") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+        .filter(F.col("n_bigrams") > 0)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_hapax",
+            F.expr("n_hapax * 1000000 div n_bigrams").alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_LM_NOVELTY_SQL = """
+WITH tokd AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+doc_pairs AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, GREATEST(LEN(t) - 1, 0)),
+                               i -> {'w1': t[i], 'w2': t[i + 1]})) AS p
+  FROM tokd
+),
+flat AS (
+  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM doc_pairs
+),
+counts AS (
+  SELECT w1, w2, COUNT(*) AS cn FROM flat GROUP BY 1, 2
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(CASE WHEN cn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(SUM(CASE WHEN cn = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+         // COUNT(*) AS novelty_ppm
+FROM flat JOIN counts USING (w1, w2)
+GROUP BY doc_id
+HAVING COUNT(*) > 0
+ORDER BY doc_id
+"""

@@ -506,3 +506,8 @@ registry.register(
 registry.register(
     "tpch_q18_large_volume", _tpch.tpch_q18_large_volume, _tpch.TPCH_Q18_SQL
 )
+
+registry.register(
+    "events_anomaly_mad", _ea.events_anomaly_mad, _ea.EVENTS_ANOMALY_MAD_SQL
+)
+registry.register("text_lm_novelty", _tx.text_lm_novelty, _tx.TEXT_LM_NOVELTY_SQL)
