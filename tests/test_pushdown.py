@@ -181,3 +181,74 @@ def test_scd2_single_exchange(spark):
 
     plan = _plan(events_scd2(spark, SF_CORRECT))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A filtered dim joined to a hive-partitioned fact must inject a
+    runtime pruning subquery (DPP): only partitions whose keys survive
+    the dim filter are scanned. At 100 TB this is how a date-dim filter
+    avoids reading the whole fact lake even though the fact-side
+    predicate is not known until runtime."""
+    from pyspark.sql import functions as F
+
+    from nzwirelessmap_fetch_spark.catalog import Catalog
+
+    src = Catalog(spark, SF_CORRECT).table("events").withColumn(
+        "day", F.to_date("ts")
+    )
+    src.write.partitionBy("day").parquet(str(tmp_path / "e"))
+    days = (
+        src.select(F.col("day").alias("d"))
+        .distinct()
+        .withColumn("tag", (F.dayofmonth("d") % 7 == 0).cast("int"))
+    )
+    days.write.parquet(str(tmp_path / "d"))
+
+    fact = spark.read.parquet(str(tmp_path / "e"))
+    dim = spark.read.parquet(str(tmp_path / "d")).filter("tag = 1")
+    j = fact.join(dim, fact.day == dim.d).groupBy("day").count()
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower(), "no DPP subquery injected"
+    # and the pruned result is still correct
+    keep = {r.d for r in dim.collect()}
+    want = src.filter(F.col("day").isin(keep)).count()
+    assert sum(r["count"] for r in j.collect()) == want
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """With a selective creation-side filter and shuffle-join sides,
+    Catalyst must inject a bloom-filter runtime filter on the probe side
+    (`might_contain` in the optimized plan) — the shuffle-join analog of
+    DPP that drops non-matching fact rows BEFORE the exchange. Thresholds
+    are lowered because fixture tables are far below the 10 GB production
+    default; the injection rule itself is what's pinned."""
+    from pyspark.sql import functions as F
+
+    from nzwirelessmap_fetch_spark.catalog import Catalog
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1B",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        li = Catalog(spark, SF_CORRECT).table("lineitem")
+        sup = Catalog(spark, SF_CORRECT).table("supplier").filter("s_acctbal > 9000")
+        j = li.join(sup, li.l_suppkey == sup.s_suppkey).groupBy("s_nationkey").count()
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, "no runtime bloom filter injected"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
