@@ -511,3 +511,27 @@ registry.register(
     "events_anomaly_mad", _ea.events_anomaly_mad, _ea.EVENTS_ANOMALY_MAD_SQL
 )
 registry.register("text_lm_novelty", _tx.text_lm_novelty, _tx.TEXT_LM_NOVELTY_SQL)
+
+registry.register(
+    "tpch_q7_volume_shipping", _tpch.tpch_q7_volume_shipping, _tpch.TPCH_Q7_SQL
+)
+registry.register("tpch_q8_market_share", _tpch.tpch_q8_market_share, _tpch.TPCH_Q8_SQL)
+registry.register(
+    "tpch_q13_customer_distribution",
+    _tpch.tpch_q13_customer_distribution,
+    _tpch.TPCH_Q13_SQL,
+)
+registry.register("tpch_q15_top_supplier", _tpch.tpch_q15_top_supplier, _tpch.TPCH_Q15_SQL)
+registry.register(
+    "tpch_q17_small_quantity_revenue",
+    _tpch.tpch_q17_small_quantity_revenue,
+    _tpch.TPCH_Q17_SQL,
+)
+registry.register(
+    "tpch_q19_discounted_revenue", _tpch.tpch_q19_discounted_revenue, _tpch.TPCH_Q19_SQL
+)
+registry.register(
+    "tpch_q22_global_sales_opportunity",
+    _tpch.tpch_q22_global_sales_opportunity,
+    _tpch.TPCH_Q22_SQL,
+)

@@ -336,3 +336,374 @@ JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100
 """
+
+
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations by year, both
+    directions (supplier nation ≠ customer nation).
+
+    Plan shape: nation broadcasts TWICE under different roles (the
+    flagship's double-role dim pattern); the (n1, n2) direction pair
+    rides the join output, so the groupBy is a tiny keyed agg. The OR of
+    the two direction tuples is evaluated inside the join, not as a
+    post-filter union — one pass over lineitem.
+    """
+    c = Catalog(spark, sf_dir)
+    li = c.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    n1 = c.table("nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = c.table("nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_10")
+    rpair = (F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_9")
+    return (
+        li.join(c.table("orders"), li.l_orderkey == F.col("o_orderkey"))
+        .join(c.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c.table("supplier"), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair | rpair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(_revenue().cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+TPCH_Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+       CAST({_REV_SQL} AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND ((n1.n_name = 'NATION_9'  AND n2.n_name = 'NATION_10')
+    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+GROUP BY n1.n_name, n2.n_name, YEAR(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of a region's revenue in one part
+    segment, by order year.
+
+    Plan shape: the share is a conditional-sum / total-sum ratio inside
+    ONE aggregate pass (no self-join of the yearly table); part is
+    filter-reduced before the join and nation/region broadcast. Both
+    sums are exact decimals; the final division is one shared IEEE op.
+    """
+    c = Catalog(spark, sf_dir)
+    part = c.table("part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    nat_r = (
+        c.table("nation")
+        .join(F.broadcast(c.table("region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "AMERICA")
+        .select(F.col("n_nationkey").alias("cnat_key"))
+    )
+    n2 = c.table("nation").select(
+        F.col("n_nationkey").alias("snat_key"), F.col("n_name").alias("supp_nation")
+    )
+    li = c.table("lineitem")
+    one = F.lit(1).cast("decimal(18,2)")
+    vol = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    brazil_vol = F.when(F.col("supp_nation") == "NATION_9", vol).otherwise(
+        F.lit(0).cast("decimal(18,2)") * one
+    )
+    return (
+        li.join(part, li.l_partkey == F.col("p_partkey"))
+        .join(c.table("orders"), li.l_orderkey == F.col("o_orderkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+        )
+        .join(c.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat_r), F.col("c_nationkey") == F.col("cnat_key"))
+        .join(c.table("supplier"), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("snat_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.sum(brazil_vol).cast("double").alias("nation_volume"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+            "nation_volume",
+            "total_volume",
+        )
+        .orderBy("o_year")
+    )
+
+
+TPCH_Q8_SQL = f"""
+WITH y AS (
+  SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+         CAST(SUM(CASE WHEN n2.n_name = 'NATION_9'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                       ELSE CAST(0 AS DECIMAL(18,2)) * CAST(1 AS DECIMAL(18,2)) END)
+              AS DOUBLE) AS nation_volume,
+         CAST({_REV_SQL} AS DOUBLE) AS total_volume
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY YEAR(o_orderdate)
+)
+SELECT o_year, nation_volume / total_volume AS mkt_share,
+       nation_volume, total_volume
+FROM y ORDER BY o_year
+"""
+
+
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of customers by order count — INCLUDING
+    zero-order customers, which forces the left outer join.
+
+    Plan shape: customer LEFT JOIN orders on custkey (one keyed
+    shuffle), count per customer (same key — exchange reuse), then the
+    histogram agg is grouping-key-sized. The outer join is the point:
+    an inner join silently drops the c_count = 0 bucket.
+    """
+    c = Catalog(spark, sf_dir)
+    cust = c.table("customer").select("c_custkey")
+    orders = c.table("orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+TPCH_Q13_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue.
+
+    Plan shape: the revenue "view" is one keyed agg over the quarter's
+    lineitem; the max is a 1-row broadcast joined back (the argmax
+    pattern without a window over the whole table); supplier attaches
+    only to the surviving key(s). Exact-decimal revenue makes the
+    equality-with-max comparison safe cross-engine.
+    """
+    c = Catalog(spark, sf_dir)
+    rev = (
+        c.table("lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_revenue().alias("total_rev_dec"))
+    )
+    mx = rev.agg(F.max("total_rev_dec").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev_dec == F.col("mx"))
+        .join(c.table("supplier"), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+TPCH_Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no, {_REV_SQL} AS total_rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev_dec AS DOUBLE) AS total_revenue
+FROM rev
+JOIN supplier ON supplier_no = s_suppkey
+WHERE total_rev_dec = (SELECT MAX(total_rev_dec) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from orders of less than 20% of a part's
+    average quantity — the correlated-subquery classic.
+
+    Plan shape: the correlation decorrelates into a per-part average
+    (one keyed agg over lineitem) joined back on l_partkey — the big
+    table is read twice but shuffled on the same key both times, and
+    the second read's scan prunes to 3 columns. The 0.2·avg threshold
+    stays in exact decimal arithmetic: avg = sum/count is replaced by
+    the integer-safe cross-multiplied comparison
+    5 · qty · n < sum  (both sides exact decimals — no division at all).
+    """
+    c = Catalog(spark, sf_dir)
+    li = c.table("lineitem")
+    brand = c.table("part").filter(F.col("p_brand") == "BRAND#23").select("p_partkey")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_dec("l_quantity")).alias("sq"),
+        F.count(F.lit(1)).alias("nq"),
+    )
+    return (
+        li.join(F.broadcast(brand), li.l_partkey == F.col("p_partkey"))
+        .join(per_part, li.l_partkey == F.col("pk"))
+        .filter(
+            _dec("l_quantity") * F.lit(5).cast("decimal(18,0)") * F.col("nq")
+            < F.col("sq")
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+TPCH_Q17_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+         COUNT(*) AS nq
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN per_part ON l_partkey = pk
+WHERE p_brand = 'BRAND#23'
+  AND CAST(l_quantity AS DECIMAL(18,2)) * CAST(5 AS DECIMAL(18,0)) * nq < sq
+"""
+
+
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue from three disjunctive brand/size/quantity
+    boxes — the OR-of-ANDs predicate that tests disjunction pushdown.
+
+    Plan shape: the whole disjunction references only lineitem+part
+    columns, so Catalyst evaluates it inside the joined stage with the
+    part-side conjuncts (brand IN, size bounds) pushed to the part scan
+    as a derived common filter. One join, one scalar agg.
+    """
+    c = Catalog(spark, sf_dir)
+    li = c.table("lineitem")
+    part = c.table("part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    box1 = (F.col("p_brand") == "BRAND#12") & (F.col("p_size").between(1, 5)) & (q >= 1) & (q <= 11)
+    box2 = (F.col("p_brand") == "BRAND#23") & (F.col("p_size").between(1, 10)) & (q >= 10) & (q <= 20)
+    box3 = (F.col("p_brand") == "BRAND#34") & (F.col("p_size").between(1, 15)) & (q >= 20) & (q <= 30)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(box1 | box2 | box3)
+        .agg(
+            _revenue().cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+TPCH_Q19_SQL = f"""
+SELECT CAST({_REV_SQL} AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'BRAND#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'BRAND#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'BRAND#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: positive-balance customers who never ordered, grouped
+    recently — anti-join + above-average correlated filter, grouped by
+    nation ("lapsed high-balance accounts": the fixture has orders for
+    every customer, so the window makes the anti-join population real).
+
+    Plan shape: the average balance is a 1-row broadcast; the anti-join
+    LEFT ANTI on o_custkey collapses orders to its distinct key set
+    map-side (Spark builds only keys for anti joins); nation broadcasts
+    for the label. Fixture adaptation: the original groups by phone
+    country code — the fixture has no phone, so the nation key plays
+    that role.
+    """
+    c = Catalog(spark, sf_dir)
+    cust = c.table("customer")
+    # above-average test without a float average: dec(bal)·n > Σdec(bal)
+    # — every term exact, so the boundary cannot drift cross-engine
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(_dec("c_acctbal")).alias("sb"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(_dec("c_acctbal") * F.col("nb") > F.col("sb"))
+        .join(
+            c.table("orders").filter(
+                F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01"))
+            ),
+            cust.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(c.table("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+TPCH_Q22_SQL = """
+WITH ab AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sb, COUNT(*) AS nb
+  FROM customer WHERE c_acctbal > CAST(0 AS DOUBLE)
+)
+SELECT n_name, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+CROSS JOIN ab
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * nb > sb
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY n_name
+ORDER BY n_name
+"""

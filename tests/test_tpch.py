@@ -83,3 +83,65 @@ def test_q18_threshold_is_real(spark):
     assert {r.o_orderkey for r in rows} == set(sums)
     for r in rows:
         assert r.total_qty == sums[r.o_orderkey]
+
+
+def test_q7_directions_and_years(spark):
+    from nzwirelessmap_fetch_spark.plans.tpch import tpch_q7_volume_shipping
+
+    rows = tpch_q7_volume_shipping(spark, SF_SMOKE).collect()
+    dirs = {(r.supp_nation, r.cust_nation) for r in rows}
+    assert dirs <= {("NATION_9", "NATION_10"), ("NATION_10", "NATION_9")}
+    assert all(r.l_year in (1996, 1997) for r in rows)
+
+
+def test_q8_share_identity(spark):
+    from nzwirelessmap_fetch_spark.plans.tpch import tpch_q8_market_share
+
+    for r in tpch_q8_market_share(spark, SF_SMOKE).collect():
+        assert 0.0 <= r.mkt_share <= 1.0
+        assert r.mkt_share == r.nation_volume / r.total_volume
+
+
+def test_q13_histogram_mass_is_customer_count(spark):
+    from nzwirelessmap_fetch_spark.plans.tpch import tpch_q13_customer_distribution
+
+    rows = tpch_q13_customer_distribution(spark, SF_SMOKE).collect()
+    total = sum(r.custdist for r in rows)
+    n_cust = Catalog(spark, SF_SMOKE).table("customer").count()
+    assert total == n_cust  # outer join kept every customer exactly once
+
+
+def test_q15_is_the_argmax(spark):
+    from nzwirelessmap_fetch_spark.plans.tpch import tpch_q15_top_supplier
+
+    rows = tpch_q15_top_supplier(spark, SF_SMOKE).collect()
+    assert rows
+    assert len({r.total_revenue for r in rows}) == 1  # all tied at the max
+
+
+def test_q17_filter_is_strictly_below_avg_fifth(spark):
+    from nzwirelessmap_fetch_spark.plans.tpch import tpch_q17_small_quantity_revenue
+
+    r = tpch_q17_small_quantity_revenue(spark, SF_SMOKE).collect()[0]
+    assert r.n_lines >= 0
+    if r.n_lines == 0:
+        assert r.small_qty_revenue is None
+    else:
+        assert r.small_qty_revenue > 0
+
+
+def test_q19_revenue_subset_of_unfiltered(spark):
+    from nzwirelessmap_fetch_spark.plans.tpch import tpch_q19_discounted_revenue
+
+    r = tpch_q19_discounted_revenue(spark, SF_SMOKE).collect()[0]
+    li_n = Catalog(spark, SF_SMOKE).table("lineitem").count()
+    assert 0 <= r.n_lines < li_n
+
+
+def test_q22_lapsed_customers_have_no_recent_orders(spark):
+    from nzwirelessmap_fetch_spark.plans.tpch import tpch_q22_global_sales_opportunity
+
+    rows = tpch_q22_global_sales_opportunity(spark, SF_SMOKE).collect()
+    assert sum(r.numcust for r in rows) > 0
+    for r in rows:
+        assert r.totacctbal > 0
