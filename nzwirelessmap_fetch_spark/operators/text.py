@@ -1652,3 +1652,228 @@ GROUP BY doc_id
 HAVING COUNT(*) > 0
 ORDER BY doc_id
 """
+
+
+COLLOC_MIN_COUNT = 5
+COLLOC_TOP_K = 50
+
+
+def text_collocations_dice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by Dice coefficient (§2.4 text analysis — the
+    phrase-table / tokenizer-merge candidate pass): for bigrams seen at
+    least {COLLOC_MIN_COUNT} times, dice = 2·c(xy)/(c(x)+c(y)), the
+    log-free association score (PMI needs ln; Dice ranks the same
+    "these words belong together" signal with one integer division, so
+    the pinned output stays transcendental-free).
+
+    Plan: ONE pair-keyed agg for bigram counts (map-side expansion, the
+    text_bigram_lm shape), ONE word-keyed agg for unigram counts, two
+    keyed joins to attach c(x)/c(y) — the unigram table is
+    vocabulary-sized so at 100 TB the joins stay bounded; TakeOrdered
+    bounds the output.
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    tokd = d.select(_words().alias("t"))
+    pairs_expr = F.when(
+        F.size(F.col("t")) >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1), "
+            "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+    tokd = tokd.persist()
+    bi = (
+        tokd.select(F.explode(pairs_expr).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .filter(F.col("cxy") >= COLLOC_MIN_COUNT)
+    )
+    uni = (
+        tokd.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("cx"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("cy"))
+    return (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .select(
+            "w1",
+            "w2",
+            "cxy",
+            "cx",
+            "cy",
+            F.expr("2 * cxy * 1000000 div (cx + cy)").alias("dice_ppm"),
+        )
+        .orderBy(F.desc("dice_ppm"), F.desc("cxy"), "w1", "w2")
+        .limit(COLLOC_TOP_K)
+    )
+
+
+TEXT_COLLOCATIONS_DICE_SQL = f"""
+WITH tokd AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+),
+flat AS (
+  SELECT p.w1 AS w1, p.w2 AS w2 FROM (
+    SELECT UNNEST(list_transform(generate_series(1, GREATEST(LEN(t) - 1, 0)),
+                                 i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS p
+    FROM tokd
+  )
+),
+bi AS (
+  SELECT w1, w2, COUNT(*) AS cxy FROM flat GROUP BY 1, 2
+  HAVING COUNT(*) >= {COLLOC_MIN_COUNT}
+),
+uni AS (
+  SELECT w, COUNT(*) AS cw FROM (
+    SELECT UNNEST(t) AS w FROM tokd
+  ) GROUP BY w
+)
+SELECT w1, w2, cxy, u1.cw AS cx, u2.cw AS cy,
+       2 * cxy * 1000000 // (u1.cw + u2.cw) AS dice_ppm
+FROM bi
+JOIN uni u1 ON w1 = u1.w
+JOIN uni u2 ON w2 = u2.w
+ORDER BY dice_ppm DESC, cxy DESC, w1, w2
+LIMIT {COLLOC_TOP_K}
+"""
+
+
+VOCAB_GROWTH_BUCKET = 50
+
+
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve (§2.4 corpus ops — the "is more
+    data still adding vocabulary?" collection-planning readout): docs are
+    consumed in doc_id order in buckets of {VOCAB_GROWTH_BUCKET}; each
+    word is credited to the bucket of its FIRST occurrence; the curve is
+    cumulative vocabulary vs cumulative tokens per bucket.
+
+    Plan: one word-keyed agg computes each word's first doc (MIN
+    doc_id) — the corpus-sized shuffle; bucket rollups are
+    bucket-count-sized, and the cumulative window runs over the BUCKET
+    table (corpus/50 rows, not corpus rows), so the unpartitioned
+    running sum — the usual Heaps-curve scale killer — only ever sees
+    curve points.
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    words = d.select("doc_id", F.explode(_words()).alias("w"))
+    bucket = (F.col("doc_id") / F.lit(VOCAB_GROWTH_BUCKET)).cast("bigint")
+    first = (
+        words.groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy((F.col("first_doc") / F.lit(VOCAB_GROWTH_BUCKET)).cast("bigint").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("new_words"))
+    )
+    toks = words.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        toks.join(first, "bucket", "left")
+        .fillna({"new_words": 0})
+        .select(
+            "bucket",
+            "n_tokens",
+            "new_words",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            F.sum("new_words").over(w).alias("cum_vocab"),
+        )
+        .orderBy("bucket")
+    )
+
+
+CORPUS_VOCAB_GROWTH_SQL = f"""
+WITH words AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+),
+firstdoc AS (
+  SELECT w, MIN(doc_id) AS fd FROM words GROUP BY w
+),
+first AS (
+  SELECT fd // {VOCAB_GROWTH_BUCKET} AS bucket, COUNT(*) AS new_words
+  FROM firstdoc GROUP BY fd // {VOCAB_GROWTH_BUCKET}
+),
+toks AS (
+  SELECT doc_id // {VOCAB_GROWTH_BUCKET} AS bucket, COUNT(*) AS n_tokens
+  FROM words GROUP BY 1
+)
+SELECT toks.bucket AS bucket, n_tokens,
+       COALESCE(new_words, 0) AS new_words,
+       CAST(SUM(n_tokens) OVER (ORDER BY toks.bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(new_words, 0)) OVER (ORDER BY toks.bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+FROM toks LEFT JOIN first ON toks.bucket = first.bucket
+ORDER BY bucket
+"""
+
+
+OOV_VOCAB_SIZE = 1000
+
+
+def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-
+    {OOV_VOCAB_SIZE} vocabulary (§2.4 quality scoring — the tokenizer-
+    coverage screen: docs that a fixed vocab can't cover become UNK
+    storms downstream, and this flags them before training does).
+
+    Vocabulary = top words by (count DESC, word ASC) — total order, so
+    both engines pick the identical vocab even at count ties.
+
+    Plan: word counts are ONE keyed agg; the vocab is rank-truncated
+    (vocabulary-sized window, not corpus-sized); doc-words LEFT JOIN the
+    vocab — at production vocab sizes this join side is broadcast-small
+    by construction; per-doc rollup is the second keyed agg.
+    oov_ppm = oov·10⁶ div tokens stays integer-exact.
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    words = d.select("doc_id", F.explode(_words()).alias("w"))
+    words = words.persist()
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    wrk = Window.orderBy(F.desc("cw"), F.asc("w"))
+    vocab = (
+        counts.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") <= OOV_VOCAB_SIZE)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("n_oov * 1000000 div n_tokens").alias("oov_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_OOV_RATE_SQL = f"""
+WITH words AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+),
+counts AS (
+  SELECT w, COUNT(*) AS cw FROM words GROUP BY w
+),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, ROW_NUMBER() OVER (ORDER BY cw DESC, w ASC) AS rk FROM counts
+  ) WHERE rk <= {OOV_VOCAB_SIZE}
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         * 1000000 // COUNT(*) AS oov_ppm
+FROM words LEFT JOIN vocab ON words.w = vocab.w
+GROUP BY doc_id
+ORDER BY doc_id
+"""

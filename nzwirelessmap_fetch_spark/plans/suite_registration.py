@@ -535,3 +535,11 @@ registry.register(
     _tpch.tpch_q22_global_sales_opportunity,
     _tpch.TPCH_Q22_SQL,
 )
+
+registry.register(
+    "text_collocations_dice", _tx.text_collocations_dice, _tx.TEXT_COLLOCATIONS_DICE_SQL
+)
+registry.register(
+    "corpus_vocab_growth", _tx.corpus_vocab_growth, _tx.CORPUS_VOCAB_GROWTH_SQL
+)
+registry.register("corpus_oov_rate", _tx.corpus_oov_rate, _tx.CORPUS_OOV_RATE_SQL)
