@@ -543,3 +543,9 @@ registry.register(
     "corpus_vocab_growth", _tx.corpus_vocab_growth, _tx.CORPUS_VOCAB_GROWTH_SQL
 )
 registry.register("corpus_oov_rate", _tx.corpus_oov_rate, _tx.CORPUS_OOV_RATE_SQL)
+
+registry.register(
+    "stream_foreachbatch_upsert",
+    _es.stream_foreachbatch_upsert,
+    _es.STREAM_FOREACHBATCH_UPSERT_SQL,
+)

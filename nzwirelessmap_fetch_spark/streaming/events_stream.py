@@ -549,3 +549,133 @@ FROM b, mx
 WHERE ws + INTERVAL 5 MINUTE <= mt - INTERVAL 10 MINUTE
 GROUP BY ws, event_type
 """
+
+
+UPSERT_STAGE_FILES = 4
+
+
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MERGE sink via ``foreachBatch`` (§2.3 streaming +
+    P18 sink semantics): events are staged into {UPSERT_STAGE_FILES}
+    files and streamed with ``maxFilesPerTrigger=1``, so the query runs
+    REAL multiple micro-batches; each batch upserts into a versioned
+    parquet target — per-user event counts ACCUMULATE (additive merge)
+    and the (event_type, value, ts) payload is last-write-wins by
+    (ts, event_id).
+
+    Both merge functions are commutative/associative over batches
+    (count-sum; argmax by a total order), so the FINAL state is
+    independent of micro-batch arrival order — which is what makes an
+    exact oracle possible and is exactly the property a production
+    upsert sink needs for restart/replay safety (re-offering a batch id
+    with MAX-merge is idempotent; the count accumulator relies on the
+    file source's exactly-once batch planning).
+
+    Plan, per batch: one keyed agg (user_id) on batch data + one keyed
+    outer merge against the current state — state table is user-sized,
+    not event-sized. Each version lands as its own parquet dir
+    (marker-last layout via path naming), the reference's idempotent
+    versioned-artifact contract applied to streaming state.
+    """
+    import shutil
+    import tempfile
+
+    stage_root = tempfile.mkdtemp(prefix="upsert_stage_")
+    state_root = f"{stage_root}/state"
+    try:
+        # deterministic staging: split by user_id range so file contents
+        # (though not batch order) are stable; order-independence of the
+        # merge makes batch order irrelevant to the final state
+        from ..catalog import Catalog
+
+        ev = Catalog(spark, sf_dir).table("events")
+        ev.withColumn(
+            "shard", F.pmod(F.col("user_id"), F.lit(UPSERT_STAGE_FILES))
+        ).repartition(UPSERT_STAGE_FILES, "shard").drop("shard").write.parquet(
+            f"{stage_root}/src"
+        )
+
+        from ..catalog import SCHEMAS
+
+        src = (
+            spark.readStream.schema(SCHEMAS["events"])
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{stage_root}/src")
+        )
+
+        versions = {"n": 0}
+
+        def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_state = batch_df.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.max(F.struct("ts", "event_id", "event_type", "value")).alias(
+                    "last"
+                ),
+            )
+            prev = versions["n"]
+            if prev > 0:
+                cur = spark.read.parquet(f"{state_root}/v{prev}")
+                merged = (
+                    cur.select(
+                        "user_id",
+                        F.col("n_events").alias("n0"),
+                        F.col("last").alias("l0"),
+                    )
+                    .join(
+                        batch_state.select(
+                            "user_id",
+                            F.col("n_events").alias("n1"),
+                            F.col("last").alias("l1"),
+                        ),
+                        "user_id",
+                        "full_outer",
+                    )
+                    .select(
+                        "user_id",
+                        (
+                            F.coalesce(F.col("n0"), F.lit(0))
+                            + F.coalesce(F.col("n1"), F.lit(0))
+                        ).alias("n_events"),
+                        F.greatest(F.col("l0"), F.col("l1")).alias("last"),
+                    )
+                )
+            else:
+                merged = batch_state
+            merged.write.parquet(f"{state_root}/v{prev + 1}")
+            versions["n"] = prev + 1
+
+        q = src.writeStream.foreachBatch(merge_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        final = spark.read.parquet(f"{state_root}/v{versions['n']}")
+        out = final.select(
+            "user_id",
+            "n_events",
+            F.col("last.ts").alias("last_ts"),
+            F.col("last.event_id").alias("last_event_id"),
+            F.col("last.event_type").alias("last_type"),
+            F.col("last.value").alias("last_value"),
+        ).orderBy("user_id")
+        # materialize before the staging dir disappears
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        shutil.rmtree(stage_root, ignore_errors=True)
+
+
+STREAM_FOREACHBATCH_UPSERT_SQL = """
+WITH r AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events, ts AS last_ts,
+       event_id AS last_event_id, event_type AS last_type,
+       value AS last_value
+FROM r WHERE rk = 1 ORDER BY user_id
+"""
