@@ -1238,3 +1238,95 @@ SELECT CAST(q AS INT) AS q, n_total, bin AS bin_idx,
        cum AS cum_count
 FROM hit WHERE rn = 1
 """
+
+
+DDSK_Q_PCT = 95  # target percentile for the readout
+
+
+def agg_ddsketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric-bucket (DDSketch-shaped) mergeable quantiles per event
+    type: values quantize to integer cents, buckets are powers of two
+    (bucket = bit-length of cents), and p{DDSK_Q_PCT} is read from the
+    cumulative bucket histogram. The RELATIVE-error twin of
+    ``agg_quantile_partition_merge`` (equi-width = absolute error):
+    long-tail latency/value distributions keep bounded γ-relative error
+    with a handful of buckets, and partial histograms from any number of
+    partitions/days merge by bucket-count addition — the property that
+    makes the sketch a rollup-table citizen at 100 TB.
+
+    Exactness: bit-length via length(bin(k)) on an exact integer — no
+    log2 (transcendental) anywhere; the rank ⌈p·n/100⌉ and the bucket
+    upper bound 2^b − 1 are integer arithmetic; the estimate returns to
+    value units by a single shared double division.
+
+    Plan: one keyed agg to (type, bucket) counts — bucket cardinality is
+    ~40 for the whole double range, so the cumulative window runs on a
+    tiny table; no data-sized sort anywhere (the win over the exact
+    median's per-type sort in ``events_anomaly_mad``).
+    """
+    e = Catalog(spark, sf_dir).table("events")
+    cents = F.expr("CAST(FLOOR(value * 100) AS BIGINT)")
+    hist = (
+        e.select("event_type", F.length(F.bin(cents)).cast("int").alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("bn"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    ranked = (
+        hist.withColumn("cum", F.sum("bn").over(w_cum))
+        .withColumn("n", F.sum("bn").over(w_all))
+        .withColumn("rank", F.expr(f"({DDSK_Q_PCT} * n + 99) div 100"))
+        .filter(F.col("cum") >= F.col("rank"))
+    )
+    w_pick = Window.partitionBy("event_type").orderBy("bucket")
+    return (
+        ranked.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n",
+            F.col("bucket").alias("p95_bucket"),
+            F.expr("CAST(POW(2, bucket) AS BIGINT) - 1").alias("p95_upper_cents"),
+            (
+                (F.expr("CAST(POW(2, bucket) AS BIGINT) - 1").cast("double"))
+                / F.lit(100.0)
+            ).alias("p95_upper_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+AGG_DDSKETCH_QUANTILE_SQL = f"""
+WITH hist AS (
+  SELECT event_type,
+         CAST(LENGTH(printf('%b', CAST(FLOOR(value * 100) AS BIGINT))) AS INT)
+           AS bucket,
+         COUNT(*) AS bn
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, bucket, bn,
+         SUM(bn) OVER (PARTITION BY event_type ORDER BY bucket
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(bn) OVER (PARTITION BY event_type) AS n
+  FROM hist
+),
+hit AS (
+  SELECT event_type, bucket, CAST(n AS BIGINT) AS n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+  FROM ranked
+  WHERE cum >= ({DDSK_Q_PCT} * n + 99) // 100
+)
+SELECT event_type, n,
+       bucket AS p95_bucket,
+       CAST(2 ** bucket AS BIGINT) - 1 AS p95_upper_cents,
+       CAST(CAST(2 ** bucket AS BIGINT) - 1 AS DOUBLE) / CAST(100 AS DOUBLE)
+         AS p95_upper_value
+FROM hit WHERE rn = 1
+ORDER BY event_type
+"""

@@ -2002,3 +2002,96 @@ SELECT n_cells, n_orders, CAST(dof AS INT) AS dof, chi2_milli,
        chi2_milli > {CHI2_CRITICAL_DOF8_MILLI} AS reject_independence_05
 FROM agg CROSS JOIN dof
 """
+
+
+def events_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic across event types on ``value`` (§2.3
+    aggregation as experiment read-out — the k-group generalization of
+    ``events_ab_ttest``: does event type explain value variance?).
+
+    Exactness: values quantize to integer cents; per-group S=Σk, Q=Σk²
+    are DECIMAL-exact; the only float arithmetic is S_g²/n_g per group
+    (one shared IEEE division from exact integers) and the k-term sum of
+    those — pinned with the fold-order trick (aggregate over
+    array_sort(collect_list(...)), the oracle's list(ORDER BY) twin).
+    SSB/SSW then F are a fixed expression tree both engines share;
+    f_milli floors ×1000 so the pinned value is integral.
+
+    Plan: ONE keyed agg to k group-moment rows (map-side combine does
+    the work), then a k-row driver-safe fold — nothing else touches the
+    data. The archetype of 100 TB statistics: all mass in partial aggs.
+    """
+    e = Catalog(spark, sf_dir).table("events")
+    cents = F.expr("CAST(FLOOR(value * 100) AS BIGINT)")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(cents.cast("decimal(28,0)")).alias("sg"),
+        F.sum((cents * cents).cast("decimal(38,0)")).alias("qg"),
+    )
+    # t_g = S_g²/n_g in double from exact integers
+    t = (
+        F.col("sg").cast("double") * F.col("sg").cast("double")
+        / F.col("ng").cast("double")
+    )
+    per_group = g.select("event_type", "ng", "sg", "qg", t.alias("t"))
+    folded = per_group.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("qg").alias("q"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(event_type, t))), "
+            "cast(0.0 as double), (acc, s) -> acc + s.t)"
+        ).alias("sum_t"),
+    )
+    ssb = F.col("sum_t") - (
+        F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    )
+    ssw = F.col("q").cast("double") - F.col("sum_t")
+    fstat = (ssb / (F.col("k") - 1).cast("double")) / (
+        ssw / (F.col("n") - F.col("k")).cast("double")
+    )
+    return folded.select(
+        F.col("k").cast("int").alias("k_groups"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.floor(ssb / F.lit(10000.0)).cast("bigint").alias("ssb_units"),
+        F.floor(ssw / F.lit(10000.0)).cast("bigint").alias("ssw_units"),
+        F.floor(fstat * 1000).cast("bigint").alias("f_milli"),
+    )
+
+
+EVENTS_ANOVA_F_SQL = """
+WITH g AS (
+  SELECT event_type, COUNT(*) AS ng,
+         SUM(CAST(CAST(FLOOR(value * 100) AS BIGINT) AS DECIMAL(28,0))) AS sg,
+         SUM(CAST(CAST(FLOOR(value * 100) AS BIGINT)
+                  * CAST(FLOOR(value * 100) AS BIGINT) AS DECIMAL(38,0))) AS qg
+  FROM events GROUP BY event_type
+),
+per AS (
+  SELECT event_type, ng, sg, qg,
+         CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) AS t
+  FROM g
+),
+folded AS (
+  SELECT CAST(COUNT(*) AS INT) AS k,
+         CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(SUM(sg) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(qg) AS DECIMAL(38,0)) AS q,
+         list_reduce(list(t ORDER BY event_type),
+                     (acc, x) -> acc + x) AS sum_t
+  FROM per
+)
+SELECT k AS k_groups, n AS n_events,
+       CAST(FLOOR((sum_t - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE)) / CAST(10000 AS DOUBLE)) AS BIGINT)
+         AS ssb_units,
+       CAST(FLOOR((CAST(q AS DOUBLE) - sum_t) / CAST(10000 AS DOUBLE)) AS BIGINT)
+         AS ssw_units,
+       CAST(FLOOR(((sum_t - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+                  / ((CAST(q AS DOUBLE) - sum_t) / CAST(n - k AS DOUBLE))
+                  * CAST(1000 AS DOUBLE)) AS BIGINT) AS f_milli
+FROM folded
+"""

@@ -549,3 +549,8 @@ registry.register(
     _es.stream_foreachbatch_upsert,
     _es.STREAM_FOREACHBATCH_UPSERT_SQL,
 )
+
+registry.register(
+    "agg_ddsketch_quantile", _sk.agg_ddsketch_quantile, _sk.AGG_DDSKETCH_QUANTILE_SQL
+)
+registry.register("events_anova_f", _st.events_anova_f, _st.EVENTS_ANOVA_F_SQL)

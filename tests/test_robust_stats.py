@@ -59,3 +59,31 @@ def test_lm_novelty_counts_match_tokenization(spark):
         if r.nb > 0
     }
     assert got == want
+
+
+def test_ddsketch_bucket_upper_bounds_rank(spark):
+    """The reported bucket's upper bound must sit at or above the true
+    p95 value (the sketch's one-sided guarantee at γ=2), and the bucket
+    histogram must conserve mass."""
+    from nzwirelessmap_fetch_spark.operators.sketches import agg_ddsketch_quantile
+
+    e = Catalog(spark, SF_SMOKE).table("events")
+    rows = {r.event_type: r for r in agg_ddsketch_quantile(spark, SF_SMOKE).collect()}
+    for etype, r in rows.items():
+        vals = sorted(
+            v.value for v in e.filter(F.col("event_type") == etype).collect()
+        )
+        assert r.n == len(vals)
+        true_p95 = vals[-(len(vals) - (95 * len(vals) + 99) // 100) - 1]
+        assert r.p95_upper_value >= true_p95
+        # relative error bound: upper/2 < true p95 cents ceiling
+        assert r.p95_upper_cents / 2 <= true_p95 * 100
+
+
+def test_anova_f_nonnegative_and_decomposition(spark):
+    from nzwirelessmap_fetch_spark.plans.stats import events_anova_f
+
+    r = events_anova_f(spark, SF_SMOKE).collect()[0]
+    assert r.k_groups >= 2
+    assert r.ssb_units >= 0 and r.ssw_units >= 0
+    assert r.f_milli >= 0
