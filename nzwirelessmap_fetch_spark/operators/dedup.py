@@ -1247,3 +1247,90 @@ JOIN sz sa ON sa.doc_id = doc_a
 JOIN sz sb ON sb.doc_id = doc_b
 WHERE n_inter * {CONTAIN_DEN} >= sa.n * {CONTAIN_NUM}
 """
+
+
+SOURCE_OVERLAP_TOP_K = 25
+
+
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (§2.4 corpus provenance — "which
+    sources copy from each other?"): for every source pair, the count of
+    distinct word-bigram shingles they share and the overlap coefficient
+    shared / min(|A|, |B|) in ppm. The source-granular rollup of the
+    doc-granular near-dup passes — run FIRST at 100 TB, because dropping
+    or down-weighting one mirror-heavy source pair is cheaper than
+    pairwise doc dedup across the full corpus.
+
+    Plan: distinct (source, shingle-hash) — shingles narrow to 60-bit
+    md5 wire keys (md5_long60 discipline) — then a self-equi-join keyed
+    by shingle and a pair-keyed count; per-source set sizes attach by
+    two broadcast-sized joins (one row per source). The shingle join is
+    df-skew-prone like every inverted index; `_shingles(max_df=...)` is
+    the valve when boilerplate shingles dominate (off here — the oracle
+    replays the exact measure). Top-K pairs by overlap keeps the output
+    bounded.
+    """
+    from ..functions.hashing import md5_long60
+
+    d = Catalog(spark, sf_dir).table("documents")
+    sh = (
+        _shingles(d)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("source", md5_long60("shingle").alias("h"))
+        .distinct()
+    )
+    sh = sh.persist()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            "sz_a",
+            "sz_b",
+            F.expr("shared * 1000000 div least(sz_a, sz_b)").alias("overlap_ppm"),
+        )
+        .orderBy(F.desc("overlap_ppm"), F.desc("shared"), "src_a", "src_b")
+        .limit(SOURCE_OVERLAP_TOP_K)
+    )
+
+
+CORPUS_SOURCE_OVERLAP_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+  WHERE LEN(string_split(text, ' ')) >= 2
+),
+sh AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 15))::BIGINT AS h
+  FROM w, UNNEST(generate_series(1, LEN(w) - 1)) AS g(i)
+),
+sizes AS (
+  SELECT source, COUNT(*) AS sz FROM sh GROUP BY source
+),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, shared, sa.sz AS sz_a, sb.sz AS sz_b,
+       shared * 1000000 // LEAST(sa.sz, sb.sz) AS overlap_ppm
+FROM pairs
+JOIN sizes sa ON src_a = sa.source
+JOIN sizes sb ON src_b = sb.source
+ORDER BY overlap_ppm DESC, shared DESC, src_a, src_b
+LIMIT {SOURCE_OVERLAP_TOP_K}
+"""

@@ -1386,3 +1386,67 @@ FROM dev JOIN mad USING (event_type)
 GROUP BY dev.event_type
 ORDER BY dev.event_type
 """
+
+
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap Jaccard between event types (§2.3 set-style
+    aggregation — "do purchasers also click?" for k types → k·(k−1)/2
+    pairs): |users(A) ∩ users(B)| / |users(A) ∪ users(B)| in exact ppm.
+
+    Plan: distinct (event_type, user_id) is one keyed agg; the
+    intersection is a self-equi-join keyed by user_id (at 100 TB the
+    fan-out per user is ≤ k rows, so the join output is ≤ k²/2 · users —
+    bounded by the TYPE cardinality, not data volume); set sizes attach
+    broadcast (k rows). Union via |A|+|B|−|A∩B| — no second join.
+    """
+    e = Catalog(spark, sf_dir).table("events")
+    tu = e.select("event_type", "user_id").distinct().persist()
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("nu"))
+    a, b = tu.alias("a"), tu.alias("b")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("nu").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("nu").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr("n_both * 1000000 div (n_a + n_b - n_both)").alias(
+                "jaccard_ppm"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+EVENTS_AUDIENCE_OVERLAP_SQL = """
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+sizes AS (
+  SELECT event_type, COUNT(*) AS nu FROM tu GROUP BY event_type
+),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, sa.nu AS n_a, sb.nu AS n_b, n_both,
+       n_both * 1000000 // (sa.nu + sb.nu - n_both) AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON type_a = sa.event_type
+JOIN sizes sb ON type_b = sb.event_type
+ORDER BY type_a, type_b
+"""

@@ -554,3 +554,12 @@ registry.register(
     "agg_ddsketch_quantile", _sk.agg_ddsketch_quantile, _sk.AGG_DDSKETCH_QUANTILE_SQL
 )
 registry.register("events_anova_f", _st.events_anova_f, _st.EVENTS_ANOVA_F_SQL)
+
+registry.register(
+    "corpus_source_overlap", _dd.corpus_source_overlap, _dd.CORPUS_SOURCE_OVERLAP_SQL
+)
+registry.register(
+    "events_audience_overlap",
+    _ea.events_audience_overlap,
+    _ea.EVENTS_AUDIENCE_OVERLAP_SQL,
+)

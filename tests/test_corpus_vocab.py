@@ -59,3 +59,28 @@ def test_oov_rate_zero_for_common_only_docs(spark):
     )
     if n_vocab <= OOV_VOCAB_SIZE:
         assert all(r.n_oov == 0 for r in rows)
+
+
+def test_source_overlap_bounds(spark):
+    from nzwirelessmap_fetch_spark.operators.dedup import corpus_source_overlap
+
+    rows = corpus_source_overlap(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0 < r.shared <= min(r.sz_a, r.sz_b)
+        assert r.overlap_ppm == r.shared * 1_000_000 // min(r.sz_a, r.sz_b)
+
+
+def test_audience_overlap_jaccard_identity(spark):
+    from nzwirelessmap_fetch_spark.operators.events_analytics import (
+        events_audience_overlap,
+    )
+
+    rows = events_audience_overlap(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert 0 <= r.n_both <= min(r.n_a, r.n_b)
+        union = r.n_a + r.n_b - r.n_both
+        assert r.jaccard_ppm == r.n_both * 1_000_000 // union
