@@ -1293,8 +1293,8 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("sz_b"))
     return (
-        pairs.join(F.broadcast(sa), "src_a")
-        .join(F.broadcast(sb), "src_b")
+        pairs.join(sa, "src_a")
+        .join(sb, "src_b")
         .select(
             "src_a",
             "src_b",

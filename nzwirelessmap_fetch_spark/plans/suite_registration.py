@@ -535,6 +535,39 @@ registry.register(
     _tpch.tpch_q22_global_sales_opportunity,
     _tpch.TPCH_Q22_SQL,
 )
+# Q2/Q4/Q9/Q11/Q12/Q16/Q20/Q21 complete the classic 22 (Q1 ≡
+# agg_pricing_summary); partsupp-dependent plans derive their bridge
+# from lineitem — see the fixture-adaptation notes in each docstring.
+registry.register(
+    "tpch_q2_min_cost_supplier", _tpch.tpch_q2_min_cost_supplier, _tpch.TPCH_Q2_SQL
+)
+registry.register(
+    "tpch_q4_order_priority", _tpch.tpch_q4_order_priority, _tpch.TPCH_Q4_SQL
+)
+registry.register(
+    "tpch_q9_product_type_profit", _tpch.tpch_q9_product_type_profit, _tpch.TPCH_Q9_SQL
+)
+registry.register(
+    "tpch_q11_important_stock", _tpch.tpch_q11_important_stock, _tpch.TPCH_Q11_SQL
+)
+registry.register(
+    "tpch_q12_late_priority_by_flag",
+    _tpch.tpch_q12_late_priority_by_flag,
+    _tpch.TPCH_Q12_SQL,
+)
+registry.register(
+    "tpch_q16_supplier_count", _tpch.tpch_q16_supplier_count, _tpch.TPCH_Q16_SQL
+)
+registry.register(
+    "tpch_q20_promotion_suppliers",
+    _tpch.tpch_q20_promotion_suppliers,
+    _tpch.TPCH_Q20_SQL,
+)
+registry.register(
+    "tpch_q21_suppliers_who_kept_waiting",
+    _tpch.tpch_q21_suppliers_who_kept_waiting,
+    _tpch.TPCH_Q21_SQL,
+)
 
 registry.register(
     "text_collocations_dice", _tx.text_collocations_dice, _tx.TEXT_COLLOCATIONS_DICE_SQL

@@ -145,3 +145,94 @@ def test_q22_lapsed_customers_have_no_recent_orders(spark):
     assert sum(r.numcust for r in rows) > 0
     for r in rows:
         assert r.totacctbal > 0
+
+
+def test_q2_min_cost_is_regional_minimum(spark):
+    from nzwirelessmap_fetch_spark.plans.tpch import tpch_q2_min_cost_supplier
+
+    rows = tpch_q2_min_cost_supplier(spark, SF_SMOKE).collect()
+    assert rows
+    bals = [r.s_acctbal for r in rows]
+    assert bals == sorted(bals, reverse=True)
+    # every winner for the same part quotes the identical (minimum) cost
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.p_partkey, set()).add(r.supply_cost)
+    assert all(len(costs) == 1 for costs in by_part.values())
+
+
+def test_q4_late_semi_join_is_a_subset(spark):
+    from nzwirelessmap_fetch_spark.plans.tpch import tpch_q4_order_priority
+
+    rows = tpch_q4_order_priority(spark, SF_SMOKE).collect()
+    assert rows
+    allowed = {"1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"}
+    assert {r.o_orderpriority for r in rows} <= allowed
+    quarter = (
+        Catalog(spark, SF_SMOKE)
+        .table("orders")
+        .filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-04-01")))
+        )
+        .count()
+    )
+    assert sum(r.order_count for r in rows) <= quarter
+
+
+def test_q9_profit_grouped_and_ordered(spark):
+    from nzwirelessmap_fetch_spark.plans.tpch import tpch_q9_product_type_profit
+
+    rows = tpch_q9_product_type_profit(spark, SF_SMOKE).collect()
+    assert rows
+    for a, b in zip(rows, rows[1:]):
+        assert (a.nation, -a.o_year) <= (b.nation, -b.o_year)
+
+
+def test_q11_survivors_are_above_mean(spark):
+    from nzwirelessmap_fetch_spark.plans.tpch import tpch_q11_important_stock
+
+    rows = tpch_q11_important_stock(spark, SF_SMOKE).collect()
+    assert rows
+    vals = [r.part_value for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_q12_partition_of_joined_lines(spark):
+    from nzwirelessmap_fetch_spark.plans.tpch import tpch_q12_late_priority_by_flag
+
+    rows = tpch_q12_late_priority_by_flag(spark, SF_SMOKE).collect()
+    assert {r.ship_flag for r in rows} <= {"A", "R"}
+    for r in rows:
+        assert r.high_line_count >= 0 and r.low_line_count >= 0
+        assert r.high_line_count + r.low_line_count > 0
+
+
+def test_q16_sizes_within_filter_list(spark):
+    from nzwirelessmap_fetch_spark.plans.tpch import tpch_q16_supplier_count
+
+    rows = tpch_q16_supplier_count(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r.p_size in {1, 4, 7, 10, 14, 23, 45, 49} for r in rows)
+    assert all(r.p_brand != "Brand#5" and r.p_type != "PROMO" for r in rows)
+    cnts = [r.supplier_cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+
+
+def test_q20_suppliers_sorted_and_in_nation(spark):
+    from nzwirelessmap_fetch_spark.plans.tpch import tpch_q20_promotion_suppliers
+
+    rows = tpch_q20_promotion_suppliers(spark, SF_SMOKE).collect()
+    names = [r.s_name for r in rows]
+    assert names and names == sorted(names)
+
+
+def test_q21_only_late_supplier_counts(spark):
+    from nzwirelessmap_fetch_spark.plans.tpch import (
+        tpch_q21_suppliers_who_kept_waiting,
+    )
+
+    rows = tpch_q21_suppliers_who_kept_waiting(spark, SF_SMOKE).collect()
+    waits = [r.numwait for r in rows]
+    assert waits == sorted(waits, reverse=True)
+    assert all(w > 0 for w in waits)
