@@ -745,3 +745,93 @@ SELECT method, n_communities, n_directed_edges, q_num,
             AS DECIMAL(18,6)) AS DOUBLE) AS modularity
 FROM q
 """
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (bipartite purchase graph)
+# ---------------------------------------------------------------------------
+
+HITS_TOPK = 25
+
+
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg hubs/authorities, 2 unrolled iterations) over the
+    bipartite customer→part purchase graph: a part's authority is the
+    summed hub weight of the customers buying it; a customer's hub
+    weight is the summed authority of the parts they buy. The output
+    ranks parts by 2nd-iteration authority — "parts endorsed by
+    broad-basket customers", the graph-native complement of raw sales
+    counts (graph_link_prediction shares this edge set).
+
+    Integer-exact formulation: scores are unnormalized BIGINT sums
+    (a₀ = 1 → h₁ = out-degree → a₁ = Σh₁ → h₂ = Σa₁ → a₂ = Σh₂); with
+    bounded degrees the growth is polynomial and far below int64 here —
+    a production run rescales (floor-div by the max) between iterations,
+    the same integer discipline as graph_pagerank's micro-units.
+
+    Scale design: the edge set is the DISTINCT (customer, part) pairs —
+    one dedup shuffle — and each half-iteration is one keyed agg plus
+    one edge⋈score join, all keyed by the edge endpoints (bucketing the
+    edge table by each endpoint makes them co-located at rest). No
+    driver-side state, no lineage growth: the loop is unrolled.
+    """
+    c = Catalog(spark, sf_dir)
+    li = c.table("lineitem").select("l_orderkey", "l_partkey")
+    orders = c.table("orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    # a0 = 1 for every part  ⇒  h1(cust) = out-degree
+    h1 = edges.groupBy("cust").agg(F.count(F.lit(1)).alias("h1"))
+    a1 = (
+        edges.join(h1, "cust")
+        .groupBy("part")
+        .agg(F.sum("h1").alias("a1"))
+    )
+    h2 = (
+        edges.join(a1, "part")
+        .groupBy("cust")
+        .agg(F.sum("a1").alias("h2"))
+    )
+    a2 = (
+        edges.join(h2, "cust")
+        .groupBy("part")
+        .agg(F.sum("h2").alias("a2"), F.count(F.lit(1)).alias("n_buyers"))
+    )
+    return (
+        a2.join(a1, "part")
+        .select(
+            F.col("part").alias("part_key"),
+            F.col("a1").cast("bigint").alias("auth1"),
+            F.col("a2").cast("bigint").alias("auth2"),
+            F.col("n_buyers").cast("int").alias("n_buyers"),
+        )
+        .orderBy(F.desc("auth2"), "part_key")
+        .limit(HITS_TOPK)
+    )
+
+
+GRAPH_HITS_SQL = f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+h1 AS (SELECT cust, COUNT(*) AS h1 FROM edges GROUP BY cust),
+a1 AS (
+  SELECT part, SUM(h1) AS a1 FROM edges JOIN h1 USING (cust) GROUP BY part
+),
+h2 AS (
+  SELECT cust, SUM(a1) AS h2 FROM edges JOIN a1 USING (part) GROUP BY cust
+),
+a2 AS (
+  SELECT part, SUM(h2) AS a2, COUNT(*) AS n_buyers
+  FROM edges JOIN h2 USING (cust) GROUP BY part
+)
+SELECT part AS part_key, CAST(a1 AS BIGINT) AS auth1, CAST(a2 AS BIGINT) AS auth2,
+       CAST(n_buyers AS INT) AS n_buyers
+FROM a2 JOIN a1 USING (part)
+ORDER BY auth2 DESC, part_key
+LIMIT {HITS_TOPK}
+"""

@@ -1466,3 +1466,82 @@ WHERE fused_rank <= {TOP_K}
 SIM_RRF_FUSION_SQL = SIM_RRF_FUSION_SQL.replace("{IVF}", SIM_IVF_SQL).replace(
     "{HAM}", SIM_BINARY_HAMMING_RERANK_SQL
 )
+
+
+# ---------------------------------------------------------------------------
+# kNN-distance outlier screen (embedding-space data cleaning)
+# ---------------------------------------------------------------------------
+
+OUTLIER_BOTTOM_K = 50
+
+
+def embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-similarity outlier screen (§2.4 similarity / data cleaning):
+    score every vector by the summed cosine of its top-{K_NN} verified
+    LSH neighbors; vectors with few or weakly-similar neighbors are
+    embedding-space outliers — mislabeled points, encoder failures, or
+    genuinely novel content — and surface FIRST in the ascending-score
+    ranking (isolated vectors score 0 with n_neighbors = 0 via the left
+    join against the full embedding table, which a pair-stream-only
+    formulation would silently drop).
+
+    Plan: reuses the banded-LSH verified pair stream (never re-touches
+    the vectors), symmetrizes it, one per-node window for the top-K cut,
+    one keyed agg, one left join from the (key, id)-only embedding scan.
+    Exactness: each cosine quantizes to integer micro-units BEFORE the
+    sum (floor of a double — deterministic per value), so the aggregate
+    is order-free and the ascending-rank LIMIT boundary pins by
+    (score, vec_id).
+    """
+    pairs = sim_lsh_banded(spark, sf_dir)
+    sym = pairs.select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b"), "cos"
+    ).union(pairs.select(F.col("vec_b").alias("a"), F.col("vec_a").alias("b"), "cos"))
+    w = Window.partitionBy("a").orderBy(F.desc("cos"), F.asc("b"))
+    per_node = (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K_NN)
+        .groupBy("a")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("nn"),
+            F.sum(F.floor(F.col("cos") * 1_000_000).cast("bigint")).alias("sim_micro"),
+        )
+    )
+    e = Catalog(spark, sf_dir).table("embeddings").select("vec_id")
+    return (
+        e.join(per_node, e.vec_id == per_node.a, "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("nn"), F.lit(0)).cast("int").alias("n_neighbors"),
+            F.coalesce(F.col("sim_micro"), F.lit(0)).cast("bigint").alias("knn_sim_micro"),
+        )
+        .orderBy(F.asc("knn_sim_micro"), "vec_id")
+        .limit(OUTLIER_BOTTOM_K)
+    )
+
+
+EMBEDDING_KNN_OUTLIERS_SQL = f"""
+WITH {_BANDED_CTES},
+sym AS (
+  SELECT vec_a AS a, vec_b AS b, cos FROM banded_pairs
+  UNION ALL
+  SELECT vec_b AS a, vec_a AS b, cos FROM banded_pairs
+),
+topk AS (
+  SELECT a, cos,
+         ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos DESC, b ASC) AS rk
+  FROM sym
+  QUALIFY rk <= {K_NN}
+),
+per_node AS (
+  SELECT a, CAST(COUNT(*) AS INT) AS nn,
+         SUM(CAST(floor(cos * 1000000) AS BIGINT)) AS sim_micro
+  FROM topk GROUP BY a
+)
+SELECT vec_id,
+       CAST(COALESCE(nn, 0) AS INT) AS n_neighbors,
+       CAST(COALESCE(sim_micro, 0) AS BIGINT) AS knn_sim_micro
+FROM embeddings LEFT JOIN per_node ON vec_id = a
+ORDER BY knn_sim_micro ASC, vec_id
+LIMIT {OUTLIER_BOTTOM_K}
+"""

@@ -1330,3 +1330,81 @@ SELECT event_type, n,
 FROM hit WHERE rn = 1
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Partition-level content checksums (replica / pipeline validation)
+# ---------------------------------------------------------------------------
+
+MERKLE_BUCKETS = 64
+
+
+def table_merkle_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed content-checksum manifest over orders (§2.3 data-quality
+    family): hash-partition rows into {MERKLE_BUCKETS} buckets by key and
+    emit per-bucket (row count, XOR of row fingerprints, modular sum of
+    row fingerprints). Two replicas — or a pipeline before/after a
+    migration — compare manifests and locate divergent key ranges
+    WITHOUT moving data: at 100 TB this is the only affordable
+    cross-cluster equality check (64 rows cross the wire, not the
+    table), and the first-divergent-bucket result bounds the re-scan to
+    1/{MERKLE_BUCKETS} of the keyspace (recurse for Merkle-tree drill-
+    down). XOR and modular sum are both order- and partition-layout-
+    insensitive, so the manifest is stable under repartitioning, AQE
+    re-plans, and engine choice.
+
+    Exactness: the row fingerprint hashes a canonical string of
+    key + int columns + money floored to BIGINT cents — no raw
+    double-to-string formatting (engine-dependent) anywhere. The
+    modular sum runs in DECIMAL(38,0) (cannot overflow: 2^60 · row
+    count ≪ 10^38), alongside the overflow-free XOR.
+    """
+    from ..functions.hashing import md5_long60
+
+    o = Catalog(spark, sf_dir).table("orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        cents.cast("string"),
+    )
+    return (
+        o.select(
+            (md5_long60(F.col("o_orderkey").cast("string")) % MERKLE_BUCKETS)
+            .cast("int")
+            .alias("bucket"),
+            md5_long60(row_str).alias("row_h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(row_h)").alias("xor_fp"),
+            # stringified: DECIMAL(38,0) survives every engine's pandas
+            # bridge as exact digits (DuckDB's DECIMAL>18 → float64 kills
+            # a numeric comparison)
+            F.sum(F.col("row_h").cast("decimal(38,0)")).cast("string").alias("sum_fp"),
+        )
+        .orderBy("bucket")
+    )
+
+
+TABLE_MERKLE_CHECKSUM_SQL = f"""
+WITH rows_h AS (
+  SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+              % {MERKLE_BUCKETS} AS INT) AS bucket,
+         ('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(o_custkey AS VARCHAR) || '|' ||
+             o_orderstatus || '|' ||
+             CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+         ), 1, 15))::BIGINT AS row_h
+  FROM orders
+)
+SELECT bucket, COUNT(*) AS n_rows, bit_xor(row_h) AS xor_fp,
+       CAST(SUM(CAST(row_h AS DECIMAL(38,0))) AS VARCHAR) AS sum_fp
+FROM rows_h
+GROUP BY bucket
+ORDER BY bucket
+"""

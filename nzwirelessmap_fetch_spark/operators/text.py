@@ -1877,3 +1877,199 @@ FROM words LEFT JOIN vocab ON words.w = vocab.w
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Epoch-based source upsampling (data-mixing plan)
+# ---------------------------------------------------------------------------
+
+def corpus_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-repeat upsampling plan (§2.4 data mixing — the "repeat the
+    small high-quality source N times" step of every pretraining mix):
+    bring every source up to the LARGEST source's token count via
+    full_epochs = max_tokens div tokens integer repeats plus a residual
+    set of docs chosen deterministically by content hash — a greedy
+    hash-ordered prefix whose cumulative tokens fit the residual budget.
+    The output is the per-source plan (epochs, residual picks, final
+    token count and its shortfall) that the shard writer executes.
+
+    Plan: one per-source agg (≤|sources| rows) + a 1-row max broadcast
+    decides epochs; the residual pick is ONE window pass per source
+    (cumulative sum over hash order — corpus-sized but partitioned by
+    source, no global sort) and collapses straight back to per-source
+    rows. Pure integer arithmetic end-to-end: div/cumulative BIGINT
+    sums, so the plan replays bit-identically.
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = ((F.col("n_chars") + 3) / 4).cast("long")
+    docs = d.select(
+        "doc_id",
+        "source",
+        toks.alias("tokens"),
+        md5_long(F.col("doc_id").cast("string")).alias("h"),
+    )
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tokens").alias("src_tokens")
+    )
+    mx = per_src.agg(F.max("src_tokens").alias("max_tokens"))
+    plan = per_src.crossJoin(F.broadcast(mx)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.expr("max_tokens div src_tokens").alias("full_epochs"),
+        (F.col("max_tokens") % F.col("src_tokens")).alias("residual_budget"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    picked = (
+        docs.withColumn("cum", F.sum("tokens").over(w))
+        .join(F.broadcast(plan.select("source", "residual_budget")), "source")
+        .filter(F.col("cum") <= F.col("residual_budget"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("residual_docs"),
+            F.sum("tokens").alias("residual_tokens"),
+        )
+    )
+    return (
+        plan.join(picked, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "src_tokens",
+            "full_epochs",
+            "residual_budget",
+            F.coalesce(F.col("residual_docs"), F.lit(0)).cast("long").alias("residual_docs"),
+            F.coalesce(F.col("residual_tokens"), F.lit(0)).cast("long").alias("residual_tokens"),
+            (
+                F.col("full_epochs") * F.col("src_tokens")
+                + F.coalesce(F.col("residual_tokens"), F.lit(0))
+            ).alias("planned_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_EPOCH_UPSAMPLE_SQL = """
+WITH docs AS (
+  SELECT doc_id, source, (n_chars + 3) // 4 AS tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM documents
+),
+per_src AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(tokens) AS src_tokens
+  FROM docs GROUP BY source
+),
+plan AS (
+  SELECT source, n_docs, src_tokens,
+         (SELECT MAX(src_tokens) FROM per_src) // src_tokens AS full_epochs,
+         (SELECT MAX(src_tokens) FROM per_src) % src_tokens AS residual_budget
+  FROM per_src
+),
+cum AS (
+  SELECT source, tokens,
+         SUM(tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM docs
+),
+picked AS (
+  SELECT c.source, COUNT(*) AS residual_docs, SUM(c.tokens) AS residual_tokens
+  FROM cum c JOIN plan p ON c.source = p.source
+  WHERE c.cum <= p.residual_budget
+  GROUP BY c.source
+)
+SELECT p.source, p.n_docs, p.src_tokens, p.full_epochs, p.residual_budget,
+       CAST(COALESCE(residual_docs, 0) AS BIGINT) AS residual_docs,
+       CAST(COALESCE(residual_tokens, 0) AS BIGINT) AS residual_tokens,
+       p.full_epochs * p.src_tokens + COALESCE(residual_tokens, 0) AS planned_tokens
+FROM plan p LEFT JOIN picked ON p.source = picked.source
+ORDER BY p.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Linear quality-classifier scoring (model-based filtering, integer logit)
+# ---------------------------------------------------------------------------
+
+QUALITY_LOGIT_THRESHOLD_MILLI = 0
+
+
+def corpus_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (§2.4 corpus ops — the fasttext-style
+    linear classifier gate of CCNet/C4-descendant pipelines, expressed
+    as its feature→weight dot product): a per-doc integer logit over
+    interpretable features (length band, stopword density, lexical
+    diversity, repetition), thresholded into keep/drop. The weights are
+    fixed integers standing in for trained coefficients — the OPERATOR
+    is the scan-side scoring plan; swapping in learned weights changes
+    constants, not the plan.
+
+    Exactness: every feature is an integer (counts, or milli-ratios via
+    BIGINT cross-multiplied division), the logit is a BIGINT dot
+    product, and the keep decision is an integer compare — zero float
+    ops, so the gate replays bit-identically on any engine. Zero
+    shuffles: pure per-row projection (the 100 TB cost is the scan).
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    w = _words()
+    n_words = F.size(w).cast("long")
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("long")
+    n_distinct = F.size(F.array_distinct(w)).cast("long")
+    # milli-ratios: integer division AFTER the ×1000 (exact, replayable)
+    stop_milli = F.expr("n_stop * 1000 div n_words")
+    distinct_milli = F.expr("n_distinct * 1000 div n_words")
+    scored = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_stop.alias("n_stop"),
+        n_distinct.alias("n_distinct"),
+    ).select(
+        "doc_id",
+        "n_words",
+        stop_milli.alias("stop_milli"),
+        distinct_milli.alias("distinct_milli"),
+        ((F.col("n_words") >= 20) & (F.col("n_words") <= 1000)).alias("len_ok"),
+    )
+    logit = (
+        F.when(F.col("len_ok"), F.lit(500)).otherwise(F.lit(-1500))
+        + (F.col("stop_milli") - 100) * 3
+        + (F.col("distinct_milli") - 400) * 2
+    ).cast("bigint")
+    return scored.select(
+        "doc_id",
+        "n_words",
+        "stop_milli",
+        "distinct_milli",
+        logit.alias("logit_milli"),
+        (logit >= QUALITY_LOGIT_THRESHOLD_MILLI).alias("keep"),
+    )
+
+
+CORPUS_QUALITY_LOGIT_SQL = f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(LEN(list_filter(string_split(text, ' '),
+                  x -> x IN ({_STOP_LIST}))) AS BIGINT) AS n_stop,
+         CAST(LEN(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, n_words,
+         n_stop * 1000 // n_words AS stop_milli,
+         n_distinct * 1000 // n_words AS distinct_milli,
+         n_words >= 20 AND n_words <= 1000 AS len_ok
+  FROM feats
+)
+SELECT doc_id, n_words, stop_milli, distinct_milli,
+       CAST(CASE WHEN len_ok THEN 500 ELSE -1500 END
+            + (stop_milli - 100) * 3
+            + (distinct_milli - 400) * 2 AS BIGINT) AS logit_milli,
+       CASE WHEN len_ok THEN 500 ELSE -1500 END
+            + (stop_milli - 100) * 3
+            + (distinct_milli - 400) * 2 >= {QUALITY_LOGIT_THRESHOLD_MILLI} AS keep
+FROM scored
+"""

@@ -2095,3 +2095,116 @@ SELECT k AS k_groups, n AS n_events,
                   * CAST(1000 AS DOUBLE)) AS BIGINT) AS f_milli
 FROM folded
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic multiplier bootstrap (A/B-grade uncertainty at scale)
+# ---------------------------------------------------------------------------
+
+BOOT_REPLICATES = 64
+BOOT_LO_RANK = 4    # ceil(0.05 · 64) → 5th-percentile order statistic
+BOOT_HI_RANK = 61   # ceil(0.95 · 64) → 95th-percentile order statistic
+
+
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for mean purchase value (§2.3
+    aggregation — the uncertainty companion to events_ab_ttest, for
+    statistics with no closed-form variance): {BOOT_REPLICATES}
+    multiplier-bootstrap replicates, each re-weighting every purchase by
+    a deterministic hash-derived integer w ∈ {{0, 1, 2}} with
+    P = (¼, ½, ¼) — mean 1, so each replicate is an unbiased resample —
+    then the 5th/95th percentile order statistics of the replicate means
+    bracket the point estimate. Hash-derived weights replace RNG state:
+    the interval is reproducible across engines, retries, and partition
+    layouts, which rand()-seeded bootstraps are not.
+
+    Plan: ONE scan; explode(sequence(0, B-1)) fans each purchase to its
+    B (replicate, weight) contributions MAP-SIDE into a partial agg
+    keyed by replicate — B rows per partition cross the wire, the
+    classic distributed-bootstrap plan (each executor owns complete
+    partial sums, never resampled row copies). The replicate means are
+    B-row arithmetic; percentile picks are ROW_NUMBER on B rows.
+    Exactness: weighted sums accumulate in DECIMAL (weights and cents
+    integers), each mean is one IEEE division of exact values, and the
+    order-statistic pick totals on (mean, replicate id).
+    """
+    e = (
+        Catalog(spark, sf_dir)
+        .table("events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").cast("string").alias("eid"),
+                F.col("value").cast("decimal(18,2)").alias("x"))
+    )
+    rep = e.select(
+        "eid", "x", F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPLICATES - 1))).alias("b")
+    )
+    h4 = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.col("eid"), F.col("b").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % 4
+    )
+    w = F.when(h4 == 0, 0).when(h4 == 3, 2).otherwise(1).cast("long")
+    means = (
+        rep.select("b", "x", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("x") * F.col("w").cast("decimal(18,0)")).alias("swx"),
+            F.sum("w").alias("sw"),
+        )
+        .select(
+            "b",
+            (F.col("swx").cast("double") / F.col("sw").cast("double")).alias("m"),
+        )
+    )
+    rn = F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("m", "b"))
+    picks = means.withColumn("rn", rn).agg(
+        F.max(F.when(F.col("rn") == BOOT_LO_RANK, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == BOOT_HI_RANK, F.col("m"))).alias("ci_hi"),
+    )
+    point = e.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mean_value"),
+    )
+    return point.crossJoin(picks).select(
+        "n_purchases",
+        F.lit(BOOT_REPLICATES).cast("int").alias("replicates"),
+        _pin(F.col("mean_value")).alias("mean_value"),
+        _pin(F.col("ci_lo")).alias("ci_lo"),
+        _pin(F.col("ci_hi")).alias("ci_hi"),
+    )
+
+
+EVENTS_BOOTSTRAP_CI_SQL = f"""
+WITH e AS (
+  SELECT CAST(event_id AS VARCHAR) AS eid, CAST(value AS DECIMAL(18,2)) AS x
+  FROM events WHERE event_type = 'purchase'
+),
+rep AS (
+  SELECT eid, x, b,
+         ('0x' || substr(md5(eid || ':' || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 4 AS h4
+  FROM e, (SELECT UNNEST(generate_series(0, {BOOT_REPLICATES - 1})) AS b)
+),
+means AS (
+  SELECT b,
+         CAST(SUM(x * CAST(CASE WHEN h4 = 0 THEN 0 WHEN h4 = 3 THEN 2 ELSE 1 END
+                           AS DECIMAL(18,0))) AS DOUBLE)
+         / CAST(SUM(CASE WHEN h4 = 0 THEN 0 WHEN h4 = 3 THEN 2 ELSE 1 END) AS DOUBLE) AS m
+  FROM rep GROUP BY b
+),
+ranked AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM means),
+picks AS (
+  SELECT MAX(CASE WHEN rn = {BOOT_LO_RANK} THEN m END) AS ci_lo,
+         MAX(CASE WHEN rn = {BOOT_HI_RANK} THEN m END) AS ci_hi
+  FROM ranked
+),
+point AS (
+  SELECT COUNT(*) AS n_purchases,
+         CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mean_value
+  FROM e
+)
+SELECT n_purchases, CAST({BOOT_REPLICATES} AS INT) AS replicates,
+       CAST(CAST(mean_value AS DECIMAL(18,6)) AS DOUBLE) AS mean_value,
+       CAST(CAST(ci_lo AS DECIMAL(18,6)) AS DOUBLE) AS ci_lo,
+       CAST(CAST(ci_hi AS DECIMAL(18,6)) AS DOUBLE) AS ci_hi
+FROM point, picks
+"""

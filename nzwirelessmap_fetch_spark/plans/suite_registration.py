@@ -596,3 +596,22 @@ registry.register(
     _ea.events_audience_overlap,
     _ea.EVENTS_AUDIENCE_OVERLAP_SQL,
 )
+
+registry.register(
+    "table_merkle_checksum", _sk.table_merkle_checksum, _sk.TABLE_MERKLE_CHECKSUM_SQL
+)
+registry.register("graph_hits", _gr.graph_hits, _gr.GRAPH_HITS_SQL)
+registry.register(
+    "embedding_knn_outliers",
+    _sim.embedding_knn_outliers,
+    _sim.EMBEDDING_KNN_OUTLIERS_SQL,
+)
+registry.register(
+    "corpus_epoch_upsample", _tx.corpus_epoch_upsample, _tx.CORPUS_EPOCH_UPSAMPLE_SQL
+)
+registry.register(
+    "corpus_quality_logit", _tx.corpus_quality_logit, _tx.CORPUS_QUALITY_LOGIT_SQL
+)
+registry.register(
+    "events_bootstrap_ci", _st.events_bootstrap_ci, _st.EVENTS_BOOTSTRAP_CI_SQL
+)

@@ -1,0 +1,91 @@
+"""Round-3 continuation batch C: merkle manifests, HITS, kNN outliers,
+epoch upsampling, linear quality gate, multiplier bootstrap. Property
+tests beyond the oracle gate — the oracle pins engine parity; these pin
+the SEMANTICS."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nzwirelessmap_fetch_spark.catalog import Catalog
+from nzwirelessmap_fetch_spark.operators.graph import HITS_TOPK, graph_hits
+from nzwirelessmap_fetch_spark.operators.similarity import (
+    OUTLIER_BOTTOM_K,
+    embedding_knn_outliers,
+)
+from nzwirelessmap_fetch_spark.operators.sketches import (
+    MERKLE_BUCKETS,
+    table_merkle_checksum,
+)
+from nzwirelessmap_fetch_spark.operators.text import (
+    corpus_epoch_upsample,
+    corpus_quality_logit,
+)
+from nzwirelessmap_fetch_spark.plans.stats import (
+    BOOT_REPLICATES,
+    events_bootstrap_ci,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_merkle_manifest_covers_table_and_is_layout_stable(spark):
+    rows = table_merkle_checksum(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= MERKLE_BUCKETS
+    n_orders = Catalog(spark, SF_SMOKE).table("orders").count()
+    assert sum(r.n_rows for r in rows) == n_orders
+    # the manifest is a pure content function: a re-run (different task
+    # scheduling, same data) must reproduce every fingerprint
+    again = {r.bucket: (r.n_rows, r.xor_fp, r.sum_fp)
+             for r in table_merkle_checksum(spark, SF_SMOKE).collect()}
+    assert {r.bucket: (r.n_rows, r.xor_fp, r.sum_fp) for r in rows} == again
+
+
+def test_hits_authority_ranking(spark):
+    rows = graph_hits(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= HITS_TOPK
+    scores = [r.auth2 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        # a2 sums h2 over the part's buyers; every h2 ≥ the buyer's own
+        # out-degree ≥ 1, so a2 ≥ a1 ≥ n_buyers ≥ 1
+        assert r.auth2 >= r.auth1 >= r.n_buyers >= 1
+
+
+def test_knn_outliers_ascending_and_isolated_first(spark):
+    rows = embedding_knn_outliers(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= OUTLIER_BOTTOM_K
+    scores = [r.knn_sim_micro for r in rows]
+    assert scores == sorted(scores)
+    for r in rows:
+        assert (r.n_neighbors == 0) == (r.knn_sim_micro == 0)
+
+
+def test_epoch_upsample_plan_invariants(spark):
+    rows = corpus_epoch_upsample(spark, SF_SMOKE).collect()
+    assert rows
+    mx = max(r.src_tokens for r in rows)
+    for r in rows:
+        assert r.full_epochs >= 1
+        assert r.residual_budget == mx % r.src_tokens
+        assert r.residual_tokens <= r.residual_budget
+        assert r.planned_tokens <= mx
+        if r.src_tokens == mx:
+            assert r.full_epochs == 1 and r.residual_docs == 0
+
+
+def test_quality_logit_gate_consistency(spark):
+    rows = corpus_quality_logit(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.stop_milli <= 1000
+        assert 0 <= r.distinct_milli <= 1000
+        assert r.keep == (r.logit_milli >= 0)
+
+
+def test_bootstrap_ci_brackets(spark):
+    r = events_bootstrap_ci(spark, SF_SMOKE).collect()[0]
+    assert r.n_purchases > 0
+    assert r.replicates == BOOT_REPLICATES
+    assert r.ci_lo <= r.ci_hi
+    # a mean-one multiplier bootstrap of a positive variable stays positive
+    assert r.ci_lo > 0
