@@ -1185,15 +1185,30 @@ def corpus_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment's A-side-only denominator, so df-capping IS the scale
     lever — same tradeoff as the Jaccard build, documented there."""
     d = Catalog(spark, sf_dir).table("documents")
-    sh = _shingles(d).select(
-        "doc_id",
-        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h"),
+    # persist: the shingle build feeds three consumers (sizes + both
+    # sides of the inverted-index join) — one materialization, not three
+    sh = (
+        _shingles(d)
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    # Explicit width on the index join: AQE sizes post-shuffle partitions
+    # by INPUT bytes, but an inverted-index self-join's OUTPUT is Σdf² —
+    # orders of magnitude larger (73M pair rows from a 4 MB index at
+    # sf0.1, which AQE coalesced onto ONE task: 37 s → 19 s at 32-way
+    # → 5-7 s at 128-way, the over-decomposition also splitting the
+    # hottest df² key block across finer hash ranges). Repartitioning by
+    # the join key pre-sizes the stage for its output volume, which
+    # AQE's input-byte heuristic cannot see.
+    width = max(4 * int(spark.conf.get("spark.sql.shuffle.partitions")), 128)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h").repartition(width, "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h").repartition(width, "h")
     inter = (
         a.join(b, "h")
         .filter(F.col("doc_a") != F.col("doc_b"))

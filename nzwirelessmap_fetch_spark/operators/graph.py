@@ -835,3 +835,106 @@ FROM a2 JOIN a1 USING (part)
 ORDER BY auth2 DESC, part_key
 LIMIT {HITS_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (mode-label LPA)
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 2
+
+
+def graph_community_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (Raghavan et al. 2007) over
+    the symmetric Jaccard≥0.5 edge graph — {LPA_ROUNDS} SYNCHRONOUS
+    rounds where every node adopts the MODE of its neighbors' labels
+    (ties → smallest label). Communities differ from connected
+    components (min-label reachability): LPA splits a component along
+    dense cores, which is what template-family analysis wants when one
+    giant component chains several distinct boilerplate families.
+
+    Determinism: synchronous rounds + total tie order (count DESC, label
+    ASC) make the fixed unrolled iteration replayable — asynchronous
+    LPA (the common implementation) is order-dependent and cannot be
+    oracle-checked. Per round: one edge⋈label join and two keyed aggs —
+    the per-iteration cost of pagerank, reused plan shape.
+    """
+    edges = _jaccard_edges(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(LPA_ROUNDS):
+        cnt = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = F.max(F.struct(F.col("c").alias("c"), (-F.col("label")).alias("nl")))
+        labels = (
+            cnt.groupBy("src")
+            .agg(best.alias("b"))
+            .select(F.col("src").alias("node"), (-F.col("b.nl")).alias("label"))
+        )
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("community"),
+            F.col("n").cast("int").alias("community_size"),
+        )
+    )
+
+
+GRAPH_COMMUNITY_LABEL_PROP_SQL = """
+WITH
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+                          i -> w[i] || ' ' || w[i+1])) AS shingle
+    FROM w WHERE len(w) >= 2)
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+c1 AS (
+  SELECT e.src, l.label, COUNT(*) AS c
+  FROM edges e JOIN l0 l ON l.node = e.dst GROUP BY 1, 2
+),
+l1 AS (
+  SELECT src AS node, label FROM (
+    SELECT src, label,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, label ASC) AS rn
+    FROM c1) WHERE rn = 1
+),
+c2 AS (
+  SELECT e.src, l.label, COUNT(*) AS c
+  FROM edges e JOIN l1 l ON l.node = e.dst GROUP BY 1, 2
+),
+l2 AS (
+  SELECT src AS node, label FROM (
+    SELECT src, label,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, label ASC) AS rn
+    FROM c2) WHERE rn = 1
+),
+sizes AS (SELECT label, COUNT(*) AS n FROM l2 GROUP BY label)
+SELECT node AS doc_id, l2.label AS community, CAST(n AS INT) AS community_size
+FROM l2 JOIN sizes ON l2.label = sizes.label
+"""

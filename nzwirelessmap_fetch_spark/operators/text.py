@@ -1502,13 +1502,23 @@ def corpus_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) div {w}))
         """
     )
+    # persist: the O(chars·w) fingerprint extraction feeds THREE
+    # consumers (sizes + both sides of the inverted-index join) — without
+    # it the scan-side array work runs three times (measured 3× on the
+    # sf0.1 bench)
     fp = (
         d.select("doc_id", grams.alias("g"))
         .select("doc_id", F.explode(fps).alias("fp"))
+        .persist()
     )
     sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
-    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
+    # explicit width: AQE coalesces this join's partitions by INPUT bytes
+    # (a few MB) but the self-join's OUTPUT is Σdf² (190M pair rows at
+    # sf0.1) — see corpus_containment for the measured numbers (48 s on
+    # AQE's single coalesced task → ~14 s at 128-way)
+    width = max(4 * int(spark.conf.get("spark.sql.shuffle.partitions")), 128)
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp").repartition(width, "fp")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp").repartition(width, "fp")
     shared = (
         a.join(b, "fp")
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -198,3 +198,78 @@ SELECT (SELECT COUNT(*) FROM documents) AS n_raw,
        (SELECT COUNT(*) FROM final WHERE split = 'train') AS n_train,
        (SELECT COUNT(*) FROM final WHERE split = 'eval')  AS n_eval
 """
+
+
+# ---------------------------------------------------------------------------
+# Canonical-representative picking over transitive dup clusters
+# ---------------------------------------------------------------------------
+
+def corpus_canonical_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative picker (§2.4 dedup — the "keep the best
+    copy" decision that follows clustering): for every transitive
+    near-dup component, keep the member with the highest linear quality
+    logit (ties → smaller doc_id) and count what gets dropped. This is
+    the composition the PageRank docstring motivates — clustering says
+    WHICH docs are the same; this op decides WHICH ONE survives, by
+    quality rather than by arbitrary minimum id.
+
+    Plan: the component labels (|dup-cluster members| rows — far smaller
+    than the corpus) join the zero-shuffle quality scores, then ONE
+    window per component picks the argmax — components are near-dup
+    families (bounded fan-in), so the window partitions are tiny. The
+    oracle nests both stages' exact SQL and replays the same
+    ROW_NUMBER pick.
+    """
+    from ..operators.dedup import dedup_connected_components
+    from ..operators.text import corpus_quality_logit
+
+    cc = dedup_connected_components(spark, sf_dir).select("doc_id", "component_id")
+    q = corpus_quality_logit(spark, sf_dir).select("doc_id", "logit_milli")
+    j = cc.join(q, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("logit_milli"), F.asc("doc_id")
+    )
+    ranked = j.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_members"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc"),
+            F.max(F.when(F.col("rn") == 1, F.col("logit_milli"))).alias("kept_logit"),
+        )
+        .select(
+            "component_id",
+            "n_members",
+            "kept_doc",
+            "kept_logit",
+            (F.col("n_members") - 1).cast("int").alias("n_dropped"),
+        )
+        .orderBy("component_id")
+    )
+
+
+def _canonical_picks_sql() -> str:
+    from ..operators.dedup import DEDUP_CONNECTED_COMPONENTS_SQL
+    from ..operators.text import CORPUS_QUALITY_LOGIT_SQL
+
+    return f"""
+WITH cc AS ({DEDUP_CONNECTED_COMPONENTS_SQL}),
+q AS ({CORPUS_QUALITY_LOGIT_SQL}),
+ranked AS (
+  SELECT cc.component_id, cc.doc_id, q.logit_milli,
+         ROW_NUMBER() OVER (PARTITION BY cc.component_id
+                            ORDER BY q.logit_milli DESC, cc.doc_id ASC) AS rn
+  FROM cc JOIN q USING (doc_id)
+)
+SELECT component_id,
+       CAST(COUNT(*) AS INT) AS n_members,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+       MAX(CASE WHEN rn = 1 THEN logit_milli END) AS kept_logit,
+       CAST(COUNT(*) - 1 AS INT) AS n_dropped
+FROM ranked
+GROUP BY component_id
+ORDER BY component_id
+"""
+
+
+CORPUS_CANONICAL_PICKS_SQL = _canonical_picks_sql()

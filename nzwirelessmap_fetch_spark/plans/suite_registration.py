@@ -615,3 +615,13 @@ registry.register(
 registry.register(
     "events_bootstrap_ci", _st.events_bootstrap_ci, _st.EVENTS_BOOTSTRAP_CI_SQL
 )
+registry.register(
+    "corpus_canonical_picks",
+    _cp.corpus_canonical_picks,
+    _cp.CORPUS_CANONICAL_PICKS_SQL,
+)
+registry.register(
+    "graph_community_label_prop",
+    _gr.graph_community_label_prop,
+    _gr.GRAPH_COMMUNITY_LABEL_PROP_SQL,
+)

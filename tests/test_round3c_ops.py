@@ -89,3 +89,37 @@ def test_bootstrap_ci_brackets(spark):
     assert r.ci_lo <= r.ci_hi
     # a mean-one multiplier bootstrap of a positive variable stays positive
     assert r.ci_lo > 0
+
+
+def test_canonical_picks_keep_the_best_member(spark):
+    from nzwirelessmap_fetch_spark.operators.dedup import dedup_connected_components
+    from nzwirelessmap_fetch_spark.operators.text import corpus_quality_logit
+    from nzwirelessmap_fetch_spark.plans.corpus_pipeline import corpus_canonical_picks
+
+    picks = {r.component_id: r for r in corpus_canonical_picks(spark, SF_SMOKE).collect()}
+    assert picks
+    cc = dedup_connected_components(spark, SF_SMOKE).collect()
+    logit = {r.doc_id: r.logit_milli for r in corpus_quality_logit(spark, SF_SMOKE).collect()}
+    members: dict[int, list[int]] = {}
+    for r in cc:
+        members.setdefault(r.component_id, []).append(r.doc_id)
+    for comp, docs in members.items():
+        p = picks[comp]
+        assert p.n_members == len(docs)
+        assert p.n_dropped == len(docs) - 1
+        best = max(docs, key=lambda d: (logit[d], -d))
+        assert p.kept_doc == best and p.kept_logit == logit[best]
+
+
+def test_label_prop_communities_partition_the_edge_nodes(spark):
+    from nzwirelessmap_fetch_spark.operators.graph import graph_community_label_prop
+
+    rows = graph_community_label_prop(spark, SF_SMOKE).collect()
+    assert rows
+    nodes = {r.doc_id for r in rows}
+    sizes: dict[int, int] = {}
+    for r in rows:
+        sizes[r.community] = sizes.get(r.community, 0) + 1
+    for r in rows:
+        assert r.community_size == sizes[r.community]
+        assert r.community in nodes  # labels propagate from real node ids
