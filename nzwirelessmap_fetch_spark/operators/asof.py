@@ -206,3 +206,115 @@ SELECT c.event_id, c.user_id, c.ts,
 FROM c
 WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id AND p.ts > c.ts)
 """
+
+
+def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional nearest as-of join: for every purchase, the click of
+    the same user with the SMALLEST |Δts| in either direction — the
+    "closest reading" variant (sensor alignment, nearest-quote joins)
+    that the backward (asof_purchase_click) and forward
+    (asof_click_next_purchase) operators cannot express alone. Ties
+    break deterministically: equal |Δts| prefers the earlier (backward)
+    click, then the higher click_id — a total order, so the oracle
+    replays the same winner.
+
+    Plan: the same union-and-carry shape as the directional as-ofs, with
+    BOTH directions computed in one pass — two window specs over the
+    SAME user-keyed exchange (one shuffle; the second window adds only a
+    re-sort). The nearest-or-equal-earlier click carries forward along
+    ascending time; the strictly-later click carries backward along
+    descending time; a row-local comparison of the two integer-µs deltas
+    picks the winner. No join, no candidate-pair materialization —
+    |events| rows through two sorts, which is the floor for this
+    semantics.
+    """
+    e = Catalog(spark, sf_dir).table("events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_click"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_click"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    # backward frame (≤): at equal ts clicks sort BEFORE the purchase
+    # (is_click DESC) so a Δ=0 click is visible to the backward carry;
+    # click_id ASC + last() ⇒ the highest click_id wins a same-ts tie
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_click"), "click_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward frame (strict >): descending time, purchases first at equal
+    # ts (is_click ASC) so same-ts clicks stay OUT of the forward frame
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), "is_click", "click_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = clicks.unionAll(purchases).select(
+        "user_id",
+        "ts",
+        "is_click",
+        "purchase_id",
+        F.last("click_id", ignorenulls=True).over(wb).alias("back_id"),
+        F.last(F.when(F.col("is_click") == 1, F.unix_micros("ts")), ignorenulls=True)
+        .over(wb)
+        .alias("back_us"),
+        F.last("click_id", ignorenulls=True).over(wf).alias("fwd_id"),
+        F.last(F.when(F.col("is_click") == 1, F.unix_micros("ts")), ignorenulls=True)
+        .over(wf)
+        .alias("fwd_us"),
+    )
+    p_us = F.unix_micros("ts")
+    back_d = p_us - F.col("back_us")   # ≥ 0
+    fwd_d = F.col("fwd_us") - p_us     # > 0
+    take_back = F.col("back_us").isNotNull() & (
+        F.col("fwd_us").isNull() | (back_d <= fwd_d)
+    )
+    return (
+        carried.filter(F.col("is_click") == 0)
+        .select(
+            F.col("purchase_id").alias("event_id"),
+            "user_id",
+            "ts",
+            F.when(take_back, F.col("back_id")).otherwise(F.col("fwd_id")).alias("click_id"),
+            F.when(take_back, -back_d)
+            .otherwise(fwd_d)
+            .cast("bigint")
+            .alias("delta_us"),
+        )
+    )
+
+
+# Explicit global-ranking oracle: |Δ| ASC, backward-preferred, click_id
+# DESC — the identical total order the two carries implement. (A native
+# ASOF JOIN has no bidirectional form at all.)
+ASOF_NEAREST_CLICK_SQL = """
+WITH c AS (SELECT event_id, user_id, ts, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id, user_id, ts, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'),
+m AS (
+  SELECT p.event_id, p.user_id, p.ts,
+         c.event_id AS click_id,
+         c.us - p.us AS delta_us,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.event_id
+           ORDER BY ABS(c.us - p.us) ASC,
+                    CASE WHEN c.us <= p.us THEN 0 ELSE 1 END ASC,
+                    c.event_id DESC) AS rn
+  FROM p JOIN c ON p.user_id = c.user_id
+)
+SELECT event_id, user_id, ts, click_id, CAST(delta_us AS BIGINT) AS delta_us
+FROM m WHERE rn = 1
+UNION ALL
+SELECT p.event_id, p.user_id, p.ts,
+       CAST(NULL AS BIGINT) AS click_id, CAST(NULL AS BIGINT) AS delta_us
+FROM p
+WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id)
+"""

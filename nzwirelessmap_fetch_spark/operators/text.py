@@ -468,7 +468,13 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(toks, i, SHINGLE_WIDTH), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    postings = d.select(
+    # repartition BEFORE the expansion: the fixture's documents table is
+    # one small parquet split, so without this the O(tokens) shingle
+    # explode + per-shingle md5 runs on a single task (measured 9.3 s at
+    # sf0.1; ~2 s parallel). At 100 TB the scan arrives pre-split and
+    # this is a no-op-sized round-robin of raw doc rows.
+    width = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 32)
+    postings = d.repartition(width).select(
         "doc_id", "source", F.explode(shingles).alias("shingle")
     ).select("doc_id", "source", md5_long60("shingle").alias("sh_h"))
     bench = (

@@ -2208,3 +2208,80 @@ SELECT n_purchases, CAST({BOOT_REPLICATES} AS INT) AS replicates,
        CAST(CAST(ci_hi AS DECIMAL(18,6)) AS DOUBLE) AS ci_hi
 FROM point, picks
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (lower) from integer cumulative weights
+# ---------------------------------------------------------------------------
+
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag (§2.3 aggregation —
+    the weighted-percentile member of the quantile family; plain
+    percentile_disc treats a 1-unit and a 50-unit line the same, which
+    inventory-value questions must not). Lower weighted median: the
+    smallest price whose cumulative quantity reaches half the total —
+    a deterministic order statistic, NOT an interpolation.
+
+    Exactness: weights ride as integer centi-units and the crossing test
+    is the cross-multiplied 2·cum ≥ total compare — no division, no
+    floats until the final value cast. Plan: pre-aggregate per distinct
+    (flag, price) FIRST (one partial-agg shuffle, collapsing duplicate
+    prices), then the cumulative window runs over |distinct prices| rows
+    per flag, not |lineitem| — the same collapse a 100 TB run needs to
+    keep window state bounded.
+    """
+    li = Catalog(spark, sf_dir).table("lineitem")
+    per_price = (
+        li.select(
+            "l_returnflag",
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("x"),
+            (F.col("l_quantity").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("w"),
+        )
+        .groupBy("l_returnflag", "x")
+        .agg(F.sum("w").alias("wx"))
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = per_price.select(
+        "l_returnflag",
+        "x",
+        F.sum("wx").over(wcum).alias("cum"),
+        F.sum("wx").over(wall).alias("total"),
+    )
+    return (
+        cum.filter(F.col("cum") * 2 >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("x").cast("double").alias("weighted_median"),
+            F.max("total").alias("total_centi_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_WEIGHTED_MEDIAN_SQL = """
+WITH per_price AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS x,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS wx
+  FROM lineitem
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, x,
+         SUM(wx) OVER (PARTITION BY l_returnflag ORDER BY x
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(wx) OVER (PARTITION BY l_returnflag) AS total
+  FROM per_price
+)
+SELECT l_returnflag,
+       CAST(MIN(x) AS DOUBLE) AS weighted_median,
+       CAST(MAX(total) AS BIGINT) AS total_centi_qty
+FROM cum
+WHERE cum * 2 >= total
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

@@ -625,3 +625,12 @@ registry.register(
     _gr.graph_community_label_prop,
     _gr.GRAPH_COMMUNITY_LABEL_PROP_SQL,
 )
+registry.register(
+    "asof_nearest_click", _asof.asof_nearest_click, _asof.ASOF_NEAREST_CLICK_SQL
+)
+registry.register(
+    "stream_watermark_topk", _es.stream_watermark_topk, _es.STREAM_WATERMARK_TOPK_SQL
+)
+registry.register(
+    "agg_weighted_median", _st.agg_weighted_median, _st.AGG_WEIGHTED_MEDIAN_SQL
+)

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import itertools
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -678,4 +678,63 @@ SELECT user_id, CAST(n AS BIGINT) AS n_events, ts AS last_ts,
        event_id AS last_event_id, event_type AS last_type,
        value AS last_value
 FROM r WHERE rk = 1 ORDER BY user_id
+"""
+
+
+TOPK_PER_WINDOW = 3
+
+
+def stream_watermark_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window top-{TOPK_PER_WINDOW} event types by count, finalized
+    at the watermark — the streaming leaderboard (trending topics,
+    hottest endpoints per 5-minute bucket). Ranking needs ALL of a
+    window's groups, so it cannot run inside the streaming agg; the
+    correct composition is watermark-finalized append output → per-
+    window rank in the downstream batch step (the same
+    stream-then-finalize split stream_cms_cells uses). The streaming
+    stage keeps bounded per-(window, type) state; the rank runs on
+    closed windows only, so it never re-ranks a window twice.
+
+    Ties pin (n DESC, event_type ASC) — total order, oracle-replayable.
+    """
+    agg = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", WINDOW), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_completion(agg, spark)
+    w = Window.partitionBy("window").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        out.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= TOPK_PER_WINDOW)
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "rk",
+            "event_type",
+            "n",
+        )
+    )
+
+
+STREAM_WATERMARK_TOPK_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+         make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS ws
+  FROM events
+),
+mx AS (SELECT MAX(ts) AS mt FROM events),
+counts AS (
+  SELECT ws, event_type, COUNT(*) AS n
+  FROM b, mx
+  WHERE ws + INTERVAL 5 MINUTE <= mt - INTERVAL 10 MINUTE
+  GROUP BY ws, event_type
+)
+SELECT ws AS window_start, ws + INTERVAL 5 MINUTE AS window_end,
+       CAST(rk AS INT) AS rk, event_type, n
+FROM (SELECT ws, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY ws ORDER BY n DESC, event_type ASC) AS rk
+      FROM counts)
+WHERE rk <= {TOPK_PER_WINDOW}
 """

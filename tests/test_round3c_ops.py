@@ -123,3 +123,79 @@ def test_label_prop_communities_partition_the_edge_nodes(spark):
     for r in rows:
         assert r.community_size == sizes[r.community]
         assert r.community in nodes  # labels propagate from real node ids
+
+
+def test_asof_nearest_click_minimizes_abs_delta(spark):
+    from nzwirelessmap_fetch_spark.operators.asof import asof_nearest_click
+
+    ev = Catalog(spark, SF_SMOKE).table("events").collect()
+    clicks: dict[int, list] = {}
+    for r in ev:
+        if r.event_type == "click":
+            clicks.setdefault(r.user_id, []).append(r)
+    out = asof_nearest_click(spark, SF_SMOKE).collect()
+    purchases = [r for r in ev if r.event_type == "purchase"]
+    assert len(out) == len(purchases)
+    by_id = {r.event_id: r for r in out}
+    for p in purchases:
+        got = by_id[p.event_id]
+        cs = clicks.get(p.user_id, [])
+        if not cs:
+            assert got.click_id is None and got.delta_us is None
+            continue
+        # oracle-in-miniature: |Δ| asc, backward preferred, click_id desc
+        def us(td):  # exact integer microseconds (total_seconds() is lossy)
+            return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+
+        best = min(
+            cs,
+            key=lambda c: (
+                abs(us(c.ts - p.ts)),
+                0 if c.ts <= p.ts else 1,
+                -c.event_id,
+            ),
+        )
+        assert got.click_id == best.event_id
+        assert got.delta_us == us(best.ts - p.ts)
+
+
+def test_stream_watermark_topk_ranks(spark):
+    from nzwirelessmap_fetch_spark.streaming.events_stream import (
+        TOPK_PER_WINDOW,
+        stream_watermark_topk,
+    )
+
+    rows = stream_watermark_topk(spark, SF_SMOKE).collect()
+    assert rows
+    per_win: dict = {}
+    for r in rows:
+        per_win.setdefault(r.window_start, []).append(r)
+    for win_rows in per_win.values():
+        win_rows.sort(key=lambda r: r.rk)
+        assert [r.rk for r in win_rows] == list(range(1, len(win_rows) + 1))
+        assert len(win_rows) <= TOPK_PER_WINDOW
+        ns = [r.n for r in win_rows]
+        assert ns == sorted(ns, reverse=True)
+
+
+def test_weighted_median_crosscheck(spark):
+    from nzwirelessmap_fetch_spark.plans.stats import agg_weighted_median
+
+    li = Catalog(spark, SF_SMOKE).table("lineitem").collect()
+    groups: dict[str, list] = {}
+    for r in li:
+        groups.setdefault(r.l_returnflag, []).append(
+            (round(r.l_extendedprice, 2), int(round(r.l_quantity * 100)))
+        )
+    out = {r.l_returnflag: r for r in agg_weighted_median(spark, SF_SMOKE).collect()}
+    for flag, pts in groups.items():
+        pts.sort()
+        total = sum(w for _, w in pts)
+        cum = 0
+        for x, w in pts:
+            cum += w
+            if 2 * cum >= total:
+                expected = x
+                break
+        assert abs(out[flag].weighted_median - expected) < 1e-9
+        assert out[flag].total_centi_qty == total

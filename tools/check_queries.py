@@ -75,6 +75,11 @@ def main(names: list[str]) -> int:
         print(f"{name}: {json.dumps(row)}", flush=True)
 
     print(f"\n{len(names)} checked, {failures} failing")
+    out = os.environ.get("SPARK_GRAFT_CHECK_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {out}")
     spark.stop()
     return 1 if failures else 0
 
