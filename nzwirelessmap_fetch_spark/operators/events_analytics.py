@@ -1450,3 +1450,99 @@ JOIN sizes sa ON type_a = sa.event_type
 JOIN sizes sb ON type_b = sb.event_type
 ORDER BY type_a, type_b
 """
+
+
+PATTERN_WINDOW_MIN = 30
+
+
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style sequence pattern match (§2.3 events — the
+    MATCH_RECOGNIZE / Flink-CEP capability): for every 'view', match the
+    pattern  VIEW (¬ERROR)* PURCHASE  within {PATTERN_WINDOW_MIN}
+    minutes, same user — i.e. the FIRST purchase strictly after the
+    view, valid only if no error fired strictly between them and the
+    purchase landed inside the window. The funnel (events_funnel)
+    aggregates stage reach per user; this is the per-occurrence pattern
+    stream a CEP engine emits.
+
+    Plan: ONE user-keyed exchange — the events union sorts descending in
+    time and two carries (nearest later purchase, nearest later error)
+    ride the same window; the pattern predicate is then row-local. No
+    joins, no per-pair materialization: |events| rows through a sort,
+    the same shape as the as-of family. Determinism: equal-ts purchases
+    pin to the highest event_id; same-ts-as-view events are excluded by
+    the kind sort rank (strict > semantics on both pattern edges).
+    """
+    e = Catalog(spark, sf_dir).table("events").filter(
+        F.col("event_type").isin("view", "purchase", "error")
+    )
+    rows = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("kind"),
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias("p_id"),
+        F.when(F.col("event_type") == "purchase", F.unix_micros("ts")).alias("p_us"),
+        F.when(F.col("event_type") == "error", F.unix_micros("ts")).alias("e_us"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_view"),
+    )
+    # descending time; views (kind 0) first at equal ts so same-ts
+    # purchases/errors stay OUT of the view's frame (strict >); equal-ts
+    # purchases order by event_id ASC so last() carries the MAX id
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = rows.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "is_view",
+        F.last("p_id", ignorenulls=True).over(w).alias("np_id"),
+        F.last("p_us", ignorenulls=True).over(w).alias("np_us"),
+        F.last("e_us", ignorenulls=True).over(w).alias("ne_us"),
+    )
+    v_us = F.unix_micros("ts")
+    in_window = F.col("np_us") - v_us <= PATTERN_WINDOW_MIN * 60 * 1_000_000
+    no_error_between = F.col("ne_us").isNull() | (F.col("ne_us") >= F.col("np_us"))
+    matched = F.col("np_us").isNotNull() & in_window & no_error_between
+    return (
+        carried.filter(F.col("is_view") == 1)
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+            matched.alias("matched"),
+            F.when(matched, F.col("np_id")).alias("purchase_id"),
+            F.when(matched, F.col("np_us") - v_us).cast("bigint").alias("latency_us"),
+        )
+    )
+
+
+EVENTS_PATTERN_MATCH_SQL = f"""
+WITH v AS (SELECT event_id, user_id, ts, epoch_us(ts) AS us FROM events WHERE event_type = 'view'),
+p AS (SELECT event_id, user_id, ts, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'),
+er AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'error'),
+np AS (
+  SELECT v.event_id AS view_id, p.event_id AS p_id, p.us AS p_us, v.us AS v_us,
+         ROW_NUMBER() OVER (PARTITION BY v.event_id
+                            ORDER BY p.ts ASC, p.event_id DESC) AS rn
+  FROM v JOIN p ON v.user_id = p.user_id AND p.us > v.us
+),
+sel AS (SELECT view_id, p_id, p_us, v_us FROM np WHERE rn = 1),
+flagged AS (
+  SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts,
+         s.p_id, s.p_us, v.us AS v_us,
+         s.p_id IS NOT NULL
+           AND s.p_us - v.us <= {PATTERN_WINDOW_MIN} * 60 * 1000000
+           AND NOT EXISTS (SELECT 1 FROM er
+                           WHERE er.user_id = v.user_id
+                             AND er.us > v.us AND er.us < s.p_us) AS matched
+  FROM v LEFT JOIN sel s ON s.view_id = v.event_id
+)
+SELECT view_id, user_id, view_ts, matched,
+       CASE WHEN matched THEN p_id END AS purchase_id,
+       CAST(CASE WHEN matched THEN p_us - v_us END AS BIGINT) AS latency_us
+FROM flagged
+"""

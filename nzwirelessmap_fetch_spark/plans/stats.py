@@ -2285,3 +2285,88 @@ WHERE cum * 2 >= total
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# Interpolated percentile (PERCENTILE_CONT) from exact order statistics
+# ---------------------------------------------------------------------------
+
+PCTL_NUM, PCTL_DEN = 9, 10  # p = 0.9
+
+
+def agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_CONT(0.9) of o_totalprice per order status — the
+    INTERPOLATED member of the quantile family (percentile_disc picks an
+    existing row; _cont blends the two bracketing order statistics,
+    which is what latency SLOs and price bands usually specify).
+
+    Exactness discipline: the bracketing positions are pure integer
+    arithmetic — k = ((n−1)·{PCTL_NUM}) div {PCTL_DEN} (0-based) with
+    remainder r — and the two order statistics are exact decimals picked
+    by rank; the single interpolation
+    lo + (hi − lo) · r/{PCTL_DEN} is one fixed IEEE expression over
+    exact values, identical on both engines. Plan: one rank window per
+    status partition + a conditional 2-row aggregate — no sort of the
+    output, no approximation.
+    """
+    o = Catalog(spark, sf_dir).table("orders")
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    w = Window.partitionBy("o_orderstatus").orderBy("x")
+    ranked = (
+        o.select("o_orderstatus", x.alias("x"))
+        .withColumn("rk", F.row_number().over(w))  # 1-based
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("o_orderstatus")))
+    )
+    k = F.expr(f"(n - 1) * {PCTL_NUM} div {PCTL_DEN}")  # 0-based lower index
+    r = F.expr(f"(n - 1) * {PCTL_NUM} % {PCTL_DEN}")
+    picked = ranked.select(
+        "o_orderstatus",
+        "n",
+        F.when(F.col("rk") == k + 1, F.col("x")).alias("lo"),
+        F.when(F.col("rk") == F.least(k + 2, F.col("n")), F.col("x")).alias("hi"),
+        r.alias("rem"),
+    )
+    agg = picked.groupBy("o_orderstatus").agg(
+        F.max("n").alias("n"),
+        F.max("lo").cast("double").alias("lo"),
+        F.max("hi").cast("double").alias("hi"),
+        F.max("rem").alias("rem"),
+    )
+    p90 = F.col("lo") + (F.col("hi") - F.col("lo")) * F.col("rem") / F.lit(
+        float(PCTL_DEN)
+    )
+    return agg.select(
+        "o_orderstatus",
+        F.col("n").cast("bigint").alias("n"),
+        _pin(p90).alias("p90_cont"),
+        F.col("lo").alias("lo_stat"),
+        F.col("hi").alias("hi_stat"),
+    ).orderBy("o_orderstatus")
+
+
+AGG_PERCENTILE_CONT_SQL = f"""
+WITH ranked AS (
+  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY x) AS rk,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+),
+picked AS (
+  SELECT o_orderstatus, n,
+         CASE WHEN rk = (n - 1) * {PCTL_NUM} // {PCTL_DEN} + 1 THEN x END AS lo,
+         CASE WHEN rk = LEAST((n - 1) * {PCTL_NUM} // {PCTL_DEN} + 2, n) THEN x END AS hi,
+         (n - 1) * {PCTL_NUM} % {PCTL_DEN} AS rem
+  FROM ranked
+),
+agg AS (
+  SELECT o_orderstatus, MAX(n) AS n,
+         CAST(MAX(lo) AS DOUBLE) AS lo, CAST(MAX(hi) AS DOUBLE) AS hi,
+         MAX(rem) AS rem
+  FROM picked GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, CAST(n AS BIGINT) AS n,
+       CAST(CAST(lo + (hi - lo) * rem / CAST({PCTL_DEN} AS DOUBLE) AS DECIMAL(18,6))
+            AS DOUBLE) AS p90_cont,
+       lo AS lo_stat, hi AS hi_stat
+FROM agg ORDER BY o_orderstatus
+"""

@@ -634,3 +634,9 @@ registry.register(
 registry.register(
     "agg_weighted_median", _st.agg_weighted_median, _st.AGG_WEIGHTED_MEDIAN_SQL
 )
+registry.register(
+    "events_pattern_match", _ea.events_pattern_match, _ea.EVENTS_PATTERN_MATCH_SQL
+)
+registry.register(
+    "agg_percentile_cont", _st.agg_percentile_cont, _st.AGG_PERCENTILE_CONT_SQL
+)

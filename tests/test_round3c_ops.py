@@ -199,3 +199,46 @@ def test_weighted_median_crosscheck(spark):
                 break
         assert abs(out[flag].weighted_median - expected) < 1e-9
         assert out[flag].total_centi_qty == total
+
+
+def test_pattern_match_semantics(spark):
+    from nzwirelessmap_fetch_spark.operators.events_analytics import (
+        PATTERN_WINDOW_MIN,
+        events_pattern_match,
+    )
+
+    ev = Catalog(spark, SF_SMOKE).table("events").collect()
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    out = {r.view_id: r for r in events_pattern_match(spark, SF_SMOKE).collect()}
+    views = [r for r in ev if r.event_type == "view"]
+    assert len(out) == len(views)
+    lim = PATTERN_WINDOW_MIN * 60
+    for v in views:
+        rows = by_user[v.user_id]
+        later_p = [r for r in rows if r.event_type == "purchase" and r.ts > v.ts]
+        got = out[v.event_id]
+        if not later_p:
+            assert not got.matched and got.purchase_id is None
+            continue
+        first_ts = min(r.ts for r in later_p)
+        first = max(r.event_id for r in later_p if r.ts == first_ts)
+        errors_between = [
+            r for r in rows
+            if r.event_type == "error" and v.ts < r.ts < first_ts
+        ]
+        expect = (
+            (first_ts - v.ts).total_seconds() <= lim and not errors_between
+        )
+        assert got.matched == expect
+        if expect:
+            assert got.purchase_id == first
+
+
+def test_percentile_cont_brackets_disc(spark):
+    from nzwirelessmap_fetch_spark.plans.stats import agg_percentile_cont
+
+    for r in agg_percentile_cont(spark, SF_SMOKE).collect():
+        assert r.lo_stat <= r.p90_cont <= r.hi_stat
+        assert r.n > 0
