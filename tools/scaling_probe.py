@@ -32,6 +32,10 @@ QUERIES = [
     "corpus_bm25_topk",       # inverted-index retrieval
     "events_funnel",          # one user-exchange window chain
     "multimodal_phash_dedup", # Arrow hash + banded pairs
+    "corpus_containment",     # Σdf² index self-join (explicit-width fix)
+    "corpus_winnowing",       # fingerprint index self-join (explicit-width fix)
+    "events_pattern_match",   # CEP carries: one user-keyed exchange
+    "table_merkle_checksum",  # scan → 64-group manifest agg
 ]
 
 
