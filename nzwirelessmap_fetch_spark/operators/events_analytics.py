@@ -1546,3 +1546,109 @@ SELECT view_id, user_id, view_ts, matched,
        CAST(CASE WHEN matched THEN p_us - v_us END AS BIGINT) AS latency_us
 FROM flagged
 """
+
+
+SEASONAL_MAD_K = 3
+
+
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly screen (§2.3 — the composition
+    events_anomaly_mad cannot express): hourly error counts compared to
+    the MEDIAN for the same (day-of-week, hour-of-day) cell across the
+    observed weeks, flagged when the residual exceeds {SEASONAL_MAD_K}×
+    that cell's MAD. A plain global MAD gate fires every nightly peak as
+    an "anomaly"; conditioning on the weekly seasonal cell is the
+    standard fix (same residual-vs-seasonal-profile shape as an STL
+    screen, without the transcendental smoothing an oracle can't pin).
+
+    Exactness: counts are integers; both medians are LOWER-median order
+    statistics (rank ⌊(n+1)/2⌋ — values that exist in the data); the
+    gate is the cross-multiplied integer compare |resid| > K·MAD. No
+    float appears anywhere. Plan: one hourly pre-agg (the fact-stream
+    shuffle), then every window runs on the 168-cell × weeks grain —
+    dimension-sized, the aggregate-first discipline.
+    """
+    e = Catalog(spark, sf_dir).table("events").filter(
+        F.col("event_type") == "error"
+    )
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_ts"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "hour_ts",
+            "n",
+            F.dayofweek("hour_ts").alias("dow"),
+            F.hour("hour_ts").alias("hod"),
+        )
+    )
+    w_rk = Window.partitionBy("dow", "hod").orderBy("n", "hour_ts")
+    w_all = Window.partitionBy("dow", "hod")
+    med = (
+        hourly.withColumn("rk", F.row_number().over(w_rk))
+        .withColumn("cnt", F.count(F.lit(1)).over(w_all))
+        .filter(F.expr("rk = (cnt + 1) div 2"))
+        .select("dow", "hod", F.col("n").alias("med"))
+    )
+    resid = hourly.join(med, ["dow", "hod"]).withColumn(
+        "aresid", F.abs(F.col("n") - F.col("med"))
+    )
+    w_drk = Window.partitionBy("dow", "hod").orderBy("aresid", "hour_ts")
+    mad = (
+        resid.withColumn("rk", F.row_number().over(w_drk))
+        .withColumn("cnt", F.count(F.lit(1)).over(w_all))
+        .filter(F.expr("rk = (cnt + 1) div 2"))
+        .select("dow", "hod", F.col("aresid").alias("mad"))
+    )
+    return (
+        resid.join(mad, ["dow", "hod"])
+        .filter(F.col("aresid") > SEASONAL_MAD_K * F.col("mad"))
+        .select(
+            "hour_ts",
+            F.col("dow").cast("int").alias("dow"),
+            F.col("hod").cast("int").alias("hod"),
+            "n",
+            "med",
+            F.col("mad").cast("bigint").alias("mad"),
+            (F.col("n") - F.col("med")).cast("bigint").alias("residual"),
+        )
+        .orderBy("hour_ts")
+    )
+
+
+EVENTS_SEASONAL_ANOMALY_SQL = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n,
+         dayofweek(date_trunc('hour', ts)) + 1 AS dow,
+         hour(date_trunc('hour', ts)) AS hod
+  FROM events WHERE event_type = 'error'
+  GROUP BY 1
+),
+med AS (
+  SELECT dow, hod, n AS med FROM (
+    SELECT dow, hod, n,
+           ROW_NUMBER() OVER (PARTITION BY dow, hod ORDER BY n, hour_ts) AS rk,
+           COUNT(*) OVER (PARTITION BY dow, hod) AS cnt
+    FROM hourly)
+  WHERE rk = (cnt + 1) // 2
+),
+resid AS (
+  SELECT h.*, m.med, ABS(h.n - m.med) AS aresid
+  FROM hourly h JOIN med m USING (dow, hod)
+),
+mad AS (
+  SELECT dow, hod, aresid AS mad FROM (
+    SELECT dow, hod, aresid,
+           ROW_NUMBER() OVER (PARTITION BY dow, hod ORDER BY aresid, hour_ts) AS rk,
+           COUNT(*) OVER (PARTITION BY dow, hod) AS cnt
+    FROM resid)
+  WHERE rk = (cnt + 1) // 2
+)
+SELECT r.hour_ts, CAST(r.dow AS INT) AS dow, CAST(r.hod AS INT) AS hod,
+       r.n, r.med, CAST(d.mad AS BIGINT) AS mad,
+       CAST(r.n - r.med AS BIGINT) AS residual
+FROM resid r JOIN mad d USING (dow, hod)
+WHERE r.aresid > {SEASONAL_MAD_K} * d.mad
+ORDER BY r.hour_ts
+"""

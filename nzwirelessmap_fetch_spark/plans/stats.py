@@ -2370,3 +2370,106 @@ SELECT o_orderstatus, CAST(n AS BIGINT) AS n,
        lo AS lo_stat, hi AS hi_stat
 FROM agg ORDER BY o_orderstatus
 """
+
+
+# ---------------------------------------------------------------------------
+# AR(1) fit per event type (time-series autoregression)
+# ---------------------------------------------------------------------------
+
+def events_ar1_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order autoregression fit per event type (§2.3 time-series):
+    regress the hourly event count on the previous CONSECUTIVE hour's
+    count — slope φ is the persistence coefficient (φ→1 = trending/
+    self-exciting, φ→0 = memoryless), the one-parameter forecast model
+    and the basis of Holt/ARIMA diagnostics. events_autocorrelation
+    reports the lag correlations; this fits the regression line those
+    correlations imply, with intercept and R².
+
+    Exactness: counts are integers, so ALL five moment sums are exact
+    BIGINT arithmetic — no decimal casts needed — and the slope/
+    intercept/R² expressions are one shared IEEE tree over exact values
+    (the agg_regression discipline on the time-series grain). Hour
+    pairs with a gap between them are EXCLUDED (lag-1 regression on
+    non-consecutive samples is not AR(1)); the consecutiveness test is
+    an integer epoch-hour difference. Plan: one fact-stream pre-agg,
+    then windows and sums on the hourly grain.
+    """
+    e = Catalog(spark, sf_dir).table("events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hour_ts")
+    pairs = (
+        hourly.withColumn("prev_n", F.lag("n").over(w))
+        .withColumn("prev_ts", F.lag("hour_ts").over(w))
+        .filter(
+            F.col("prev_n").isNotNull()
+            & (
+                F.unix_micros("hour_ts") - F.unix_micros("prev_ts")
+                == 3_600_000_000
+            )
+        )
+        .select("event_type", F.col("prev_n").alias("x"), F.col("n").alias("y"))
+    )
+    sums = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov_n = sxy - (sx * sy) / n
+    varx_n = sxx - (sx * sx) / n
+    vary_n = syy - (sy * sy) / n
+    phi = cov_n / varx_n
+    return sums.select(
+        "event_type",
+        "n_pairs",
+        _pin(phi).alias("phi"),
+        _pin((sy - phi * sx) / n).alias("intercept"),
+        _pin((cov_n * cov_n) / (varx_n * vary_n)).alias("r2"),
+    ).orderBy("event_type")
+
+
+EVENTS_AR1_FIT_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT event_type, x, y FROM (
+    SELECT event_type, hour_ts, n AS y,
+           LAG(n) OVER (PARTITION BY event_type ORDER BY hour_ts) AS x,
+           LAG(hour_ts) OVER (PARTITION BY event_type ORDER BY hour_ts) AS prev_ts
+    FROM hourly)
+  WHERE x IS NOT NULL AND epoch_us(hour_ts) - epoch_us(prev_ts) = 3600000000
+),
+sums AS (
+  SELECT event_type, COUNT(*) AS n_pairs,
+         SUM(x) AS sx, SUM(x * x) AS sxx,
+         SUM(y) AS sy, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM pairs GROUP BY event_type
+),
+d AS (
+  SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+         CAST(n_pairs AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sx,
+         CAST(sxx AS DOUBLE) AS sxx, CAST(sy AS DOUBLE) AS sy,
+         CAST(syy AS DOUBLE) AS syy, CAST(sxy AS DOUBLE) AS sxy
+  FROM sums
+)
+SELECT event_type, n_pairs,
+       CAST(CAST((sxy - sx * sy / n) / (sxx - sx * sx / n) AS DECIMAL(18,6)) AS DOUBLE) AS phi,
+       CAST(CAST((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n
+            AS DECIMAL(18,6)) AS DOUBLE) AS intercept,
+       CAST(CAST((sxy - sx * sy / n) * (sxy - sx * sy / n)
+                 / ((sxx - sx * sx / n) * (syy - sy * sy / n))
+            AS DECIMAL(18,6)) AS DOUBLE) AS r2
+FROM d ORDER BY event_type
+"""

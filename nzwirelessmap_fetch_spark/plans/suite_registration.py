@@ -640,3 +640,12 @@ registry.register(
 registry.register(
     "agg_percentile_cont", _st.agg_percentile_cont, _st.AGG_PERCENTILE_CONT_SQL
 )
+registry.register(
+    "stream_left_outer_join", _es.stream_left_outer_join, _es.STREAM_LEFT_OUTER_JOIN_SQL
+)
+registry.register(
+    "events_seasonal_anomaly",
+    _ea.events_seasonal_anomaly,
+    _ea.EVENTS_SEASONAL_ANOMALY_SQL,
+)
+registry.register("events_ar1_fit", _st.events_ar1_fit, _st.EVENTS_AR1_FIT_SQL)

@@ -738,3 +738,86 @@ FROM (SELECT ws, event_type, n,
       FROM counts)
 WHERE rk <= {TOPK_PER_WINDOW}
 """
+
+
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the inner join's
+    (stream_stream_join) null-emitting sibling, and a genuinely
+    different state machine: an unmatched purchase cannot emit when it
+    arrives (a matching click may still come), so the engine holds it
+    and emits the null row only when the watermark proves no match can
+    arrive. The condition c_ts ≤ p_ts means a purchase can still match
+    while p_ts > watermark (future clicks all have c_ts > watermark),
+    so Spark evicts left-side state exactly when the global watermark —
+    min of both streams' (max event ts − delay) — passes p_ts. With a
+    complete bounded input the emission rule is therefore closed-form,
+    and the oracle states it directly:
+
+      matched pairs: always emitted (as soon as both rows arrived);
+      unmatched purchases: emitted with NULL click iff
+        p_ts ≤ min(max click ts, max purchase ts) − watermark delay
+      (later unmatched purchases stay in state when the stream ends —
+      the cutoff splits the fixture exactly, verified row-by-row).
+
+    At 100 TB the same watermark bound is what makes outer stream joins
+    runnable at all: state is droppable, null emission is prompt, and
+    no unbounded "wait forever" set accumulates.
+    """
+    ev = _event_stream(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {JOIN_LOOKBACK}"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select(
+        "p_event_id",
+        F.col("p_user").alias("user_id"),
+        "p_ts",
+        "c_event_id",
+        "c_ts",
+    )
+    return _run_to_completion(joined, spark)
+
+
+STREAM_LEFT_OUTER_JOIN_SQL = """
+WITH p AS (SELECT event_id AS p_event_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS c_event_id, user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+wm AS (
+  SELECT LEAST((SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+               (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+         - INTERVAL 10 MINUTE AS w
+),
+matched AS (
+  SELECT p.p_event_id, p.user_id, p.p_ts, c.c_event_id, c.c_ts
+  FROM p JOIN c ON p.user_id = c.user_id
+               AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+               AND c.c_ts <= p.p_ts
+)
+SELECT * FROM matched
+UNION ALL
+SELECT p.p_event_id, p.user_id, p.p_ts,
+       CAST(NULL AS BIGINT) AS c_event_id, CAST(NULL AS TIMESTAMP) AS c_ts
+FROM p, wm
+WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+                  AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE AND c.c_ts <= p.p_ts)
+  AND p.p_ts <= wm.w
+"""

@@ -242,3 +242,43 @@ def test_percentile_cont_brackets_disc(spark):
     for r in agg_percentile_cont(spark, SF_SMOKE).collect():
         assert r.lo_stat <= r.p90_cont <= r.hi_stat
         assert r.n > 0
+
+
+def test_left_outer_stream_join_covers_inner_plus_nulls(spark):
+    from nzwirelessmap_fetch_spark.streaming.events_stream import (
+        stream_left_outer_join,
+        stream_stream_join,
+    )
+
+    outer = stream_left_outer_join(spark, SF_SMOKE).collect()
+    inner = stream_stream_join(spark, SF_SMOKE).collect()
+    matched = {(r.p_event_id, r.c_event_id) for r in outer if r.c_event_id is not None}
+    assert matched == {(r.p_event_id, r.c_event_id) for r in inner}
+    for r in outer:
+        if r.c_event_id is None:
+            assert r.c_ts is None
+        else:
+            assert r.c_ts <= r.p_ts
+
+
+def test_seasonal_anomaly_gate(spark):
+    from nzwirelessmap_fetch_spark.operators.events_analytics import (
+        SEASONAL_MAD_K,
+        events_seasonal_anomaly,
+    )
+
+    rows = events_seasonal_anomaly(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert abs(r.residual) > SEASONAL_MAD_K * r.mad
+        assert r.n - r.med == r.residual
+        assert 1 <= r.dow <= 7 and 0 <= r.hod <= 23
+
+
+def test_ar1_fit_shapes(spark):
+    from nzwirelessmap_fetch_spark.plans.stats import events_ar1_fit
+
+    rows = events_ar1_fit(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_pairs > 0
+        assert 0.0 <= r.r2 <= 1.0 + 1e-9
