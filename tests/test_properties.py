@@ -308,3 +308,115 @@ def test_canonical_url_anchors_param_names(spark):
     df = spark.createDataFrame([(u,) for u in cases], "u string")
     got = {r.u: r.c for r in df.select("u", canonical_url(F.col("u")).alias("c")).collect()}
     assert got == cases
+
+
+def _winnow_model(gram_hashes: list[int], w: int) -> list[int]:
+    """Pure-Python winnowing: per window, the minimal hash with ties to
+    the RIGHTMOST occurrence; distinct selected hashes."""
+    out = []
+    n = len(gram_hashes)
+    for j in range(max(n - w, 0) + 1):
+        win = gram_hashes[j : j + w]
+        m = min(win)
+        # rightmost minimal occurrence
+        idx = max(i for i, g in enumerate(win) if g == m)
+        out.append((m, j + idx))
+    # fingerprint identity = the hash (position only breaks window ties)
+    seen, fps = set(), []
+    for m, _ in out:
+        if m not in seen:
+            seen.add(m)
+            fps.append(m)
+    return sorted(fps)
+
+
+@SETTINGS
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40 - 1), min_size=1, max_size=30),
+    st.integers(min_value=2, max_value=6),
+)
+def test_winnowing_encode_matches_model(spark, grams, w):
+    """The integer encode  min(g·w + (w−1−offset)) div w  must equal the
+    rightmost-minimal-hash winnowing selection on ANY gram sequence —
+    the no-struct-fold trick's correctness claim."""
+    df = spark.createDataFrame([(grams,)], "g array<bigint>")
+    fps = df.select(
+        F.expr(
+            f"""
+            array_sort(array_distinct(transform(
+              sequence(0, greatest(size(g) - {w}, 0)),
+              j -> aggregate(
+                     sequence(j, least(j + {w} - 1, size(g) - 1)),
+                     cast(9223372036854775807 as bigint),
+                     (acc, u) -> least(acc, g[u] * {w} + ({w} - 1 - (u - j)))
+                   ) div {w})))
+            """
+        ).alias("fps")
+    ).collect()[0].fps
+    assert fps == _winnow_model(grams, w)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),   # price centi-units
+            st.integers(min_value=1, max_value=500),      # weight
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_weighted_median_crossing_model(spark, pts):
+    """agg_weighted_median's integer crossing (2·cum ≥ total on the
+    per-distinct-value pre-agg) equals the naive sorted scan on ANY
+    weighted multiset."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(pts, "x long, w long")
+    per = df.groupBy("x").agg(F.sum("w").alias("wx"))
+    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wa = Window.partitionBy()
+    got = (
+        per.select("x", F.sum("wx").over(wc).alias("cum"), F.sum("wx").over(wa).alias("tot"))
+        .filter(F.col("cum") * 2 >= F.col("tot"))
+        .agg(F.min("x"))
+        .collect()[0][0]
+    )
+    total = sum(w for _, w in pts)
+    cum = 0
+    for x, w in sorted(pts):
+        cum += w
+        if 2 * cum >= total:
+            expected = x
+            break
+    assert got == expected
+
+
+@SETTINGS
+@given(st.integers(min_value=1, max_value=64), st.integers(min_value=0, max_value=6))
+def test_merkle_manifest_invariant_under_repartition(spark, parts, seed):
+    """The merkle manifest is a pure content function: any partition
+    layout of the same rows yields identical per-bucket fingerprints."""
+    from nzwirelessmap_fetch_spark.functions.hashing import md5_long60
+
+    rows = [(i + seed, f"k{i % 7}") for i in range(50)]
+    base = spark.createDataFrame(rows, "id long, k string")
+
+    def manifest(df):
+        return sorted(
+            df.select(
+                (md5_long60(F.col("id").cast("string")) % 8).alias("b"),
+                md5_long60(F.concat_ws("|", F.col("id").cast("string"), "k")).alias("h"),
+            )
+            .groupBy("b")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(h)").alias("x"),
+                F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("s"),
+            )
+            .collect(),
+            key=lambda r: r.b,
+        )
+
+    assert manifest(base) == manifest(base.repartition(parts))
