@@ -1545,3 +1545,98 @@ FROM embeddings LEFT JOIN per_node ON vec_id = a
 ORDER BY knn_sim_micro ASC, vec_id
 LIMIT {OUTLIER_BOTTOM_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup inside k-means cells
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.35
+
+
+def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): cluster the embedding space,
+    then drop near-duplicates WITHIN each cluster — semantic dedup that
+    catches paraphrases sharing no n-grams, at cluster-local cost. The
+    sign-pattern blocking of dedup_embedding_cosine needs exact sign
+    agreement (recall drops for antipodal-component near-dups); k-means
+    cells block by NEIGHBORHOOD, the recall-oriented production choice,
+    and the within-cell pair cost is (n/K)² per cell instead of n².
+
+    Assignment reuses the IVF plan (corpus ⨯ broadcast centroids →
+    map-side max_by); the within-cell self-join is keyed by cell; a
+    vector drops when SOME same-cell partner has cosine ≥ {SEMDEDUP_TAU}
+    and a smaller vec_id (greedy min-id representative — the
+    deterministic stand-in for SemDeDup's 'keep one per group'). Output
+    is the drop list with its kept representative and the evidence
+    cosine, the rows a curation run feeds to the tombstone writer.
+    """
+    e = Catalog(spark, sf_dir).table("embeddings")
+    cents = e.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", cosine(F.col("embedding"), F.col("c_emb")))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cell", F.struct(F.col("ccos"), (-F.col("cell")).alias("nc"))
+            ).alias("cell"),
+            F.first("embedding").alias("embedding"),
+        )
+    )
+    a = assigned.select("cell", F.col("vec_id").alias("keep_cand"), F.col("embedding").alias("ea"))
+    b = assigned.select("cell", F.col("vec_id").alias("drop_cand"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("keep_cand") < F.col("drop_cand"))
+        .withColumn("cos", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos") >= SEMDEDUP_TAU)
+    )
+    return (
+        pairs.groupBy("cell", "drop_cand")
+        .agg(
+            F.min("keep_cand").alias("kept_rep"),
+            F.max("cos").alias("max_cos"),
+            F.count(F.lit(1)).cast("int").alias("n_partners"),
+        )
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("drop_cand").alias("dropped_vec"),
+            "kept_rep",
+            "max_cos",
+            "n_partners",
+        )
+        .orderBy("cell", "dropped_vec")
+    )
+
+
+CORPUS_SEMDEDUP_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings WHERE vec_id < {N_CELLS}
+),
+assign_scored AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         {_DDB_COS.format(a='e.embedding', b='c.c_emb')} AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT vec_id, embedding, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+    FROM assign_scored) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.cell, a.vec_id AS keep_cand, b.vec_id AS drop_cand,
+         {_DDB_COS.format(a='a.embedding', b='b.embedding')} AS cos
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT CAST(cell AS INT) AS cell, drop_cand AS dropped_vec,
+       MIN(keep_cand) AS kept_rep, MAX(cos) AS max_cos,
+       CAST(COUNT(*) AS INT) AS n_partners
+FROM pairs
+WHERE cos >= {SEMDEDUP_TAU}
+GROUP BY cell, drop_cand
+ORDER BY cell, dropped_vec
+"""

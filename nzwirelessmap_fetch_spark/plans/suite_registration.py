@@ -649,3 +649,4 @@ registry.register(
     _ea.EVENTS_SEASONAL_ANOMALY_SQL,
 )
 registry.register("events_ar1_fit", _st.events_ar1_fit, _st.EVENTS_AR1_FIT_SQL)
+registry.register("corpus_semdedup", _sim.corpus_semdedup, _sim.CORPUS_SEMDEDUP_SQL)

@@ -282,3 +282,26 @@ def test_ar1_fit_shapes(spark):
     for r in rows:
         assert r.n_pairs > 0
         assert 0.0 <= r.r2 <= 1.0 + 1e-9
+
+
+def test_semdedup_drop_rules(spark):
+    from nzwirelessmap_fetch_spark.operators.similarity import (
+        SEMDEDUP_TAU,
+        corpus_semdedup,
+    )
+
+    rows = corpus_semdedup(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.kept_rep < r.dropped_vec          # greedy min-id keeps
+        assert r.max_cos >= SEMDEDUP_TAU
+        assert r.n_partners >= 1
+    # a dropped vector must never be someone's kept representative
+    # UNLESS it also survives as a keeper for a larger partner — greedy
+    # min-id allows chains; what it forbids is dropping below the rep:
+    dropped = {r.dropped_vec for r in rows}
+    for r in rows:
+        if r.kept_rep in dropped:
+            # rep itself dropped ⇒ its own rep is even smaller
+            rep_row = next(x for x in rows if x.dropped_vec == r.kept_rep)
+            assert rep_row.kept_rep < r.kept_rep
