@@ -938,3 +938,126 @@ sizes AS (SELECT label, COUNT(*) AS n FROM l2 GROUP BY label)
 SELECT node AS doc_id, l2.label AS community, CAST(n AS INT) AS community_size
 FROM l2 JOIN sizes ON l2.label = sizes.label
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random walks (DeepWalk corpus generation)
+# ---------------------------------------------------------------------------
+
+WALKS_PER_NODE = 2
+WALK_LENGTH = 3  # hops per walk (path holds WALK_LENGTH + 1 nodes)
+
+
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-walk corpus over the Jaccard edge graph (DeepWalk/node2vec
+    style, public) with HASH-DRIVEN "randomness": walk w at node v picks
+    neighbor  sorted_neighbors[ md5(v, w, step) mod degree ].  Hash
+    selection replaces RNG state, so the walk corpus — the input that
+    graph-embedding trainers consume — is reproducible across engines,
+    retries, and partition layouts, the same discipline as the
+    multiplier bootstrap and the shard shuffle.
+
+    Plan: one groupBy builds the per-node SORTED neighbor array (the
+    adjacency index — bucketable by node at rest); each of the
+    {WALK_LENGTH} steps is one keyed join against that index plus a
+    row-local hash pick. State is |nodes|·{WALKS_PER_NODE} walk rows —
+    never edge-sized — and the loop is unrolled, no lineage growth.
+    """
+    edges = _jaccard_edges(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    adj = edges.groupBy("src").agg(
+        F.array_sort(F.collect_list("dst")).alias("nbrs")
+    )
+    walks = adj.select(
+        F.col("src").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(WALKS_PER_NODE - 1))).alias("w"),
+    ).select("start", "w", F.col("start").alias("cur"), F.array("start").alias("path"))
+    for step in range(WALK_LENGTH):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("cur").cast("string"),
+                            F.col("w").cast("string"),
+                            F.lit(str(step)),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.size("nbrs")
+        )
+        walks = (
+            walks.join(adj, walks.cur == adj.src)
+            .select(
+                "start",
+                "w",
+                F.element_at("nbrs", (pick + 1).cast("int")).alias("cur"),
+                F.concat(
+                    "path", F.array(F.element_at("nbrs", (pick + 1).cast("int")))
+                ).alias("path"),
+            )
+        )
+    return walks.select(
+        "start",
+        F.col("w").cast("int").alias("walk_no"),
+        F.col("path").cast("array<bigint>").alias("path"),
+        F.col("cur").alias("end_node"),
+    ).orderBy("start", "walk_no")
+
+
+GRAPH_RANDOM_WALKS_SQL = f"""
+WITH
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+                          i -> w[i] || ' ' || w[i+1])) AS shingle
+    FROM w WHERE len(w) >= 2)
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+adj AS (SELECT src, list_sort(list(dst)) AS nbrs FROM edges GROUP BY src),
+w0 AS (
+  SELECT a.src AS start, t.w, a.src AS cur, [a.src] AS path
+  FROM adj a, (SELECT UNNEST(generate_series(0, {WALKS_PER_NODE - 1})) AS w) t
+),
+w1 AS (
+  SELECT start, w,
+         nbrs[CAST(('0x' || substr(md5(CAST(cur AS VARCHAR) || ':' || CAST(w AS VARCHAR) || ':0'), 1, 8))::BIGINT % len(nbrs) AS INT) + 1] AS cur,
+         list_append(path, nbrs[CAST(('0x' || substr(md5(CAST(cur AS VARCHAR) || ':' || CAST(w AS VARCHAR) || ':0'), 1, 8))::BIGINT % len(nbrs) AS INT) + 1]) AS path
+  FROM w0 JOIN adj ON w0.cur = adj.src
+),
+w2 AS (
+  SELECT start, w,
+         nbrs[CAST(('0x' || substr(md5(CAST(cur AS VARCHAR) || ':' || CAST(w AS VARCHAR) || ':1'), 1, 8))::BIGINT % len(nbrs) AS INT) + 1] AS cur,
+         list_append(path, nbrs[CAST(('0x' || substr(md5(CAST(cur AS VARCHAR) || ':' || CAST(w AS VARCHAR) || ':1'), 1, 8))::BIGINT % len(nbrs) AS INT) + 1]) AS path
+  FROM w1 JOIN adj ON w1.cur = adj.src
+),
+w3 AS (
+  SELECT start, w,
+         nbrs[CAST(('0x' || substr(md5(CAST(cur AS VARCHAR) || ':' || CAST(w AS VARCHAR) || ':2'), 1, 8))::BIGINT % len(nbrs) AS INT) + 1] AS cur,
+         list_append(path, nbrs[CAST(('0x' || substr(md5(CAST(cur AS VARCHAR) || ':' || CAST(w AS VARCHAR) || ':2'), 1, 8))::BIGINT % len(nbrs) AS INT) + 1]) AS path
+  FROM w2 JOIN adj ON w2.cur = adj.src
+)
+SELECT start, CAST(w AS INT) AS walk_no, path, cur AS end_node
+FROM w3 ORDER BY start, walk_no
+"""

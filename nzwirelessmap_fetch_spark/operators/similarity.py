@@ -1640,3 +1640,60 @@ WHERE cos >= {SEMDEDUP_TAU}
 GROUP BY cell, drop_cand
 ORDER BY cell, dropped_vec
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF recall evaluation against the exact top-k
+# ---------------------------------------------------------------------------
+
+def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the IVF index against the exact brute-force
+    top-{TOP_K} (§2.4 similarity — the eval loop every ANN deployment
+    runs before trusting an index; the IVF sibling of
+    dedup_lsh_quality_eval). Per query: how many of the true top-{TOP_K}
+    neighbors the probe-limited IVF search returned, as an integer-ppm
+    recall — the number that decides whether N_PROBE/{N_PROBE} cells is
+    enough or the index needs more probes.
+
+    Plan: both searches run their registered plans; the eval is a
+    query-keyed LEFT join of truth against the IVF result (≤
+    {TOP_K}·N_QUERIES rows — evaluation is free next to the searches).
+    """
+    truth = sim_topk_bruteforce(spark, sf_dir).select("q_id", "vec_id")
+    approx = sim_ivf(spark, sf_dir).select(
+        F.col("q_id").alias("aq"), F.col("vec_id").alias("av")
+    )
+    hits = (
+        truth.join(
+            approx,
+            (truth.q_id == F.col("aq")) & (truth.vec_id == F.col("av")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.col("av").isNotNull().cast("long")).alias("hits"),
+        )
+    )
+    return hits.select(
+        "q_id",
+        F.col("k").cast("int").alias("k"),
+        F.col("hits").cast("int").alias("hits"),
+        F.expr("hits * 1000000 div k").alias("recall_ppm"),
+    ).orderBy("q_id")
+
+
+SIM_IVF_RECALL_EVAL_SQL = f"""
+WITH truth AS ({SIM_TOPK_BRUTEFORCE_SQL}),
+approx AS ({SIM_IVF_SQL}),
+hits AS (
+  SELECT t.q_id, COUNT(*) AS k,
+         SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS hits
+  FROM truth t
+  LEFT JOIN approx a ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+  GROUP BY t.q_id
+)
+SELECT q_id, CAST(k AS INT) AS k, CAST(hits AS INT) AS hits,
+       hits * 1000000 // k AS recall_ppm
+FROM hits ORDER BY q_id
+"""

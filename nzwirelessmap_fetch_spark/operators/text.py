@@ -2089,3 +2089,118 @@ SELECT doc_id, n_words, stop_milli, distinct_milli,
             + (distinct_milli - 400) * 2 >= {QUALITY_LOGIT_THRESHOLD_MILLI} AS keep
 FROM scored
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed-ngram importance scoring (domain affinity)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+DSIR_TOPK = 50
+
+
+def corpus_dsir_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-n-gram importance scoring for targeted data selection —
+    the DSIR shape (Xie et al. 2023, public: score documents by how
+    their hashed-bigram distribution compares to a target domain's) with
+    an integer-exact scoring rule: bucket every word bigram into
+    {DSIR_BUCKETS} hash buckets, estimate each bucket's frequency in
+    ppm for the TARGET corpus (source 'src0', the same held-out split
+    the contamination screen uses) and the RAW corpus (everything else),
+    and score each raw document by the mean per-bigram ppm advantage
+    (Σ (target_ppm − raw_ppm)) div n_bigrams. Positive = looks like the
+    target domain; the top-{DSIR_TOPK} are what an importance-resampled
+    training mix pulls forward. (True DSIR uses log-likelihood ratios —
+    a transcendental the oracle cannot pin; the ppm-difference score
+    preserves the hashed-ngram plumbing and the ranking's integer
+    replayability.)
+
+    Plan: one bigram explode (map-side), ONE bucket-grain agg per corpus
+    ({DSIR_BUCKETS} rows — the "model" is a broadcast-sized table,
+    exactly DSIR's hashed parameterization), then scoring re-joins the
+    doc bigram stream to the tiny bucket table. Nothing corpus-sized
+    shuffles twice.
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = _words()
+    n_big = F.size(toks) - 1
+    bigrams = F.when(
+        n_big >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_big),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    posts = d.select(
+        "doc_id", "source", F.explode(bigrams).alias("bg")
+    ).select("doc_id", "source", (md5_long("bg") % DSIR_BUCKETS).alias("bucket"))
+    target = posts.filter(F.col("source") == BENCHMARK_SOURCE)
+    raw = posts.filter(F.col("source") != BENCHMARK_SOURCE)
+    t_tot = target.count()
+    r_tot = raw.count()
+    t_ppm = target.groupBy("bucket").agg(
+        F.expr(f"count(1) * 1000000 div {t_tot}").alias("t_ppm")
+    )
+    r_ppm = raw.groupBy("bucket").agg(
+        F.expr(f"count(1) * 1000000 div {r_tot}").alias("r_ppm")
+    )
+    model = (
+        t_ppm.join(r_ppm, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("t_ppm", F.lit(0)).alias("t_ppm"),
+            F.coalesce("r_ppm", F.lit(0)).alias("r_ppm"),
+        )
+    )
+    scored = (
+        raw.join(model, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.col("t_ppm") - F.col("r_ppm")).alias("adv_sum"),
+        )
+    )
+    # adv_sum can be NEGATIVE: integer div/// semantics differ across
+    # engines on negatives (truncate vs floor), so the mean uses an
+    # explicit IEEE divide + floor — exact here (|adv_sum| < 2^53)
+    return scored.select(
+        "doc_id",
+        F.col("n_bigrams").cast("int").alias("n_bigrams"),
+        F.floor(F.col("adv_sum") / F.col("n_bigrams")).cast("bigint").alias("affinity_ppm"),
+    ).orderBy(F.desc("affinity_ppm"), "doc_id").limit(DSIR_TOPK)
+
+
+CORPUS_DSIR_AFFINITY_SQL = f"""
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+posts AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(bg), 1, 8))::BIGINT % {DSIR_BUCKETS} AS BIGINT) AS bucket
+  FROM (SELECT doc_id, source,
+               unnest(list_transform(generate_series(1, len(w)-1),
+                      i -> w[i] || ' ' || w[i+1])) AS bg
+        FROM toks WHERE len(w) >= 2)
+),
+t AS (SELECT bucket, COUNT(*) AS c FROM posts WHERE source = '{BENCHMARK_SOURCE}' GROUP BY bucket),
+r AS (SELECT bucket, COUNT(*) AS c FROM posts WHERE source <> '{BENCHMARK_SOURCE}' GROUP BY bucket),
+tot AS (
+  SELECT (SELECT SUM(c) FROM t) AS t_tot, (SELECT SUM(c) FROM r) AS r_tot
+),
+model AS (
+  SELECT COALESCE(t.bucket, r.bucket) AS bucket,
+         COALESCE(t.c, 0) * 1000000 // t_tot AS t_ppm,
+         COALESCE(r.c, 0) * 1000000 // r_tot AS r_ppm
+  FROM t FULL JOIN r ON t.bucket = r.bucket, tot
+),
+scored AS (
+  SELECT p.doc_id, COUNT(*) AS n_bigrams,
+         SUM(m.t_ppm - m.r_ppm) AS adv_sum
+  FROM posts p JOIN model m USING (bucket)
+  WHERE p.source <> '{BENCHMARK_SOURCE}'
+  GROUP BY p.doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams,
+       CAST(FLOOR(CAST(adv_sum AS DOUBLE) / n_bigrams) AS BIGINT) AS affinity_ppm
+FROM scored
+ORDER BY affinity_ppm DESC, doc_id
+LIMIT {DSIR_TOPK}
+"""

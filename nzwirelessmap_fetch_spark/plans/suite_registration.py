@@ -650,3 +650,17 @@ registry.register(
 )
 registry.register("events_ar1_fit", _st.events_ar1_fit, _st.EVENTS_AR1_FIT_SQL)
 registry.register("corpus_semdedup", _sim.corpus_semdedup, _sim.CORPUS_SEMDEDUP_SQL)
+registry.register(
+    "graph_random_walks", _gr.graph_random_walks, _gr.GRAPH_RANDOM_WALKS_SQL
+)
+registry.register(
+    "sim_ivf_recall_eval", _sim.sim_ivf_recall_eval, _sim.SIM_IVF_RECALL_EVAL_SQL
+)
+registry.register(
+    "stream_complete_totals",
+    _es.stream_complete_totals,
+    _es.STREAM_COMPLETE_TOTALS_SQL,
+)
+registry.register(
+    "corpus_dsir_affinity", _tx.corpus_dsir_affinity, _tx.CORPUS_DSIR_AFFINITY_SQL
+)

@@ -821,3 +821,40 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
                   AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE AND c.c_ts <= p.p_ts)
   AND p.p_ts <= wm.w
 """
+
+
+def stream_complete_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-output-mode streaming aggregation — the third output-mode
+    member (append covers finalized windows, update covers foreachBatch;
+    COMPLETE re-emits the ENTIRE result table every micro-batch, the
+    mode live dashboards consume). Running per-type totals with no
+    watermark: complete mode keeps all groups in state by design, which
+    is exactly why it is reserved for small-cardinality aggregates —
+    the |event-types|-row state here is the legitimate use, and the
+    anti-pattern (complete mode over an unbounded key) is what the
+    append-mode operators exist to avoid.
+
+    With a bounded input the final emission equals the batch aggregate —
+    the oracle states it directly.
+    """
+    agg = (
+        _event_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    out = _run_to_completion(agg, spark, mode="complete")
+    return out.orderBy("event_type")
+
+
+STREAM_COMPLETE_TOTALS_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

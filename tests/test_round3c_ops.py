@@ -305,3 +305,81 @@ def test_semdedup_drop_rules(spark):
             # rep itself dropped ⇒ its own rep is even smaller
             rep_row = next(x for x in rows if x.dropped_vec == r.kept_rep)
             assert rep_row.kept_rep < r.kept_rep
+
+
+def test_random_walks_follow_edges(spark):
+    from nzwirelessmap_fetch_spark.operators.dedup import _jaccard_edges
+    from nzwirelessmap_fetch_spark.operators.graph import (
+        WALK_LENGTH,
+        WALKS_PER_NODE,
+        graph_random_walks,
+    )
+
+    edges = {
+        (r.doc_a, r.doc_b)
+        for r in _jaccard_edges(spark, SF_SMOKE).collect()
+    }
+    sym = edges | {(b, a) for a, b in edges}
+    walks = graph_random_walks(spark, SF_SMOKE).collect()
+    nodes = {a for a, _ in sym}
+    assert len(walks) == len(nodes) * WALKS_PER_NODE
+    for r in walks:
+        assert len(r.path) == WALK_LENGTH + 1
+        assert r.path[0] == r.start and r.path[-1] == r.end_node
+        for u, v in zip(r.path, r.path[1:]):
+            assert (u, v) in sym  # every hop is a real edge
+    # determinism: a second run yields the identical corpus
+    again = graph_random_walks(spark, SF_SMOKE).collect()
+    assert [(r.start, r.walk_no, r.path) for r in walks] == [
+        (r.start, r.walk_no, r.path) for r in again
+    ]
+
+
+def test_ivf_recall_bounds(spark):
+    from nzwirelessmap_fetch_spark.operators.similarity import (
+        TOP_K,
+        sim_ivf_recall_eval,
+    )
+
+    rows = sim_ivf_recall_eval(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.hits <= r.k <= TOP_K
+        assert r.recall_ppm == r.hits * 1_000_000 // r.k
+
+
+def test_complete_mode_equals_batch(spark):
+    from nzwirelessmap_fetch_spark.streaming.events_stream import (
+        stream_complete_totals,
+    )
+
+    got = {r.event_type: r.n for r in stream_complete_totals(spark, SF_SMOKE).collect()}
+    want = {
+        r.event_type: r.n
+        for r in Catalog(spark, SF_SMOKE)
+        .table("events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_dsir_affinity_excludes_target_and_is_ranked(spark):
+    from nzwirelessmap_fetch_spark.operators.text import (
+        BENCHMARK_SOURCE,
+        corpus_dsir_affinity,
+    )
+
+    rows = corpus_dsir_affinity(spark, SF_SMOKE).collect()
+    assert rows
+    target_ids = {
+        r.doc_id
+        for r in Catalog(spark, SF_SMOKE)
+        .table("documents")
+        .filter(F.col("source") == BENCHMARK_SOURCE)
+        .collect()
+    }
+    assert not ({r.doc_id for r in rows} & target_ids)
+    scores = [r.affinity_ppm for r in rows]
+    assert scores == sorted(scores, reverse=True)
