@@ -2473,3 +2473,171 @@ SELECT event_type, n_pairs,
             AS DECIMAL(18,6)) AS DOUBLE) AS r2
 FROM d ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Full pairwise correlation matrix in one pass
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation MATRIX of lineitem's four numeric
+    columns (§2.3 stats — the feature-screening step before any
+    modeling: which raw signals are redundant). agg_stats_moments pins
+    one pair; this computes all C(4,2)=6 in ONE scan — 4 sums, 4
+    squared sums, 6 cross sums, all exact decimals, then each corr is
+    the shared IEEE expression over exact values. The naive per-pair
+    loop is 6 scans; at 100 TB one-pass moment collection is the
+    difference between a screening query and six.
+
+    Output is the upper triangle as rows (col_a < col_b) — the tidy
+    form downstream tooling joins against.
+    """
+    li = Catalog(spark, sf_dir).table("lineitem")
+    d = {c: F.col(c).cast("decimal(18,2)") for c in _CORR_COLS}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(d[c]).alias(f"s_{c}"))
+        aggs.append(F.sum((d[c] * d[c]).cast("decimal(38,4)")).alias(f"ss_{c}"))
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum((d[a] * d[b]).cast("decimal(38,4)")).alias(f"sx_{a}_{b}"))
+    sums = li.agg(*aggs)
+    n = F.col("n").cast("double")
+
+    def corr(a: str, b: str) -> Column:
+        sa = F.col(f"s_{a}").cast("double")
+        sb = F.col(f"s_{b}").cast("double")
+        qa = F.col(f"ss_{a}").cast("double")
+        qb = F.col(f"ss_{b}").cast("double")
+        sab = F.col(f"sx_{a}_{b}").cast("double")
+        cov = sab - sa * sb / n
+        return cov / F.sqrt((qa - sa * sa / n) * (qb - sb * sb / n))
+
+    rows = [
+        F.struct(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+            _pin(corr(a, b)).alias("pearson_r"),
+        )
+        for a, b in pairs
+    ]
+    return (
+        sums.select(F.explode(F.array(*rows)).alias("r"), "n")
+        .select("r.col_a", "r.col_b", "r.pearson_r", F.col("n").alias("n_rows"))
+        .orderBy("col_a", "col_b")
+    )
+
+
+def _corr_matrix_sql() -> str:
+    cols = _CORR_COLS
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    sums = ["COUNT(*) AS n"]
+    for c in cols:
+        sums.append(f"SUM(CAST({c} AS DECIMAL(18,2))) AS s_{c}")
+        sums.append(
+            f"SUM(CAST(CAST({c} AS DECIMAL(18,2)) * CAST({c} AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS ss_{c}"
+        )
+    for a, b in pairs:
+        sums.append(
+            f"SUM(CAST(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sx_{a}_{b}"
+        )
+    branches = []
+    for a, b in pairs:
+        e = (
+            f"(CAST(sx_{a}_{b} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE) / CAST(n AS DOUBLE))"
+            f" / sqrt((CAST(ss_{a} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE) / CAST(n AS DOUBLE))"
+            f" * (CAST(ss_{b} AS DOUBLE) - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE) / CAST(n AS DOUBLE)))"
+        )
+        branches.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+            f" CAST(CAST({e} AS DECIMAL(18,6)) AS DOUBLE) AS pearson_r,"
+            f" CAST(n AS BIGINT) AS n_rows FROM sums"
+        )
+    return (
+        "WITH sums AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(branches)
+        + "\nORDER BY col_a, col_b"
+    )
+
+
+AGG_CORR_MATRIX_SQL = _corr_matrix_sql()
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase interval (inter-order gap median per segment)
+# ---------------------------------------------------------------------------
+
+def orders_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median days between a customer's consecutive orders, per market
+    segment (§2.3 — the repeat-purchase cadence metric behind
+    replenishment forecasting and churn alarms; the per-customer twin of
+    events_retention's cohort view).
+
+    Exactness: gaps are integer days — epoch-µs difference floor-divided
+    on BOTH engines (positive values, so div/// agree) — and the segment
+    median is the LOWER-median order statistic over the integer gaps,
+    picked by rank. Plan: one customer-keyed window (lag) on the orders
+    grain, a broadcast-sized customer→segment join, then the median
+    rank windows run per segment over |gaps| rows.
+    """
+    o = Catalog(spark, sf_dir).table("orders")
+    c = Catalog(spark, sf_dir).table("customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("prev_dt", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_dt").isNotNull())
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.expr(
+                "(unix_micros(o_orderdate) - unix_micros(prev_dt)) div 86400000000"
+            ).alias("gap_days"),
+        )
+        .join(c, F.col("o_custkey") == c.c_custkey)
+    )
+    w_rk = Window.partitionBy("c_mktsegment").orderBy("gap_days", "o_orderkey")
+    w_all = Window.partitionBy("c_mktsegment")
+    return (
+        gaps.withColumn("rk", F.row_number().over(w_rk))
+        .withColumn("cnt", F.count(F.lit(1)).over(w_all))
+        .filter(F.expr("rk = (cnt + 1) div 2"))
+        .select(
+            "c_mktsegment",
+            F.col("gap_days").alias("median_gap_days"),
+            F.col("cnt").alias("n_gaps"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORDERS_REPEAT_PURCHASE_INTERVAL_SQL = """
+WITH gaps AS (
+  SELECT o_custkey, o_orderkey,
+         (epoch_us(o_orderdate) - epoch_us(prev_dt)) // 86400000000 AS gap_days
+  FROM (
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS prev_dt
+    FROM orders)
+  WHERE prev_dt IS NOT NULL
+),
+seg AS (
+  SELECT g.*, c.c_mktsegment
+  FROM gaps g JOIN customer c ON g.o_custkey = c.c_custkey
+),
+ranked AS (
+  SELECT c_mktsegment, gap_days, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY gap_days, o_orderkey) AS rk,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS cnt
+  FROM seg
+)
+SELECT c_mktsegment, gap_days AS median_gap_days, cnt AS n_gaps
+FROM ranked
+WHERE rk = (cnt + 1) // 2
+ORDER BY c_mktsegment
+"""

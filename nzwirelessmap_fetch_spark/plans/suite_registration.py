@@ -664,3 +664,9 @@ registry.register(
 registry.register(
     "corpus_dsir_affinity", _tx.corpus_dsir_affinity, _tx.CORPUS_DSIR_AFFINITY_SQL
 )
+registry.register("agg_corr_matrix", _st.agg_corr_matrix, _st.AGG_CORR_MATRIX_SQL)
+registry.register(
+    "orders_repeat_purchase_interval",
+    _st.orders_repeat_purchase_interval,
+    _st.ORDERS_REPEAT_PURCHASE_INTERVAL_SQL,
+)

@@ -383,3 +383,25 @@ def test_dsir_affinity_excludes_target_and_is_ranked(spark):
     assert not ({r.doc_id for r in rows} & target_ids)
     scores = [r.affinity_ppm for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_corr_matrix_bounds_and_symmetric_inputs(spark):
+    from nzwirelessmap_fetch_spark.plans.stats import _CORR_COLS, agg_corr_matrix
+
+    rows = agg_corr_matrix(spark, SF_SMOKE).collect()
+    assert len(rows) == len(_CORR_COLS) * (len(_CORR_COLS) - 1) // 2
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.pearson_r <= 1.0 + 1e-9
+        # upper triangle in declaration order, never a self-pair
+        assert _CORR_COLS.index(r.col_a) < _CORR_COLS.index(r.col_b)
+        assert r.n_rows > 0
+
+
+def test_repeat_purchase_interval_median(spark):
+    from nzwirelessmap_fetch_spark.plans.stats import orders_repeat_purchase_interval
+
+    rows = orders_repeat_purchase_interval(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.median_gap_days >= 0
+        assert r.n_gaps > 0
