@@ -670,3 +670,8 @@ registry.register(
     _st.orders_repeat_purchase_interval,
     _st.ORDERS_REPEAT_PURCHASE_INTERVAL_SQL,
 )
+registry.register(
+    "stream_update_mode_counts",
+    _es.stream_update_mode_counts,
+    _es.STREAM_UPDATE_MODE_COUNTS_SQL,
+)

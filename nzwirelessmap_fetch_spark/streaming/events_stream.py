@@ -858,3 +858,39 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE-output-mode streaming aggregation — completing the output-
+    mode triple (append: watermark-finalized only; complete: full table
+    re-emission; UPDATE: only the groups whose value CHANGED this
+    micro-batch — the mode incremental dashboards and changelog sinks
+    consume, and the smallest-write option when few keys move per
+    batch). Per-type event counts, no watermark: update mode emits each
+    touched group's new value every batch.
+
+    Determinism with a bounded single-file input: one data micro-batch
+    touches every group exactly once (plus a no-op finalization batch),
+    so the memory sink holds each group's final value once — equal to
+    the batch aggregate, which the oracle states directly. A multi-file
+    arrival order would interleave intermediate values; the FINAL state
+    per group is order-independent either way.
+    """
+    agg = (
+        _event_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("first_ts"),
+        )
+    )
+    out = _run_to_completion(agg, spark, mode="update")
+    return out.orderBy("event_type")
+
+
+STREAM_UPDATE_MODE_COUNTS_SQL = """
+SELECT event_type, COUNT(*) AS n, MIN(ts) AS first_ts
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

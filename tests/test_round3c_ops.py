@@ -405,3 +405,20 @@ def test_repeat_purchase_interval_median(spark):
     for r in rows:
         assert r.median_gap_days >= 0
         assert r.n_gaps > 0
+
+
+def test_update_mode_equals_batch(spark):
+    from nzwirelessmap_fetch_spark.streaming.events_stream import (
+        stream_update_mode_counts,
+    )
+
+    got = {r.event_type: r.n for r in stream_update_mode_counts(spark, SF_SMOKE).collect()}
+    want = {
+        r.event_type: r.n
+        for r in Catalog(spark, SF_SMOKE)
+        .table("events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
