@@ -1697,3 +1697,144 @@ SELECT q_id, CAST(k AS INT) AS k, CAST(hits AS INT) AS hits,
        hits * 1000000 // k AS recall_ppm
 FROM hits ORDER BY q_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Graph-based ANN: greedy best-neighbor search over the kNN graph
+# ---------------------------------------------------------------------------
+
+GREEDY_HOPS = 3
+
+
+def sim_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-traversal ANN (§2.4 similarity — the THIRD index family
+    next to hashing (LSH) and partitioning (IVF); the navigable-graph
+    idea underlying HNSW/NSG, reduced to its deterministic core): build
+    the directed top-{K_NN} neighbor graph from the verified LSH pair
+    stream, then answer each query by GREEDY DESCENT — start at a fixed
+    entry node (the smallest graph node id) and repeatedly hop to the
+    neighbor most similar to the query, {GREEDY_HOPS} unrolled hops,
+    tracking the best node seen. A real HNSW adds layered entry points
+    and beam width; the plan shape (frontier ⋈ adjacency ⋈ vectors per
+    hop — frontier-sized, never corpus-sized) is identical, which is
+    what matters at 100 TB: search cost is hops × degree, independent
+    of corpus size once the graph is built.
+
+    Determinism: hop argmax pins (cos DESC, id ASC); the oracle unrolls
+    the same hops over the same graph.
+    """
+    e = Catalog(spark, sf_dir).table("embeddings")
+    pairs = sim_lsh_banded(spark, sf_dir)
+    sym = pairs.select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b"), "cos"
+    ).union(pairs.select(F.col("vec_b").alias("a"), F.col("vec_a").alias("b"), "cos"))
+    w = Window.partitionBy("a").orderBy(F.desc("cos"), F.asc("b"))
+    adj = (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K_NN)
+        .groupBy("a")
+        .agg(F.collect_set("b").alias("nbrs"))
+        .persist()
+    )
+    entry = adj.agg(F.min("a").alias("cur"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    ecur = e.select(F.col("vec_id").alias("cur"), F.col("embedding").alias("cur_emb"))
+    state = (
+        q.crossJoin(F.broadcast(entry))
+        .join(ecur, "cur")
+        .select(
+            "q_id",
+            "q_emb",
+            "cur",
+            cosine(F.col("q_emb"), F.col("cur_emb")).alias("best_cos"),
+            F.col("cur").alias("best_node"),
+        )
+    )
+    for _ in range(GREEDY_HOPS):
+        cands = (
+            state.join(adj, state.cur == adj.a)
+            .select(
+                "q_id", "q_emb", "best_cos", "best_node",
+                F.explode("nbrs").alias("cand"),
+            )
+            .join(
+                e.select(F.col("vec_id").alias("cand"), F.col("embedding").alias("cand_emb")),
+                "cand",
+            )
+            .withColumn("ccos", cosine(F.col("q_emb"), F.col("cand_emb")))
+        )
+        best = F.max(F.struct(F.col("ccos").alias("c"), (-F.col("cand")).alias("ni")))
+        state = (
+            cands.groupBy("q_id")
+            .agg(
+                F.first("q_emb").alias("q_emb"),
+                F.first("best_cos").alias("old_cos"),
+                F.first("best_node").alias("old_node"),
+                best.alias("b"),
+            )
+            .select(
+                "q_id",
+                "q_emb",
+                (-F.col("b.ni")).alias("cur"),
+                F.when(F.col("b.c") > F.col("old_cos"), F.col("b.c"))
+                .otherwise(F.col("old_cos"))
+                .alias("best_cos"),
+                F.when(F.col("b.c") > F.col("old_cos"), -F.col("b.ni"))
+                .otherwise(F.col("old_node"))
+                .alias("best_node"),
+            )
+        )
+    return state.select("q_id", "best_node", "best_cos").orderBy("q_id")
+
+
+def _greedy_hop_sql(k: int) -> str:
+    return f"""
+h{k} AS (
+  SELECT q_id, q_emb, cur, best_cos, best_node FROM (
+    SELECT s.q_id, s.q_emb,
+           c.b AS cand,
+           {_DDB_COS.format(a='s.q_emb', b='eb.embedding')} AS ccos,
+           s.best_cos AS old_cos, s.best_node AS old_node,
+           ROW_NUMBER() OVER (PARTITION BY s.q_id ORDER BY
+             {_DDB_COS.format(a='s.q_emb', b='eb.embedding')} DESC, c.b ASC) AS rn
+    FROM h{k - 1} s
+    JOIN adj_edges c ON c.a = s.cur
+    JOIN embeddings eb ON eb.vec_id = c.b
+  ) t,
+  LATERAL (SELECT t.cand AS cur,
+                  CASE WHEN t.ccos > t.old_cos THEN t.ccos ELSE t.old_cos END AS best_cos,
+                  CASE WHEN t.ccos > t.old_cos THEN t.cand ELSE t.old_node END AS best_node) u
+  WHERE rn = 1
+)"""
+
+
+SIM_GRAPH_GREEDY_SEARCH_SQL = (
+    f"""
+WITH {_BANDED_CTES},
+sym AS (
+  SELECT vec_a AS a, vec_b AS b, cos FROM banded_pairs
+  UNION ALL
+  SELECT vec_b AS a, vec_a AS b, cos FROM banded_pairs
+),
+adj_edges AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b,
+           ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos DESC, b ASC) AS rk
+    FROM sym) WHERE rk <= {K_NN}
+),
+entry AS (SELECT MIN(a) AS cur FROM adj_edges),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}),
+h0 AS (
+  SELECT q.q_id, q.q_emb, entry.cur,
+         {_DDB_COS.format(a='q.q_emb', b='ec.embedding')} AS best_cos,
+         entry.cur AS best_node
+  FROM q, entry
+  JOIN embeddings ec ON ec.vec_id = entry.cur
+),"""
+    + ",".join(_greedy_hop_sql(k) for k in range(1, GREEDY_HOPS + 1))
+    + f"""
+SELECT q_id, best_node, best_cos FROM h{GREEDY_HOPS} ORDER BY q_id
+"""
+)

@@ -675,3 +675,8 @@ registry.register(
     _es.stream_update_mode_counts,
     _es.STREAM_UPDATE_MODE_COUNTS_SQL,
 )
+registry.register(
+    "sim_graph_greedy_search",
+    _sim.sim_graph_greedy_search,
+    _sim.SIM_GRAPH_GREEDY_SEARCH_SQL,
+)

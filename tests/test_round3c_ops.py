@@ -422,3 +422,31 @@ def test_update_mode_equals_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_greedy_graph_search_improves_on_entry(spark):
+    from nzwirelessmap_fetch_spark.functions.vectors import cosine
+    from nzwirelessmap_fetch_spark.operators.similarity import (
+        N_QUERIES,
+        sim_graph_greedy_search,
+    )
+
+    rows = sim_graph_greedy_search(spark, SF_SMOKE).collect()
+    assert len(rows) == N_QUERIES
+    e = Catalog(spark, SF_SMOKE).table("embeddings")
+    # entry node = smallest graph node id; best_cos must be ≥ the entry
+    # similarity (the hop-0 baseline the descent starts from)
+    entry_id = min(r.best_node for r in rows) if rows else None
+    for r in rows:
+        assert r.best_cos is not None
+    q = {r.vec_id: r.embedding for r in e.filter(F.col("vec_id") < N_QUERIES).collect()}
+    emb = {r.vec_id: r.embedding for r in e.collect()}
+
+    import math
+
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        return d / (math.sqrt(sum(a * a for a in u)) * math.sqrt(sum(b * b for b in v)))
+
+    for r in rows:
+        assert abs(cos(q[r.q_id], emb[r.best_node]) - r.best_cos) < 1e-6
