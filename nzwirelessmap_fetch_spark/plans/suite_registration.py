@@ -48,7 +48,7 @@ registry.register(
     "multimodal_audio_energy", _mm.multimodal_audio_energy, _mm.MULTIMODAL_AUDIO_ENERGY_SQL
 )
 
-# 6–12 — structured streaming (same round-1 rationale)
+# 6–12 — structured streaming (same round-1 rationale) + CEP
 registry.register("stream_windowed_counts", _es.stream_windowed_counts, _es.STREAM_WINDOWED_COUNTS_SQL)
 registry.register("stream_stream_join", _es.stream_stream_join, _es.STREAM_STREAM_JOIN_SQL)
 registry.register("stream_dedup_events", _es.stream_dedup_events, _es.STREAM_DEDUP_EVENTS_SQL)
@@ -63,7 +63,11 @@ registry.register(
     _es.STREAM_STATEFUL_USER_STATS_SQL,
 )
 registry.register("stream_sliding_counts", _es.stream_sliding_counts, _es.STREAM_SLIDING_COUNTS_SQL)
-registry.register("stream_cms_cells", _es.stream_cms_cells, _es.STREAM_CMS_CELLS_SQL)
+# CEP pattern matching replaces the CMS cells slot here (sketches stay
+# repped by agg_approx_distinct); stream_cms_cells re-registers below the cut
+registry.register(
+    "events_pattern_match", _ea.events_pattern_match, _ea.EVENTS_PATTERN_MATCH_SQL
+)
 registry.register(
     "stream_windowed_distinct",
     _es.stream_windowed_distinct,
@@ -76,11 +80,16 @@ registry.register("agg_approx_distinct", _r.agg_approx_distinct, _r.AGG_APPROX_D
 registry.register("agg_rollup", _r.agg_rollup, _r.AGG_ROLLUP_SQL)
 registry.register("agg_pivot", _r.agg_pivot, _r.AGG_PIVOT_SQL)
 
-# 17–20 — join family: semi, theta/range, skew-salted, full outer
+# 17–20 — join family (semi, theta/range, skew-salted) + the
+# data-quality/replica-validation rep
 registry.register("join_semi", _r.join_semi, _r.JOIN_SEMI_SQL)
 registry.register("join_range", _r.join_range, _r.JOIN_RANGE_SQL)
 registry.register("join_skew_salted", _r.join_skew_salted, _r.JOIN_SKEW_SALTED_SQL)
-registry.register("join_full_outer", _r.join_full_outer, _r.JOIN_FULL_OUTER_SQL)
+# data-quality / replica-validation family rep (previously absent from
+# the driver-checked 50); join_full_outer re-registers below the cut
+registry.register(
+    "table_merkle_checksum", _sk.table_merkle_checksum, _sk.TABLE_MERKLE_CHECKSUM_SQL
+)
 
 # 21 — set operations
 registry.register("set_ops", _r.set_ops, _r.SET_OPS_SQL)
@@ -597,9 +606,6 @@ registry.register(
     _ea.EVENTS_AUDIENCE_OVERLAP_SQL,
 )
 
-registry.register(
-    "table_merkle_checksum", _sk.table_merkle_checksum, _sk.TABLE_MERKLE_CHECKSUM_SQL
-)
 registry.register("graph_hits", _gr.graph_hits, _gr.GRAPH_HITS_SQL)
 registry.register(
     "embedding_knn_outliers",
@@ -633,9 +639,6 @@ registry.register(
 )
 registry.register(
     "agg_weighted_median", _st.agg_weighted_median, _st.AGG_WEIGHTED_MEDIAN_SQL
-)
-registry.register(
-    "events_pattern_match", _ea.events_pattern_match, _ea.EVENTS_PATTERN_MATCH_SQL
 )
 registry.register(
     "agg_percentile_cont", _st.agg_percentile_cont, _st.AGG_PERCENTILE_CONT_SQL
@@ -680,3 +683,5 @@ registry.register(
     _sim.sim_graph_greedy_search,
     _sim.SIM_GRAPH_GREEDY_SEARCH_SQL,
 )
+registry.register("stream_cms_cells", _es.stream_cms_cells, _es.STREAM_CMS_CELLS_SQL)
+registry.register("join_full_outer", _r.join_full_outer, _r.JOIN_FULL_OUTER_SQL)
