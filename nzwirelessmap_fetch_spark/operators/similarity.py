@@ -1838,3 +1838,126 @@ h0 AS (
 SELECT q_id, best_node, best_cos FROM h{GREEDY_HOPS} ORDER BY q_id
 """
 )
+
+
+BEAM_WIDTH = 3
+
+
+def sim_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam search over the kNN graph — the production refinement of
+    ``sim_graph_greedy_search`` (greedy descent gets stuck on the first
+    local maximum; HNSW's actual search keeps an ef-width frontier).
+    Per hop: expand EVERY frontier node's neighbors, score against the
+    query, keep the top-{BEAM_WIDTH} DISTINCT candidates as the next
+    frontier (rank pinned by cos DESC, id ASC), and return each query's
+    best node seen across all hops. Same cost model as greedy ×
+    beam width — still corpus-size-independent after the graph build.
+
+    Plan per hop: frontier ⋈ adjacency (explode) ⋈ vectors, one
+    per-query rank window over ≤ B·K candidates — tiny. The frontier
+    dedup (a node reached via two paths) is part of the hop's groupBy,
+    which is what keeps the beam from collapsing to duplicates.
+    """
+    e = Catalog(spark, sf_dir).table("embeddings")
+    pairs = sim_lsh_banded(spark, sf_dir)
+    sym = pairs.select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b"), "cos"
+    ).union(pairs.select(F.col("vec_b").alias("a"), F.col("vec_a").alias("b"), "cos"))
+    w = Window.partitionBy("a").orderBy(F.desc("cos"), F.asc("b"))
+    adj = (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K_NN)
+        .groupBy("a")
+        .agg(F.collect_set("b").alias("nbrs"))
+        .persist()
+    )
+    entry = adj.agg(F.min("a").alias("node"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    frontier = (
+        q.crossJoin(F.broadcast(entry))
+        .join(e.select(F.col("vec_id").alias("node"), F.col("embedding").alias("n_emb")), "node")
+        .select("q_id", "q_emb", "node", cosine(F.col("q_emb"), F.col("n_emb")).alias("cos"))
+    )
+    for _ in range(GREEDY_HOPS):
+        expanded = (
+            frontier.join(adj, frontier.node == adj.a)
+            .select("q_id", "q_emb", F.explode("nbrs").alias("node"))
+            .union(frontier.select("q_id", "q_emb", "node"))
+            .distinct()
+            .join(
+                e.select(F.col("vec_id").alias("node"), F.col("embedding").alias("n_emb")),
+                "node",
+            )
+            .withColumn("cos", cosine(F.col("q_emb"), F.col("n_emb")))
+        )
+        wq = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("node"))
+        # eager checkpoint: the frontier is ≤ N_QUERIES·BEAM_WIDTH rows,
+        # but an un-truncated 3-hop unroll re-derives the whole LSH pair
+        # build inside every hop's window (the power-iteration lineage
+        # lesson, PLANS.md) — measured 20 s → ~12 s at sf0.01
+        frontier = (
+            expanded.withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= BEAM_WIDTH)
+            .select("q_id", "q_emb", "node", "cos")
+            .localCheckpoint(eager=True)
+        )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("node"))
+    return (
+        frontier.withColumn("rk", F.row_number().over(wq).cast("int"))
+        .select("q_id", F.col("node").alias("best_node"), F.col("cos").alias("best_cos"), "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+def _beam_hop_sql(k: int) -> str:
+    return f"""
+f{k} AS (
+  SELECT q_id, q_emb, node, cos FROM (
+    SELECT c.q_id, c.q_emb, c.node,
+           {_DDB_COS.format(a='c.q_emb', b='en.embedding')} AS cos,
+           ROW_NUMBER() OVER (PARTITION BY c.q_id ORDER BY
+             {_DDB_COS.format(a='c.q_emb', b='en.embedding')} DESC, c.node ASC) AS rk
+    FROM (
+      SELECT DISTINCT q_id, q_emb, node FROM (
+        SELECT s.q_id, s.q_emb, ae.b AS node
+        FROM f{k - 1} s JOIN adj_edges ae ON ae.a = s.node
+        UNION
+        SELECT q_id, q_emb, node FROM f{k - 1})
+    ) c
+    JOIN embeddings en ON en.vec_id = c.node
+  ) WHERE rk <= {BEAM_WIDTH}
+)"""
+
+
+SIM_GRAPH_BEAM_SEARCH_SQL = (
+    f"""
+WITH {_BANDED_CTES},
+sym AS (
+  SELECT vec_a AS a, vec_b AS b, cos FROM banded_pairs
+  UNION ALL
+  SELECT vec_b AS a, vec_a AS b, cos FROM banded_pairs
+),
+adj_edges AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b,
+           ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos DESC, b ASC) AS rk
+    FROM sym) WHERE rk <= {K_NN}
+),
+entry AS (SELECT MIN(a) AS node FROM adj_edges),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}),
+f0 AS (
+  SELECT q.q_id, q.q_emb, entry.node,
+         {_DDB_COS.format(a='q.q_emb', b='ec.embedding')} AS cos
+  FROM q, entry JOIN embeddings ec ON ec.vec_id = entry.node
+),"""
+    + ",".join(_beam_hop_sql(k) for k in range(1, GREEDY_HOPS + 1))
+    + f"""
+SELECT q_id, node AS best_node, cos AS best_cos, CAST(rk AS INT) AS rk FROM (
+  SELECT q_id, node, cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, node ASC) AS rk
+  FROM f{GREEDY_HOPS})
+ORDER BY q_id, rk
+"""
+)

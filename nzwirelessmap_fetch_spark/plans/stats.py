@@ -2641,3 +2641,118 @@ FROM ranked
 WHERE rk = (cnt + 1) // 2
 ORDER BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# ABC class migration between two periods
+# ---------------------------------------------------------------------------
+
+ABC_PERIOD_SPLIT = "1998-01-01"  # period 1 before, period 2 from here
+
+
+def parts_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC class MIGRATION matrix (§2.3 — the period-over-period follow-up
+    to parts_pareto_abc every inventory review runs: which parts moved
+    between A/B/C classes, and how much revenue moved with them).
+    Classes are computed independently per period with the identical
+    prev-cumulative-share rule, FULL-joined on part (a part absent from
+    a period classifies as '-'), then rolled up to the 4×4 transition
+    matrix with revenue deltas.
+
+    Exactness: the per-period classifier is the pareto_abc integer-ppm
+    pipeline verbatim; the migration rollup is counts and cent sums.
+    Plan: two part-keyed aggs (one per period — a single scan splits via
+    conditional aggregation), two dimension-sized rank windows, one
+    part-keyed full join, one 16-row rollup.
+    """
+    li = Catalog(spark, sf_dir).table("lineitem")
+    split = F.to_timestamp(F.lit(ABC_PERIOD_SPLIT))
+    cents = F.col("l_extendedprice").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    rev = li.groupBy("l_partkey").agg(
+        (F.sum(F.when(F.col("l_shipdate") < split, cents).otherwise(zero)) * 100)
+        .cast("long")
+        .alias("rev1"),
+        (F.sum(F.when(F.col("l_shipdate") >= split, cents).otherwise(zero)) * 100)
+        .cast("long")
+        .alias("rev2"),
+    )
+
+    def classify(col: str) -> DataFrame:
+        period = rev.filter(F.col(col) > 0).select("l_partkey", F.col(col).alias("rc"))
+        total = period.agg(F.sum("rc").alias("tot"))
+        w = Window.orderBy(F.desc("rc"), F.asc("l_partkey"))
+        w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ranked = (
+            period.crossJoin(F.broadcast(total))
+            .withColumn("cum", F.sum("rc").over(w_cum))
+            .withColumn("prev_ppm", F.expr("(cum - rc) * 1000000 div greatest(tot, 1)"))
+        )
+        cls = (
+            F.when(F.col("prev_ppm") < 800000, "A")
+            .when(F.col("prev_ppm") < 950000, "B")
+            .otherwise("C")
+        )
+        return ranked.select("l_partkey", cls.alias(f"cls_{col}"), F.col("rc").alias(f"c_{col}"))
+
+    p1 = classify("rev1")
+    p2 = classify("rev2")
+    joined = p1.join(p2, "l_partkey", "full").select(
+        F.coalesce("cls_rev1", F.lit("-")).alias("class_p1"),
+        F.coalesce("cls_rev2", F.lit("-")).alias("class_p2"),
+        F.coalesce("c_rev1", F.lit(0)).alias("c1"),
+        F.coalesce("c_rev2", F.lit(0)).alias("c2"),
+    )
+    return (
+        joined.groupBy("class_p1", "class_p2")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("c1").alias("rev_p1_cents"),
+            F.sum("c2").alias("rev_p2_cents"),
+        )
+        .orderBy("class_p1", "class_p2")
+    )
+
+
+ABC_MIGRATION_SQL = f"""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '{ABC_PERIOD_SPLIT} 00:00:00'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS rev1,
+         CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '{ABC_PERIOD_SPLIT} 00:00:00'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS rev2
+  FROM lineitem GROUP BY l_partkey
+),
+p1 AS (
+  SELECT l_partkey,
+         CASE WHEN prev_ppm < 800000 THEN 'A'
+              WHEN prev_ppm < 950000 THEN 'B' ELSE 'C' END AS cls,
+         rc
+  FROM (
+    SELECT l_partkey, rc,
+           (SUM(rc) OVER (ORDER BY rc DESC, l_partkey ASC ROWS UNBOUNDED PRECEDING) - rc)
+             * 1000000 // GREATEST(SUM(rc) OVER (), 1) AS prev_ppm
+    FROM (SELECT l_partkey, rev1 AS rc FROM rev WHERE rev1 > 0))
+),
+p2 AS (
+  SELECT l_partkey,
+         CASE WHEN prev_ppm < 800000 THEN 'A'
+              WHEN prev_ppm < 950000 THEN 'B' ELSE 'C' END AS cls,
+         rc
+  FROM (
+    SELECT l_partkey, rc,
+           (SUM(rc) OVER (ORDER BY rc DESC, l_partkey ASC ROWS UNBOUNDED PRECEDING) - rc)
+             * 1000000 // GREATEST(SUM(rc) OVER (), 1) AS prev_ppm
+    FROM (SELECT l_partkey, rev2 AS rc FROM rev WHERE rev2 > 0))
+)
+SELECT COALESCE(p1.cls, '-') AS class_p1,
+       COALESCE(p2.cls, '-') AS class_p2,
+       COUNT(*) AS n_parts,
+       CAST(SUM(COALESCE(p1.rc, 0)) AS BIGINT) AS rev_p1_cents,
+       CAST(SUM(COALESCE(p2.rc, 0)) AS BIGINT) AS rev_p2_cents
+FROM p1 FULL JOIN p2 USING (l_partkey)
+GROUP BY 1, 2
+ORDER BY class_p1, class_p2
+"""

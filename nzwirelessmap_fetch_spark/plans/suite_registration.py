@@ -685,3 +685,11 @@ registry.register(
 )
 registry.register("stream_cms_cells", _es.stream_cms_cells, _es.STREAM_CMS_CELLS_SQL)
 registry.register("join_full_outer", _r.join_full_outer, _r.JOIN_FULL_OUTER_SQL)
+registry.register(
+    "sim_graph_beam_search",
+    _sim.sim_graph_beam_search,
+    _sim.SIM_GRAPH_BEAM_SEARCH_SQL,
+)
+registry.register(
+    "parts_abc_migration", _st.parts_abc_migration, _st.ABC_MIGRATION_SQL
+)

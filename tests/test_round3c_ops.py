@@ -450,3 +450,37 @@ def test_greedy_graph_search_improves_on_entry(spark):
 
     for r in rows:
         assert abs(cos(q[r.q_id], emb[r.best_node]) - r.best_cos) < 1e-6
+
+
+def test_beam_search_dominates_greedy(spark):
+    from nzwirelessmap_fetch_spark.operators.similarity import (
+        BEAM_WIDTH,
+        sim_graph_beam_search,
+        sim_graph_greedy_search,
+    )
+
+    beam = sim_graph_beam_search(spark, SF_SMOKE).collect()
+    greedy = {r.q_id: r.best_cos for r in sim_graph_greedy_search(spark, SF_SMOKE).collect()}
+    best_per_q: dict = {}
+    for r in beam:
+        assert 1 <= r.rk <= BEAM_WIDTH
+        best_per_q.setdefault(r.q_id, r.best_cos)
+        best_per_q[r.q_id] = max(best_per_q[r.q_id], r.best_cos)
+    for q_id, g in greedy.items():
+        # a width-B beam explores a superset of the greedy path's
+        # candidates hop-for-hop, so its best can never be worse
+        assert best_per_q[q_id] >= g - 1e-12
+
+
+def test_abc_migration_is_a_partition_of_parts(spark):
+    from nzwirelessmap_fetch_spark.plans.stats import parts_abc_migration
+
+    rows = parts_abc_migration(spark, SF_SMOKE).collect()
+    assert rows
+    li = Catalog(spark, SF_SMOKE).table("lineitem")
+    n_parts = li.select("l_partkey").distinct().count()
+    assert sum(r.n_parts for r in rows) == n_parts
+    for r in rows:
+        assert r.class_p1 in {"A", "B", "C", "-"}
+        assert r.class_p2 in {"A", "B", "C", "-"}
+        assert not (r.class_p1 == "-" and r.class_p2 == "-")
