@@ -2756,3 +2756,133 @@ FROM p1 FULL JOIN p2 USING (l_partkey)
 GROUP BY 1, 2
 ORDER BY class_p1, class_p2
 """
+
+
+# ---------------------------------------------------------------------------
+# Additive Holt-Winters (level + trend + weekly seasonality)
+# ---------------------------------------------------------------------------
+
+HW_PERIOD = 7  # weekly seasonality over the daily order series
+# exact binary fractions: every smoothing multiply is an exact IEEE op
+HW_ALPHA = 0.5
+HW_BETA = 0.25
+HW_GAMMA = 0.25
+
+
+def orders_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters over the daily order-count series (§2.3
+    time series — the seasonal member of the exponential-smoothing
+    family; orders_holt_linear holds level+trend, this adds the
+    {HW_PERIOD}-slot seasonal state): l, b, s[t mod {HW_PERIOD}] update
+    per day with α={HW_ALPHA}, β={HW_BETA}, γ={HW_GAMMA}. Output is the
+    fitted end state — level, trend, and the seasonal profile — the
+    inputs of the h-step forecast l + h·b + s[(t+h) mod {HW_PERIOD}].
+
+    Exactness: a stateful float recurrence is order-defined, so BOTH
+    engines replay the identical sequential fold — Spark as an
+    ``aggregate()`` over the array_sort'd daily series (the float-fold
+    pinning invariant), DuckDB as a recursive CTE (the
+    struct-accumulator ``list_reduce`` is NOT reliable — ROADMAP
+    invariant, found by orders_holt_linear). The smoothing constants
+    are exact binary fractions, so each step is the same finite set of
+    exactly-representable IEEE ops on both sides. Plan: one day-grain
+    pre-agg, then the fold runs over the ~|days| array in a single
+    task — the series is dimension-sized, which is the only regime a
+    sequential recurrence can run in anyway.
+    """
+    o = Catalog(spark, sf_dir).table("orders")
+    daily = (
+        o.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    packed = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "y"))).alias("sd")
+    ).select(F.expr("transform(sd, x -> cast(x.y as double))").alias("ys"))
+    p = HW_PERIOD
+    fold = F.expr(
+        f"""
+        aggregate(
+          sequence({p}, size(ys) - 1),
+          named_struct(
+            'l', aggregate(slice(ys, 1, {p}), cast(0.0 as double), (a, x) -> a + x) / {p},
+            'b', cast(0.0 as double),
+            'ses', transform(slice(ys, 1, {p}),
+                     x -> x - aggregate(slice(ys, 1, {p}), cast(0.0 as double), (a, v) -> a + v) / {p})
+          ),
+          (acc, t) -> named_struct(
+            'l', {HW_ALPHA} * (ys[t] - acc.ses[t % {p}]) + {1 - HW_ALPHA} * (acc.l + acc.b),
+            'b', {HW_BETA} * (({HW_ALPHA} * (ys[t] - acc.ses[t % {p}]) + {1 - HW_ALPHA} * (acc.l + acc.b)) - acc.l)
+                 + {1 - HW_BETA} * acc.b,
+            'ses', concat(
+              slice(acc.ses, 1, t % {p}),
+              array({HW_GAMMA} * (ys[t] - ({HW_ALPHA} * (ys[t] - acc.ses[t % {p}]) + {1 - HW_ALPHA} * (acc.l + acc.b)))
+                    + {1 - HW_GAMMA} * acc.ses[t % {p}]),
+              slice(acc.ses, t % {p} + 2, {p} - t % {p} - 1))
+          )
+        )
+        """
+    )
+    state = packed.select(fold.alias("st"), F.size("ys").cast("bigint").alias("n_days"))
+    rows = [
+        F.struct(F.lit("level").alias("component"), F.lit(0).alias("idx"),
+                 _pin(F.col("st.l")).alias("value")),
+        F.struct(F.lit("trend").alias("component"), F.lit(0).alias("idx"),
+                 _pin(F.col("st.b")).alias("value")),
+    ] + [
+        F.struct(F.lit("seasonal").alias("component"), F.lit(i).alias("idx"),
+                 _pin(F.col("st.ses")[i]).alias("value"))
+        for i in range(HW_PERIOD)
+    ]
+    return (
+        state.select(F.explode(F.array(*rows)).alias("r"), "n_days")
+        .select("r.component", "r.idx", "r.value", "n_days")
+        .orderBy("component", "idx")
+    )
+
+
+ORDERS_HOLT_WINTERS_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d, CAST(COUNT(*) AS DOUBLE) AS y
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT y, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily
+),
+nn AS (SELECT COUNT(*) AS n FROM idx),
+l0 AS (
+  SELECT SUM(y) / {HW_PERIOD} AS l0 FROM idx WHERE i <= {HW_PERIOD}
+),
+init AS (
+  SELECT CAST({HW_PERIOD} AS BIGINT) AS t, l0.l0 AS l, CAST(0.0 AS DOUBLE) AS b,
+         (SELECT list(y - l0.l0 ORDER BY i) FROM idx WHERE i <= {HW_PERIOD}) AS ses
+  FROM l0
+),
+step(t, l, b, ses) AS (
+  SELECT t, l, b, ses FROM init
+  UNION ALL
+  SELECT s.t + 1,
+         {HW_ALPHA} * (d.y - s.ses[(s.t % {HW_PERIOD}) + 1]) + {1 - HW_ALPHA} * (s.l + s.b),
+         {HW_BETA} * (({HW_ALPHA} * (d.y - s.ses[(s.t % {HW_PERIOD}) + 1]) + {1 - HW_ALPHA} * (s.l + s.b)) - s.l)
+           + {1 - HW_BETA} * s.b,
+         s.ses[1:(s.t % {HW_PERIOD})]
+           || [{HW_GAMMA} * (d.y - ({HW_ALPHA} * (d.y - s.ses[(s.t % {HW_PERIOD}) + 1]) + {1 - HW_ALPHA} * (s.l + s.b)))
+               + {1 - HW_GAMMA} * s.ses[(s.t % {HW_PERIOD}) + 1]]
+           || s.ses[(s.t % {HW_PERIOD}) + 2 : {HW_PERIOD}]
+  FROM step s
+  JOIN idx d ON d.i = s.t + 1
+  JOIN nn ON s.t < nn.n
+),
+final AS (SELECT * FROM step, nn WHERE t = nn.n),
+rows AS (
+  SELECT 'level' AS component, 0 AS idx,
+         CAST(CAST(l AS DECIMAL(18,6)) AS DOUBLE) AS value, n AS n_days FROM final
+  UNION ALL
+  SELECT 'trend', 0, CAST(CAST(b AS DECIMAL(18,6)) AS DOUBLE), n FROM final
+  UNION ALL
+  SELECT 'seasonal', g.g,
+         CAST(CAST(f.ses[g.g + 1] AS DECIMAL(18,6)) AS DOUBLE), f.n
+  FROM final f, (SELECT UNNEST(generate_series(0, {HW_PERIOD - 1})) AS g) g
+)
+SELECT component, CAST(idx AS INT) AS idx, value, CAST(n_days AS BIGINT) AS n_days
+FROM rows ORDER BY component, idx
+"""

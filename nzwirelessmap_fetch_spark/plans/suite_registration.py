@@ -693,3 +693,6 @@ registry.register(
 registry.register(
     "parts_abc_migration", _st.parts_abc_migration, _st.ABC_MIGRATION_SQL
 )
+registry.register(
+    "orders_holt_winters", _st.orders_holt_winters, _st.ORDERS_HOLT_WINTERS_SQL
+)

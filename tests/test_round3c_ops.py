@@ -484,3 +484,41 @@ def test_abc_migration_is_a_partition_of_parts(spark):
         assert r.class_p1 in {"A", "B", "C", "-"}
         assert r.class_p2 in {"A", "B", "C", "-"}
         assert not (r.class_p1 == "-" and r.class_p2 == "-")
+
+
+def test_holt_winters_matches_python_replay(spark):
+    from nzwirelessmap_fetch_spark.plans.stats import (
+        HW_ALPHA,
+        HW_BETA,
+        HW_GAMMA,
+        HW_PERIOD,
+        orders_holt_winters,
+    )
+
+    daily = (
+        Catalog(spark, SF_SMOKE)
+        .table("orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .orderBy("d")
+        .collect()
+    )
+    ys = [float(r.y) for r in daily]
+    p = HW_PERIOD
+    l = sum(ys[:p]) / p
+    b = 0.0
+    ses = [y - l for y in ys[:p]]
+    for t in range(p, len(ys)):
+        s_old = ses[t % p]
+        l_new = HW_ALPHA * (ys[t] - s_old) + (1 - HW_ALPHA) * (l + b)
+        b = HW_BETA * (l_new - l) + (1 - HW_BETA) * b
+        ses[t % p] = HW_GAMMA * (ys[t] - l_new) + (1 - HW_GAMMA) * s_old
+        l = l_new
+    out = orders_holt_winters(spark, SF_SMOKE).collect()
+    got = {(r.component, r.idx): r.value for r in out}
+    assert len(out) == 2 + p
+    assert all(r.n_days == len(ys) for r in out)
+    assert abs(got[("level", 0)] - l) < 1e-6
+    assert abs(got[("trend", 0)] - b) < 1e-6
+    for i in range(p):
+        assert abs(got[("seasonal", i)] - ses[i]) < 1e-6
