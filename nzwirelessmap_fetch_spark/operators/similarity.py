@@ -1961,3 +1961,129 @@ SELECT q_id, node AS best_node, cos AS best_cos, CAST(rk AS INT) AS rk FROM (
 ORDER BY q_id, rk
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Submodular (facility-location) diverse subset selection
+# ---------------------------------------------------------------------------
+
+SUBMOD_ROUNDS = 3
+
+
+def corpus_submodular_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy facility-location selection (§2.4 data selection — the
+    submodular-coverage recipe for "pick a small DIVERSE subset that
+    represents the corpus", used for coreset construction and diverse
+    fine-tuning pools; the lazy-greedy algorithm is public textbook
+    material): {SUBMOD_ROUNDS} unrolled greedy rounds; each round picks
+    the vector maximizing the marginal coverage gain
+      Σ_{{u ∈ N(c) ∪ {{c}}}} max(0, sim(c,u) − best(u))
+    over the verified LSH neighborhood graph (the scale move: true
+    facility location sums over ALL points — O(n) per candidate —
+    while the graph restriction keeps each round edge-stream-sized and
+    loses only below-threshold similarity mass).
+
+    Exactness: every similarity quantizes to integer micro-units at the
+    edge BEFORE any sum (floor of a double — deterministic per value),
+    so coverage gains are exact BIGINT sums, the argmax is a total
+    order (gain DESC, id ASC), and the coverage state (per-node best
+    similarity) is an integer column updated by a keyed max — the whole
+    greedy trajectory replays bit-identically.
+    """
+    e = Catalog(spark, sf_dir).table("embeddings")
+    pairs = sim_lsh_banded(spark, sf_dir)
+    edges = (
+        pairs.select(
+            F.col("vec_a").alias("u"), F.col("vec_b").alias("v"),
+            F.floor(F.col("cos") * 1_000_000).cast("bigint").alias("w"),
+        )
+        .union(
+            pairs.select(
+                F.col("vec_b").alias("u"), F.col("vec_a").alias("v"),
+                F.floor(F.col("cos") * 1_000_000).cast("bigint").alias("w"),
+            )
+        )
+        .union(
+            e.select(
+                F.col("vec_id").alias("u"), F.col("vec_id").alias("v"),
+                F.lit(1_000_000).cast("bigint").alias("w"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    best = e.select(F.col("vec_id").alias("node"), F.lit(0).cast("bigint").alias("best"))
+    picks = []
+    for r in range(SUBMOD_ROUNDS):
+        gains = (
+            edges.join(best, edges.v == best.node)
+            .select("u", "v", F.greatest(F.col("w") - F.col("best"), F.lit(0)).alias("g"))
+            .groupBy("u")
+            .agg(F.sum("g").alias("gain"))
+        )
+        sel = (
+            gains.agg(
+                F.max(F.struct(F.col("gain").alias("g"), (-F.col("u")).alias("nu"))).alias("b")
+            )
+            .select((-F.col("b.nu")).alias("sel"), F.col("b.g").alias("gain"))
+            .localCheckpoint(eager=True)
+        )
+        picks.append(sel.select(F.lit(r + 1).alias("round"), "sel", "gain"))
+        cover = (
+            edges.join(F.broadcast(sel), edges.u == F.col("sel"))
+            .select(F.col("v").alias("node"), F.col("w").alias("nw"))
+        )
+        best = (
+            best.join(cover, "node", "left")
+            .select("node", F.greatest(F.col("best"), F.coalesce(F.col("nw"), F.lit(0))).alias("best"))
+            .localCheckpoint(eager=True)
+        )
+    out = picks[0]
+    for pdf in picks[1:]:
+        out = out.unionAll(pdf)
+    return out.select(
+        F.col("round").cast("int").alias("round"),
+        F.col("sel").alias("selected_vec"),
+        F.col("gain").alias("coverage_gain_micro"),
+    ).orderBy("round")
+
+
+def _submod_round_sql(r: int) -> str:
+    return f"""
+g{r} AS (
+  SELECT u, SUM(GREATEST(w - b.best, 0)) AS gain
+  FROM edges e JOIN b{r - 1} b ON e.v = b.node
+  GROUP BY u
+),
+s{r} AS (
+  SELECT u AS sel, gain FROM g{r}
+  ORDER BY gain DESC, u ASC LIMIT 1
+),
+b{r} AS (
+  SELECT b.node, GREATEST(b.best, COALESCE(c.nw, 0)) AS best
+  FROM b{r - 1} b
+  LEFT JOIN (SELECT e.v AS node, MAX(e.w) AS nw
+             FROM edges e JOIN s{r} ON e.u = s{r}.sel GROUP BY e.v) c
+    ON b.node = c.node
+)"""
+
+
+CORPUS_SUBMODULAR_SELECT_SQL = (
+    f"""
+WITH {_BANDED_CTES},
+edges AS (
+  SELECT vec_a AS u, vec_b AS v, CAST(floor(cos * 1000000) AS BIGINT) AS w FROM banded_pairs
+  UNION ALL
+  SELECT vec_b, vec_a, CAST(floor(cos * 1000000) AS BIGINT) FROM banded_pairs
+  UNION ALL
+  SELECT vec_id, vec_id, CAST(1000000 AS BIGINT) FROM embeddings
+),
+b0 AS (SELECT vec_id AS node, CAST(0 AS BIGINT) AS best FROM embeddings),"""
+    + ",".join(_submod_round_sql(r) for r in range(1, SUBMOD_ROUNDS + 1))
+    + f"""
+SELECT CAST(r AS INT) AS round, sel AS selected_vec, gain AS coverage_gain_micro
+FROM (
+  {" UNION ALL ".join(f"SELECT {r} AS r, sel, gain FROM s{r}" for r in range(1, SUBMOD_ROUNDS + 1))}
+)
+ORDER BY round
+"""
+)

@@ -696,3 +696,8 @@ registry.register(
 registry.register(
     "orders_holt_winters", _st.orders_holt_winters, _st.ORDERS_HOLT_WINTERS_SQL
 )
+registry.register(
+    "corpus_submodular_select",
+    _sim.corpus_submodular_select,
+    _sim.CORPUS_SUBMODULAR_SELECT_SQL,
+)

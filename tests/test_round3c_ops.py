@@ -522,3 +522,37 @@ def test_holt_winters_matches_python_replay(spark):
     assert abs(got[("trend", 0)] - b) < 1e-6
     for i in range(p):
         assert abs(got[("seasonal", i)] - ses[i]) < 1e-6
+
+
+def test_submodular_gains_decrease_and_replay(spark):
+    from nzwirelessmap_fetch_spark.operators.similarity import (
+        SUBMOD_ROUNDS,
+        corpus_submodular_select,
+        sim_lsh_banded,
+    )
+
+    rows = corpus_submodular_select(spark, SF_SMOKE).collect()
+    assert len(rows) == SUBMOD_ROUNDS
+    gains = [r.coverage_gain_micro for r in rows]
+    # submodularity: greedy marginal gains are non-increasing
+    assert gains == sorted(gains, reverse=True)
+    assert len({r.selected_vec for r in rows}) == SUBMOD_ROUNDS
+    # python replay of the greedy trajectory over the same quantized graph
+    pairs = sim_lsh_banded(spark, SF_SMOKE).collect()
+    nodes = {r.vec_id for r in
+             Catalog(spark, SF_SMOKE).table("embeddings").select("vec_id").collect()}
+    edges: dict[int, dict[int, int]] = {n: {n: 1_000_000} for n in nodes}
+    import math
+    for p in pairs:
+        w = math.floor(p.cos * 1_000_000)
+        edges[p.vec_a][p.vec_b] = w
+        edges[p.vec_b][p.vec_a] = w
+    best = {n: 0 for n in nodes}
+    for r in rows:
+        expect_gain, expect_sel = max(
+            (sum(max(w - best[v], 0) for v, w in edges[u].items()), -u)
+            for u in nodes
+        )
+        assert (r.selected_vec, r.coverage_gain_micro) == (-expect_sel, expect_gain)
+        for v, w in edges[-expect_sel].items():
+            best[v] = max(best[v], w)
