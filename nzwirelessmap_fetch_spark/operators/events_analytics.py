@@ -1652,3 +1652,136 @@ FROM resid r JOIN mad d USING (dow, hod)
 WHERE r.aresid > {SEASONAL_MAD_K} * d.mad
 ORDER BY r.hour_ts
 """
+
+
+GRID_CELL_US = 3_600_000_000  # 1-hour grid cells for the keyless interval join
+
+
+def events_purchases_during_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases that landed inside an error INCIDENT window (§2.3 theta/
+    range family — the KEYLESS interval join): incidents have no user
+    key to co-locate on, so the scale-correct plan is GRID BUCKETING —
+    explode each incident onto the 1-hour cells it covers (map-side,
+    bounded by duration/cell), put each purchase in its own cell, and
+    the candidate join becomes an EQUI-join on the cell id with the
+    exact containment predicate as a residual. A broadcast works when
+    the incident table is small; the grid join is the plan that
+    survives when it is NOT — the same interval-join technique database
+    engines implement internally, spelled out as a Spark plan (a point
+    lives in exactly one cell, so no pair dedup is needed).
+
+    Output: per incident — bounds, duration, and how many purchases (and
+    how much value) arrived while it was open; incidents with zero
+    purchases survive via the left join (the interesting rows for a
+    "did the outage cost us" readout). Integer-exact: bounds and
+    durations in epoch micros, value as exact cents.
+    """
+    e = Catalog(spark, sf_dir).table("events")
+    err = e.filter(F.col("event_type") == "error")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.orderBy("ts", "event_id")
+    gap = us - F.lag(us).over(w)
+    incidents = (
+        err.withColumn(
+            "new_inc", F.when(gap.isNull() | (gap > INCIDENT_GAP_US), 1).otherwise(0)
+        )
+        .withColumn(
+            "inc_id",
+            F.sum("new_inc").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("inc_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("start_us"),
+            (F.max(F.unix_micros("ts")) + INCIDENT_GAP_US).alias("end_us"),
+        )
+    )
+    cells = incidents.select(
+        "inc_id",
+        "start_us",
+        "end_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_us div {GRID_CELL_US}"),
+                F.expr(f"end_us div {GRID_CELL_US}"),
+            )
+        ).alias("cell"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.unix_micros("ts").alias("p_us"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.expr(f"unix_micros(ts) div {GRID_CELL_US}").alias("cell"),
+    )
+    hits = (
+        cells.join(p, "cell")
+        .filter((F.col("p_us") >= F.col("start_us")) & (F.col("p_us") < F.col("end_us")))
+        .groupBy("inc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("v").alias("v_sum"),
+        )
+    )
+    return (
+        incidents.join(hits, "inc_id", "left")
+        .select(
+            "inc_id",
+            "start_us",
+            "end_us",
+            F.expr(f"(end_us - start_us) div 1000000").alias("duration_s"),
+            F.coalesce("n_purchases", F.lit(0)).cast("int").alias("n_purchases"),
+            F.coalesce(F.col("v_sum"), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("purchase_value"),
+        )
+        .orderBy("inc_id")
+    )
+
+
+EVENTS_PURCHASES_DURING_INCIDENTS_SQL = f"""
+WITH err AS (
+  SELECT event_id, ts, epoch_us(ts) AS us FROM events WHERE event_type = 'error'
+),
+marked AS (
+  SELECT us,
+         CASE WHEN LAG(us) OVER (ORDER BY ts, event_id) IS NULL
+                OR us - LAG(us) OVER (ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS new_inc,
+         ts, event_id
+  FROM err
+),
+numbered AS (
+  SELECT us, SUM(new_inc) OVER (ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS inc_id
+  FROM marked
+),
+incidents AS (
+  SELECT inc_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us
+  FROM numbered GROUP BY inc_id
+),
+p AS (
+  SELECT event_id AS p_id, epoch_us(ts) AS p_us,
+         CAST(value AS DECIMAL(18,2)) AS v,
+         epoch_us(ts) // {GRID_CELL_US} AS cell
+  FROM events WHERE event_type = 'purchase'
+),
+cells AS (
+  SELECT inc_id, start_us, end_us,
+         UNNEST(generate_series(start_us // {GRID_CELL_US},
+                                end_us // {GRID_CELL_US})) AS cell
+  FROM incidents
+),
+hits AS (
+  SELECT c.inc_id, COUNT(*) AS n_purchases, SUM(p.v) AS v_sum
+  FROM cells c JOIN p USING (cell)
+  WHERE p.p_us >= c.start_us AND p.p_us < c.end_us
+  GROUP BY c.inc_id
+)
+SELECT i.inc_id, i.start_us, i.end_us,
+       (i.end_us - i.start_us) // 1000000 AS duration_s,
+       CAST(COALESCE(h.n_purchases, 0) AS INT) AS n_purchases,
+       CAST(COALESCE(h.v_sum, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+FROM incidents i LEFT JOIN hits h USING (inc_id)
+ORDER BY i.inc_id
+"""

@@ -701,3 +701,8 @@ registry.register(
     _sim.corpus_submodular_select,
     _sim.CORPUS_SUBMODULAR_SELECT_SQL,
 )
+registry.register(
+    "events_purchases_during_incidents",
+    _ea.events_purchases_during_incidents,
+    _ea.EVENTS_PURCHASES_DURING_INCIDENTS_SQL,
+)

@@ -556,3 +556,26 @@ def test_submodular_gains_decrease_and_replay(spark):
         assert (r.selected_vec, r.coverage_gain_micro) == (-expect_sel, expect_gain)
         for v, w in edges[-expect_sel].items():
             best[v] = max(best[v], w)
+
+
+def test_grid_interval_join_matches_naive(spark):
+    from nzwirelessmap_fetch_spark.operators.events_analytics import (
+        events_purchases_during_incidents,
+    )
+
+    out = events_purchases_during_incidents(spark, SF_SMOKE).collect()
+    assert out
+    ev = Catalog(spark, SF_SMOKE).table("events").collect()
+    purchases = [(r.ts, r.value) for r in ev if r.event_type == "purchase"]
+
+    def us(ts):
+        import calendar
+        return calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
+
+    for r in out:
+        naive = [
+            v for ts, v in purchases if r.start_us <= us(ts) < r.end_us
+        ]
+        assert r.n_purchases == len(naive)
+        assert abs(r.purchase_value - sum(round(v, 2) for v in naive)) < 1e-6
+        assert r.duration_s == (r.end_us - r.start_us) // 1_000_000
