@@ -1349,3 +1349,80 @@ JOIN sizes sb ON src_b = sb.source
 ORDER BY overlap_ppm DESC, shared DESC, src_a, src_b
 LIMIT {SOURCE_OVERLAP_TOP_K}
 """
+
+
+def dedup_simhash_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit for the SIMHASH family (§2.4 dedup
+    meta-tooling — the Hamming-banding twin of dedup_lsh_quality_eval):
+    precision and recall of the Hamming ≤ 3 SimHash pair generator
+    against the exact Jaccard ≥ 0.5 ground truth. MinHash estimates
+    Jaccard directly, so its eval reads as calibration; SimHash
+    measures a DIFFERENT similarity (cosine-of-frequency-vectors), so
+    this readout is the one that decides whether the cheaper
+    signature family is good enough for a given corpus — exactly the
+    trade a 100 TB dedup deployment prices before choosing.
+
+    Same shape as the LSH eval: canonical pair sets, one semi join, a
+    tagged-union conditional count (no 1-row joins — dedup.py's
+    no-broadcast-hint pin), integer counts, two pinned ratios.
+    """
+    cand = dedup_simhash_hamming(spark, sf_dir).select("doc_a", "doc_b")
+    truth = _verified_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    hit = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+    tagged = (
+        cand.select(F.lit("cand").alias("k"))
+        .unionAll(truth.select(F.lit("truth").alias("k")))
+        .unionAll(hit.select(F.lit("hit").alias("k")))
+    )
+    counts = tagged.groupBy().agg(
+        F.sum((F.col("k") == "cand").cast("long")).alias("n_candidates"),
+        F.sum((F.col("k") == "truth").cast("long")).alias("n_true_pairs"),
+        F.sum((F.col("k") == "hit").cast("long")).alias("n_hits"),
+    )
+
+    def ratio(num: str, den: str) -> F.Column:
+        return (
+            (F.col(num).cast("double") / F.col(den))
+            .cast("decimal(18,6)")
+            .cast("double")
+        )
+
+    return counts.select(
+        "n_candidates",
+        "n_true_pairs",
+        "n_hits",
+        ratio("n_hits", "n_candidates").alias("precision"),
+        ratio("n_hits", "n_true_pairs").alias("recall"),
+    )
+
+
+DEDUP_SIMHASH_QUALITY_EVAL_SQL = f"""
+WITH cand AS ({DEDUP_SIMHASH_HAMMING_SQL}),
+w2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh2 AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+                          i -> w[i] || ' ' || w[i+1])) AS shingle
+    FROM w2 WHERE len(w) >= 2)
+),
+sz2 AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+inter2 AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh2 a JOIN sh2 b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM inter2
+  JOIN sz2 sa ON sa.doc_id = doc_a JOIN sz2 sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+),
+hit AS (SELECT doc_a, doc_b FROM cand INTERSECT SELECT doc_a, doc_b FROM truth),
+counts AS (
+  SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+         (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+         (SELECT COUNT(*) FROM hit) AS n_hits
+)
+SELECT n_candidates, n_true_pairs, n_hits,
+       CAST(CAST(CAST(n_hits AS DOUBLE) / n_candidates AS DECIMAL(18,6)) AS DOUBLE) AS precision,
+       CAST(CAST(CAST(n_hits AS DOUBLE) / n_true_pairs AS DECIMAL(18,6)) AS DOUBLE) AS recall
+FROM counts
+"""

@@ -706,3 +706,8 @@ registry.register(
     _ea.events_purchases_during_incidents,
     _ea.EVENTS_PURCHASES_DURING_INCIDENTS_SQL,
 )
+registry.register(
+    "dedup_simhash_quality_eval",
+    _dd.dedup_simhash_quality_eval,
+    _dd.DEDUP_SIMHASH_QUALITY_EVAL_SQL,
+)

@@ -579,3 +579,14 @@ def test_grid_interval_join_matches_naive(spark):
         assert r.n_purchases == len(naive)
         assert abs(r.purchase_value - sum(round(v, 2) for v in naive)) < 1e-6
         assert r.duration_s == (r.end_us - r.start_us) // 1_000_000
+
+
+def test_simhash_eval_count_identities(spark):
+    from nzwirelessmap_fetch_spark.operators.dedup import dedup_simhash_quality_eval
+
+    r = dedup_simhash_quality_eval(spark, SF_SMOKE).collect()[0]
+    assert 0 <= r.n_hits <= min(r.n_candidates, r.n_true_pairs)
+    if r.n_candidates:
+        assert abs(r.precision - r.n_hits / r.n_candidates) < 1e-6
+    if r.n_true_pairs:
+        assert abs(r.recall - r.n_hits / r.n_true_pairs) < 1e-6
