@@ -811,7 +811,7 @@ WITH cells AS (
   FROM events GROUP BY 1, 2
 )
 SELECT iso_dow, hour, n,
-       n * 1000000 // (SELECT SUM(n) FROM cells) AS share_ppm
+       CAST(n * 1000000 // (SELECT SUM(n) FROM cells) AS BIGINT) AS share_ppm
 FROM cells
 """
 
@@ -1752,8 +1752,9 @@ marked AS (
   FROM err
 ),
 numbered AS (
-  SELECT us, SUM(new_inc) OVER (ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS inc_id
+  SELECT us, CAST(SUM(new_inc) OVER (ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS inc_id
   FROM marked
 ),
 incidents AS (

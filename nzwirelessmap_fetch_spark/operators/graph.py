@@ -300,7 +300,8 @@ tri AS (
             JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst
 ),
 wedges AS (
-  SELECT SUM(deg * (deg - 1) // 2) AS n_wedges, COUNT(*) AS n_nodes
+  SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
+         COUNT(*) AS n_nodes
   FROM (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
 )
 SELECT n_triangles, n_wedges, n_nodes,

@@ -41,9 +41,21 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     The plan is one running-sum window per shard (map-side token count →
     one hash exchange on shard → sorted window). No global order: shards
     pack independently, which is what keeps the op linear at 100 TB.
+
+    Cross-engine hardening (round-4 driver-gate fix): DuckDB types a
+    windowed ``SUM(BIGINT)`` as HUGEINT (int128), which lands in pandas
+    as float64 on some duckdb/pandas version pairs — the only
+    env-sensitive fingerprint surface the r3 driver gate found. Every
+    output column is therefore explicitly CAST to BIGINT on BOTH
+    engines, and the token count uses the space-count identity
+    ``1 + len(text) - len(replace(text,' ',''))`` (equal to
+    ``size(split(text,' '))`` for non-NULL text, but with no dependence
+    on either engine's split-of-empty-string behavior).
     """
     d = Catalog(spark, sf_dir).table("documents")
-    tokens = F.size(F.split("text", " "))
+    tokens = (
+        F.length("text") - F.length(F.expr("replace(text, ' ', '')")) + F.lit(1)
+    ).cast("bigint")
     shard = (F.col("doc_id") % N_SHARDS).cast("int")
     w = (
         Window.partitionBy("shard")
@@ -54,24 +66,31 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(
             "doc_id",
             shard.alias("shard"),
-            tokens.cast("bigint").alias("n_tokens"),
+            tokens.alias("n_tokens"),
         )
-        .withColumn("start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn(
+            "start_offset",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
+        )
         .select(
             "doc_id",
             "shard",
             "n_tokens",
             "start_offset",
-            F.floor(F.col("start_offset") / TOKEN_BUDGET).alias("first_chunk"),
-            F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / TOKEN_BUDGET).alias(
-                "last_chunk"
-            ),
+            F.floor(F.col("start_offset") / TOKEN_BUDGET)
+            .cast("bigint")
+            .alias("first_chunk"),
+            F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / TOKEN_BUDGET)
+            .cast("bigint")
+            .alias("last_chunk"),
             (
                 F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / TOKEN_BUDGET)
                 - F.floor(F.col("start_offset") / TOKEN_BUDGET)
                 + 1
-            ).alias("chunks_spanned"),
-            (F.col("start_offset") % TOKEN_BUDGET).alias("offset_in_chunk"),
+            )
+            .cast("bigint")
+            .alias("chunks_spanned"),
+            (F.col("start_offset") % TOKEN_BUDGET).cast("bigint").alias("offset_in_chunk"),
         )
     )
 
@@ -80,22 +99,23 @@ PACK_SEQUENCES_SQL = f"""
 WITH tokd AS (
   SELECT doc_id,
          CAST(doc_id % {N_SHARDS} AS INT) AS shard,
-         CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         CAST(1 + LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS n_tokens
   FROM documents
 ),
 offs AS (
   SELECT doc_id, shard, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (
+         CAST(COALESCE(SUM(n_tokens) OVER (
            PARTITION BY shard ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
   FROM tokd
 )
 SELECT doc_id, shard, n_tokens, start_offset,
-       start_offset // {TOKEN_BUDGET} AS first_chunk,
-       (start_offset + n_tokens - 1) // {TOKEN_BUDGET} AS last_chunk,
-       (start_offset + n_tokens - 1) // {TOKEN_BUDGET}
-         - start_offset // {TOKEN_BUDGET} + 1 AS chunks_spanned,
-       start_offset % {TOKEN_BUDGET} AS offset_in_chunk
+       CAST(start_offset // {TOKEN_BUDGET} AS BIGINT) AS first_chunk,
+       CAST((start_offset + n_tokens - 1) // {TOKEN_BUDGET} AS BIGINT) AS last_chunk,
+       CAST((start_offset + n_tokens - 1) // {TOKEN_BUDGET}
+         - start_offset // {TOKEN_BUDGET} + 1 AS BIGINT) AS chunks_spanned,
+       CAST(start_offset % {TOKEN_BUDGET} AS BIGINT) AS offset_in_chunk
 FROM offs
 """
 

@@ -1081,8 +1081,8 @@ ranked AS (
   FROM scored
 )
 SELECT q_id,
-       SUM(CASE WHEN r_full <= {MRL_K} AND r_pre <= {MRL_K} THEN 1 ELSE 0 END)
-         AS n_overlap,
+       CAST(SUM(CASE WHEN r_full <= {MRL_K} AND r_pre <= {MRL_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overlap,
        {MRL_K} AS k
 FROM ranked
 GROUP BY q_id
@@ -1694,7 +1694,7 @@ hits AS (
   GROUP BY t.q_id
 )
 SELECT q_id, CAST(k AS INT) AS k, CAST(hits AS INT) AS hits,
-       hits * 1000000 // k AS recall_ppm
+       CAST(hits * 1000000 // k AS BIGINT) AS recall_ppm
 FROM hits ORDER BY q_id
 """
 
@@ -2080,7 +2080,8 @@ edges AS (
 b0 AS (SELECT vec_id AS node, CAST(0 AS BIGINT) AS best FROM embeddings),"""
     + ",".join(_submod_round_sql(r) for r in range(1, SUBMOD_ROUNDS + 1))
     + f"""
-SELECT CAST(r AS INT) AS round, sel AS selected_vec, gain AS coverage_gain_micro
+SELECT CAST(r AS INT) AS round, sel AS selected_vec,
+       CAST(gain AS BIGINT) AS coverage_gain_micro
 FROM (
   {" UNION ALL ".join(f"SELECT {r} AS r, sel, gain FROM s{r}" for r in range(1, SUBMOD_ROUNDS + 1))}
 )

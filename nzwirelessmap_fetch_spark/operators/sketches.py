@@ -309,7 +309,7 @@ WITH unpivoted AS (
 )
 SELECT col_name,
        COUNT(*) AS n_rows,
-       SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS n_null,
+       CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        COUNT(DISTINCT val) AS n_distinct,
        CAST(MIN(val) AS DOUBLE) AS min_val,
        CAST(MAX(val) AS DOUBLE) AS max_val
@@ -1128,7 +1128,7 @@ SELECT 'orders.o_orderstatus IN (O,F,P)',
        COUNT(*) FILTER (o_orderstatus NOT IN ('O','F','P')) FROM orders
 UNION ALL
 SELECT 'orders.o_orderkey UNIQUE',
-       COALESCE(SUM(n - 1), 0)
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
 FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
 UNION ALL
 SELECT 'lineitem.l_orderkey FK orders',

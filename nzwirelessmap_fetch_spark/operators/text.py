@@ -678,7 +678,8 @@ span_df AS (
 )
 SELECT s.doc_id,
        COUNT(*) AS n_spans,
-       SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS n_shared_spans,
+       CAST(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_spans,
        CAST(CAST(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)
                  AS DECIMAL(18,6)) AS DOUBLE) AS shared_ratio
 FROM spans s JOIN span_df d USING (h)
@@ -1037,19 +1038,23 @@ def corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CORPUS_TOKEN_BUDGET_MIX_SQL = f"""
 WITH per_lang AS (
-  SELECT lang, SUM((n_chars + 3) // 4) AS tokens FROM documents GROUP BY lang
+  SELECT lang, CAST(SUM((n_chars + 3) // 4) AS BIGINT) AS tokens
+  FROM documents GROUP BY lang
 ),
 base AS (
   SELECT lang, tokens,
          (SELECT SUM(tokens) FROM per_lang) AS total_tokens,
-         tokens * {TOKEN_BUDGET} // (SELECT SUM(tokens) FROM per_lang) AS floor_quota,
-         tokens * {TOKEN_BUDGET} % (SELECT SUM(tokens) FROM per_lang) AS rem
+         CAST(tokens * {TOKEN_BUDGET} // (SELECT SUM(tokens) FROM per_lang)
+              AS BIGINT) AS floor_quota,
+         CAST(tokens * {TOKEN_BUDGET} % (SELECT SUM(tokens) FROM per_lang)
+              AS BIGINT) AS rem
   FROM per_lang
 )
 SELECT lang, tokens, floor_quota, rem,
-       floor_quota + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC)
-                          <= {TOKEN_BUDGET} - (SELECT SUM(floor_quota) FROM base)
-                     THEN 1 ELSE 0 END AS quota
+       CAST(floor_quota
+            + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC)
+                        <= {TOKEN_BUDGET} - (SELECT SUM(floor_quota) FROM base)
+                   THEN 1 ELSE 0 END AS BIGINT) AS quota
 FROM base
 """
 
@@ -1292,7 +1297,8 @@ def corpus_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORPUS_LANGID_CONFUSION_SQL = (
     "WITH pred AS (" + TEXT_LANGID_SQL + ")\n"
     """SELECT lang, predicted, COUNT(*) AS n,
-       COUNT(*) * 1000000 // SUM(COUNT(*)) OVER (PARTITION BY lang) AS share_ppm,
+       CAST(COUNT(*) * 1000000 // SUM(COUNT(*)) OVER (PARTITION BY lang)
+            AS BIGINT) AS share_ppm,
        lang = predicted AS correct
 FROM pred
 GROUP BY lang, predicted"""
@@ -1976,13 +1982,15 @@ WITH docs AS (
   FROM documents
 ),
 per_src AS (
-  SELECT source, COUNT(*) AS n_docs, SUM(tokens) AS src_tokens
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS src_tokens
   FROM docs GROUP BY source
 ),
 plan AS (
   SELECT source, n_docs, src_tokens,
-         (SELECT MAX(src_tokens) FROM per_src) // src_tokens AS full_epochs,
-         (SELECT MAX(src_tokens) FROM per_src) % src_tokens AS residual_budget
+         CAST((SELECT MAX(src_tokens) FROM per_src) // src_tokens AS BIGINT)
+           AS full_epochs,
+         CAST((SELECT MAX(src_tokens) FROM per_src) % src_tokens AS BIGINT)
+           AS residual_budget
   FROM per_src
 ),
 cum AS (
@@ -2000,7 +2008,8 @@ picked AS (
 SELECT p.source, p.n_docs, p.src_tokens, p.full_epochs, p.residual_budget,
        CAST(COALESCE(residual_docs, 0) AS BIGINT) AS residual_docs,
        CAST(COALESCE(residual_tokens, 0) AS BIGINT) AS residual_tokens,
-       p.full_epochs * p.src_tokens + COALESCE(residual_tokens, 0) AS planned_tokens
+       CAST(p.full_epochs * p.src_tokens + COALESCE(residual_tokens, 0)
+            AS BIGINT) AS planned_tokens
 FROM plan p LEFT JOIN picked ON p.source = picked.source
 ORDER BY p.source
 """

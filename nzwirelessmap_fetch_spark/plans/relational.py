@@ -1081,8 +1081,10 @@ WITH binned AS (
   FROM orders
 )
 SELECT bin,
-       {HIST_LO} + bin * {(HIST_HI - HIST_LO) / HIST_BINS} AS bin_lo,
-       {HIST_LO} + (bin + 1) * {(HIST_HI - HIST_LO) / HIST_BINS} AS bin_hi,
+       CAST({HIST_LO} + bin * {(HIST_HI - HIST_LO) / HIST_BINS} AS DOUBLE)
+         AS bin_lo,
+       CAST({HIST_LO} + (bin + 1) * {(HIST_HI - HIST_LO) / HIST_BINS} AS DOUBLE)
+         AS bin_hi,
        COUNT(*) AS n
 FROM binned
 GROUP BY bin
@@ -1286,8 +1288,10 @@ marked AS (
 )
 SELECT COUNT(*) AS n_rows,
        COUNT(maybe_bal) AS n_nonnull,
-       SUM(CASE WHEN cmp_null_prop IS NULL THEN 1 ELSE 0 END) AS n_null_cmp,
-       SUM(CASE WHEN is_null_safe THEN 1 ELSE 0 END) AS n_nullsafe_true,
+       CAST(SUM(CASE WHEN cmp_null_prop IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_cmp,
+       CAST(SUM(CASE WHEN is_null_safe THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nullsafe_true,
        MIN(coalesced) AS min_coalesced
 FROM marked
 """
@@ -1382,10 +1386,10 @@ flags AS (
   FROM customer c
 )
 SELECT COUNT(*) AS n_customers,
-       SUM(CASE WHEN in_exact THEN 1 ELSE 0 END) AS n_exact,
-       SUM(CASE WHEN in_exact AND NOT in_bloom THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN in_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN in_exact AND NOT in_bloom THEN 1 ELSE 0 END) AS BIGINT)
          AS n_false_negatives,
-       SUM(CASE WHEN NOT in_exact AND in_bloom THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN NOT in_exact AND in_bloom THEN 1 ELSE 0 END) AS BIGINT)
          AS n_false_positives
 FROM flags
 """

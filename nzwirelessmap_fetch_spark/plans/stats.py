@@ -319,8 +319,8 @@ SELECT d.event_type,
        MAX(d.n) AS n,
        CAST(CAST(MAX(d.med) AS DECIMAL(18,6)) AS DOUBLE) AS med_value,
        CAST(CAST(MAX(m.mad) AS DECIMAL(18,6)) AS DOUBLE) AS mad_value,
-       SUM(CASE WHEN d.adev > {MAD_OUTLIER_K} * m.mad THEN 1 ELSE 0 END)
-         AS n_outliers
+       CAST(SUM(CASE WHEN d.adev > {MAD_OUTLIER_K} * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
 FROM dev d JOIN mad m USING (event_type)
 GROUP BY d.event_type
 """
@@ -446,7 +446,7 @@ WITH pair AS (
   SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2
 )
 SELECT lang,
-       SUM(n) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
        COUNT(*) AS n_sources,
        CAST(CAST(1.0 - CAST(SUM(n*n) AS DOUBLE)
                        / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE))
@@ -1033,7 +1033,7 @@ ranked AS (
   FROM rev
 )
 SELECT l_partkey, rev_cents, rank,
-       cum_cents * 1000000 // GREATEST(total_cents, 1) AS cum_ppm,
+       CAST(cum_cents * 1000000 // GREATEST(total_cents, 1) AS BIGINT) AS cum_ppm,
        CASE WHEN (cum_cents - rev_cents) * 1000000 // GREATEST(total_cents, 1)
                  < {ABC_A_PPM} THEN 'A'
             WHEN (cum_cents - rev_cents) * 1000000 // GREATEST(total_cents, 1)
@@ -1193,10 +1193,10 @@ WITH counts AS (
   FROM orders GROUP BY 1
 )
 SELECT digit, n,
-       n * 1000000 // (SELECT SUM(n) FROM counts) AS share_ppm,
+       CAST(n * 1000000 // (SELECT SUM(n) FROM counts) AS BIGINT) AS share_ppm,
        CASE digit {_BENFORD_CASE} END AS benford_ppm,
-       ABS(n * 1000000 // (SELECT SUM(n) FROM counts)
-           - CASE digit {_BENFORD_CASE} END) AS deviation_ppm
+       CAST(ABS(n * 1000000 // (SELECT SUM(n) FROM counts)
+                - CASE digit {_BENFORD_CASE} END) AS BIGINT) AS deviation_ppm
 FROM counts
 """
 

@@ -105,6 +105,56 @@ def test_agg_quantiles_monotone(spark):
         assert r.p25 <= r.p50 <= r.p75 <= r.p95
 
 
+def test_pack_sequences_text_edge_cases(spark, tmp_path):
+    """Driver-gate hardening pin (round 4): empty text, trailing space,
+    repeated spaces, and a single word must tokenize identically on both
+    engines — the space-count formula 1+len(t)-len(replace(t,' ',''))
+    sidesteps split-of-empty-string version drift entirely."""
+    import duckdb
+    import pandas as pd
+
+    from tests.oracle import compare
+    from nzwirelessmap_fetch_spark.operators.packing import PACK_SEQUENCES_SQL
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "text": ["", "word", "a b", "trailing ", "  doubled  gap", " "],
+        }
+    )
+    fixture = tmp_path / "edge"
+    fixture.mkdir()
+    docs.to_parquet(fixture / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{fixture}/documents.parquet')"
+    )
+    compare(pack_sequences(spark, str(fixture)), con, PACK_SEQUENCES_SQL)
+    con.close()
+
+
+def test_oracle_outputs_no_env_sensitive_types(ddb):
+    """Registry-wide guard for the r3 driver-gate red row: DuckDB types a
+    SUM(BIGINT) as HUGEINT (int128), which converts to float64 in pandas
+    on some duckdb/pandas version pairs and breaks value-hash parity with
+    Spark's int64. No oracle may emit HUGEINT (or DECIMAL, same
+    stringification hazard) — cast to BIGINT/DOUBLE at source."""
+    import __spark_entry__ as entrymod
+
+    offenders = []
+    for name, sql in entrymod.oracle_sql().items():
+        rel = ddb.sql(sql)
+        bad = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if str(t) in ("HUGEINT", "UHUGEINT", "UBIGINT")
+            or str(t).startswith("DECIMAL")
+        ]
+        if bad:
+            offenders.append((name, bad))
+    assert not offenders, f"env-sensitive oracle output types: {offenders}"
+
+
 def test_pack_bins_ffd_invariants(spark):
     """FFD results must be feasible (no bin over budget) and tight
     (bin count within the 11/9·OPT+1 FFD guarantee of the volume lower
