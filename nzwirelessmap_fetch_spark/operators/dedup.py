@@ -128,15 +128,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verified_jaccard_pairs(spark, sf_dir)
 
 
+# Document-frequency cap for the scale-safe capped variant. An ABSOLUTE
+# cap (not a corpus fraction) is what bounds the inverted-index join at
+# scale: with df ≤ c every shingle contributes ≤ c² candidate pairs, so
+# Σdf² ≤ |shingles|·c² — LINEAR in corpus size. A fractional cap
+# (df ≤ f·N) would leave Σdf² growing as N², which is the quadratic
+# blow-up the cap exists to kill.
+JACCARD_MAX_DF = 30
+
+
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-bigram Jaccard with the document-frequency
+    skew valve ON (``_shingles(max_df=JACCARD_MAX_DF)``) — the plan that
+    survives a boilerplate-heavy corpus at 100 TB.
+
+    Semantics: shingles appearing in more than ``JACCARD_MAX_DF``
+    documents are dropped BEFORE pair generation (standard stop-shingle
+    mitigation), and Jaccard is computed over the CAPPED shingle sets.
+    The oracle replays the identical cap, so the scale-safe plan is the
+    oracle-checked one — the r3 verdict's "default-off valve" gap.
+
+    Same AllPairs/PPJoin prefix-filter + exact-verify shape as
+    ``dedup_ngram_jaccard``; the cap only shrinks the shingle table the
+    prefix join is built from (one extra groupBy + semi-join, keyed on
+    the shingle — no new skew surface)."""
+    return _verified_jaccard_pairs(spark, sf_dir, max_df=JACCARD_MAX_DF)
+
+
 # Checkpointed verified near-dup pairs, keyed per (application, sf_dir).
 # Keyed on sparkContext.applicationId (stable for a session's lifetime),
 # NOT id(spark) — CPython reuses ids after GC, which could hand a
 # checkpointed DataFrame bound to a stopped SparkContext to a new session.
-_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PAIRS_CACHE: dict[tuple[str, str, int | None], DataFrame] = {}
 
 
-def _verified_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+def _verified_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, max_df: int | None = None
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, max_df)
     cached = _PAIRS_CACHE.get(key)
     if cached is not None:
         return cached
@@ -146,7 +175,7 @@ def _verified_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The canonical prefix order is hash-ascending: any fixed global total
     # order satisfies the prefix lemma, and h-order avoids a document-
     # frequency join that bought nothing on near-uniform corpora.
-    sh = _shingles(d).select(
+    sh = _shingles(d, max_df=max_df).select(
         "doc_id",
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("h"),
     )
@@ -263,6 +292,41 @@ sh AS (
                                  i -> w[i] || ' ' || w[i+1])) AS shingle
     FROM w WHERE len(w) >= 2)
 ),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+"""
+
+
+# Replays the df-cap exactly: shingles in > JACCARD_MAX_DF docs are
+# dropped before pair generation and Jaccard runs over the capped sets —
+# the oracle checks the scale-safe plan, not the unfiltered measure.
+DEDUP_NGRAM_JACCARD_CAPPED_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh0 AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w)-1),
+                                 i -> w[i] || ' ' || w[i+1])) AS shingle
+    FROM w WHERE len(w) >= 2)
+),
+keep AS (
+  SELECT shingle FROM sh0 GROUP BY shingle
+  HAVING COUNT(*) <= {JACCARD_MAX_DF}
+),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
 sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter

@@ -29,6 +29,13 @@ TOP_K = 10
 N_QUERIES = 5  # fixture query set: vec_id < 5
 N_PLANES = 8
 PAIR_THRESHOLD = 0.35
+# Bucket-population valve shared by every LSH entry (flat, multiprobe,
+# banded): buckets larger than this are excluded from pair generation,
+# bounding each bucket's contribution at ≤ cap² pairs. Deterministic (a
+# group count), so the oracles replay it — the capped configuration IS
+# the checked one. See the banded-LSH comment below for the full knob
+# discussion.
+LSH_MAX_BUCKET = 64
 
 
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,13 +118,28 @@ def _bucket_expr() -> F.Column:
 
 
 def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-neighbor pairs via LSH buckets + exact cosine re-rank."""
+    """Near-neighbor pairs via LSH buckets + exact cosine re-rank.
+
+    The flat 256-bucket index carries the same ``LSH_MAX_BUCKET``
+    population valve as ``sim_lsh_banded`` (r3 verdict: an unvalved flat
+    bucket goes quadratic at O(n/256) per bucket as the corpus grows):
+    buckets over the cap are excluded from pair generation, bounding the
+    self-join at ≤ cap² pairs per bucket. The valve is a deterministic
+    group count, replayed identically by the oracle — at fixture scale
+    no bucket exceeds the cap, so results equal the unvalved measure."""
     e = Catalog(spark, sf_dir).table("embeddings")
     # persist: the 8-plane code (a 512-term fold per row) feeds both
     # sides of the self-join — without it Spark evaluates it twice
     bucketed = e.withColumn("bucket", _bucket_expr().cast("int")).persist()
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
+    keep = (
+        bucketed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= LSH_MAX_BUCKET)
+        .select("bucket")
+    )
+    capped = bucketed.join(keep, "bucket")
+    a = capped.alias("a")
+    b = capped.alias("b")
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
@@ -146,6 +168,11 @@ WITH bucketed AS (
            (a, b) -> a + b) AS INT) AS bucket
   FROM embeddings
 )
+, keep AS (
+  SELECT bucket FROM bucketed GROUP BY bucket
+  HAVING COUNT(*) <= {LSH_MAX_BUCKET}
+),
+capped AS (SELECT bucketed.* FROM bucketed JOIN keep USING (bucket))
 SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
        list_reduce(list_prepend(0.0::DOUBLE,
            list_transform(generate_series(1, len(a.embedding)),
@@ -159,8 +186,8 @@ SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
              list_transform(generate_series(1, len(b.embedding)),
                             i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)),
            (x, y) -> x + y))) AS cos
-FROM bucketed a
-JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM capped a
+JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE list_reduce(list_prepend(0.0::DOUBLE,
            list_transform(generate_series(1, len(a.embedding)),
                           i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)),
@@ -362,10 +389,23 @@ def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by bucket (probe fan-out is a map-side explode, not a shuffle
     multiplier of the index), dedupe by pair, then the same exact-cosine
     verification. Probing is directional (a-probes meet b-home), which
-    covers Hamming-1 symmetrically without double fan-out."""
+    covers Hamming-1 symmetrically without double fan-out.
+
+    The INDEX side carries the ``LSH_MAX_BUCKET`` valve (overfull home
+    buckets are skipped, exactly how a production index drops overfull
+    postings): each probe row then meets ≤ cap index rows, so total
+    candidates are ≤ 9·n·cap — linear in the corpus. Deterministic and
+    replayed by the oracle; at fixture scale no bucket exceeds the cap."""
     e = Catalog(spark, sf_dir).table("embeddings")
     # persist: home codes feed the probe fan-out AND the index side
     home = e.withColumn("bucket", _bucket_expr().cast("int")).persist()
+    keep = (
+        home.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= LSH_MAX_BUCKET)
+        .select("bucket")
+    )
+    index_side = home.join(keep, "bucket")
     probes = home.select(
         "vec_id",
         "embedding",
@@ -377,7 +417,7 @@ def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
     )
     a = probes.alias("a")
-    b = home.alias("b")
+    b = index_side.alias("b")
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
@@ -415,9 +455,14 @@ probes AS (
                           j -> CAST(xor(bucket, 1 << j) AS INT))))) AS bucket
   FROM bucketed
 ),
+keep AS (
+  SELECT bucket FROM bucketed GROUP BY bucket
+  HAVING COUNT(*) <= {LSH_MAX_BUCKET}
+),
+index_side AS (SELECT bucketed.* FROM bucketed JOIN keep USING (bucket)),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM probes a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  FROM probes a JOIN index_side b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b,
        list_reduce(list_prepend(0.0::DOUBLE,
@@ -460,14 +505,12 @@ WHERE list_reduce(list_prepend(0.0::DOUBLE,
 # the exact shape dedup_minhash_lsh already uses for set similarity.
 LSH_BANDS = 2
 LSH_BAND_BITS = 8
-# Bucket-population valve: (band, code) buckets larger than this are
-# excluded from pair generation. Bounded cost (≤ cap² pairs per bucket)
-# for a documented recall trade on skew-clustered corpora — raising r
-# thins RANDOM collisions but cannot thin a tight cluster sharing every
-# sign bit, so the valve is the load-bearing guard at 100 TB. The valve
-# is DETERMINISTIC (a group count), so unlike the dedup-side valves the
-# oracle replays it and the capped configuration IS the checked one.
-LSH_MAX_BUCKET = 64
+# LSH_MAX_BUCKET (defined with the module constants above) is the
+# bucket-population valve: buckets larger than the cap are excluded from
+# pair generation. Bounded cost (≤ cap² pairs per bucket) for a
+# documented recall trade on skew-clustered corpora — raising r thins
+# RANDOM collisions but cannot thin a tight cluster sharing every sign
+# bit, so the valve is the load-bearing guard at 100 TB.
 
 
 def sim_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:

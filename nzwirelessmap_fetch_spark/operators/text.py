@@ -1491,7 +1491,32 @@ def corpus_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the fingerprint hash — selected fingerprints are ~2/(w+1) of
     grams, so the index is ~2.5× smaller than the raw shingle index the
     Jaccard build joins. Same skew valve applies at 100 TB (df-cap hot
-    fingerprints before the join)."""
+    fingerprints before the join — oracle-checked in
+    ``corpus_winnowing_capped``)."""
+    return _winnow_pairs(spark, sf_dir, max_df=None)
+
+
+# Absolute fingerprint-df cap for the scale-safe variant: every kept
+# fingerprint contributes ≤ cap² pair rows, so the inverted-index join
+# output is ≤ |fingerprints|·cap² — linear in corpus size. Measured at
+# sf0.01: Σdf² drops 1.99M → 83k (24×) while 23 of 26 overlap pairs
+# survive (the 3 lost pairs overlap only via boilerplate fingerprints).
+WINNOW_MAX_DF = 16
+
+
+def corpus_winnowing_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing overlap with the fingerprint document-frequency valve ON
+    (df ≤ ``WINNOW_MAX_DF`` before the pair join) — the plan that survives
+    a boilerplate-heavy corpus at 100 TB, as an oracle-checked registry
+    entry rather than a comment. Sizes and the containment denominator
+    are computed over the CAPPED fingerprint sets; the oracle replays
+    the identical cap."""
+    return _winnow_pairs(spark, sf_dir, max_df=WINNOW_MAX_DF)
+
+
+def _winnow_pairs(
+    spark: SparkSession, sf_dir: str, max_df: int | None
+) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents").filter(
         F.length("text") >= WINNOW_K
     )
@@ -1523,6 +1548,14 @@ def corpus_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(fps).alias("fp"))
         .persist()
     )
+    if max_df is not None:
+        keep = (
+            fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("fp")
+        )
+        fp = fp.join(keep, "fp").select("doc_id", "fp").persist()
     sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     # explicit width: AQE coalesces this join's partitions by INPUT bytes
     # (a few MB) but the self-join's OUTPUT is Σdf² (190M pair rows at
@@ -1580,6 +1613,53 @@ fp AS (
                   // {WINNOW_W}))) AS fp
     FROM g)
 ),
+sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fp GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM fp a JOIN fp b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+)
+SELECT doc_a, doc_b, n_shared, sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+       CAST(CAST(n_shared / LEAST(sa.n_fp, sb.n_fp) AS DECIMAL(18,6)) AS DOUBLE)
+         AS containment_est
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 2 * n_shared >= LEAST(sa.n_fp, sb.n_fp)
+"""
+
+
+# Replays the fingerprint-df cap exactly: fingerprints in > WINNOW_MAX_DF
+# docs are dropped before the pair join, and sizes/containment run over
+# the capped sets — the scale-safe plan is the oracle-checked one.
+CORPUS_WINNOWING_CAPPED_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= {WINNOW_K}
+),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, length(text) - {WINNOW_K}),
+           i -> CAST(('0x' || substr(md5(substring(text, i + 1, {WINNOW_K})), 1, 10))
+                     AS BIGINT)) AS g
+  FROM d
+),
+fp0 AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             generate_series(0, GREATEST(len(g) - {WINNOW_W}, 0)),
+             j -> list_min(list_transform(
+                    generate_series(j, LEAST(j + {WINNOW_W} - 1, len(g) - 1)),
+                    u -> g[u + 1] * {WINNOW_W} + ({WINNOW_W} - 1 - (u - j))))
+                  // {WINNOW_W}))) AS fp
+    FROM g)
+),
+keep AS (
+  SELECT fp FROM fp0 GROUP BY fp HAVING COUNT(*) <= {WINNOW_MAX_DF}
+),
+fp AS (SELECT fp0.doc_id, fp0.fp FROM fp0 JOIN keep USING (fp)),
 sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fp GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared

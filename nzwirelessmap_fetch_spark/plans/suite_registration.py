@@ -483,6 +483,19 @@ registry.register(
 registry.register(
     "corpus_winnowing", _tx.corpus_winnowing, _tx.CORPUS_WINNOWING_SQL
 )
+# Scale-safe df-capped twins (r3 verdict: the skew valve must be the
+# ORACLE-CHECKED plan, not a comment): stop-shingle / hot-fingerprint
+# drops replayed identically by the oracle.
+registry.register(
+    "dedup_ngram_jaccard_capped",
+    _dd.dedup_ngram_jaccard_capped,
+    _dd.DEDUP_NGRAM_JACCARD_CAPPED_SQL,
+)
+registry.register(
+    "corpus_winnowing_capped",
+    _tx.corpus_winnowing_capped,
+    _tx.CORPUS_WINNOWING_CAPPED_SQL,
+)
 registry.register("sim_rrf_fusion", _sim.sim_rrf_fusion, _sim.SIM_RRF_FUSION_SQL)
 registry.register(
     "layout_hilbert_key", _r.layout_hilbert_key, _r.LAYOUT_HILBERT_KEY_SQL
