@@ -1430,8 +1430,15 @@ def dedup_simhash_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged-union conditional count (no 1-row joins — dedup.py's
     no-broadcast-hint pin), integer counts, two pinned ratios.
     """
-    cand = dedup_simhash_hamming(spark, sf_dir).select("doc_a", "doc_b")
-    truth = _verified_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # explicit set semantics on BOTH pair sets (r3 advice): the counts
+    # must not silently depend on the upstream generators emitting
+    # distinct pairs — left_semi preserves left-side duplicates while
+    # the oracle's INTERSECT dedups, so any future duplicate candidate
+    # would skew Spark's n_hits/n_candidates relative to the oracle
+    cand = dedup_simhash_hamming(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    truth = (
+        _verified_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    )
     hit = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
     tagged = (
         cand.select(F.lit("cand").alias("k"))
@@ -1461,7 +1468,8 @@ def dedup_simhash_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_SIMHASH_QUALITY_EVAL_SQL = f"""
-WITH cand AS ({DEDUP_SIMHASH_HAMMING_SQL}),
+WITH cand0 AS ({DEDUP_SIMHASH_HAMMING_SQL}),
+cand AS (SELECT DISTINCT doc_a, doc_b FROM cand0),
 w2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh2 AS (
   SELECT DISTINCT doc_id, shingle FROM (
@@ -1475,7 +1483,7 @@ inter2 AS (
   FROM sh2 a JOIN sh2 b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 ),
 truth AS (
-  SELECT doc_a, doc_b FROM inter2
+  SELECT DISTINCT doc_a, doc_b FROM inter2
   JOIN sz2 sa ON sa.doc_id = doc_a JOIN sz2 sb ON sb.doc_id = doc_b
   WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
 ),

@@ -1023,6 +1023,91 @@ FROM step
 
 
 INCIDENT_GAP_US = 30 * 60 * 1_000_000  # errors within 30 min = one incident
+_DAY_US = 86_400_000_000  # gap-detection bucket width (1 UTC day)
+
+
+def _error_islands(df: DataFrame) -> DataFrame:
+    """Distributed gaps-and-islands over an event stream with GLOBAL
+    incident numbering — the r3-advice fix for the unpartitioned
+    ``Window.orderBy(ts, event_id)`` that forced the whole error stream
+    through one task.
+
+    Partitioned plan: events bucket by UTC day; within-bucket gap flags
+    come from a day-partitioned lag window (parallel); the cross-bucket
+    boundary (first event of each day vs the previous NON-EMPTY day's
+    last event) and the global incident-count offset per bucket are
+    resolved on the day-level summary — |days| rows, so the one
+    remaining unpartitioned window is over a table that grows with the
+    calendar, not the data (36.5k rows per century; at 100 TB this is
+    the standard two-level sessionization and the day summary would be
+    driver-trivial). Global inc_id = per-bucket running flag sum + the
+    bucket's offset — identical numbering to the single-window form,
+    which the DuckDB oracles still use (same result, different plan).
+
+    Returns the input columns plus ``us`` (epoch micros) and ``inc_id``.
+    """
+    wd = Window.partitionBy("day").orderBy("ts", "event_id")
+    marked = (
+        df.withColumn("us", F.unix_micros(F.col("ts")))
+        .withColumn("day", F.expr(f"unix_micros(ts) div {_DAY_US}"))
+        .withColumn("prev_us", F.lag("us").over(wd))
+        .withColumn(
+            "new_inc_local",
+            F.when(
+                F.col("us") - F.col("prev_us") > INCIDENT_GAP_US, 1
+            ).otherwise(0),
+        )
+        .withColumn("rn", F.row_number().over(wd))
+    )
+    summary = marked.groupBy("day").agg(
+        F.min("us").alias("first_us"),
+        F.max("us").alias("last_us"),
+        F.sum(F.when(F.col("rn") > 1, F.col("new_inc_local")).otherwise(0)).alias(
+            "internal_new"
+        ),
+    )
+    ws = Window.orderBy("day")
+    boundaries = (
+        summary.withColumn("prev_last_us", F.lag("last_us").over(ws))
+        .withColumn(
+            "first_flag",
+            F.when(
+                F.col("prev_last_us").isNull()
+                | (F.col("first_us") - F.col("prev_last_us") > INCIDENT_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("bucket_new", F.col("internal_new") + F.col("first_flag"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("bucket_new").over(
+                    ws.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("day", "first_flag", "offset")
+    )
+    return (
+        marked.join(F.broadcast(boundaries), "day")
+        .withColumn(
+            "new_inc",
+            F.when(F.col("rn") == 1, F.col("first_flag")).otherwise(
+                F.col("new_inc_local")
+            ),
+        )
+        .withColumn(
+            "inc_id",
+            (
+                F.col("offset")
+                + F.sum("new_inc").over(
+                    wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+            ).cast("bigint"),
+        )
+        .drop("day", "prev_us", "new_inc_local", "rn", "first_flag", "offset", "new_inc")
+    )
 
 
 def events_incident_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1034,29 +1119,18 @@ def events_incident_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
     in exact integer seconds. The ops-dashboard twin of the SLO burn
     monitor: burn says "paging now", MTTR/MTBF say how the quarter went.
 
-    Plan: one time-ordered window over ERROR events only (filter pushed
-    to the scan — the stream is error-sized, not event-sized), island
-    ids by gap cumsum, per-incident min/max agg, then a lag window +
-    1-row closing agg on the incident grain. Integer micros → seconds
-    via `div` end to end."""
+    Plan: day-bucketed gaps-and-islands over ERROR events only (filter
+    pushed to the scan — the stream is error-sized, not event-sized;
+    see ``_error_islands`` for the partitioned numbering), per-incident
+    min/max agg, then a lag window + 1-row closing agg on the incident
+    grain. Integer micros → seconds via `div` end to end."""
     e = Catalog(spark, sf_dir).table("events").filter(
         F.col("event_type") == "error"
     )
-    us = F.unix_micros(F.col("ts"))
-    w = Window.orderBy("ts", "event_id")
-    gap = us - F.lag(us).over(w)
-    marked = e.withColumn(
-        "new_inc",
-        F.when(gap.isNull() | (gap > INCIDENT_GAP_US), 1).otherwise(0),
-    ).withColumn(
-        "inc_id",
-        F.sum("new_inc").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
+    marked = _error_islands(e)
     incidents = marked.groupBy("inc_id").agg(
-        F.min(us).alias("start_us"),
-        F.max(us).alias("end_us"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
         F.count(F.lit(1)).alias("n_errors"),
     )
     w_inc = Window.orderBy("start_us")
@@ -1678,23 +1752,12 @@ def events_purchases_during_incidents(spark: SparkSession, sf_dir: str) -> DataF
     """
     e = Catalog(spark, sf_dir).table("events")
     err = e.filter(F.col("event_type") == "error")
-    us = F.unix_micros(F.col("ts"))
-    w = Window.orderBy("ts", "event_id")
-    gap = us - F.lag(us).over(w)
     incidents = (
-        err.withColumn(
-            "new_inc", F.when(gap.isNull() | (gap > INCIDENT_GAP_US), 1).otherwise(0)
-        )
-        .withColumn(
-            "inc_id",
-            F.sum("new_inc").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
+        _error_islands(err)
         .groupBy("inc_id")
         .agg(
-            F.min(F.unix_micros("ts")).alias("start_us"),
-            (F.max(F.unix_micros("ts")) + INCIDENT_GAP_US).alias("end_us"),
+            F.min("us").alias("start_us"),
+            (F.max("us") + INCIDENT_GAP_US).alias("end_us"),
         )
     )
     cells = incidents.select(

@@ -1043,20 +1043,20 @@ w0 AS (
 ),
 w1 AS (
   SELECT start, w,
-         nbrs[CAST(('0x' || substr(md5(CAST(cur AS VARCHAR) || ':' || CAST(w AS VARCHAR) || ':0'), 1, 8))::BIGINT % len(nbrs) AS INT) + 1] AS cur,
-         list_append(path, nbrs[CAST(('0x' || substr(md5(CAST(cur AS VARCHAR) || ':' || CAST(w AS VARCHAR) || ':0'), 1, 8))::BIGINT % len(nbrs) AS INT) + 1]) AS path
+         nbrs[CAST(('0x' || substr(md5(CAST(w0.cur AS VARCHAR) || ':' || CAST(w AS VARCHAR) || ':0'), 1, 8))::BIGINT % len(nbrs) AS INT) + 1] AS cur,
+         list_append(path, nbrs[CAST(('0x' || substr(md5(CAST(w0.cur AS VARCHAR) || ':' || CAST(w AS VARCHAR) || ':0'), 1, 8))::BIGINT % len(nbrs) AS INT) + 1]) AS path
   FROM w0 JOIN adj ON w0.cur = adj.src
 ),
 w2 AS (
   SELECT start, w,
-         nbrs[CAST(('0x' || substr(md5(CAST(cur AS VARCHAR) || ':' || CAST(w AS VARCHAR) || ':1'), 1, 8))::BIGINT % len(nbrs) AS INT) + 1] AS cur,
-         list_append(path, nbrs[CAST(('0x' || substr(md5(CAST(cur AS VARCHAR) || ':' || CAST(w AS VARCHAR) || ':1'), 1, 8))::BIGINT % len(nbrs) AS INT) + 1]) AS path
+         nbrs[CAST(('0x' || substr(md5(CAST(w1.cur AS VARCHAR) || ':' || CAST(w AS VARCHAR) || ':1'), 1, 8))::BIGINT % len(nbrs) AS INT) + 1] AS cur,
+         list_append(path, nbrs[CAST(('0x' || substr(md5(CAST(w1.cur AS VARCHAR) || ':' || CAST(w AS VARCHAR) || ':1'), 1, 8))::BIGINT % len(nbrs) AS INT) + 1]) AS path
   FROM w1 JOIN adj ON w1.cur = adj.src
 ),
 w3 AS (
   SELECT start, w,
-         nbrs[CAST(('0x' || substr(md5(CAST(cur AS VARCHAR) || ':' || CAST(w AS VARCHAR) || ':2'), 1, 8))::BIGINT % len(nbrs) AS INT) + 1] AS cur,
-         list_append(path, nbrs[CAST(('0x' || substr(md5(CAST(cur AS VARCHAR) || ':' || CAST(w AS VARCHAR) || ':2'), 1, 8))::BIGINT % len(nbrs) AS INT) + 1]) AS path
+         nbrs[CAST(('0x' || substr(md5(CAST(w2.cur AS VARCHAR) || ':' || CAST(w AS VARCHAR) || ':2'), 1, 8))::BIGINT % len(nbrs) AS INT) + 1] AS cur,
+         list_append(path, nbrs[CAST(('0x' || substr(md5(CAST(w2.cur AS VARCHAR) || ':' || CAST(w AS VARCHAR) || ':2'), 1, 8))::BIGINT % len(nbrs) AS INT) + 1]) AS path
   FROM w2 JOIN adj ON w2.cur = adj.src
 )
 SELECT start, CAST(w AS INT) AS walk_no, path, cur AS end_node

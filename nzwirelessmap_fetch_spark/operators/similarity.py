@@ -2063,6 +2063,14 @@ def corpus_submodular_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("u")
             .agg(F.sum("g").alias("gain"))
         )
+        # facility-location greedy picks each facility ONCE: anti-join the
+        # prior selections out before the argmax, else a fully-covered
+        # round (every residual gain 0) re-selects the smallest id
+        # instead of the next-best uncovered vector (r3 advice)
+        for prior in picks:
+            gains = gains.join(
+                F.broadcast(prior.select(F.col("sel").alias("u"))), "u", "left_anti"
+            )
         sel = (
             gains.agg(
                 F.max(F.struct(F.col("gain").alias("g"), (-F.col("u")).alias("nu"))).alias("b")
@@ -2091,6 +2099,15 @@ def corpus_submodular_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _submod_round_sql(r: int) -> str:
+    # mirror the Spark side's prior-pick anti-join: a facility is
+    # selectable at most once (r3 advice)
+    exclude = (
+        "  WHERE "
+        + " AND ".join(f"u NOT IN (SELECT sel FROM s{k})" for k in range(1, r))
+        + "\n"
+        if r > 1
+        else ""
+    )
     return f"""
 g{r} AS (
   SELECT u, SUM(GREATEST(w - b.best, 0)) AS gain
@@ -2099,7 +2116,7 @@ g{r} AS (
 ),
 s{r} AS (
   SELECT u AS sel, gain FROM g{r}
-  ORDER BY gain DESC, u ASC LIMIT 1
+{exclude}  ORDER BY gain DESC, u ASC LIMIT 1
 ),
 b{r} AS (
   SELECT b.node, GREATEST(b.best, COALESCE(c.nw, 0)) AS best
