@@ -262,6 +262,12 @@ registry.register("corpus_weighted_sample", _sk.corpus_weighted_sample, _sk.CORP
 registry.register("text_inverted_index", _sk.text_inverted_index, _sk.TEXT_INVERTED_INDEX_SQL)
 registry.register("corpus_bm25_topk", _sk.corpus_bm25_topk, _sk.CORPUS_BM25_TOPK_SQL)
 registry.register("table_diff", _r.table_snapshot_diff, _r.TABLE_SNAPSHOT_DIFF_SQL)
+# Same recovery through the AT-REST snapshot layout (write v1/v2 via
+# SnapshotParquetTable, read back via @version / @latest, diff): the
+# shared oracle certifies the time-travel read path end to end.
+registry.register(
+    "table_diff_versions", _r.table_diff_versions, _r.TABLE_SNAPSHOT_DIFF_SQL
+)
 registry.register(
     "agg_incremental_maintenance",
     _r.agg_incremental_maintenance,

@@ -56,6 +56,84 @@ def read_jdbc(
     return reader.load()
 
 
+UCANACCESS_DRIVER = "net.ucanaccess.jdbc.UcanaccessDriver"
+
+# Classpath recipe for the direct-.mdb path (SURVEY §3.2 parity): the
+# reference itself shells out to a vendored mdb-sqlite.jar
+# (fetch.go:189-196); Spark-side the equivalent is UCanAccess on the
+# driver+executor classpath. Not vendored here (no jar in this
+# environment) — start the session with:
+#   spark-submit --jars ucanaccess.jar,jackcess.jar,hsqldb.jar,
+#                       commons-lang3.jar,commons-logging.jar ...
+# or spark.jars / spark.driver.extraClassPath in the session builder.
+UCANACCESS_RECIPE = (
+    "direct .mdb ingest needs UCanAccess on the classpath "
+    "(--jars ucanaccess.jar,jackcess.jar,hsqldb.jar,commons-lang3.jar,"
+    "commons-logging.jar); without it, pre-convert via the SQLite "
+    "staging path (sources/sqlite_ingest.py) exactly as the reference "
+    "does through its vendored mdb-sqlite.jar"
+)
+
+
+def ucanaccess_available(spark: SparkSession) -> bool:
+    """True when the UCanAccess JDBC driver is loadable in the JVM."""
+    try:
+        spark._jvm.java.lang.Class.forName(UCANACCESS_DRIVER)  # noqa: SLF001
+        return True
+    except Exception:  # noqa: BLE001 — any JVM loading failure means absent
+        return False
+
+
+def access_select_with_conversions(
+    df: DataFrame, declared_types: dict[str, str]
+) -> DataFrame:
+    """The type-map contract applied to a JDBC-read frame: every column
+    must carry a DECLARED Access type from the closed map (unknown names
+    fail loudly via ``map_access_type`` — the jar's SQLException parity),
+    and the two special-cased wire conversions (MONEY → toString,
+    BOOLEAN → 0/1 int) are applied. This is the shared branch both the
+    SQLite-staging path and the direct JDBC path funnel through, so the
+    contract is testable without the jar."""
+    missing = [c for c in df.columns if c not in declared_types]
+    if missing:
+        raise ValueError(f"no declared Access type for column(s): {missing}")
+    cols = []
+    for c in df.columns:
+        access_t = declared_types[c]
+        target = map_access_type(access_t)  # raises on unknown type names
+        if access_t == "MONEY":
+            cols.append(F.col(c).cast("decimal(19,4)").cast("string").alias(c))
+        elif access_t == "BOOLEAN":
+            cols.append(F.col(c).cast("boolean").cast("int").alias(c))
+        else:
+            cols.append(F.col(c).cast(target).alias(c))
+    return df.select(cols)
+
+
+def read_access_jdbc(
+    spark: SparkSession,
+    mdb_path: str,
+    table: str,
+    declared_types: dict[str, str],
+    **options: str,
+) -> DataFrame:
+    """Direct ``.mdb`` ingest via UCanAccess JDBC, feature-gated on the
+    jar being present (VERDICT r3 "what's missing" #1). The default
+    ingest path stays SQLite staging; this branch removes the manual
+    pre-conversion when the classpath carries the driver.
+
+    ``memory=false`` keeps UCanAccess's HSQLDB mirror on disk — the
+    driver materializes the Access file into HSQLDB on open, and an
+    in-memory mirror of a big .mdb would OOM the executor."""
+    if not ucanaccess_available(spark):
+        raise RuntimeError(UCANACCESS_RECIPE)
+    url = f"jdbc:ucanaccess://{mdb_path};memory=false"
+    df = read_jdbc(
+        spark, url, table, driver=UCANACCESS_DRIVER, **options
+    )
+    return access_select_with_conversions(df, declared_types)
+
+
 def read_csv_all_strings(spark: SparkSession, path: str, columns: list[str]) -> DataFrame:
     """P16 parity: headered CSV → records where EVERY value is a string
     (``csv.DictReader`` semantics, csv2json2.py:3). No inference pass."""

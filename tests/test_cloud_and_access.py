@@ -1,0 +1,136 @@
+"""Round-4 source/sink additions (VERDICT r3 "what's missing" 1–3):
+the feature-gated direct-.mdb JDBC branch, the gs://-shaped storage-class
+writer profile, and the snapshot-versioned parquet table helper.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from nzwirelessmap_fetch_spark.sources.readers import (
+    UCANACCESS_RECIPE,
+    access_select_with_conversions,
+    read_access_jdbc,
+    ucanaccess_available,
+)
+from nzwirelessmap_fetch_spark.sinks.writers import (
+    CloudArtifactSink,
+    SnapshotParquetTable,
+)
+
+
+# ─── direct .mdb ingest (UCanAccess JDBC, feature-gated) ────────────────────
+
+
+def _access_frame(spark):
+    return spark.createDataFrame(
+        [(1, 12.34, True, "a"), (2, 0.5, False, None)],
+        ["id", "price", "active", "note"],
+    )
+
+
+def test_access_conversions_through_jdbc_branch(spark):
+    """The type-map contract the jar enforces, exercised through the
+    shared branch both ingest paths funnel into: MONEY → decimal(19,4)
+    toString, BOOLEAN → 0/1 int, LONG → 32-bit int, TEXT passthrough."""
+    out = access_select_with_conversions(
+        _access_frame(spark),
+        {"id": "LONG", "price": "MONEY", "active": "BOOLEAN", "note": "TEXT"},
+    )
+    types = dict(out.dtypes)
+    assert types == {
+        "id": "int",
+        "price": "string",
+        "active": "int",
+        "note": "string",
+    }
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].price == "12.3400"  # Object.toString of decimal(19,4)
+    assert rows[1].active == 1 and rows[2].active == 0
+
+
+def test_access_unknown_type_fails_loudly(spark):
+    """Closed map: an undeclared Access type is the jar's SQLException
+    parity, not a silent cast."""
+    with pytest.raises(ValueError, match="Unhandled MS Access datatype"):
+        access_select_with_conversions(
+            _access_frame(spark),
+            {"id": "LONG", "price": "CURRENCY", "active": "BOOLEAN", "note": "TEXT"},
+        )
+    with pytest.raises(ValueError, match="no declared Access type"):
+        access_select_with_conversions(_access_frame(spark), {"id": "LONG"})
+
+
+def test_access_jdbc_reads_mdb_when_jar_present(spark, tmp_path):
+    """Real .mdb read through the JDBC branch — runs only where the
+    classpath carries UCanAccess (never in this container)."""
+    if not ucanaccess_available(spark):
+        pytest.skip("UCanAccess jar not on the classpath")
+    df = read_access_jdbc(
+        spark, str(tmp_path / "sample.mdb"), "t", {"id": "LONG"}
+    )
+    assert df.columns == ["id"]
+
+
+def test_access_jdbc_gated_with_recipe(spark, tmp_path):
+    """Without the jar the branch fails loudly WITH the classpath recipe
+    (the documented fallback is the SQLite staging path, exactly the
+    reference's own vendored-jar pre-conversion)."""
+    if ucanaccess_available(spark):
+        pytest.skip("jar present — gating not reachable")
+    with pytest.raises(RuntimeError, match="ucanaccess.jar"):
+        read_access_jdbc(spark, str(tmp_path / "x.mdb"), "t", {"id": "LONG"})
+    assert "sqlite" in UCANACCESS_RECIPE.lower()
+
+
+# ─── gs://-shaped storage-class writer profile ──────────────────────────────
+
+
+def test_cloud_sink_plan_orders_and_classes():
+    """fetch.go:247-265 parity on the plan level: latest (STANDARD)
+    first, versioned marker (NEARLINE) last, URIs under the gs:// root."""
+    sink = CloudArtifactSink("gs://bucket/prefix/")
+    plan = sink.plan_writes("prism.json", "2024-01-02T03:04:05Z")
+    assert plan == [
+        ("gs://bucket/prefix/prism.json/latest", "STANDARD"),
+        ("gs://bucket/prefix/prism.json/2024-01-02T03:04:05Z", "NEARLINE"),
+    ]
+    assert sink.scheme == "gs"
+    custom = CloudArtifactSink("gs://b", storage_classes={"versioned": "COLDLINE"})
+    assert custom.storage_class_for("v1") == "COLDLINE"
+    assert custom.storage_class_for("latest") == "STANDARD"
+
+
+def test_cloud_sink_local_standin_writes_marker_last_layout(spark, tmp_path):
+    """On a local (test stand-in) root the profile actually writes: both
+    objects exist and the storage-class manifest records the intent."""
+    sink = CloudArtifactSink(str(tmp_path / "store"))
+    df = spark.range(3).select(F.col("id").cast("string").alias("v"))
+    sink.write_versioned_ndjson(df, "art", "2024-01-01T00:00:00Z")
+    root = tmp_path / "store" / "art"
+    assert (root / "latest").exists()
+    assert (root / "2024-01-01T00:00:00Z").exists()
+    manifest = json.loads((root / "_storage_classes.json").read_text())
+    assert set(manifest.values()) == {"STANDARD", "NEARLINE"}
+
+
+# ─── snapshot-versioned parquet tables (@version reads) ─────────────────────
+
+
+def test_snapshot_table_versions_and_latest(spark, tmp_path):
+    sink = SnapshotParquetTable(tmp_path / "snap")
+    with pytest.raises(FileNotFoundError):
+        sink.resolve("orders")
+    v1 = spark.range(5).select(F.col("id"), F.lit("a").alias("tag"))
+    v2 = spark.range(7).select(F.col("id"), F.lit("b").alias("tag"))
+    sink.write_version(v1, "orders", "1")
+    sink.write_version(v2, "orders", "2")
+    assert sink.versions("orders") == ["1", "2"]
+    assert sink.resolve("orders") == "2"
+    assert sink.read_version(spark, "orders", "1").count() == 5
+    latest = sink.read_version(spark, "orders", "latest")
+    assert latest.count() == 7
+    assert latest.select("tag").distinct().collect()[0].tag == "b"
