@@ -697,6 +697,11 @@ registry.register(
     _es.stream_update_mode_counts,
     _es.STREAM_UPDATE_MODE_COUNTS_SQL,
 )
+# Stream-static dimension enrichment — the remaining streaming join type
+# (static side stateless, re-read per micro-batch; only the agg holds state).
+registry.register(
+    "stream_static_join", _es.stream_static_join, _es.STREAM_STATIC_JOIN_SQL
+)
 registry.register(
     "sim_graph_greedy_search",
     _sim.sim_graph_greedy_search,

@@ -894,3 +894,65 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join — the remaining Structured Streaming join type
+    (stream-stream inner/outer are covered by ``stream_stream_join`` /
+    ``stream_left_outer_join``): the event stream enriched against a
+    STATIC dimension (customer market segment, batch-read) before a
+    watermarked tumbling aggregation per (window, segment).
+
+    Semantics worth pinning: a static side is re-read per micro-batch
+    and needs NO watermark or state — Spark plans it as a plain
+    (broadcastable) join under the streaming aggregation, which is the
+    standard dimension-enrichment shape at 100 TB (static dim in the
+    state-free fast path, only the aggregation holds state). Append
+    mode emits watermark-finalized windows, same closed form as
+    ``stream_windowed_counts``.
+    """
+    from ..catalog import Catalog
+
+    dim = (
+        Catalog(spark, sf_dir)
+        .table("customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    agg = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", WATERMARK)
+        .join(F.broadcast(dim), "user_id")  # static side: stateless
+        .groupBy(F.window("ts", WINDOW), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+    out = _run_to_completion(agg, spark)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "c_mktsegment",
+        "n",
+        "total_value",
+    )
+
+
+STREAM_STATIC_JOIN_SQL = """
+WITH b AS (
+  SELECT c.c_mktsegment, e.value,
+         make_timestamp((epoch_us(e.ts) // 300000000) * 300000000) AS ws
+  FROM events e JOIN customer c ON c.c_custkey = e.user_id
+),
+mx AS (SELECT MAX(ts) AS mt FROM events)
+SELECT ws                          AS window_start,
+       ws + INTERVAL 5 MINUTE      AS window_end,
+       c_mktsegment,
+       COUNT(*)                    AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM b, mx
+WHERE ws + INTERVAL 5 MINUTE <= mt - INTERVAL 10 MINUTE
+GROUP BY ws, c_mktsegment
+"""
