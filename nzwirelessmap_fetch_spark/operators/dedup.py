@@ -151,7 +151,16 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same AllPairs/PPJoin prefix-filter + exact-verify shape as
     ``dedup_ngram_jaccard``; the cap only shrinks the shingle table the
     prefix join is built from (one extra groupBy + semi-join, keyed on
-    the shingle — no new skew surface)."""
+    the shingle — no new skew surface).
+
+    Fixture caveat (honest): the synthetic corpus draws from a FIXED
+    ~40-word vocabulary, so every shingle's df grows linearly with
+    corpus size and the absolute cap empties the index at sf0.1 (it
+    binds meaningfully at the sf0.01 gate, where the hash check runs).
+    A real corpus grows vocabulary with size (Heaps' law), keeping the
+    sub-cap shingle mass roughly proportional — the absolute cap is
+    still the right production form because it is what bounds
+    Σdf² ≤ |shingles|·cap² linearly."""
     return _verified_jaccard_pairs(spark, sf_dir, max_df=JACCARD_MAX_DF)
 
 

@@ -639,8 +639,15 @@ def _pc_iterate(spark: SparkSession, gram: DataFrame):
         )
 
     v = spark.range(_PC_DIM).select(F.col("id").cast("int").alias("j"), F.lit(1.0).alias("v"))
-    for _ in range(_PC_ITERS - 1):
-        v = normalized(matvec(v)).localCheckpoint(eager=True)
+    # checkpoint every SECOND round: each eager checkpoint is a full job
+    # (~0.2-0.3 s of scheduling on dim-sized data), and two rounds of
+    # matvec+normalize nest the plan only ~4 joins deep — shallow enough
+    # for Catalyst, half the job count (measured: the 6-iter trajectory
+    # family cost ~+5 s/suite at every-round cadence)
+    for i in range(_PC_ITERS - 1):
+        v = normalized(matvec(v))
+        if i % 2 == 1 or i == _PC_ITERS - 2:
+            v = v.localCheckpoint(eager=True)
     # unnormalized G·v with unit v → Rayleigh numerator; feeds lam AND the
     # returned normalized vector, so truncate before fan-out
     w_last = matvec(v).localCheckpoint(eager=True)
