@@ -510,6 +510,69 @@ WHERE props->>'k' IS NOT NULL
 """
 
 
+def json_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type surface: ``parse_json`` → binary variant →
+    typed path extraction (``variant_get``), missing-path null semantics
+    (``try_variant_get``), and per-row ``schema_of_variant`` over
+    HETEROGENEOUS documents — the open-schema JSON answer that replaces
+    string re-parsing per access (the variant encodes once; each
+    extraction is a binary walk, not a JSON parse — the 100 TB reason
+    the type exists).
+
+    Heterogeneity is real, not decorative: purchase events carry an
+    extra ``amt_cents`` field, so ``schema_of_variant`` differs by row
+    shape and ``try_variant_get`` exercises both present and absent
+    paths. The oracle replays extraction with DuckDB's JSON operators
+    and maps the two shapes to Spark's canonical schema strings."""
+    e = Catalog(spark, sf_dir).table("events")
+    amt = F.floor(F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    js = F.concat(
+        F.lit('{"t":"'),
+        F.col("event_type"),
+        F.lit('","k":'),
+        F.get_json_object("props", "$.k"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.concat(F.lit(',"amt_cents":'), amt.cast("string")),
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    v = F.parse_json(js)
+    return e.select(
+        "event_id",
+        v.alias("v"),
+    ).select(
+        "event_id",
+        F.variant_get("v", "$.t", "string").alias("t"),
+        F.variant_get("v", "$.k", "bigint").alias("k_val"),
+        F.try_variant_get("v", "$.amt_cents", "bigint").alias("amt_cents"),
+        F.try_variant_get("v", "$.missing", "string").alias("absent"),
+        F.schema_of_variant(F.col("v")).alias("shape"),
+    )
+
+
+JSON_VARIANT_FUNCS_SQL = """
+WITH built AS (
+  SELECT event_id, event_type,
+         CAST(props->>'k' AS BIGINT) AS k_val,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(FLOOR(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+         END AS amt_cents
+  FROM events
+)
+SELECT event_id,
+       event_type AS t,
+       k_val,
+       amt_cents,
+       CAST(NULL AS VARCHAR) AS absent,
+       CASE WHEN event_type = 'purchase'
+            THEN 'OBJECT<amt_cents: BIGINT, k: BIGINT, t: STRING>'
+            ELSE 'OBJECT<k: BIGINT, t: STRING>'
+       END AS shape
+FROM built
+"""
+
+
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) pinned to ≤5% of exact.
 

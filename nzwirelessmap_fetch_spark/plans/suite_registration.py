@@ -702,6 +702,19 @@ registry.register(
 registry.register(
     "stream_static_join", _es.stream_static_join, _es.STREAM_STATIC_JOIN_SQL
 )
+# Spark 4 VARIANT type: parse-once binary JSON with typed path extraction
+# over heterogeneous row shapes.
+registry.register(
+    "json_variant_funcs", _r.json_variant_funcs, _r.JSON_VARIANT_FUNCS_SQL
+)
+# NOT registered: stream_transform_with_state (Spark 4's successor
+# arbitrary-state API) is implemented and oracle-paired in
+# streaming/events_stream.py but environment-blocked — its state-server
+# protocol needs google.protobuf, absent from this container (verified:
+# the driver worker crashes importing StateMessage_pb2). Feature-gated
+# like the multimodal decode; tests/test_stream_checkpoint.py skips it
+# without the dep. applyInPandasWithState covers the stateful surface
+# in-registry (stream_stateful_user_stats).
 registry.register(
     "sim_graph_greedy_search",
     _sim.sim_graph_greedy_search,

@@ -1,0 +1,95 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API) over
+the versioned-artifact sink layout — the reference's output contract
+(fetch.go:48-53 `prism.json/{ts}` + `latest`) exposed back to Spark as a
+first-class readable source:
+
+    spark.dataSource.register(VersionedArtifactDataSource)
+    spark.read.format("versioned_artifacts").option("root", ROOT).load()
+
+One row per (artifact, version) object: record count, latest-pointer
+membership, and byte size — the manifest view a pipeline audits before
+trusting `latest` (a crash mid-run leaves `latest` behind the newest
+timestamped version; this source makes that visible as is_latest=false
+on the newest row).
+
+Scale design: `partitions()` emits one InputPartition per ARTIFACT, so a
+root with thousands of artifacts fans out across executors; each task
+reads only its artifact's directory. Rows are summary-sized (never the
+payload), so the source output is manifest-sized regardless of artifact
+bytes. The payload itself stays on the scale path (NDJSON/parquet reads);
+this source is the catalog over the layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+@dataclass
+class ArtifactPartition(InputPartition):
+    root: str
+    artifact: str
+
+
+class VersionedArtifactDataSource(DataSource):
+    """`format("versioned_artifacts")` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_artifacts"
+
+    def schema(self) -> str:
+        return (
+            "artifact string, version string, n_records bigint, "
+            "n_bytes bigint, is_latest boolean"
+        )
+
+    def reader(self, schema) -> "VersionedArtifactReader":
+        root = self.options.get("root")
+        if not root:
+            raise ValueError("versioned_artifacts requires .option('root', PATH)")
+        return VersionedArtifactReader(root)
+
+
+class VersionedArtifactReader(DataSourceReader):
+    def __init__(self, root: str):
+        self.root = root
+
+    def partitions(self):
+        # one partition per artifact directory — the distribution unit
+        return [
+            ArtifactPartition(self.root, d)
+            for d in sorted(os.listdir(self.root))
+            if os.path.isdir(os.path.join(self.root, d))
+        ]
+
+    def read(self, partition: ArtifactPartition):
+        adir = os.path.join(partition.root, partition.artifact)
+        names = sorted(os.listdir(adir))
+        latest_bytes = None
+        if "latest" in names:
+            with open(os.path.join(adir, "latest"), "rb") as f:
+                latest_bytes = f.read()
+        for name in names:
+            if name.startswith("_"):
+                continue  # manifests (e.g. _storage_classes.json)
+            path = os.path.join(adir, name)
+            if not os.path.isfile(path):
+                continue
+            with open(path, "rb") as f:
+                payload = f.read()
+            try:
+                n_records = len(json.loads(payload))
+            except ValueError:
+                n_records = -1  # non-JSON-array artifact: size-only row
+            yield (
+                partition.artifact,
+                name,
+                n_records,
+                len(payload),
+                latest_bytes is not None and payload == latest_bytes,
+            )

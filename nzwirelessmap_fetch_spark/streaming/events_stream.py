@@ -956,3 +956,124 @@ FROM b, mx
 WHERE ws + INTERVAL 5 MINUTE <= mt - INTERVAL 10 MINUTE
 GROUP BY ws, c_mktsegment
 """
+
+
+_TWS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_cents", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState`` (typed state primitives via a
+    StatefulProcessorHandle: ValueState/ListState/MapState + timers,
+    RocksDB-backed): per-user running totals held in a ValueState and
+    re-emitted each micro-batch in update mode.
+
+    Why cover BOTH stateful APIs: applyInPandasWithState is the 3.x
+    shape (one blob state, GroupStateTimeout); transformWithState is
+    where Spark's arbitrary-state roadmap lives (state schema evolution,
+    multiple typed states per key, processing/event-time timers) — a
+    100 TB per-key accumulator written today should target this API.
+
+    Determinism: integer state only (event count, exact value cents,
+    max event-time micros); one data micro-batch over the bounded
+    fixture ⇒ each user's single update equals the batch aggregate,
+    which the oracle states directly.
+
+    ENVIRONMENT-GATED (not in the registry): the transformWithState
+    state-server protocol speaks protobuf and this container has no
+    ``google.protobuf`` (the driver worker crashes importing
+    StateMessage_pb2) — the same documented-stub stance as the
+    multimodal decode. Runs wherever protobuf is installed; the
+    in-registry stateful representative is ``stream_stateful_user_stats``
+    (applyInPandasWithState)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf (its state-"
+            "server wire protocol); pip install protobuf — absent in this "
+            "container, see suite_registration.py note"
+        ) from exc
+    import pandas as pd  # local import: Arrow path only
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, cents BIGINT, last_us BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents, last_us = (
+                self._state.get() if self._state.exists() else (0, 0, 0)
+            )
+            import math
+
+            for pdf in rows:
+                n += len(pdf)
+                # floor, not round: round-half ties diverge between
+                # Python (half-even) and SQL (half-away); floor of the
+                # same IEEE double is identical everywhere
+                cents += int(
+                    (pdf["value"].map(lambda v: math.floor(v * 100))).sum()
+                )
+                last_us = max(
+                    last_us, int(pdf["ts"].astype("int64").max()) // 1000
+                )
+            self._state.update((n, cents, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                    "last_us": [last_us],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        agg = (
+            _event_stream(spark, sf_dir)
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=RunningTotals(),
+                outputStructType=_TWS_OUT,
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+        out = _run_to_completion(agg, spark, mode="update")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    return out
+
+
+STREAM_TRANSFORM_WITH_STATE_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       MAX(epoch_us(ts)) AS last_us
+FROM events
+GROUP BY user_id
+"""

@@ -134,3 +134,49 @@ def test_snapshot_table_versions_and_latest(spark, tmp_path):
     latest = sink.read_version(spark, "orders", "latest")
     assert latest.count() == 7
     assert latest.select("tag").distinct().collect()[0].tag == "b"
+
+
+# ─── custom Python DataSource over the versioned-artifact layout ────────────
+
+
+def test_versioned_artifact_datasource(spark, tmp_path):
+    """Spark 4 Python DataSource API end-to-end: write two artifacts via
+    the versioned sink (marker-last), then read the layout back through
+    spark.read.format('versioned_artifacts') — one partition per
+    artifact, one manifest row per object, latest-pointer membership
+    derived from content equality."""
+    from pyspark.sql import functions as F
+
+    from nzwirelessmap_fetch_spark.sinks.writers import VersionedArtifactSink
+    from nzwirelessmap_fetch_spark.sources.artifact_source import (
+        VersionedArtifactDataSource,
+    )
+
+    sink = VersionedArtifactSink(tmp_path / "store")
+    df1 = spark.range(3).select(F.col("id").cast("string").alias("v"))
+    df2 = spark.range(5).select(F.col("id").cast("string").alias("v"))
+    sink.write_versioned_json(df1, "prism.json", "2024-01-01T00:00:00Z")
+    sink.write_versioned_json(df2, "prism.json", "2024-01-02T00:00:00Z")
+    sink.write_versioned_json(df1, "other.json", "2024-01-03T00:00:00Z")
+
+    spark.dataSource.register(VersionedArtifactDataSource)
+    rows = (
+        spark.read.format("versioned_artifacts")
+        .option("root", str(tmp_path / "store"))
+        .load()
+        .collect()
+    )
+    by_key = {(r.artifact, r.version): r for r in rows}
+    assert len(by_key) == 5  # 2 artifacts' versions + each latest
+    # latest tracks the NEWEST write's content
+    assert by_key[("prism.json", "latest")].n_records == 5
+    assert by_key[("prism.json", "2024-01-02T00:00:00Z")].is_latest
+    assert not by_key[("prism.json", "2024-01-01T00:00:00Z")].is_latest
+    assert by_key[("other.json", "latest")].n_records == 3
+    # the source is distributed: one partition per artifact
+    src = (
+        spark.read.format("versioned_artifacts")
+        .option("root", str(tmp_path / "store"))
+        .load()
+    )
+    assert src.rdd.getNumPartitions() == 2

@@ -86,3 +86,37 @@ def test_foreachbatch_upsert_conserves_mass(spark):
         .collect()[0]
     )
     assert (u.last_event_id, u.last_type) == (last.event_id, last.event_type)
+
+
+def test_transform_with_state_gated_or_green(spark):
+    """Spark 4 transformWithStateInPandas: environment-gated on
+    google.protobuf (the state-server wire protocol). Where the dep
+    exists the op must match its oracle; here it must fail loudly with
+    the install recipe, never crash the stream opaquely."""
+    import duckdb
+    import pytest
+
+    from tests.conftest import SF_CORRECT
+    from tests.oracle import compare
+    from nzwirelessmap_fetch_spark.catalog import TABLES
+    from nzwirelessmap_fetch_spark.streaming.events_stream import (
+        STREAM_TRANSFORM_WITH_STATE_SQL,
+        stream_transform_with_state,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            stream_transform_with_state(spark, SF_CORRECT)
+        pytest.skip("google.protobuf not in container — gate verified")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_CORRECT}/{t}.parquet')"
+        )
+    compare(
+        stream_transform_with_state(spark, SF_CORRECT),
+        con,
+        STREAM_TRANSFORM_WITH_STATE_SQL,
+    )
