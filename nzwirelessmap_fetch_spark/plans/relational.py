@@ -510,6 +510,101 @@ WHERE props->>'k' IS NOT NULL
 """
 
 
+def xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML surface (Spark 4 promoted spark-xml into core): structured
+    extraction with ``from_xml`` against an explicit schema AND the
+    XPath function family (``xpath_string``/``xpath_long``) over the
+    same document — the two decode paths a feed-ingest pipeline picks
+    between (schema-checked struct vs ad-hoc path probes).
+
+    The document is built deterministically from orders columns
+    (integers and enum strings only — no float-to-text hazards). The
+    oracle replays extraction with regexp tag-picking; the CONTRACT is
+    the extracted values, which both engines state exactly."""
+    o = Catalog(spark, sf_dir).table("orders")
+    cents = F.floor(F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    xml = F.concat(
+        F.lit("<o><id>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</id><st>"),
+        F.col("o_orderstatus"),
+        F.lit("</st><cents>"),
+        cents.cast("string"),
+        F.lit("</cents></o>"),
+    )
+    return o.select(
+        "o_orderkey",
+        xml.alias("doc"),
+    ).select(
+        "o_orderkey",
+        F.col("doc"),
+        F.from_xml("doc", "id BIGINT, st STRING, cents BIGINT").alias("p"),
+        F.xpath_string("doc", F.lit("/o/st")).alias("xp_status"),
+        F.xpath_long("doc", F.lit("/o/cents")).alias("xp_cents"),
+    ).select(
+        "o_orderkey",
+        F.col("p.id").alias("xml_id"),
+        F.col("p.st").alias("xml_status"),
+        F.col("p.cents").alias("xml_cents"),
+        "xp_status",
+        "xp_cents",
+        (F.col("p.id") == F.col("o_orderkey")).alias("roundtrip_ok"),
+    )
+
+
+XML_FUNCS_SQL = """
+WITH built AS (
+  SELECT o_orderkey,
+         o_orderstatus AS st,
+         CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders
+)
+SELECT o_orderkey,
+       o_orderkey AS xml_id,
+       st AS xml_status,
+       cents AS xml_cents,
+       st AS xp_status,
+       cents AS xp_cents,
+       TRUE AS roundtrip_ok
+FROM built
+"""
+
+
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery join (SQL:2016 / Spark 3.2+): for
+    each nation, the single highest-balance customer via a correlated
+    ORDER BY … LIMIT 1 subquery in the FROM clause — the per-row
+    dependent-join form Catalyst must DECORRELATE into a ranked window
+    (a per-row re-execution would be O(|nation|·|customer|) and is
+    exactly what the optimizer exists to eliminate; the oracle runs
+    DuckDB's native LATERAL, so the same declarative text is checked
+    against an independent correlated-join implementation)."""
+    Catalog(spark, sf_dir).register_views(("nation", "customer"))
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n,
+        LATERAL (
+          SELECT c_name, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name ASC LIMIT 1
+        ) t
+        """
+    )
+
+
+JOIN_LATERAL_TOPK_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name ASC LIMIT 1
+) t
+"""
+
+
 def json_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT type surface: ``parse_json`` → binary variant →
     typed path extraction (``variant_get``), missing-path null semantics

@@ -707,6 +707,13 @@ registry.register(
 registry.register(
     "json_variant_funcs", _r.json_variant_funcs, _r.JSON_VARIANT_FUNCS_SQL
 )
+# XML decode surface (from_xml + XPath family, core in Spark 4) and the
+# LATERAL correlated-subquery join (Catalyst decorrelation; DuckDB runs
+# its native LATERAL as the independent implementation).
+registry.register("xml_funcs", _r.xml_funcs, _r.XML_FUNCS_SQL)
+registry.register(
+    "join_lateral_topk", _r.join_lateral_topk, _r.JOIN_LATERAL_TOPK_SQL
+)
 # NOT registered: stream_transform_with_state (Spark 4's successor
 # arbitrary-state API) is implemented and oracle-paired in
 # streaming/events_stream.py but environment-blocked — its state-server
