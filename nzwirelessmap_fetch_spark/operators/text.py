@@ -199,6 +199,75 @@ SELECT doc_id, w[p + 1] AS word, CAST(p AS INT) AS pos FROM i
 """
 
 
+def text_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4's ``analyze`` hook): the output
+    schema is computed at PLAN TIME from a constant argument — here a
+    comma-separated field list, so ``char_stats_udtf(text,
+    'n_vowels,n_digits')`` and ``…'n_spaces'`` are the same function
+    with different shapes. This is the table-function contract static
+    ``returnType`` UDTFs (``text_udtf_tokens``) can't express, and the
+    shape Spark's docs reserve for schema-bearing ingest helpers
+    (CSV-ish splitters, configurable feature extractors).
+
+    Char classes are counted with explicit ASCII sets on the Python
+    side and the equivalent regexp strip on the oracle side — no
+    unicode-category functions (Python ``isdigit`` accepts unicode
+    digits; the fixture is ASCII but the contract shouldn't rely on
+    it)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    try:  # analyze-hook API location (pyspark >= 3.5)
+        from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult  # noqa: F401
+        from pyspark.sql.functions import AnalyzeResult as _AR
+    except ImportError:  # pragma: no cover — older layout
+        from pyspark.sql.udtf import AnalyzeResult as _AR
+
+    _SETS = {
+        "n_vowels": set("aeiou"),
+        "n_digits": set("0123456789"),
+        "n_spaces": {" "},
+    }
+
+    @udtf
+    class CharStats:
+        @staticmethod
+        def analyze(text, fields):
+            names = [f.strip() for f in fields.value.split(",")]
+            unknown = [n for n in names if n not in _SETS]
+            if unknown:
+                raise ValueError(f"unknown char-stat field(s): {unknown}")
+            return _AR(
+                StructType([StructField(n, IntegerType()) for n in names])
+            )
+
+        def eval(self, text: str, fields: str):
+            names = [f.strip() for f in fields.split(",")]
+            yield tuple(sum(c in _SETS[n] for c in text) for n in names)
+
+    spark.udtf.register("char_stats_udtf", CharStats)
+    Catalog(spark, sf_dir).table("documents").createOrReplaceTempView(
+        "__docs_for_poly_udtf"
+    )
+    return spark.sql(
+        "SELECT doc_id, t.n_vowels, t.n_digits, t.n_spaces "
+        "FROM __docs_for_poly_udtf, "
+        "LATERAL char_stats_udtf(text, 'n_vowels,n_digits,n_spaces') t"
+    )
+
+
+TEXT_UDTF_POLYMORPHIC_SQL = """
+SELECT doc_id,
+       CAST(LENGTH(regexp_replace(text, '[^aeiou]', '', 'g')) AS INT)
+         AS n_vowels,
+       CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS INT)
+         AS n_digits,
+       CAST(LENGTH(regexp_replace(text, '[^ ]', '', 'g')) AS INT)
+         AS n_spaces
+FROM documents
+"""
+
+
 PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 PII_PHONE = "\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}"
 

@@ -714,6 +714,12 @@ registry.register("xml_funcs", _r.xml_funcs, _r.XML_FUNCS_SQL)
 registry.register(
     "join_lateral_topk", _r.join_lateral_topk, _r.JOIN_LATERAL_TOPK_SQL
 )
+# Polymorphic UDTF: plan-time output schema from the analyze() hook.
+registry.register(
+    "text_udtf_polymorphic",
+    _tx.text_udtf_polymorphic,
+    _tx.TEXT_UDTF_POLYMORPHIC_SQL,
+)
 # NOT registered: stream_transform_with_state (Spark 4's successor
 # arbitrary-state API) is implemented and oracle-paired in
 # streaming/events_stream.py but environment-blocked — its state-server
