@@ -520,8 +520,16 @@ def xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The document is built deterministically from orders columns
     (integers and enum strings only — no float-to-text hazards). The
     oracle replays extraction with regexp tag-picking; the CONTRACT is
-    the extracted values, which both engines state exactly."""
-    o = Catalog(spark, sf_dir).table("orders")
+    the extracted values, which both engines state exactly.
+
+    Explicit round-robin pre-split before the parse: XML decode is
+    ~100 µs/row of JVM parser work (×3 parse sites), and the sf0.1
+    orders table is ONE parquet file under maxPartitionBytes — without
+    the repartition the whole parse serializes on a single task
+    (measured 20.4 s → ~1 s at 32-way; the corpus_contamination
+    one-file-scan lesson, ROADMAP)."""
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    o = Catalog(spark, sf_dir).table("orders").repartition(width)
     cents = F.floor(F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
     xml = F.concat(
         F.lit("<o><id>"),
