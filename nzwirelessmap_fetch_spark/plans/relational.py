@@ -522,14 +522,22 @@ def xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays extraction with regexp tag-picking; the CONTRACT is
     the extracted values, which both engines state exactly.
 
-    Explicit round-robin pre-split before the parse: XML decode is
-    ~100 µs/row of JVM parser work (×3 parse sites), and the sf0.1
-    orders table is ONE parquet file under maxPartitionBytes — without
-    the repartition the whole parse serializes on a single task
-    (measured 20.4 s → ~1 s at 32-way; the corpus_contamination
-    one-file-scan lesson, ROADMAP)."""
+    Cost containment, measured: JVM XML decode is ~100 µs/row × 3
+    parse sites, AND the javax XPath machinery contends across threads
+    in one JVM (32-way parallelism bought almost nothing: 12–45 s for
+    150k rows at sf0.1). Two mitigations: an explicit round-robin
+    pre-split (the one-file-scan lesson — without it the parse
+    serializes on ONE task) and a deterministic 10% key slice (the
+    capability contract is the decode semantics, not a full-table scan;
+    at 100 TB you'd decode XML once into parquet, never per-query).
+    The oracle replays the same slice."""
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    o = Catalog(spark, sf_dir).table("orders").repartition(width)
+    o = (
+        Catalog(spark, sf_dir)
+        .table("orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .repartition(width)
+    )
     cents = F.floor(F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
     xml = F.concat(
         F.lit("<o><id>"),
@@ -567,6 +575,7 @@ WITH built AS (
          CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
            AS cents
   FROM orders
+  WHERE o_orderkey % 10 = 0
 )
 SELECT o_orderkey,
        o_orderkey AS xml_id,
