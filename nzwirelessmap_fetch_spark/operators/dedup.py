@@ -52,8 +52,17 @@ def _shingles(docs: DataFrame, max_df: int | None = None) -> DataFrame:
     queries compute the exact unfiltered measure); turn it on when recall
     on boilerplate-heavy corpora is worth trading for bounded skew.
     """
-    w = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
-        F.size("w") >= 2
+    # round-robin pre-split: the documents table is ONE parquet file at
+    # bench SF, so without it the corpus-wide shingle explode (and the
+    # md5 per shingle every consumer computes next) runs on a single
+    # task — the one-file-scan lesson (ROADMAP), applied at the shared
+    # root so every shingle consumer (Jaccard build, MinHash, spans,
+    # incremental) parallelizes its fan-out stage
+    width = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    w = (
+        docs.repartition(width)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 2)
     )
     sh = w.select(
         "doc_id",

@@ -569,8 +569,13 @@ def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _pc_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantized-exact Gram accumulation — the only corpus-sized pass."""
-    e = Catalog(spark, sf_dir).table("embeddings")
+    """Quantized-exact Gram accumulation — the only corpus-sized pass.
+
+    Round-robin pre-split: the embeddings table is one parquet file at
+    bench SF and the dim² fan-out (4096 rows per vector) would
+    otherwise run on a single task (the one-file-scan lesson)."""
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = Catalog(spark, sf_dir).table("embeddings").repartition(width)
     pairs = (
         e.select(F.posexplode("embedding").alias("i", "xi"), "embedding")
         .select(
