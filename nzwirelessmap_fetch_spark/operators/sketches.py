@@ -1433,3 +1433,72 @@ FROM rows_h
 GROUP BY bucket
 ORDER BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (embedding dimensionality cut)
+# ---------------------------------------------------------------------------
+
+JL_IN_DIM = 64   # fixture embedding width
+JL_OUT_DIM = 8   # projected width (JL distance distortion ~ sqrt(ln n / k))
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """Deterministic Rademacher ±1 from md5 parity — the same digest
+    recipe as ``functions.hashing.md5_long``, evaluated ONCE at plan
+    build (the matrix is data-independent, so hashing per row would be
+    512 pointless digests per vector)."""
+    import hashlib
+
+    h = hashlib.md5(f"{i}_{j}".encode()).hexdigest()
+    return 1 if int(h[:8], 16) % 2 == 0 else -1
+
+
+_JL_SIGNS = [
+    [_jl_sign(i, j) for i in range(JL_IN_DIM)] for j in range(JL_OUT_DIM)
+]
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sparse random projection 64 → 8 dims with a
+    Rademacher ±1 matrix (Achlioptas 2001): the cheap data-independent
+    dimensionality cut a 100 TB embedding pipeline applies before ANN
+    candidate generation — per-row dot products against a FIXED sign
+    matrix, zero shuffles, linear scan, no training pass (vs PCA's
+    corpus-wide Gram iteration in ``embedding_pca_top2``).
+
+    Inputs are quantized ``floor(x·1e6)`` → BIGINT BEFORE summation
+    (float-sum order is engine-dependent; integer sums are not), so the
+    oracle replays the projection bit-for-bit. The sign matrix derives
+    from md5 parity computed at plan-build time; the oracle SQL inlines
+    the same literals from the same Python constant.
+    """
+    e = Catalog(spark, sf_dir).table("embeddings")
+    sel = [F.col("vec_id"), F.col("label")]
+    for j in range(JL_OUT_DIM):
+        arr = "array(" + ",".join(f"{s}L" for s in _JL_SIGNS[j]) + ")"
+        sel.append(
+            F.expr(
+                f"aggregate(zip_with(embedding, {arr}, "
+                "(x, s) -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * s), "
+                "0L, (a, b) -> a + b)"
+            ).alias(f"p{j}")
+        )
+    return e.select(*sel)
+
+
+def _jl_oracle() -> str:
+    cols = []
+    for j in range(JL_OUT_DIM):
+        arr = "[" + ",".join(str(s) for s in _JL_SIGNS[j]) + "]"
+        cols.append(
+            f"CAST(list_sum(list_transform(range(1, {JL_IN_DIM + 1}), "
+            f"i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)"
+            f" * ({arr}::BIGINT[])[i])) AS BIGINT) AS p{j}"
+        )
+    return (
+        "SELECT vec_id, label, " + ", ".join(cols) + " FROM embeddings"
+    )
+
+
+EMBEDDING_RANDOM_PROJECTION_SQL = _jl_oracle()

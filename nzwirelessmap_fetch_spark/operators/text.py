@@ -2393,3 +2393,79 @@ FROM scored
 ORDER BY affinity_ppm DESC, doc_id
 LIMIT {DSIR_TOPK}
 """
+
+
+def text_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-n-gram fractions (Rae et al. 2021 §A1.1):
+    the share of token n-gram OCCURRENCES that are repeats of an n-gram
+    already seen in the same document, for n=2 and n=3 — the repetition
+    signal that catches decoding loops and boilerplate that single-token
+    diversity (``text_repetition``) misses (a looping model repeats
+    PHRASES with a diverse vocabulary).
+
+    ppm-quantized integer ratios (``(occ - distinct) * 1e6 div occ``) so
+    the DuckDB oracle hash-matches bit-for-bit. Row-local array
+    expressions only — zero shuffles, scan-bound, linear at 100 TB.
+    ``sequence(1, n)`` is guarded by a CASE (Spark's sequence DESCENDS
+    for stop < start — the empty-document branch must never build it).
+
+    Reference scope: quality filtering generalizes the reference's
+    row-conversion stage (fetch.go:219-232) to corpus curation.
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    d = d.select("doc_id", F.split("text", " ").alias("w"))
+    gram = (
+        "CASE WHEN size(w) >= {n} THEN transform(sequence(1, size(w) - {k}), "
+        "i -> concat({parts})) ELSE array() END"
+    )
+    g2 = gram.format(
+        n=2, k=1, parts="element_at(w, i), ' ', element_at(w, i+1)"
+    )
+    g3 = gram.format(
+        n=3,
+        k=2,
+        parts="element_at(w, i), ' ', element_at(w, i+1), ' ', element_at(w, i+2)",
+    )
+    dup = (
+        "CASE WHEN size({g}) = 0 THEN 0L ELSE "
+        "CAST(size({g}) - size(array_distinct({g})) AS BIGINT) * 1000000 "
+        "div size({g}) END"
+    )
+    return d.select(
+        "doc_id", F.expr(g2).alias("g2"), F.expr(g3).alias("g3")
+    ).select(
+        "doc_id",
+        F.size("g2").alias("n_grams2"),
+        F.expr(dup.format(g="g2")).alias("dup2_ppm"),
+        F.size("g3").alias("n_grams3"),
+        F.expr(dup.format(g="g3")).alias("dup3_ppm"),
+    )
+
+
+TEXT_DUP_NGRAM_FRAC_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w, LEN(string_split(text, ' ')) AS nw
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN nw >= 2
+              THEN list_transform(range(1, nw), i -> w[i] || ' ' || w[i+1])
+              ELSE [] END AS g2,
+         CASE WHEN nw >= 3
+              THEN list_transform(range(1, nw - 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              ELSE [] END AS g3
+  FROM toks
+)
+SELECT doc_id,
+       CAST(LEN(g2) AS INT) AS n_grams2,
+       CAST(CASE WHEN LEN(g2) = 0 THEN 0
+            ELSE (LEN(g2) - LEN(list_distinct(g2))) * 1000000
+                 // CAST(LEN(g2) AS BIGINT) END AS BIGINT) AS dup2_ppm,
+       CAST(LEN(g3) AS INT) AS n_grams3,
+       CAST(CASE WHEN LEN(g3) = 0 THEN 0
+            ELSE (LEN(g3) - LEN(list_distinct(g3))) * 1000000
+                 // CAST(LEN(g3) AS BIGINT) END AS BIGINT) AS dup3_ppm
+FROM grams
+"""

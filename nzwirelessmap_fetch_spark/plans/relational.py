@@ -2545,3 +2545,111 @@ SELECT CAST(hval >> {HILBERT_TILE_SHIFT} AS INT) AS h_tile,
 FROM h
 GROUP BY 1
 """
+
+
+# Shared text: Spark 4 executes recursive CTEs natively (SPARK-24497);
+# DuckDB runs the IDENTICAL statement, so the oracle is an independent
+# engine's answer to the same declarative program, not a re-derivation.
+_RECURSIVE_CTE_SQL = """
+WITH RECURSIVE walk (c_custkey, anc, depth) AS (
+  SELECT c_custkey, c_custkey AS anc, 0 AS depth FROM customer
+  UNION ALL
+  SELECT w.c_custkey, c.c_custkey AS anc, w.depth + 1 AS depth
+  FROM walk w
+  JOIN customer c ON c.c_custkey = CAST(FLOOR(w.anc / 10.0) AS BIGINT)
+  WHERE w.anc >= 10
+)
+SELECT c_custkey,
+       CAST(MAX(depth) AS INT) AS chain_depth,
+       MAX_BY(anc, depth) AS root_key
+FROM walk
+GROUP BY c_custkey
+"""
+
+
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (SQL:1999 / Spark 4 native): per-customer ancestor
+    walk over the implicit decile tree ``parent(k) = floor(k/10)``,
+    joining back to the customer table at every step (the recursion
+    terminates when the parent key is absent or the chain reaches the
+    root band ``k < 10``) — the iterative-join shape (org charts, BOM
+    explosion, graph reachability) that previously required a driver-side
+    loop with manual checkpointing (see ``operators/graph.py``); here
+    Catalyst runs the fixpoint loop inside ONE logical plan.
+
+    Scale note: each recursion level is an equi-join of the frontier
+    against the build side — the frontier SHRINKS ~10× per level (depth
+    is log₁₀(maxkey)), so total work is ~1.11× the base scan; no
+    level-to-level lineage growth since UnionLoop materializes each
+    step. ``FLOOR(x / 10.0)`` (double division) rather than integer
+    ``/`` because Spark and DuckDB disagree on what plain ``/`` means on
+    integers — double FLOOR is IEEE-identical on both.
+
+    Reference scope: SQL execution stage (fetch.go:219-232) — the query
+    surface the reference drives through SQLite, extended to the one
+    SQL-standard operator family SQLite's planner also runs natively.
+    """
+    Catalog(spark, sf_dir).register_views(("customer",))
+    return spark.sql(_RECURSIVE_CTE_SQL)
+
+
+SQL_RECURSIVE_CTE_SQL = _RECURSIVE_CTE_SQL
+
+
+# Per-(application, sf_dir) ORC staging roots — one mkdtemp per session,
+# re-written idempotently (same discipline as _SNAPSHOT_ROOTS above).
+_ORC_ROOTS: dict[tuple[str, str], str] = {}
+
+
+def format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write → read → aggregate: certifies the second columnar
+    format end to end (projection/predicate pushdown against ORC uses
+    the same DataSource V2 path as parquet, so the engine's scan
+    discipline carries over unchanged). The lineitem slice is written
+    ZLIB-default ORC to a session-scoped temp root, read BACK from ORC,
+    and aggregated; the oracle computes the same aggregate from the
+    original parquet — a green row therefore proves the ORC round trip
+    preserved every value exactly.
+
+    Money stays DECIMAL(18,2) through the ORC file (exact; float
+    round-trip would be lossy-by-representation), and the sum is
+    emitted in integer cents.
+
+    Reference scope: the reference's pipeline is format-conversion at
+    heart (Access → SQLite → CSV/JSON, fetch.go:180-246); ORC is the
+    columnar member of that conversion family.
+    """
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    root = _ORC_ROOTS.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="orc-stage-")
+        _ORC_ROOTS[key] = root
+    li = Catalog(spark, sf_dir).table("lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    path = f"{root}/lineitem_orc"
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.floor(F.sum("qty") * 100).cast("long").alias("sum_qty_cents"),
+        F.floor(F.sum("price") * 100).cast("long").alias("sum_price_cents"),
+    )
+
+
+FORMAT_ORC_ROUNDTRIP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100) AS BIGINT)
+         AS sum_qty_cents,
+       CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT)
+         AS sum_price_cents
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""

@@ -761,3 +761,17 @@ registry.register(
     _dd.dedup_simhash_quality_eval,
     _dd.DEDUP_SIMHASH_QUALITY_EVAL_SQL,
 )
+registry.register(
+    "text_dup_ngram_frac", _tx.text_dup_ngram_frac, _tx.TEXT_DUP_NGRAM_FRAC_SQL
+)
+registry.register(
+    "embedding_random_projection",
+    _sk.embedding_random_projection,
+    _sk.EMBEDDING_RANDOM_PROJECTION_SQL,
+)
+registry.register(
+    "sql_recursive_cte", _r.sql_recursive_cte, _r.SQL_RECURSIVE_CTE_SQL
+)
+registry.register(
+    "format_orc_roundtrip", _r.format_orc_roundtrip, _r.FORMAT_ORC_ROUNDTRIP_SQL
+)

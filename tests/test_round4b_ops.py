@@ -1,0 +1,152 @@
+"""Round-4 continuation operators: Gopher dup-n-gram fractions, JL
+random projection, the native recursive CTE, and the ORC round trip.
+
+Each test replays the operator's defining property in plain Python on a
+sample (independent of BOTH engines), not just against the DuckDB
+oracle — the gate already covers engine-vs-engine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from nzwirelessmap_fetch_spark.catalog import Catalog
+from nzwirelessmap_fetch_spark.operators.sketches import (
+    _JL_SIGNS,
+    JL_IN_DIM,
+    JL_OUT_DIM,
+    embedding_random_projection,
+)
+from nzwirelessmap_fetch_spark.operators.text import text_dup_ngram_frac
+from nzwirelessmap_fetch_spark.plans.relational import (
+    format_orc_roundtrip,
+    sql_recursive_cte,
+)
+from tests.conftest import SF_CORRECT
+
+
+def _py_dup_ppm(tokens: list[str], n: int) -> tuple[int, int]:
+    grams = [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+    if not grams:
+        return 0, 0
+    dup = len(grams) - len(set(grams))
+    return len(grams), dup * 1_000_000 // len(grams)
+
+
+def test_dup_ngram_matches_python_replay(spark):
+    docs = dict(
+        Catalog(spark, SF_CORRECT)
+        .table("documents")
+        .limit(40)
+        .select("doc_id", "text")
+        .collect()
+    )
+    got = {
+        r["doc_id"]: r
+        for r in text_dup_ngram_frac(spark, SF_CORRECT)
+        .filter(F.col("doc_id").isin(*docs))
+        .collect()
+    }
+    assert len(got) == len(docs)
+    for doc_id, text in docs.items():
+        toks = text.split(" ")
+        n2, d2 = _py_dup_ppm(toks, 2)
+        n3, d3 = _py_dup_ppm(toks, 3)
+        row = got[doc_id]
+        assert (row["n_grams2"], row["dup2_ppm"]) == (n2, d2)
+        assert (row["n_grams3"], row["dup3_ppm"]) == (n3, d3)
+
+
+def test_dup_ngram_bounds_and_short_docs(spark):
+    df = text_dup_ngram_frac(spark, SF_CORRECT)
+    bad = df.filter(
+        (F.col("dup2_ppm") < 0)
+        | (F.col("dup2_ppm") > 1_000_000)
+        | (F.col("dup3_ppm") < 0)
+        | (F.col("dup3_ppm") > 1_000_000)
+        | (F.col("n_grams3") > F.col("n_grams2"))
+    )
+    assert bad.count() == 0
+
+
+def test_jl_projection_matches_python_replay(spark):
+    rows = (
+        Catalog(spark, SF_CORRECT)
+        .table("embeddings")
+        .limit(10)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    got = {
+        r["vec_id"]: r
+        for r in embedding_random_projection(spark, SF_CORRECT)
+        .filter(F.col("vec_id").isin(*[r["vec_id"] for r in rows]))
+        .collect()
+    }
+    for r in rows:
+        q = [math.floor(float(x) * 1_000_000) for x in r["embedding"]]
+        for j in range(JL_OUT_DIM):
+            expect = sum(qi * s for qi, s in zip(q, _JL_SIGNS[j]))
+            assert got[r["vec_id"]][f"p{j}"] == expect
+
+
+def test_jl_sign_matrix_is_md5_derived_and_balanced():
+    for j in range(JL_OUT_DIM):
+        for i in range(0, JL_IN_DIM, 17):
+            h = hashlib.md5(f"{i}_{j}".encode()).hexdigest()
+            assert _JL_SIGNS[j][i] == (1 if int(h[:8], 16) % 2 == 0 else -1)
+        # Rademacher balance: a degenerate all-one row would make the
+        # projection a plain sum; md5 parity keeps rows near 50/50.
+        pos = sum(1 for s in _JL_SIGNS[j] if s == 1)
+        assert 20 <= pos <= 44
+
+
+def test_recursive_cte_depth_and_root_replay(spark):
+    keys = {
+        r[0]
+        for r in Catalog(spark, SF_CORRECT)
+        .table("customer")
+        .select("c_custkey")
+        .collect()
+    }
+    got = {r["c_custkey"]: r for r in sql_recursive_cte(spark, SF_CORRECT).collect()}
+    assert set(got) == keys
+    for k in sorted(keys)[:50] + sorted(keys)[-50:]:
+        anc, depth = k, 0
+        while anc >= 10 and (anc // 10) in keys:
+            anc //= 10
+            depth += 1
+        assert (got[k]["chain_depth"], got[k]["root_key"]) == (depth, anc)
+
+
+def test_orc_roundtrip_equals_parquet_aggregate(spark):
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in format_orc_roundtrip(spark, SF_CORRECT).collect()
+    }
+    expect = (
+        Catalog(spark, SF_CORRECT)
+        .table("lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.floor(F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("sum_qty_cents"),
+            F.floor(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("sum_price_cents"),
+        )
+        .collect()
+    )
+    assert len(expect) == len(got)
+    for r in expect:
+        g = got[(r["l_returnflag"], r["l_linestatus"])]
+        assert (g["n_rows"], g["sum_qty_cents"], g["sum_price_cents"]) == (
+            r["n_rows"],
+            r["sum_qty_cents"],
+            r["sum_price_cents"],
+        )
