@@ -23,7 +23,7 @@ integers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
@@ -1514,5 +1514,256 @@ counts AS (
 SELECT n_candidates, n_true_pairs, n_hits,
        CAST(CAST(CAST(n_hits AS DOUBLE) / n_candidates AS DECIMAL(18,6)) AS DOUBLE) AS precision,
        CAST(CAST(CAST(n_hits AS DOUBLE) / n_true_pairs AS DECIMAL(18,6)) AS DOUBLE) AS recall
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood dedup (SNM blocking — Hernandez & Stolfo 1995)
+# ---------------------------------------------------------------------------
+
+SNM_WINDOW = 4  # candidate pairs within W-1 positions of the sorted order
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup detection: the third blocking
+    paradigm next to LSH banding (`dedup_minhash_lsh`) and prefix
+    filtering (`dedup_ngram_jaccard`) — sort the corpus by a
+    content-derived key, slide a W-row window, verify only
+    sort-adjacent pairs. Candidate volume is EXACTLY (W-1)·n regardless
+    of key skew — the one blocking method whose worst case is linear by
+    construction (LSH needs a bucket valve, prefix filtering a df cap).
+    The trade: recall depends on near-dups sorting near each other, so
+    production runs multiple passes with different keys; this is the
+    canonical first pass (lexicographic minimum of the token set).
+
+    Sort key: first 3 tokens of the sorted distinct-token set — shared
+    token sets sort adjacently no matter how edits reordered the text.
+
+    The global rank is NOT a single-partition ``row_number`` (the plan
+    every naive SNM uses and the plan audit forbids): ranks are
+    per-bucket ``row_number`` (bucket = first key char, bounded domain)
+    plus bucket-count prefix offsets — an aggregated-grain window over
+    ≤|alphabet| rows — so rank assignment parallelizes by bucket while
+    reproducing the exact global ordinal. Candidates join on
+    ``rank div W`` blocks (same + adjacent), a plain equi-join.
+
+    Reference scope: extends the reference's DISTINCT/select surface
+    (select_point_to_point_links.sql) to corpus-scale record linkage.
+    """
+    cand = _snm_candidates(spark, sf_dir)
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    return (
+        cand.withColumn("n_inter", inter)
+        .withColumn(
+            "jac_ppm",
+            F.expr("CAST(n_inter AS BIGINT) * 1000000 div (na + nb - n_inter)"),
+        )
+        .filter(
+            F.col("jac_ppm") >= int(JACCARD_THRESHOLD * 1_000_000)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("rb") - F.col("ra")).cast("int").alias("rank_gap"),
+            "jac_ppm",
+        )
+    )
+
+
+def _snm_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-adjacent candidate pairs (rank gap 1..W-1 in the global
+    SNM order) with each side's distinct-token set attached."""
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = F.array_sort(F.array_distinct(F.split("text", " ")))
+    keyed = d.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 3), " ").alias("snm_key"),
+        toks.alias("hs"),
+        F.size(toks).alias("n"),
+    ).withColumn("bucket", F.substring("snm_key", 1, 1))
+    counts = keyed.groupBy("bucket").agg(F.count("*").alias("c"))
+    offsets = counts.select(
+        "bucket",
+        (
+            F.sum("c").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("c")
+        ).alias("off"),
+    )
+    ranked = (
+        keyed.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "r",
+            F.col("off")
+            + F.row_number().over(
+                Window.partitionBy("bucket").orderBy("snm_key", "doc_id")
+            ),
+        )
+        .select("doc_id", "hs", "n", "r")
+        .withColumn("blk", F.expr(f"r div {SNM_WINDOW}"))
+    )
+    # Probe-side rows are DOUBLED (own block + successor block) so the
+    # block-adjacency condition becomes a single EQUI-join key — the
+    # `blk_b IN (blk_a, blk_a+1)` formulation has no equality Catalyst
+    # can hash on and planned as BroadcastNestedLoopJoin, the quadratic
+    # shape this operator exists to avoid. 2× probe rows buys a shuffle
+    # hash join; rank-distance stays as the residual filter.
+    a = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n").alias("na"),
+        F.col("r").alias("ra"),
+        F.explode(F.array(F.col("blk"), F.col("blk") + 1)).alias("blk_probe"),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n").alias("nb"),
+        F.col("r").alias("rb"),
+        F.col("blk").alias("blk_probe"),
+    )
+    return (
+        a.join(b, "blk_probe")
+        .filter(
+            (F.col("rb") > F.col("ra")) & (F.col("rb") - F.col("ra") < SNM_WINDOW)
+        )
+        .drop("blk_probe")
+    )
+
+
+def dedup_snm_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of ONE sorted-neighborhood pass against the
+    exact shingle-Jaccard ≥ 0.5 truth set — the "is a single sort key
+    enough?" audit that decides how many SNM passes a deployment runs
+    (production SNM is multi-pass precisely because one key misses
+    pairs whose edits disturb the sort prefix; this query MEASURES that
+    miss rate instead of guessing it).
+
+    Candidates are the raw sort-adjacent pairs (BEFORE token-Jaccard
+    verification — the eval scores the blocking step, not the verifier),
+    canonicalized to (min, max) doc ids to align with the truth set's
+    ordering. Same tagged-union count shape as the LSH/SimHash evals;
+    truth is the memoized verified pair build shared suite-wide.
+    """
+    raw = _snm_candidates(spark, sf_dir)
+    cand = raw.select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+    ).distinct()
+    truth = (
+        _verified_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    )
+    hit = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+    tagged = (
+        cand.select(F.lit("cand").alias("k"))
+        .unionAll(truth.select(F.lit("truth").alias("k")))
+        .unionAll(hit.select(F.lit("hit").alias("k")))
+    )
+    counts = tagged.groupBy().agg(
+        F.sum((F.col("k") == "cand").cast("long")).alias("n_candidates"),
+        F.sum((F.col("k") == "truth").cast("long")).alias("n_true_pairs"),
+        F.sum((F.col("k") == "hit").cast("long")).alias("n_hits"),
+    )
+
+    def ratio(num: str, den: str) -> F.Column:
+        return (
+            (F.col(num).cast("double") / F.col(den))
+            .cast("decimal(18,6)")
+            .cast("double")
+        )
+
+    return counts.select(
+        "n_candidates",
+        "n_true_pairs",
+        "n_hits",
+        ratio("n_hits", "n_candidates").alias("precision"),
+        ratio("n_hits", "n_true_pairs").alias("recall"),
+    )
+
+
+DEDUP_SORTED_NEIGHBORHOOD_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ' ')
+           AS snm_key,
+         list_sort(list_distinct(string_split(text, ' '))) AS hs,
+         LEN(list_distinct(string_split(text, ' '))) AS n
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, hs, n,
+         ROW_NUMBER() OVER (ORDER BY snm_key, doc_id) AS r
+  FROM keyed
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.hs AS hs_a, b.hs AS hs_b, a.n AS na, b.n AS nb,
+         b.r - a.r AS rank_gap
+  FROM ranked a JOIN ranked b
+    ON b.r > a.r AND b.r - a.r < {SNM_WINDOW}
+),
+verified AS (
+  SELECT doc_a, doc_b, CAST(rank_gap AS INT) AS rank_gap,
+         CAST(LEN(list_intersect(hs_a, hs_b)) AS BIGINT) * 1000000
+           // CAST(na + nb - LEN(list_intersect(hs_a, hs_b)) AS BIGINT) AS jac_ppm
+  FROM cand
+)
+SELECT doc_a, doc_b, rank_gap, jac_ppm
+FROM verified
+WHERE jac_ppm >= {int(JACCARD_THRESHOLD * 1_000_000)}
+"""
+
+
+DEDUP_SNM_QUALITY_EVAL_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ' ')
+           AS snm_key
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY snm_key, doc_id) AS r
+  FROM keyed
+),
+cand AS (
+  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
+                  GREATEST(a.doc_id, b.doc_id) AS doc_b
+  FROM ranked a JOIN ranked b
+    ON b.r > a.r AND b.r - a.r < {SNM_WINDOW}
+),
+w2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh2 AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+                          i -> w[i] || ' ' || w[i+1])) AS shingle
+    FROM w2 WHERE len(w) >= 2)
+),
+sz2 AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+inter2 AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh2 a JOIN sh2 b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+truth AS (
+  SELECT DISTINCT doc_a, doc_b FROM inter2
+  JOIN sz2 sa ON sa.doc_id = doc_a JOIN sz2 sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+),
+hit AS (SELECT doc_a, doc_b FROM cand INTERSECT SELECT doc_a, doc_b FROM truth),
+counts AS (
+  SELECT (SELECT COUNT(*) FROM cand)  AS n_candidates,
+         (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+         (SELECT COUNT(*) FROM hit)   AS n_hits
+)
+SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(CAST(CAST(n_hits AS DOUBLE) / n_candidates AS DECIMAL(18,6)) AS DOUBLE)
+         AS precision,
+       CAST(CAST(CAST(n_hits AS DOUBLE) / n_true_pairs AS DECIMAL(18,6)) AS DOUBLE)
+         AS recall
 FROM counts
 """

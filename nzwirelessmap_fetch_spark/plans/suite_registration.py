@@ -775,3 +775,13 @@ registry.register(
 registry.register(
     "format_orc_roundtrip", _r.format_orc_roundtrip, _r.FORMAT_ORC_ROUNDTRIP_SQL
 )
+registry.register(
+    "dedup_sorted_neighborhood",
+    _dd.dedup_sorted_neighborhood,
+    _dd.DEDUP_SORTED_NEIGHBORHOOD_SQL,
+)
+registry.register(
+    "dedup_snm_quality_eval",
+    _dd.dedup_snm_quality_eval,
+    _dd.DEDUP_SNM_QUALITY_EVAL_SQL,
+)

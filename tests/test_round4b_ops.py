@@ -150,3 +150,60 @@ def test_orc_roundtrip_equals_parquet_aggregate(spark):
             r["sum_qty_cents"],
             r["sum_price_cents"],
         )
+
+
+def test_snm_candidate_count_is_exactly_linear(spark):
+    """THE SNM property: candidate volume is Σ_{g=1..W-1}(n-g) — exact,
+    key-skew-independent (contrast: LSH/prefix candidates vary with the
+    data; SNM's linearity is by construction)."""
+    from nzwirelessmap_fetch_spark.operators.dedup import (
+        SNM_WINDOW,
+        _snm_candidates,
+        dedup_snm_quality_eval,
+    )
+
+    n = Catalog(spark, SF_CORRECT).table("documents").count()
+    expect = sum(n - g for g in range(1, SNM_WINDOW))
+    assert _snm_candidates(spark, SF_CORRECT).count() == expect
+    row = dedup_snm_quality_eval(spark, SF_CORRECT).collect()[0]
+    assert row["n_candidates"] == expect  # canonicalized set keeps all pairs
+
+
+def test_snm_rank_matches_single_window_reference(spark):
+    """The bucket-offset global rank (parallel plan) must equal the
+    single-window ROW_NUMBER over (snm_key, doc_id) — the reference
+    formulation the oracle uses."""
+    from pyspark.sql import Window as W
+
+    from nzwirelessmap_fetch_spark.operators.dedup import _snm_candidates
+
+    cand = _snm_candidates(spark, SF_CORRECT)
+    d = Catalog(spark, SF_CORRECT).table("documents")
+    toks = F.array_sort(F.array_distinct(F.split("text", " ")))
+    ref = d.select(
+        "doc_id", F.array_join(F.slice(toks, 1, 3), " ").alias("snm_key")
+    ).select(
+        "doc_id",
+        F.row_number().over(W.orderBy("snm_key", "doc_id")).alias("r_ref"),
+    )
+    ranks = {r["doc_id"]: r["r_ref"] for r in ref.collect()}
+    sample = cand.select("doc_a", "ra", "doc_b", "rb").limit(200).collect()
+    for row in sample:
+        assert ranks[row["doc_a"]] == row["ra"]
+        assert ranks[row["doc_b"]] == row["rb"]
+
+
+def test_snm_verified_pairs_are_window_bounded_and_thresholded(spark):
+    from nzwirelessmap_fetch_spark.operators.dedup import (
+        SNM_WINDOW,
+        dedup_sorted_neighborhood,
+    )
+
+    df = dedup_sorted_neighborhood(spark, SF_CORRECT)
+    bad = df.filter(
+        (F.col("rank_gap") < 1)
+        | (F.col("rank_gap") >= SNM_WINDOW)
+        | (F.col("jac_ppm") < 500_000)
+        | (F.col("jac_ppm") > 1_000_000)
+    )
+    assert bad.count() == 0
