@@ -133,3 +133,70 @@ WHERE o.o_orderstatus = 'F'
   AND p.p_type ILIKE 'S%'
   AND l.l_discount <> 0
 """
+
+
+LINK_LENGTH_BUCKET = 500.0  # histogram bucket width in coordinate units
+
+
+def p2p_link_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-length distribution over the flagship's point-to-point
+    links — the first analytic downstream of the reference's map plot
+    (README: "find the pairs of towers ... so we can plot them on a
+    map"; link length IS the line being drawn). Per histogram bucket of
+    Euclidean length: link count and min/max/total length.
+
+    Coordinate mapping extends FIXTURES.md §B one step: the fixture's
+    tx/rx longitudes (acctbal proxies) are the x-axis; the y-axis pairs
+    ``price/100`` (tx) against ``quantity*10`` (rx) — same stand-in
+    discipline as the flagship's own column map. Euclidean, not
+    haversine, because the reference's easting/northing are PROJECTED
+    coordinates (select_point_to_point_links.sql:30-31 — NZTM-style
+    grid meters, where straight-line distance is the right measure) and
+    because sqrt is the one IEEE-correctly-rounded nonlinear op both
+    engines pin bit-for-bit (ln/pow are not, ROADMAP invariants).
+
+    One aggregation over the flagship join — the bucket key is
+    low-cardinality, so the partial aggregate collapses map-side and
+    the shuffle is bucket-count-sized at any corpus scale.
+    """
+    df = flagship(spark, sf_dir)
+    dx = F.col("tx_lng") - F.col("rx_lng")
+    dy = F.col("price") / 100.0 - F.col("quantity") * 10.0
+    length = F.sqrt(dx * dx + dy * dy)
+    len_cents = F.floor(length * 100).cast("long")
+    return (
+        df.select(
+            F.floor(length / F.lit(LINK_LENGTH_BUCKET)).cast("long").alias("bucket"),
+            len_cents.alias("len_cents"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.min("len_cents").alias("min_len_cents"),
+            F.max("len_cents").alias("max_len_cents"),
+            F.sum("len_cents").alias("total_len_cents"),
+        )
+    )
+
+
+P2P_LINK_LENGTHS_SQL = f"""
+WITH links AS ({FLAGSHIP_ORACLE_SQL}),
+measured AS (
+  SELECT CAST(FLOOR(SQRT((tx_lng - rx_lng) * (tx_lng - rx_lng)
+                         + (price / CAST(100.0 AS DOUBLE) - quantity * CAST(10.0 AS DOUBLE))
+                           * (price / CAST(100.0 AS DOUBLE) - quantity * CAST(10.0 AS DOUBLE)))
+                    / {LINK_LENGTH_BUCKET}) AS BIGINT) AS bucket,
+         CAST(FLOOR(SQRT((tx_lng - rx_lng) * (tx_lng - rx_lng)
+                         + (price / CAST(100.0 AS DOUBLE) - quantity * CAST(10.0 AS DOUBLE))
+                           * (price / CAST(100.0 AS DOUBLE) - quantity * CAST(10.0 AS DOUBLE)))
+                    * 100) AS BIGINT) AS len_cents
+  FROM links
+)
+SELECT bucket,
+       COUNT(*) AS n_links,
+       CAST(MIN(len_cents) AS BIGINT) AS min_len_cents,
+       CAST(MAX(len_cents) AS BIGINT) AS max_len_cents,
+       CAST(SUM(len_cents) AS BIGINT) AS total_len_cents
+FROM measured
+GROUP BY bucket
+"""

@@ -785,3 +785,6 @@ registry.register(
     _dd.dedup_snm_quality_eval,
     _dd.DEDUP_SNM_QUALITY_EVAL_SQL,
 )
+registry.register(
+    "p2p_link_lengths", _flagship.p2p_link_lengths, _flagship.P2P_LINK_LENGTHS_SQL
+)

@@ -207,3 +207,47 @@ def test_snm_verified_pairs_are_window_bounded_and_thresholded(spark):
         | (F.col("jac_ppm") > 1_000_000)
     )
     assert bad.count() == 0
+
+
+def test_link_lengths_partition_flagship_rows(spark):
+    """Histogram completeness: bucket counts sum to the flagship row
+    count, and min ≤ max within every bucket."""
+    from nzwirelessmap_fetch_spark.plans.flagship import (
+        flagship,
+        p2p_link_lengths,
+    )
+
+    hist = p2p_link_lengths(spark, SF_CORRECT).collect()
+    assert sum(r["n_links"] for r in hist) == flagship(spark, SF_CORRECT).count()
+    for r in hist:
+        assert r["min_len_cents"] <= r["max_len_cents"]
+        assert r["total_len_cents"] >= r["max_len_cents"]
+
+
+def test_link_lengths_python_replay(spark):
+    import math as m
+
+    from nzwirelessmap_fetch_spark.plans.flagship import (
+        LINK_LENGTH_BUCKET,
+        flagship,
+        p2p_link_lengths,
+    )
+
+    rows = flagship(spark, SF_CORRECT).collect()
+    buckets: dict[int, list[int]] = {}
+    for r in rows:
+        dx = r["tx_lng"] - r["rx_lng"]
+        dy = r["price"] / 100.0 - r["quantity"] * 10.0
+        length = m.sqrt(dx * dx + dy * dy)
+        buckets.setdefault(int(m.floor(length / LINK_LENGTH_BUCKET)), []).append(
+            int(m.floor(length * 100))
+        )
+    got = {r["bucket"]: r for r in p2p_link_lengths(spark, SF_CORRECT).collect()}
+    assert set(got) == set(buckets)
+    for b, lens in buckets.items():
+        assert (
+            got[b]["n_links"],
+            got[b]["min_len_cents"],
+            got[b]["max_len_cents"],
+            got[b]["total_len_cents"],
+        ) == (len(lens), min(lens), max(lens), sum(lens))
