@@ -251,3 +251,34 @@ def test_link_lengths_python_replay(spark):
             got[b]["max_len_cents"],
             got[b]["total_len_cents"],
         ) == (len(lens), min(lens), max(lens), sum(lens))
+
+
+def test_zorder_mask_ladder_equals_bit_fold(spark):
+    """The mask-spread ladder must reproduce the reference 16-iteration
+    bit-interleave exactly (the fold is the textbook definition; the
+    ladder is the codegen-friendly plan — ~4x cheaper at sf0.1)."""
+    from nzwirelessmap_fetch_spark.plans.relational import layout_zorder_key
+
+    def fold(p: int, s: int) -> int:
+        acc = 0
+        for j in range(16):
+            acc += (((p % 65536) >> j) & 1) << (2 * j)
+            acc += (((s % 65536) >> j) & 1) << (2 * j + 1)
+        return acc
+
+    li = Catalog(spark, SF_CORRECT).table("lineitem")
+
+    def spread_col(col):
+        x = F.expr(f"CAST({col} % 65536 AS BIGINT)")
+        for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                            (2, 0x33333333), (1, 0x55555555)):
+            x = F.shiftleft(x, shift).bitwiseOR(x).bitwiseAND(
+                F.lit(mask).cast("bigint"))
+        return x
+
+    z_ladder = spread_col("l_partkey") + F.shiftleft(spread_col("l_suppkey"), 1)
+    for r in li.select("l_partkey", "l_suppkey", z_ladder.alias("z")).limit(500).collect():
+        assert r["z"] == fold(r["l_partkey"], r["l_suppkey"])
+    # and the registered query still partitions all rows
+    hist = layout_zorder_key(spark, SF_CORRECT).agg(F.sum("n_rows")).collect()[0][0]
+    assert hist == li.count()
