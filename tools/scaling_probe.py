@@ -36,6 +36,11 @@ QUERIES = [
     "corpus_winnowing",       # fingerprint index self-join (explicit-width fix)
     "events_pattern_match",   # CEP carries: one user-keyed exchange
     "table_merkle_checksum",  # scan → 64-group manifest agg
+    "dedup_sorted_neighborhood",  # SNM: (W-1)·n candidates by construction
+    "text_dup_ngram_frac",    # row-local dup-n-gram fractions (zero shuffle)
+    "embedding_random_projection",  # JL per-row dots (zero shuffle)
+    "layout_zorder_key",      # mask-spread ladder + 256-tile rollup
+    "sql_recursive_cte",      # native recursive CTE (frontier shrinks 10×/level)
 ]
 
 
