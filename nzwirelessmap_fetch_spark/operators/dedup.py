@@ -1594,8 +1594,11 @@ def _snm_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("c")
         ).alias("off"),
     )
+    # no broadcast hint — dedup carries none by contract
+    # (test_no_corpus_sized_broadcast_hints); offsets is a ≤|alphabet|-row
+    # aggregate, so AQE elects the broadcast on its own.
     ranked = (
-        keyed.join(F.broadcast(offsets), "bucket")
+        keyed.join(offsets, "bucket")
         .withColumn(
             "r",
             F.col("off")

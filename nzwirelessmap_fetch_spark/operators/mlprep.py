@@ -1,0 +1,162 @@
+"""Tabular feature-preparation operators for training pipelines
+(SURVEY.md §2.4 extension surface): categorical target encoding and
+quantile feature binning.
+
+Not in the reference (its pipeline ends at a JSON artifact — fetch.go:
+143-157); these are the ops a feature-engineering stage runs between the
+relational layer and model training, charter-mandated alongside the
+dedup/quality families.
+
+- ml_target_encode_loo  leave-one-out target (mean) encoding of a
+                        categorical column — the leakage-safe variant:
+                        each row's encoding excludes its own target.
+- ml_quantile_binning   equi-depth (decile) discretization of a numeric
+                        feature via a fixed-width histogram sketch —
+                        the single-pass, merge-friendly shape every
+                        production binner (LightGBM, BigQuery
+                        APPROX_QUANTILES) actually uses, instead of a
+                        global sort.
+
+Scale design: target encoding is ONE category-keyed partial agg joined
+back as a broadcast (|categories| rows); binning is one domain-bounded
+histogram agg, a tiny single-task cumulative pass over ≤ |domain|
+aggregated rows (the agg_weighted_median crossing idiom), and a
+row-local bucket-search assignment — the corpus is scanned twice, never
+sorted, and nothing driver-side scales with row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+
+N_BINS = 10          # deciles
+HIST_WIDTH = 1_000   # histogram bucket width in cents ($10.00)
+
+
+def ml_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of ``o_orderpriority`` against the
+    order-value target: each order's encoding is the mean target of the
+    OTHER orders in its category — the standard leakage guard (a row
+    must not see its own label through the feature; naive mean encoding
+    is a textbook target leak).
+
+    Exactness: cents-integer sums; LOO mean = (Σ_g − y_i) div (n_g − 1)
+    stays in integer cents (singleton categories — impossible to encode
+    without self-leak — yield NULL, the explicit "needs prior" marker).
+
+    Plan: ONE category-keyed partial-aggregated shuffle produces
+    (Σ_g, n_g); the per-row encode is a broadcast join (|categories|
+    rows) plus row-local integer arithmetic — at 100 TB the corpus
+    streams through map-side-only work after one tiny agg.
+    """
+    o = Catalog(spark, sf_dir).table("orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("category"),
+        cents.alias("y_cents"),
+    )
+    stats = base.groupBy("category").agg(
+        F.sum("y_cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return base.join(F.broadcast(stats), "category").select(
+        "o_orderkey",
+        "category",
+        "y_cents",
+        F.when(
+            F.col("n") > 1,
+            F.expr("(s - y_cents) div (n - 1)"),
+        ).alias("loo_enc_cents"),
+    )
+
+
+ML_TARGET_ENCODE_LOO_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority AS category,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y_cents
+  FROM orders
+),
+stats AS (
+  SELECT category, CAST(SUM(y_cents) AS BIGINT) AS s, COUNT(*) AS n
+  FROM base GROUP BY category
+)
+SELECT b.o_orderkey, b.category, b.y_cents,
+       CASE WHEN st.n > 1 THEN (st.s - b.y_cents) // (st.n - 1) END
+         AS loo_enc_cents
+FROM base b JOIN stats st USING (category)
+"""
+
+
+def ml_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile binning of order value via a fixed-width
+    histogram sketch: quantize cents to $10 histogram buckets, take ONE
+    domain-bounded count agg, find where the cumulative count crosses
+    each ⌈k·n/10⌉ rank (percentile_disc semantics at bucket
+    granularity), and assign every row its bin by counting edges ≤ its
+    own bucket. This is how production binners discretize at scale —
+    the histogram is a mergeable sketch (map-side partial counts), so
+    there is no global sort and no per-row window; a narrower
+    ``HIST_WIDTH`` trades sketch size for edge resolution.
+
+    Plan: shuffle #1 carries ≤ |price-domain/width| histogram rows; the
+    cumulative crossing runs over those aggregated rows only (the
+    agg_weighted_median idiom); edges collect into a ≤ 9-element array
+    broadcast to a row-local ``size(filter(...))`` bucket search.
+    Integer end-to-end — the hash cannot drift.
+    """
+    o = Catalog(spark, sf_dir).table("orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = o.select(
+        "o_orderkey", cents.alias("cents"), (cents / HIST_WIDTH).cast("long").alias("hb")
+    )
+    hist = base.groupBy("hb").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("hb"))
+    ).crossJoin(F.broadcast(base.agg(F.count(F.lit(1)).alias("n"))))
+    ranks = spark.range(1, N_BINS).select(F.col("id").alias("k"))
+    edges = (
+        cum.join(
+            F.broadcast(ranks),
+            F.col("cum") >= F.ceil(F.col("k") * F.col("n") / N_BINS),
+        )
+        .groupBy("k")
+        .agg(F.min("hb").alias("edge"))
+    )
+    edge_arr = edges.agg(
+        F.array_sort(F.collect_list(F.struct("k", "edge"))).alias("es")
+    ).select(F.expr("transform(es, x -> x.edge)").alias("edge_arr"))
+    return base.crossJoin(F.broadcast(edge_arr)).select(
+        "o_orderkey",
+        "cents",
+        F.expr("size(filter(edge_arr, e -> e <= hb))").cast("int").alias("bin"),
+    )
+
+
+ML_QUANTILE_BINNING_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           // {HIST_WIDTH} AS hb
+  FROM orders
+),
+hist AS (SELECT hb, COUNT(*) AS cnt FROM base GROUP BY hb),
+cum AS (
+  SELECT hb, SUM(cnt) OVER (ORDER BY hb) AS cum,
+         (SELECT COUNT(*) FROM base) AS n
+  FROM hist
+),
+edges AS (
+  SELECT k, CAST(MIN(hb) AS BIGINT) AS edge
+  FROM cum JOIN range(1, {N_BINS}) r(k)
+    ON cum >= CEIL(k * n / {N_BINS}.0)
+  GROUP BY k
+),
+earr AS (SELECT list(edge ORDER BY k) AS edge_arr FROM edges)
+SELECT b.o_orderkey, b.cents,
+       CAST(LEN(list_filter(e.edge_arr, x -> x <= b.hb)) AS INT) AS bin
+FROM base b CROSS JOIN earr e
+"""

@@ -2148,3 +2148,119 @@ FROM (
 ORDER BY round
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction (ColBERT MaxSim) multi-vector retrieval
+# ---------------------------------------------------------------------------
+
+MV_GROUP = 4       # token-vectors per multi-vector "document"
+MV_N_QUERIES = 3   # query documents: mv_id < 3
+MV_TOP_K = 5
+
+
+def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (the ColBERT MaxSim operator,
+    Khattab & Zaharia 2020): documents and queries are BAGS of token
+    vectors, and score(q, d) = Σ_{i∈q} max_{j∈d} cos(qᵢ, dⱼ) — each
+    query token independently finds its best-matching document token,
+    so the operator captures term-level alignment that single-vector
+    cosine (``sim_topk_bruteforce``) averages away. Multi-vector docs
+    are modeled on the fixture by grouping ``MV_GROUP`` consecutive
+    vec_ids (``mv_id = vec_id div MV_GROUP``); the first
+    ``MV_N_QUERIES`` groups are the query set.
+
+    Determinism: per-token max is a comparison (no accumulation — exact
+    on any engine); the per-query SUM of ≤ ``MV_GROUP`` maxima folds in
+    pinned vec_id order on both engines (the collect→array_sort→
+    aggregate twin of ``list(x ORDER BY k)``), so the double is
+    bit-stable.
+
+    Plan: query token vectors (MV_N_QUERIES·MV_GROUP rows) broadcast
+    against ONE corpus scan — the token-pair scoring is map-side only;
+    the max and the pinned sum ride two keyed aggs whose row counts are
+    |corpus-docs|·|query-tokens| and |corpus-docs|·|queries|. At 100 TB
+    the corpus side streams exactly like the brute-force baseline; the
+    production path prunes candidates with ANN first (sim_ivf /
+    sim_lsh_banded) and MaxSim re-ranks the survivors — this operator
+    IS that re-rank stage.
+    """
+    e = Catalog(spark, sf_dir).table("embeddings")
+    mv = e.select(
+        (F.col("vec_id") / MV_GROUP).cast("long").alias("mv_id"),
+        "vec_id",
+        "embedding",
+    )
+    q = mv.filter(F.col("mv_id") < MV_N_QUERIES).select(
+        F.col("mv_id").alias("q_id"),
+        F.col("vec_id").alias("q_vec"),
+        F.col("embedding").alias("q_emb"),
+    )
+    d = mv.filter(F.col("mv_id") >= MV_N_QUERIES)
+    tok = (
+        d.crossJoin(F.broadcast(q))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("embedding")))
+        .groupBy("q_id", "q_vec", F.col("mv_id").alias("d_id"))
+        .agg(F.max("cos").alias("maxcos"))
+    )
+    scored = (
+        tok.groupBy("q_id", "d_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("q_vec", "maxcos"))).alias("ms")
+        )
+        .select(
+            "q_id",
+            "d_id",
+            F.expr(
+                "aggregate(transform(ms, x -> x.maxcos), 0D, (acc, v) -> acc + v)"
+            ).alias("maxsim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("maxsim"), F.asc("d_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= MV_TOP_K)
+        .select("q_id", "d_id", "maxsim", "rank")
+    )
+
+
+SIM_MAXSIM_LATE_INTERACTION_SQL = f"""
+WITH mv AS (
+  SELECT vec_id // {MV_GROUP} AS mv_id, vec_id, embedding FROM embeddings
+),
+q AS (
+  SELECT mv_id AS q_id, vec_id AS q_vec, embedding AS q_emb
+  FROM mv WHERE mv_id < {MV_N_QUERIES}
+),
+tok AS (
+  SELECT q.q_id, q.q_vec, d.mv_id AS d_id,
+         MAX(
+           list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(generate_series(1, len(d.embedding)),
+                              i -> q.q_emb[i]::DOUBLE * d.embedding[i]::DOUBLE)),
+             (a, b) -> a + b)
+           / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(generate_series(1, len(q.q_emb)),
+                                i -> q.q_emb[i]::DOUBLE * q.q_emb[i]::DOUBLE)),
+               (a, b) -> a + b))
+              * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(generate_series(1, len(d.embedding)),
+                                i -> d.embedding[i]::DOUBLE * d.embedding[i]::DOUBLE)),
+               (a, b) -> a + b)))
+         ) AS maxcos
+  FROM mv d CROSS JOIN q
+  WHERE d.mv_id >= {MV_N_QUERIES}
+  GROUP BY q.q_id, q.q_vec, d.mv_id
+),
+scored AS (
+  SELECT q_id, d_id,
+         list_reduce(list_prepend(0.0::DOUBLE, list(maxcos ORDER BY q_vec)),
+                     (a, b) -> a + b) AS maxsim
+  FROM tok GROUP BY q_id, d_id
+)
+SELECT q_id, d_id, maxsim, CAST(rank AS INT) AS rank FROM (
+  SELECT q_id, d_id, maxsim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY maxsim DESC, d_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {MV_TOP_K}
+"""

@@ -2469,3 +2469,88 @@ SELECT doc_id,
                  // CAST(LEN(g3) AS BIGINT) END AS BIGINT) AS dup3_ppm
 FROM grams
 """
+
+
+def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One byte-pair-encoding merge ROUND applied to the corpus — the
+    tokenizer-side twin of ``corpus_bpe_pair_counts`` (which is the
+    training statistic): real BPE merges exactly ONE pair per round (the
+    argmax of the pair table), and this operator applies that merge and
+    reports, per document, the base-token (character) count, how many
+    merges landed, and the resulting token count. Iterating this op with
+    the re-counted table IS tokenizer training.
+
+    Single-pair insight that kills the sequential fold: greedy
+    left-to-right non-overlapping application of one 2-char pair is
+    exactly what literal ``replace`` computes in every engine, so
+    merges per word = (len(w) − len(replace(w, pair, ''))) div 2 —
+    row-local, integer, identical cross-engine (including the aa-in-aaa
+    overlap case: replace is non-overlapping left-to-right in both).
+
+    Plan: the argmax pair is ONE partial-aggregated count + TakeOrdered
+    (count desc, pair asc tie-break) broadcast as a 1-row side; the
+    apply pass is a zero-shuffle scan with an integer array fold per
+    document. At 100 TB each training round costs one pair-count
+    shuffle + one map-only apply — the standard distributed-BPE shape.
+
+    Reference scope: extends the reference's row-conversion stage
+    (fetch.go:219-232) toward tokenizer construction.
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    word = F.explode(F.split(F.col("text"), " ")).alias("word")
+    chars = F.split(F.col("word"), "")
+    pairs = F.zip_with(
+        F.slice(chars, 1, F.greatest(F.size(chars) - 1, F.lit(0))),
+        F.slice(chars, 2, F.greatest(F.size(chars) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, b),
+    )
+    top1 = (
+        d.select(word)
+        .select(F.explode(pairs).alias("merge_pair"))
+        .groupBy("merge_pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("merge_pair"))
+        .limit(1)
+        .select("merge_pair")
+    )
+    docs = d.select("doc_id", F.split("text", " ").alias("ws"))
+    return docs.crossJoin(F.broadcast(top1)).select(
+        "doc_id",
+        "merge_pair",
+        F.expr("aggregate(ws, 0, (acc, w) -> acc + length(w))").alias(
+            "n_base_tokens"
+        ),
+        F.expr(
+            "CAST(aggregate(ws, 0L, (acc, w) -> acc + "
+            "(length(w) - length(replace(w, merge_pair, ''))) div 2) AS INT)"
+        ).alias("n_merges"),
+    ).withColumn(
+        "n_tokens_after", (F.col("n_base_tokens") - F.col("n_merges")).cast("int")
+    )
+
+
+TEXT_BPE_MERGE_STEP_SQL = """
+WITH words AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+),
+prs AS (
+  SELECT UNNEST(list_transform(range(1, LEN(c)), i -> c[i] || c[i + 1]))
+           AS merge_pair
+  FROM (SELECT string_split(w, '') AS c FROM words)
+),
+top1 AS (
+  SELECT merge_pair FROM (
+    SELECT merge_pair, COUNT(*) AS n FROM prs GROUP BY merge_pair
+  ) ORDER BY n DESC, merge_pair ASC LIMIT 1
+)
+SELECT d.doc_id, t.merge_pair,
+       CAST(SUM(LEN(wd.w)) AS INT) AS n_base_tokens,
+       CAST(SUM((LEN(wd.w) - LEN(replace(wd.w, t.merge_pair, ''))) // 2)
+            AS INT) AS n_merges,
+       CAST(SUM(LEN(wd.w)) - SUM((LEN(wd.w) - LEN(replace(wd.w, t.merge_pair, ''))) // 2)
+            AS INT) AS n_tokens_after
+FROM documents d
+CROSS JOIN top1 t
+LEFT JOIN words wd ON wd.doc_id = d.doc_id
+GROUP BY d.doc_id, t.merge_pair
+"""

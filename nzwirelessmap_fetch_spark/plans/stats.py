@@ -1559,6 +1559,107 @@ GROUP BY c_nationkey, c_mktsegment
 """
 
 
+T_CLOSE_PPM = 200_000  # t = 0.20, the classic t-closeness threshold
+
+
+def agg_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (§2.3 governance — the third leg of the
+    k-anonymity / l-diversity / t-closeness privacy triple): l-diversity
+    stops uniform groups but a group whose sensitive distribution is
+    merely SKEWED vs the population still leaks ("this QI cell is 90%
+    bottom-quartile balances — population is 25%"). t-closeness bounds
+    the distance between each QI group's sensitive-value distribution
+    and the global one; here the distance is total variation
+    TVD = ½·Σ_b |p_g(b) − p(b)| over the same balance-quartile buckets
+    as ``agg_l_diversity``.
+
+    Exactness: TVD = (Σ_b |cnt_gb·N − glob_b·n_g|) / (2·n_g·N) — all
+    integer until one final ppm integer division, so the hash cannot
+    drift. Plan: two QI/bucket-keyed partial aggs + one bucket-domain
+    broadcast nested-loop (|buckets| ≈ 5 rows) so absent buckets still
+    contribute |0 − glob_b·n_g|; per-QI rollup is a second tiny keyed
+    agg. At 100 TB the shuffles carry one row per (QI, bucket) — the
+    audit never rescans the corpus.
+    """
+    c = Catalog(spark, sf_dir).table("customer")
+    sb = F.floor(
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+        / F.lit(250_000.0)
+    ).alias("sb")
+    base = c.select("c_nationkey", "c_mktsegment", sb)
+    gb = base.groupBy("c_nationkey", "c_mktsegment", "sb").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    grp = base.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_g")
+    )
+    glob = base.groupBy("sb").agg(F.count(F.lit(1)).alias("gcnt"))
+    tot = base.agg(F.count(F.lit(1)).alias("big_n"))
+    dom = grp.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(tot))
+    j = dom.join(gb, ["c_nationkey", "c_mktsegment", "sb"], "left").select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_g",
+        "big_n",
+        F.abs(
+            F.coalesce(F.col("cnt"), F.lit(0)) * F.col("big_n")
+            - F.col("gcnt") * F.col("n_g")
+        ).alias("dev"),
+    )
+    return (
+        j.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.first("n_g").alias("n"),
+            F.expr(
+                "sum(dev) * 1000000L div (2 * first(n_g) * first(big_n))"
+            ).alias("tvd_ppm"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n",
+            "tvd_ppm",
+            (F.col("tvd_ppm") <= T_CLOSE_PPM).alias("t_close"),
+        )
+    )
+
+
+AGG_T_CLOSENESS_SQL = f"""
+WITH b AS (
+  SELECT c_nationkey, c_mktsegment,
+         FLOOR(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               / 250000.0) AS sb
+  FROM customer
+),
+gb AS (
+  SELECT c_nationkey, c_mktsegment, sb, COUNT(*) AS cnt
+  FROM b GROUP BY c_nationkey, c_mktsegment, sb
+),
+grp AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_g
+  FROM b GROUP BY c_nationkey, c_mktsegment
+),
+gdist AS (SELECT sb, COUNT(*) AS gcnt FROM b GROUP BY sb),
+tot AS (SELECT COUNT(*) AS big_n FROM b),
+j AS (
+  SELECT g.c_nationkey, g.c_mktsegment, g.n_g, t.big_n,
+         ABS(COALESCE(gb.cnt, 0) * t.big_n - gl.gcnt * g.n_g) AS dev
+  FROM grp g CROSS JOIN gdist gl CROSS JOIN tot t
+  LEFT JOIN gb ON gb.c_nationkey = g.c_nationkey
+              AND gb.c_mktsegment = g.c_mktsegment AND gb.sb = gl.sb
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(ANY_VALUE(n_g) AS BIGINT) AS n,
+       CAST(CAST(SUM(dev) AS BIGINT) * 1000000
+            // (2 * ANY_VALUE(n_g) * ANY_VALUE(big_n)) AS BIGINT) AS tvd_ppm,
+       CAST(CAST(SUM(dev) AS BIGINT) * 1000000
+            // (2 * ANY_VALUE(n_g) * ANY_VALUE(big_n)) AS BIGINT)
+         <= {T_CLOSE_PPM} AS t_close
+FROM j
+GROUP BY c_nationkey, c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # Numeric tolerance band join
 # ---------------------------------------------------------------------------
@@ -2885,4 +2986,112 @@ rows AS (
 )
 SELECT component, CAST(idx AS INT) AS idx, value, CAST(n_days AS BIGINT) AS n_days
 FROM rows ORDER BY component, idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# Croston intermittent-demand forecasting
+# ---------------------------------------------------------------------------
+
+CROSTON_PART_MOD = 199  # sparse part subset: l_partkey % 199 == 0
+
+
+def parts_croston_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (1972) for intermittent demand — the forecasting
+    family member Holt/Holt-Winters cannot serve: a slow-moving part
+    sells on a few scattered days, so smoothing the raw series just
+    decays toward zero between demands. Croston smooths TWO series per
+    part — nonzero demand sizes z_j and inter-demand intervals q_j
+    (days) — with α=1/2 and forecasts demand-per-day as s/i.
+
+    Recurrence (inherently sequential per part — the holt_linear escape
+    hatch): s_j = αz_j + (1−α)s, i_j = αq_j + (1−α)i, init s = z₁,
+    i = q₂, updates j = 3..n; parts need ≥ 3 demand days. Demand is
+    pre-aggregated per (part, day), so the fold order (day ascending)
+    is unique — no tie ambiguity can flip the hash. α=1/2 is an exact
+    half; the fold inlines the identical IEEE tree on both engines
+    (oracle replays it with a per-part recursive CTE, MATERIALIZED per
+    the DuckDB-inlining invariant).
+
+    Plan: one (part, day)-keyed partial agg, one part-keyed collect of
+    that part's ≤ |demand-days| rows, then a row-local fold — the
+    classic scale shape: parts are the parallel unit, no global state.
+
+    Reference scope: forecasting generalizes the reference's SQL-layer
+    analytics surface (fetch.go:222).
+    """
+    li = Catalog(spark, sf_dir).table("lineitem")
+    daily = (
+        li.filter((F.col("l_partkey") % CROSTON_PART_MOD) == 0)
+        .groupBy(
+            "l_partkey",
+            F.datediff(F.col("l_shipdate"), F.lit("1970-01-01")).alias("d"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("z"))
+    )
+    series = daily.groupBy("l_partkey").agg(
+        F.array_sort(F.collect_list(F.struct("d", "z"))).alias("arr")
+    )
+    fold = """
+      aggregate(
+        sequence(3, size(arr)),
+        named_struct('s', CAST(element_at(arr, 1).z AS DOUBLE),
+                     'i', CAST(element_at(arr, 2).d - element_at(arr, 1).d AS DOUBLE)),
+        (acc, j) -> named_struct(
+          's', 0.5D * CAST(element_at(arr, j).z AS DOUBLE) + 0.5D * acc.s,
+          'i', 0.5D * CAST(element_at(arr, j).d - element_at(arr, j - 1).d AS DOUBLE)
+               + 0.5D * acc.i))
+    """
+    return (
+        series.filter(F.expr("size(arr) >= 3"))
+        .select(
+            "l_partkey",
+            F.expr("size(arr)").cast("int").alias("n_demand_days"),
+            F.expr(f"({fold}).s").alias("raw_s"),
+            F.expr(f"({fold}).i").alias("raw_i"),
+        )
+        .select(
+            "l_partkey",
+            "n_demand_days",
+            _pin(F.col("raw_s")).alias("size_level"),
+            _pin(F.col("raw_i")).alias("interval_level"),
+            _pin(F.col("raw_s") / F.col("raw_i")).alias("demand_per_day"),
+        )
+    )
+
+
+PARTS_CROSTON_DEMAND_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT l_partkey, date_diff('day', DATE '1970-01-01', l_shipdate) AS d,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS z
+  FROM lineitem
+  WHERE l_partkey % {CROSTON_PART_MOD} = 0
+  GROUP BY l_partkey, date_diff('day', DATE '1970-01-01', l_shipdate)
+),
+series AS MATERIALIZED (
+  SELECT l_partkey, list(d ORDER BY d) AS ds, list(z ORDER BY d) AS zs
+  FROM daily GROUP BY l_partkey HAVING COUNT(*) >= 3
+),
+step(l_partkey, j, s, i) AS (
+  SELECT l_partkey, 2,
+         CAST(zs[1] AS DOUBLE),
+         CAST(ds[2] - ds[1] AS DOUBLE)
+  FROM series
+  UNION ALL
+  SELECT st.l_partkey, st.j + 1,
+         0.5 * CAST(se.zs[st.j + 1] AS DOUBLE) + 0.5 * st.s,
+         0.5 * CAST(se.ds[st.j + 1] - se.ds[st.j] AS DOUBLE) + 0.5 * st.i
+  FROM step st JOIN series se USING (l_partkey)
+  WHERE st.j < LEN(se.ds)
+),
+final AS (
+  SELECT st.l_partkey, st.s, st.i, CAST(LEN(se.ds) AS INT) AS n_demand_days
+  FROM step st
+  JOIN series se ON se.l_partkey = st.l_partkey AND st.j = LEN(se.ds)
+)
+SELECT l_partkey, n_demand_days,
+       CAST(CAST(s AS DECIMAL(18,6)) AS DOUBLE) AS size_level,
+       CAST(CAST(i AS DECIMAL(18,6)) AS DOUBLE) AS interval_level,
+       CAST(CAST(s / i AS DECIMAL(18,6)) AS DOUBLE) AS demand_per_day
+FROM final
 """

@@ -788,3 +788,23 @@ registry.register(
 registry.register(
     "p2p_link_lengths", _flagship.p2p_link_lengths, _flagship.P2P_LINK_LENGTHS_SQL
 )
+from ..operators import mlprep as _ml  # noqa: E402  (round-4c batch)
+
+registry.register("agg_t_closeness", _st.agg_t_closeness, _st.AGG_T_CLOSENESS_SQL)
+registry.register(
+    "ml_target_encode_loo", _ml.ml_target_encode_loo, _ml.ML_TARGET_ENCODE_LOO_SQL
+)
+registry.register(
+    "ml_quantile_binning", _ml.ml_quantile_binning, _ml.ML_QUANTILE_BINNING_SQL
+)
+registry.register(
+    "sim_maxsim_late_interaction",
+    _sim.sim_maxsim_late_interaction,
+    _sim.SIM_MAXSIM_LATE_INTERACTION_SQL,
+)
+registry.register(
+    "parts_croston_demand", _st.parts_croston_demand, _st.PARTS_CROSTON_DEMAND_SQL
+)
+registry.register(
+    "text_bpe_merge_step", _tx.text_bpe_merge_step, _tx.TEXT_BPE_MERGE_STEP_SQL
+)

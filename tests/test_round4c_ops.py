@@ -1,0 +1,218 @@
+"""Round-4c operators: t-closeness, LOO target encoding, histogram
+quantile binning, MaxSim late interaction, Croston intermittent demand.
+
+Each test replays the operator's defining property in plain Python on a
+sample (independent of BOTH engines) — the gate already covers
+engine-vs-engine.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from nzwirelessmap_fetch_spark.catalog import Catalog
+from nzwirelessmap_fetch_spark.operators.mlprep import (
+    HIST_WIDTH,
+    N_BINS,
+    ml_quantile_binning,
+    ml_target_encode_loo,
+)
+from nzwirelessmap_fetch_spark.operators.similarity import (
+    MV_GROUP,
+    MV_N_QUERIES,
+    MV_TOP_K,
+    sim_maxsim_late_interaction,
+)
+from nzwirelessmap_fetch_spark.plans.stats import (
+    CROSTON_PART_MOD,
+    T_CLOSE_PPM,
+    agg_t_closeness,
+    parts_croston_demand,
+)
+from tests.conftest import SF_CORRECT
+
+
+def _cents(x: float) -> int:
+    from decimal import Decimal
+
+    return int(Decimal(str(x)).quantize(Decimal("0.01")) * 100)
+
+
+def test_t_closeness_matches_python_replay(spark):
+    cust = (
+        Catalog(spark, SF_CORRECT)
+        .table("customer")
+        .select("c_nationkey", "c_mktsegment", "c_acctbal")
+        .collect()
+    )
+    buckets = [
+        (r["c_nationkey"], r["c_mktsegment"], math.floor(_cents(r["c_acctbal"]) / 250_000.0))
+        for r in cust
+    ]
+    big_n = len(buckets)
+    glob = Counter(b for _, _, b in buckets)
+    per_group = defaultdict(Counter)
+    for nk, seg, b in buckets:
+        per_group[(nk, seg)][b] += 1
+    got = {
+        (r["c_nationkey"], r["c_mktsegment"]): r
+        for r in agg_t_closeness(spark, SF_CORRECT).collect()
+    }
+    assert len(got) == len(per_group)
+    for key, cnts in per_group.items():
+        n_g = sum(cnts.values())
+        num = sum(abs(cnts.get(b, 0) * big_n - gc * n_g) for b, gc in glob.items())
+        tvd_ppm = num * 1_000_000 // (2 * n_g * big_n)
+        row = got[key]
+        assert row["n"] == n_g
+        assert row["tvd_ppm"] == tvd_ppm
+        assert row["t_close"] == (tvd_ppm <= T_CLOSE_PPM)
+
+
+def test_target_encode_loo_matches_python_replay(spark):
+    orders = (
+        Catalog(spark, SF_CORRECT)
+        .table("orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    sums: Counter = Counter()
+    ns: Counter = Counter()
+    y = {}
+    for r in orders:
+        c = _cents(r["o_totalprice"])
+        y[r["o_orderkey"]] = (r["o_orderpriority"], c)
+        sums[r["o_orderpriority"]] += c
+        ns[r["o_orderpriority"]] += 1
+    got = {r["o_orderkey"]: r for r in ml_target_encode_loo(spark, SF_CORRECT).collect()}
+    assert len(got) == len(orders)
+    for ok, (cat, c) in y.items():
+        row = got[ok]
+        assert row["category"] == cat and row["y_cents"] == c
+        if ns[cat] > 1:
+            assert row["loo_enc_cents"] == (sums[cat] - c) // (ns[cat] - 1)
+        else:
+            assert row["loo_enc_cents"] is None
+
+
+def test_quantile_binning_edges_and_monotonicity(spark):
+    rows = ml_quantile_binning(spark, SF_CORRECT).collect()
+    n = len(rows)
+    # python replay of the histogram-sketch edges
+    hist = Counter(r["cents"] // HIST_WIDTH for r in rows)
+    cum, acc = {}, 0
+    for hb in sorted(hist):
+        acc += hist[hb]
+        cum[hb] = acc
+    edges = []
+    for k in range(1, N_BINS):
+        thr = math.ceil(k * n / N_BINS)
+        edges.append(min(hb for hb, c in cum.items() if c >= thr))
+    for r in rows:
+        hb = r["cents"] // HIST_WIDTH
+        assert r["bin"] == sum(1 for e in edges if e <= hb)
+    # equi-depth up to bucket granularity: every bin within ±1 histogram
+    # bucket's worth of rows of n/N_BINS
+    sizes = Counter(r["bin"] for r in rows)
+    slack = max(hist.values())
+    for b in range(N_BINS):
+        assert abs(sizes.get(b, 0) - n / N_BINS) <= 2 * slack
+
+
+def test_maxsim_matches_numpy_replay(spark):
+    import numpy as np
+
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in Catalog(spark, SF_CORRECT).table("embeddings").collect()
+    }
+    docs = defaultdict(list)
+    for vid, v in emb.items():
+        docs[vid // MV_GROUP].append((vid, v))
+    q_id = 1
+    scores = {}
+    for d_id, toks in docs.items():
+        if d_id < MV_N_QUERIES:
+            continue
+        s = 0.0
+        for qvid, qv in sorted(docs[q_id]):
+            best = max(
+                float(qv @ dv) / (np.linalg.norm(qv) * np.linalg.norm(dv))
+                for _, dv in toks
+            )
+            s += best
+        scores[d_id] = s
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:MV_TOP_K]
+    got = (
+        sim_maxsim_late_interaction(spark, SF_CORRECT)
+        .filter(F.col("q_id") == q_id)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["d_id"] for r in got] == [d for d, _ in expect]
+    for r, (_, s) in zip(got, expect):
+        assert abs(r["maxsim"] - s) < 1e-9
+
+
+def test_croston_matches_python_replay(spark):
+    li = (
+        Catalog(spark, SF_CORRECT)
+        .table("lineitem")
+        .filter((F.col("l_partkey") % CROSTON_PART_MOD) == 0)
+        .select("l_partkey", "l_shipdate", F.col("l_quantity").cast("long").alias("q"))
+        .collect()
+    )
+    daily = defaultdict(Counter)
+    for r in li:
+        daily[r["l_partkey"]][r["l_shipdate"].toordinal()] += r["q"]
+    got = {r["l_partkey"]: r for r in parts_croston_demand(spark, SF_CORRECT).collect()}
+    expect_keys = {pk for pk, d in daily.items() if len(d) >= 3}
+    assert set(got) == expect_keys
+    for pk in expect_keys:
+        pts = sorted(daily[pk].items())
+        s = float(pts[0][1])
+        i = float(pts[1][0] - pts[0][0])
+        for j in range(2, len(pts)):
+            s = 0.5 * pts[j][1] + 0.5 * s
+            i = 0.5 * (pts[j][0] - pts[j - 1][0]) + 0.5 * i
+        row = got[pk]
+        assert row["n_demand_days"] == len(pts)
+        assert abs(row["size_level"] - s) < 1e-6
+        assert abs(row["interval_level"] - i) < 1e-6
+        assert abs(row["demand_per_day"] - s / i) < 1e-6
+
+
+def test_bpe_merge_step_matches_python_replay(spark):
+    from nzwirelessmap_fetch_spark.operators.text import text_bpe_merge_step
+
+    docs = dict(
+        Catalog(spark, SF_CORRECT)
+        .table("documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    # python replay: argmax adjacent char pair, then greedy one-round merge
+    pair_counts: Counter = Counter()
+    for text in docs.values():
+        for w in text.split(" "):
+            for i in range(len(w) - 1):
+                pair_counts[w[i : i + 2]] += 1
+    top = sorted(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    got = {r["doc_id"]: r for r in text_bpe_merge_step(spark, SF_CORRECT).collect()}
+    assert len(got) == len(docs)
+    assert all(r["merge_pair"] == top for r in got.values())
+    total_merges = 0
+    for doc_id, text in docs.items():
+        n_chars = sum(len(w) for w in text.split(" "))
+        merges = sum(
+            (len(w) - len(w.replace(top, ""))) // 2 for w in text.split(" ")
+        )
+        row = got[doc_id]
+        assert row["n_base_tokens"] == n_chars
+        assert row["n_merges"] == merges
+        assert row["n_tokens_after"] == n_chars - merges
+        total_merges += merges
+    assert total_merges > 0  # the argmax pair must actually land on the fixture
