@@ -1770,3 +1770,38 @@ SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
          AS recall
 FROM counts
 """
+
+
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of DROPPING duplicates, every document
+    gets a sampling weight 1/|cluster| (ppm-quantized) so a training run
+    sees each unique content with equal expected mass — the
+    SlimPajama-style alternative to hard removal that preserves corpus
+    statistics and lets the sampler, not the filter, make the final
+    call. Composes with any clustering; here clusters are exact
+    md5(content) groups (the ``dedup_exact`` key).
+
+    Plan: ONE exchange keyed by the uniform 128-bit content hash; the
+    cluster size is an unordered whole-partition window count on that
+    key (per-key state = one counter, skew bounded by the largest
+    duplicate cluster — the valve would be a count cap, same knob as
+    everywhere else). Integer ppm output; no join, no second scan.
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    w = Window.partitionBy(F.md5("text"))
+    return d.select(
+        "doc_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    ).select(
+        "doc_id",
+        "cluster_size",
+        F.expr("1000000L div cluster_size").alias("weight_ppm"),
+    )
+
+
+DEDUP_SOFT_WEIGHTS_SQL = """
+SELECT doc_id,
+       COUNT(*) OVER (PARTITION BY md5(text)) AS cluster_size,
+       1000000 // COUNT(*) OVER (PARTITION BY md5(text)) AS weight_ppm
+FROM documents
+"""

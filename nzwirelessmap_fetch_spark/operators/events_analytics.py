@@ -1849,3 +1849,99 @@ SELECT i.inc_id, i.start_us, i.end_us,
 FROM incidents i LEFT JOIN hits h USING (inc_id)
 ORDER BY i.inc_id
 """
+
+
+HAAR_LEVELS = 3
+
+
+def events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet detail-energy profile of the daily value series —
+    the multi-resolution screen that says WHICH timescale carries the
+    variance (day-to-day jitter vs 2-day vs 4-day swings), the
+    decomposition step behind wavelet denoising and changepoint
+    localization. Level ℓ pairs adjacent 2^(ℓ−1)-day block sums and
+    measures Σ(left−right)²/4^ℓ.
+
+    Exactness: the series is floor-cents-quantized BEFORE summation
+    (raw-float column invariant), block sums and the squared-difference
+    numerator stay BIGINT, and each level divides ONCE at the end —
+    dyadic denominators, bit-stable. Missing days contribute zero on
+    both engines by construction (absent rows simply don't add).
+
+    Plan: one (day)-keyed partial agg builds the daily grain (|days|
+    rows); each level is ONE keyed agg over that tiny grain (block id =
+    rel-day div 2^ℓ) — corpus scanned once, levels cost |days| each.
+    At 100 TB the daily grain is still calendar-bounded.
+    """
+    e = Catalog(spark, sf_dir).table("events")
+    daily = (
+        e.groupBy(F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"))
+        .agg(F.sum(F.expr("CAST(FLOOR(value * 100) AS BIGINT)")).alias("v"))
+    )
+    daily = daily.crossJoin(
+        F.broadcast(daily.agg(F.min("d").alias("d0")))
+    ).select((F.col("d") - F.col("d0")).alias("dr"), "v")
+    daily = daily.persist()
+    out = None
+    for lvl in range(1, HAAR_LEVELS + 1):
+        half = 2 ** (lvl - 1)
+        block = (F.col("dr") / (2 * half)).cast("long")
+        parity = ((F.col("dr") / half).cast("long") % 2)
+        lv = (
+            daily.groupBy(block.alias("b"))
+            .agg(
+                F.sum(F.when(parity == 0, F.col("v")).otherwise(F.lit(0))).alias("l"),
+                F.sum(F.when(parity == 1, F.col("v")).otherwise(F.lit(0))).alias("r"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.sum(
+                    (F.col("l") - F.col("r")) * (F.col("l") - F.col("r"))
+                ).alias("detail_num"),
+            )
+            .select(
+                F.lit(lvl).cast("int").alias("level"),
+                "n_blocks",
+                "detail_num",
+                (F.col("detail_num") / F.lit(float(4 ** lvl)))
+                .cast("decimal(18,6)")
+                .cast("double")
+                .alias("detail_energy"),
+            )
+        )
+        out = lv if out is None else out.unionByName(lv)
+    return out
+
+
+def _haar_level_sql(lvl: int) -> str:
+    half = 2 ** (lvl - 1)
+    return f"""
+  SELECT {lvl} AS level,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM((l - r) * (l - r)) AS BIGINT) AS detail_num,
+         CAST(CAST(CAST(SUM((l - r) * (l - r)) AS BIGINT)
+              / CAST({float(4 ** lvl)} AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
+           AS detail_energy
+  FROM (
+    SELECT dr // {2 * half} AS b,
+           CAST(SUM(CASE WHEN (dr // {half}) % 2 = 0 THEN v ELSE 0 END)
+                AS BIGINT) AS l,
+           CAST(SUM(CASE WHEN (dr // {half}) % 2 = 1 THEN v ELSE 0 END)
+                AS BIGINT) AS r
+    FROM rel GROUP BY dr // {2 * half}
+  )"""
+
+
+EVENTS_HAAR_ENERGY_SQL = (
+    """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1
+),
+rel AS MATERIALIZED (
+  SELECT d - (SELECT MIN(d) FROM daily) AS dr, v FROM daily
+)
+"""
+    + " UNION ALL ".join(_haar_level_sql(l) for l in range(1, HAAR_LEVELS + 1))
+)

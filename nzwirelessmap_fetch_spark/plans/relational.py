@@ -2668,3 +2668,66 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """
+
+
+_PARTED_ROOTS: dict[tuple, str] = {}
+
+
+def format_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write → partition-pruned read-back: orders
+    land as ``o_orderpriority=<v>/`` directories (the layout every lake
+    table uses for its coarse access dimension), then the read applies a
+    partition predicate — Catalyst resolves it against the DIRECTORY
+    LISTING, so the scan touches exactly one partition's files
+    (PartitionFilters in the plan; pinned in tests/test_round4c_ops).
+    A green row proves both directions: the partitioned writer split
+    values correctly and partition pruning returned the same answer the
+    oracle computes from the unpartitioned original.
+
+    At 100 TB this is THE first-order scan optimization — a pruned
+    partition costs zero I/O regardless of table size; the monthly
+    rollup inside the kept partition exercises values that round-tripped
+    through the partition-directory encoding.
+
+    Reference scope: the reference's versioned artifact layout
+    (prism.json/{ts}, fetch.go:48-53) is exactly a partitioned-by-
+    version directory scheme; this operator is that idea as a queryable
+    table layout.
+    """
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    root = _PARTED_ROOTS.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="parted-stage-")
+        _PARTED_ROOTS[key] = root
+    o = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        "o_orderpriority",
+    )
+    path = f"{root}/orders_parted"
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    back = spark.read.parquet(path).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return back.groupBy(
+        "o_orderpriority",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int").alias("ym"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("price") * 100).cast("long").alias("sum_price_cents"),
+    )
+
+
+FORMAT_PARTITIONED_ROUNDTRIP_SQL = """
+SELECT o_orderpriority,
+       CAST(YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS INT) AS ym,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS sum_price_cents
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority, YEAR(o_orderdate) * 100 + MONTH(o_orderdate)
+"""

@@ -808,3 +808,14 @@ registry.register(
 registry.register(
     "text_bpe_merge_step", _tx.text_bpe_merge_step, _tx.TEXT_BPE_MERGE_STEP_SQL
 )
+registry.register(
+    "dedup_soft_weights", _dd.dedup_soft_weights, _dd.DEDUP_SOFT_WEIGHTS_SQL
+)
+registry.register(
+    "format_partitioned_roundtrip",
+    _r.format_partitioned_roundtrip,
+    _r.FORMAT_PARTITIONED_ROUNDTRIP_SQL,
+)
+registry.register(
+    "events_haar_energy", _ea.events_haar_energy, _ea.EVENTS_HAAR_ENERGY_SQL
+)

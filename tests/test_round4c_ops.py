@@ -216,3 +216,77 @@ def test_bpe_merge_step_matches_python_replay(spark):
         assert row["n_tokens_after"] == n_chars - merges
         total_merges += merges
     assert total_merges > 0  # the argmax pair must actually land on the fixture
+
+
+def test_soft_weights_matches_python_replay(spark):
+    from nzwirelessmap_fetch_spark.operators.dedup import dedup_soft_weights
+
+    texts = dict(
+        Catalog(spark, SF_CORRECT).table("documents").select("doc_id", "text").collect()
+    )
+    sizes = Counter(texts.values())
+    got = {r["doc_id"]: r for r in dedup_soft_weights(spark, SF_CORRECT).collect()}
+    assert len(got) == len(texts)
+    for doc_id, text in texts.items():
+        row = got[doc_id]
+        assert row["cluster_size"] == sizes[text]
+        assert row["weight_ppm"] == 1_000_000 // sizes[text]
+    # weight bounds: ppm in (0, 1_000_000]; singletons get full weight
+    assert all(0 < r["weight_ppm"] <= 1_000_000 for r in got.values())
+    assert all(
+        r["weight_ppm"] == 1_000_000
+        for r in got.values()
+        if r["cluster_size"] == 1
+    )
+
+
+def test_partitioned_roundtrip_prunes_partitions(spark):
+    from nzwirelessmap_fetch_spark.plans.relational import (
+        format_partitioned_roundtrip,
+    )
+
+    df = format_partitioned_roundtrip(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderpriority" in plan, plan[:2000]
+    rows = df.collect()
+    assert rows and all(r["o_orderpriority"] == "1-URGENT" for r in rows)
+    # pruned read-back must equal a direct filter on the original table
+    orig = (
+        Catalog(spark, SF_CORRECT)
+        .table("orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .count()
+    )
+    assert sum(r["n_orders"] for r in rows) == orig
+
+
+def test_haar_energy_matches_python_replay(spark):
+    from nzwirelessmap_fetch_spark.operators.events_analytics import (
+        HAAR_LEVELS,
+        events_haar_energy,
+    )
+
+    ev = (
+        Catalog(spark, SF_CORRECT)
+        .table("events")
+        .select(F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+                F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("v"))
+        .collect()
+    )
+    daily: Counter = Counter()
+    for r in ev:
+        daily[r["d"]] += r["v"]
+    d0 = min(daily)
+    rel = {d - d0: v for d, v in daily.items()}
+    got = {r["level"]: r for r in events_haar_energy(spark, SF_CORRECT).collect()}
+    assert set(got) == set(range(1, HAAR_LEVELS + 1))
+    for lvl in range(1, HAAR_LEVELS + 1):
+        half = 2 ** (lvl - 1)
+        blocks = defaultdict(lambda: [0, 0])
+        for dr, v in rel.items():
+            blocks[dr // (2 * half)][(dr // half) % 2] += v
+        num = sum((l - r) ** 2 for l, r in blocks.values())
+        row = got[lvl]
+        assert row["n_blocks"] == len(blocks)
+        assert row["detail_num"] == num
+        assert abs(row["detail_energy"] - num / 4 ** lvl) < 1e-5

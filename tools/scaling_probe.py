@@ -41,6 +41,12 @@ QUERIES = [
     "embedding_random_projection",  # JL per-row dots (zero shuffle)
     "layout_zorder_key",      # mask-spread ladder + 256-tile rollup
     "sql_recursive_cte",      # native recursive CTE (frontier shrinks 10×/level)
+    "agg_t_closeness",        # QI/bucket-grain aggs + bucket-domain NLJ
+    "ml_target_encode_loo",   # one category agg + broadcast row-local encode
+    "ml_quantile_binning",    # histogram sketch + aggregated-grain cumsum
+    "sim_maxsim_late_interaction",  # query-tokens broadcast MaxSim re-rank
+    "parts_croston_demand",   # per-part fold (parts are the parallel unit)
+    "text_bpe_merge_step",    # pair-count shuffle + map-only merge apply
 ]
 
 
