@@ -16,6 +16,11 @@ dedup/quality families.
                         production binner (LightGBM, BigQuery
                         APPROX_QUANTILES) actually uses, instead of a
                         global sort.
+- ml_feature_hashing    the hashing trick: fixed-dim token-count
+                        vectors with md5-derived buckets — no
+                        vocabulary state, zero-shuffle row-local.
+- ml_standard_scaler    z-score standardization from exact decimal
+                        moment sums (sketch pass + apply pass).
 
 Scale design: target encoding is ONE category-keyed partial agg joined
 back as a broadcast (|categories| rows); binning is one domain-bounded
@@ -159,4 +164,102 @@ earr AS (SELECT list(edge ORDER BY k) AS edge_arr FROM edges)
 SELECT b.o_orderkey, b.cents,
        CAST(LEN(list_filter(e.edge_arr, x -> x <= b.hb)) AS INT) AS bin
 FROM base b CROSS JOIN earr e
+"""
+
+
+HASH_DIM = 16  # feature-hashing bucket count
+
+
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (fastText / Vowpal Wabbit feature layer): each
+    document becomes a fixed ``HASH_DIM``-dimensional token-count vector
+    with bucket = md5-derived hash mod dim — no vocabulary pass, no
+    dictionary state, collision-tolerant by design. The layer every
+    linear-model text pipeline runs between raw text and training.
+
+    Bucket hash: first 8 hex chars of md5(token) as an unsigned int mod
+    ``HASH_DIM`` — both engines derive it bit-identically (same idiom as
+    the corpus shingle keys). Plan: zero-shuffle row-local scan — tokens
+    explode INSIDE the array fold, never into rows; at 100 TB this is
+    pure map-side codegen.
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    bucket = f"CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % {HASH_DIM}"
+    vec = f"""
+      transform(sequence(0, {HASH_DIM - 1}), k ->
+        CAST(size(filter(split(text, ' '), t -> ({bucket}) = k)) AS INT))
+    """
+    return d.select(
+        "doc_id",
+        F.expr(vec).alias("feature_counts"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+
+
+ML_FEATURE_HASHING_SQL = f"""
+SELECT doc_id,
+       list_transform(range(0, {HASH_DIM}), k ->
+         CAST(LEN(list_filter(string_split(text, ' '),
+                  t -> ('0x' || substr(md5(t), 1, 8))::BIGINT
+                       % {HASH_DIM} = k)) AS INT)) AS feature_counts,
+       CAST(LEN(string_split(text, ' ')) AS INT) AS n_tokens
+FROM documents
+"""
+
+
+def ml_standard_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score standardization of a numeric feature — the default
+    feature-prep transform before any distance-based or linear model.
+    Mean and population std come from EXACT decimal cent sums (the
+    agg_stats_moments discipline), so the per-row scaled value is one
+    fixed IEEE expression over exact integers — bit-stable across
+    engines and partitionings.
+
+    Plan: ONE global agg (2 integers) broadcast back over the corpus
+    scan; the transform is row-local. The two-pass shape is what every
+    production scaler does at scale (sketch pass + apply pass).
+    """
+    o = Catalog(spark, sf_dir).table("orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = o.select("o_orderkey", cents.alias("v"))
+    vd = F.col("v").cast("decimal(38,0)")
+    stats = base.agg(
+        F.sum("v").alias("s"),
+        F.sum(vd * vd).cast("decimal(38,0)").alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    z = (
+        "(CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / "
+        "sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) "
+        " - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "   * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))"
+    )
+    return base.crossJoin(F.broadcast(stats)).select(
+        "o_orderkey",
+        "v",
+        F.expr(z).cast("decimal(18,6)").cast("double").alias("z_score"),
+    )
+
+
+ML_STANDARD_SCALER_SQL = """
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM orders
+),
+stats AS (
+  SELECT CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS s2,
+         COUNT(*) AS n
+  FROM base
+)
+SELECT b.o_orderkey, b.v,
+       CAST(CAST(
+         (CAST(b.v AS DOUBLE) - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE)) /
+         sqrt(CAST(st.s2 AS DOUBLE) / CAST(st.n AS DOUBLE)
+              - (CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+                * (CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE)))
+       AS DECIMAL(18,6)) AS DOUBLE) AS z_score
+FROM base b CROSS JOIN stats st
 """

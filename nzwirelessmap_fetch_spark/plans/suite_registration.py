@@ -819,3 +819,9 @@ registry.register(
 registry.register(
     "events_haar_energy", _ea.events_haar_energy, _ea.EVENTS_HAAR_ENERGY_SQL
 )
+registry.register(
+    "ml_feature_hashing", _ml.ml_feature_hashing, _ml.ML_FEATURE_HASHING_SQL
+)
+registry.register(
+    "ml_standard_scaler", _ml.ml_standard_scaler, _ml.ML_STANDARD_SCALER_SQL
+)

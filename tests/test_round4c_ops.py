@@ -290,3 +290,55 @@ def test_haar_energy_matches_python_replay(spark):
         assert row["n_blocks"] == len(blocks)
         assert row["detail_num"] == num
         assert abs(row["detail_energy"] - num / 4 ** lvl) < 1e-5
+
+
+def test_feature_hashing_matches_python_replay(spark):
+    import hashlib
+
+    from nzwirelessmap_fetch_spark.operators.mlprep import (
+        HASH_DIM,
+        ml_feature_hashing,
+    )
+
+    texts = dict(
+        Catalog(spark, SF_CORRECT)
+        .table("documents")
+        .limit(40)
+        .select("doc_id", "text")
+        .collect()
+    )
+    got = {
+        r["doc_id"]: r
+        for r in ml_feature_hashing(spark, SF_CORRECT)
+        .filter(F.col("doc_id").isin(*texts))
+        .collect()
+    }
+    for doc_id, text in texts.items():
+        toks = text.split(" ")
+        vec = [0] * HASH_DIM
+        for t in toks:
+            b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % HASH_DIM
+            vec[b] += 1
+        row = got[doc_id]
+        assert list(row["feature_counts"]) == vec
+        assert row["n_tokens"] == len(toks)
+        assert sum(row["feature_counts"]) == len(toks)  # mass conservation
+
+
+def test_standard_scaler_matches_python_replay(spark):
+    import statistics
+
+    from nzwirelessmap_fetch_spark.operators.mlprep import ml_standard_scaler
+
+    got = {r["o_orderkey"]: r for r in ml_standard_scaler(spark, SF_CORRECT).collect()}
+    vs = [r["v"] for r in got.values()]
+    n = len(vs)
+    mean = sum(vs) / n
+    var = sum(v * v for v in vs) / n - mean * mean
+    sd = var ** 0.5
+    for r in got.values():
+        assert abs(r["z_score"] - (r["v"] - mean) / sd) < 1e-5
+    # standardization invariants: mean ≈ 0, sd ≈ 1 over the output
+    zs = [r["z_score"] for r in got.values()]
+    assert abs(sum(zs) / n) < 1e-3
+    assert abs(statistics.pstdev(zs) - 1.0) < 1e-3
