@@ -263,3 +263,75 @@ SELECT b.o_orderkey, b.v,
        AS DECIMAL(18,6)) AS DOUBLE) AS z_score
 FROM base b CROSS JOIN stats st
 """
+
+
+AUC_BUCKET = 10_000  # score-histogram bucket width in cents ($100)
+
+
+def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC-ROC over a bucketed score histogram — the ranking
+    metric every classifier eval reports, computed via the rank-sum
+    (Mann-Whitney U) identity instead of a curve sweep:
+    AUC = P(score⁺ > score⁻) + ½·P(tie). Scores quantize to
+    ``AUC_BUCKET``-wide buckets first (the large-scale AUC recipe —
+    a bounded histogram instead of a global sort), ties share a bucket
+    and contribute the ½ term exactly.
+
+    All-integer: 2·U = Σ_b n_pos(b)·(2·cum_neg(<b) + n_neg(b)), one ppm
+    division at the end. Plan: ONE domain-bounded histogram agg, a
+    cumulative pass over those aggregated rows only, one scalar rollup —
+    the corpus is scanned once; nothing scales beyond |score domain|.
+
+    Fixture task: does order value rank 1-URGENT orders above the rest
+    (it should not — AUC ≈ ½ is itself the check that priorities are
+    value-independent).
+    """
+    o = Catalog(spark, sf_dir).table("orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = o.select(
+        (F.col("o_orderpriority") == "1-URGENT").alias("pos"),
+        (cents / AUC_BUCKET).cast("long").alias("hb"),
+    )
+    hist = base.groupBy("hb").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("nn"),
+    )
+    cum = hist.withColumn(
+        "cneg",
+        F.sum("nn").over(Window.orderBy("hb")) - F.col("nn"),
+    )
+    return cum.agg(
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        F.sum(F.col("np") * (2 * F.col("cneg") + F.col("nn"))).alias("u2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        F.expr("u2 * 1000000L div (2 * n_pos * n_neg)").alias("auc_ppm"),
+    )
+
+
+ML_AUC_ROC_SQL = f"""
+WITH base AS (
+  SELECT o_orderpriority = '1-URGENT' AS pos,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           // {AUC_BUCKET} AS hb
+  FROM orders
+),
+hist AS (
+  SELECT hb,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+  FROM base GROUP BY hb
+),
+cum AS (
+  SELECT np, nn,
+         CAST(SUM(nn) OVER (ORDER BY hb) AS BIGINT) - nn AS cneg
+  FROM hist
+)
+SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+       CAST(SUM(nn) AS BIGINT) AS n_neg,
+       CAST(SUM(np * (2 * cneg + nn)) AS BIGINT) * 1000000
+         // (2 * CAST(SUM(np) AS BIGINT) * CAST(SUM(nn) AS BIGINT)) AS auc_ppm
+FROM cum
+"""

@@ -2264,3 +2264,105 @@ SELECT q_id, d_id, maxsim, CAST(rank AS INT) AS rank FROM (
   FROM scored)
 WHERE rank <= {MV_TOP_K}
 """
+
+
+def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification accuracy over the mutual-kNN graph — the
+    leave-one-out eval every embedding space gets before it ships: each
+    vector is predicted as the majority label of its mutual-kNN
+    neighbors (ties → smaller label id) and scored against its own
+    label, reported per true class. Low accuracy for a class = its
+    region of the space is entangled — the signal that drives re-embed /
+    re-cluster decisions.
+
+    Composes entirely on the edge stream ``sim_knn_graph`` already
+    built (LSH-candidate, bucket-valved): symmetrize, one
+    neighbor-label join against the |corpus| label side (keyed
+    equi-join), one (node, label) vote agg, one per-node argmax window
+    (vote-count grain), one rollup. Nodes with no mutual edge are
+    out-of-coverage and excluded by construction (reported via n_nodes
+    vs class size in the companion recall evals).
+    """
+    edges = sim_knn_graph(spark, sf_dir)
+    und = edges.select(F.col("vec_a").alias("node"), F.col("vec_b").alias("nb")).union(
+        edges.select(F.col("vec_b").alias("node"), F.col("vec_a").alias("nb"))
+    )
+    lab = (
+        Catalog(spark, sf_dir)
+        .table("embeddings")
+        .select("vec_id", F.col("label").cast("int").alias("label"))
+    )
+    votes = (
+        und.join(lab.withColumnRenamed("vec_id", "nb").withColumnRenamed("label", "nlabel"), "nb")
+        .groupBy("node", "nlabel")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("nlabel"))
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("node", F.col("nlabel").alias("pred"))
+    )
+    return (
+        pred.join(lab.withColumnRenamed("vec_id", "node"), "node")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.when(F.col("pred") == F.col("label"), 1).otherwise(0)).alias(
+                "n_correct"
+            ),
+        )
+        .select(
+            "label",
+            "n_nodes",
+            "n_correct",
+            F.expr("n_correct * 1000000L div n_nodes").alias("acc_ppm"),
+        )
+    )
+
+
+ML_KNN_CLASSIFIER_EVAL_SQL = f"""
+WITH {_BANDED_CTES},
+sym AS (
+  SELECT vec_a AS a, vec_b AS b, cos FROM banded_pairs
+  UNION ALL
+  SELECT vec_b AS a, vec_a AS b, cos FROM banded_pairs
+),
+knn AS (
+  SELECT a, b, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos DESC, b ASC) AS INT) AS rk
+  FROM sym
+  QUALIFY rk <= {K_NN}
+),
+mutual AS (
+  SELECT x.a AS vec_a, x.b AS vec_b
+  FROM knn x JOIN knn y ON x.a = y.b AND x.b = y.a
+  WHERE x.a < x.b
+),
+und AS (
+  SELECT vec_a AS node, vec_b AS nb FROM mutual
+  UNION ALL
+  SELECT vec_b AS node, vec_a AS nb FROM mutual
+),
+votes AS (
+  SELECT u.node, CAST(l.label AS INT) AS nlabel, COUNT(*) AS c
+  FROM und u JOIN embeddings l ON l.vec_id = u.nb
+  GROUP BY u.node, l.label
+),
+pred AS (
+  SELECT node, nlabel AS pred
+  FROM (
+    SELECT node, nlabel,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, nlabel ASC) AS rk
+    FROM votes
+  ) WHERE rk = 1
+)
+SELECT CAST(l.label AS INT) AS label,
+       COUNT(*) AS n_nodes,
+       CAST(SUM(CASE WHEN p.pred = l.label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(SUM(CASE WHEN p.pred = l.label THEN 1 ELSE 0 END) AS BIGINT)
+         * 1000000 // COUNT(*) AS acc_ppm
+FROM pred p JOIN embeddings l ON l.vec_id = p.node
+GROUP BY l.label
+"""

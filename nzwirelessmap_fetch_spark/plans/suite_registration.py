@@ -825,3 +825,9 @@ registry.register(
 registry.register(
     "ml_standard_scaler", _ml.ml_standard_scaler, _ml.ML_STANDARD_SCALER_SQL
 )
+registry.register("ml_auc_roc", _ml.ml_auc_roc, _ml.ML_AUC_ROC_SQL)
+registry.register(
+    "ml_knn_classifier_eval",
+    _sim.ml_knn_classifier_eval,
+    _sim.ML_KNN_CLASSIFIER_EVAL_SQL,
+)

@@ -342,3 +342,65 @@ def test_standard_scaler_matches_python_replay(spark):
     zs = [r["z_score"] for r in got.values()]
     assert abs(sum(zs) / n) < 1e-3
     assert abs(statistics.pstdev(zs) - 1.0) < 1e-3
+
+
+def test_auc_roc_matches_python_replay(spark):
+    from nzwirelessmap_fetch_spark.operators.mlprep import AUC_BUCKET, ml_auc_roc
+
+    rows = (
+        Catalog(spark, SF_CORRECT)
+        .table("orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    scored = [
+        (r["o_orderpriority"] == "1-URGENT", _cents(r["o_totalprice"]) // AUC_BUCKET)
+        for r in rows
+    ]
+    pos = sorted(hb for p, hb in scored if p)
+    neg = sorted(hb for p, hb in scored if not p)
+    import bisect
+
+    u2 = 0
+    for hb in pos:
+        below = bisect.bisect_left(neg, hb)
+        ties = bisect.bisect_right(neg, hb) - below
+        u2 += 2 * below + ties
+    got = ml_auc_roc(spark, SF_CORRECT).collect()[0]
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    expect_ppm = u2 * 1_000_000 // (2 * len(pos) * len(neg))
+    assert got["auc_ppm"] == expect_ppm
+    # value-independence sanity: urgency is not priced, AUC near 1/2
+    assert 400_000 < got["auc_ppm"] < 600_000
+
+
+def test_knn_classifier_eval_matches_graph_replay(spark):
+    from nzwirelessmap_fetch_spark.operators.similarity import (
+        ml_knn_classifier_eval,
+        sim_knn_graph,
+    )
+
+    labels = dict(
+        Catalog(spark, SF_CORRECT)
+        .table("embeddings")
+        .select("vec_id", "label")
+        .collect()
+    )
+    edges = sim_knn_graph(spark, SF_CORRECT).select("vec_a", "vec_b").collect()
+    nbrs = defaultdict(list)
+    for r in edges:
+        nbrs[r["vec_a"]].append(r["vec_b"])
+        nbrs[r["vec_b"]].append(r["vec_a"])
+    per_class = defaultdict(lambda: [0, 0])
+    for node, ns in nbrs.items():
+        votes = Counter(labels[n] for n in ns)
+        best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        own = labels[node]
+        per_class[own][0] += 1
+        per_class[own][1] += int(best == own)
+    got = {r["label"]: r for r in ml_knn_classifier_eval(spark, SF_CORRECT).collect()}
+    assert set(got) == set(per_class)
+    for lbl, (n, c) in per_class.items():
+        row = got[lbl]
+        assert row["n_nodes"] == n and row["n_correct"] == c
+        assert row["acc_ppm"] == c * 1_000_000 // n
