@@ -74,11 +74,18 @@ registry.register(
     _es.STREAM_WINDOWED_DISTINCT_SQL,
 )
 
-# 13–16 — aggregation family: plain group-by, HLL sketch, grouping sets, pivot
+# 13–16 — aggregation family: plain group-by, HLL sketch, grouping sets,
+# plus the r4c feature-prep family's driver-checked representative
+# (agg_pivot moved below the cut — aggregation keeps three reps here and
+# pivot's parity evidence rides CORRECTNESS_FULL)
 registry.register("agg_pricing_summary", _r.agg_pricing_summary, _r.AGG_PRICING_SUMMARY_SQL)
 registry.register("agg_approx_distinct", _r.agg_approx_distinct, _r.AGG_APPROX_DISTINCT_SQL)
 registry.register("agg_rollup", _r.agg_rollup, _r.AGG_ROLLUP_SQL)
-registry.register("agg_pivot", _r.agg_pivot, _r.AGG_PIVOT_SQL)
+from ..operators import mlprep as _ml_first  # noqa: E402
+
+registry.register(
+    "ml_quantile_binning", _ml_first.ml_quantile_binning, _ml_first.ML_QUANTILE_BINNING_SQL
+)
 
 # 17–20 — join family (semi, theta/range, skew-salted) + the
 # data-quality/replica-validation rep
@@ -150,6 +157,8 @@ registry.register("pack_sequences", _pk.pack_sequences, _pk.PACK_SEQUENCES_SQL)
 registry.register("embedding_quantize", _pk.embedding_quantize, _pk.EMBEDDING_QUANTIZE_SQL)
 
 # ─── Entries 51+: checked by tools/check_queries.py (CORRECTNESS_FULL_r*) ───
+
+registry.register("agg_pivot", _r.agg_pivot, _r.AGG_PIVOT_SQL)
 
 registry.register("agg_distinct_stats", _r.agg_distinct_stats, _r.AGG_DISTINCT_STATS_SQL)
 registry.register("agg_cube", _r.agg_cube, _r.AGG_CUBE_SQL)
@@ -793,9 +802,6 @@ from ..operators import mlprep as _ml  # noqa: E402  (round-4c batch)
 registry.register("agg_t_closeness", _st.agg_t_closeness, _st.AGG_T_CLOSENESS_SQL)
 registry.register(
     "ml_target_encode_loo", _ml.ml_target_encode_loo, _ml.ML_TARGET_ENCODE_LOO_SQL
-)
-registry.register(
-    "ml_quantile_binning", _ml.ml_quantile_binning, _ml.ML_QUANTILE_BINNING_SQL
 )
 registry.register(
     "sim_maxsim_late_interaction",

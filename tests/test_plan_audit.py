@@ -82,6 +82,7 @@ def test_first_fifty_cover_every_operator_family():
         "packing": has("pack_"),
         "embeddings": has("embedding_"),
         "data quality / replica validation": "table_merkle_checksum" in names,
+        "feature prep / model evals": has("ml_"),
     }
     missing = [fam for fam, ok in families.items() if not ok]
     assert not missing, f"families without a driver-checked representative: {missing}"
