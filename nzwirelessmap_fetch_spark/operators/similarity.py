@@ -2366,3 +2366,72 @@ SELECT CAST(l.label AS INT) AS label,
 FROM pred p JOIN embeddings l ON l.vec_id = p.node
 GROUP BY l.label
 """
+
+
+def ml_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank retrieval eval (per query): the rank of the
+    FIRST same-label neighbor in the exact cosine top-{TOP_K}, and its
+    reciprocal — the ranking metric that asks "how far down the list is
+    the first relevant result" and, unlike NDCG, needs no logarithmic
+    discount (reciprocals stay rational, so the output is an exact ppm
+    integer — the no-transcendentals invariant holds). Queries whose
+    top-{TOP_K} contains no same-label vector score 0 with a NULL rank —
+    the honest "retrieval missed" marker.
+
+    Composes on ``sim_topk_bruteforce`` (one corpus scan, broadcast
+    query set); the label joins are |top-k·queries|-sized, and the
+    rollup is one tiny keyed agg. The fleet mean is a trivial average
+    over this output — emitted per-query so the eval localizes which
+    queries fail, not just how much.
+    """
+    tk = sim_topk_bruteforce(spark, sf_dir)
+    lab = (
+        Catalog(spark, sf_dir)
+        .table("embeddings")
+        .select("vec_id", F.col("label").cast("int").alias("label"))
+    )
+    j = (
+        tk.join(
+            lab.select(F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")),
+            "q_id",
+        )
+        .join(
+            lab.select(F.col("vec_id"), F.col("label").alias("n_label")),
+            "vec_id",
+        )
+    )
+    return (
+        j.groupBy("q_id", "q_label")
+        .agg(
+            F.min(
+                F.when(F.col("n_label") == F.col("q_label"), F.col("rank"))
+            ).alias("first_hit_rank")
+        )
+        .select(
+            "q_id",
+            "q_label",
+            "first_hit_rank",
+            F.coalesce(
+                F.expr("1000000L div first_hit_rank"), F.lit(0).cast("long")
+            ).alias("rr_ppm"),
+        )
+    )
+
+
+ML_MRR_EVAL_SQL = f"""
+WITH topk AS (
+  {SIM_TOPK_BRUTEFORCE_SQL.replace(chr(10), chr(10) + "  ")}
+),
+j AS (
+  SELECT t.q_id, CAST(ql.label AS INT) AS q_label, t.rank,
+         CAST(nl.label AS INT) AS n_label
+  FROM topk t
+  JOIN embeddings ql ON ql.vec_id = t.q_id
+  JOIN embeddings nl ON nl.vec_id = t.vec_id
+)
+SELECT q_id, q_label,
+       MIN(CASE WHEN n_label = q_label THEN rank END) AS first_hit_rank,
+       COALESCE(1000000 // MIN(CASE WHEN n_label = q_label THEN rank END),
+                CAST(0 AS BIGINT)) AS rr_ppm
+FROM j GROUP BY q_id, q_label
+"""

@@ -2731,3 +2731,43 @@ FROM orders
 WHERE o_orderpriority = '1-URGENT'
 GROUP BY o_orderpriority, YEAR(o_orderdate) * 100 + MONTH(o_orderdate)
 """
+
+
+def window_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist / nth_value / lead — the remaining window-function
+    members (§2.3 windows; the family's other rows cover rank, ntile,
+    percent_rank, first/last, lag, running frames). Per customer over
+    order-date order: the cumulative distribution of each order, the
+    2nd order's value (nth_value with the default growing frame — the
+    NULL prefix before row 2 is part of the function's contract), and
+    the next order's date via lead.
+
+    Determinism: the ordering key is (o_orderdate, o_orderkey) — unique
+    — so every function's output is total-order pinned. cume_dist is a
+    small-integer ratio; ppm-quantized for the hash. One customer-keyed
+    exchange serves all three functions (same window spec)."""
+    o = Catalog(spark, sf_dir).table("orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        cents.alias("cents"),
+        # explicit FLOOR: bare double→long casts TRUNCATE in Spark but
+        # ROUND in DuckDB (ROADMAP invariant)
+        F.floor(F.cume_dist().over(w) * 1_000_000).alias("cume_ppm"),
+        F.nth_value(cents, 2).over(w).alias("second_order_cents"),
+        F.lead("o_orderdate", 1).over(w).alias("next_order_date"),
+    )
+
+
+WINDOW_CUME_NTH_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+       CAST(FLOOR(CUME_DIST() OVER w * 1000000) AS BIGINT) AS cume_ppm,
+       NTH_VALUE(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT), 2)
+         OVER w AS second_order_cents,
+       LEAD(o_orderdate, 1) OVER w AS next_order_date
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""

@@ -837,3 +837,5 @@ registry.register(
     _sim.ml_knn_classifier_eval,
     _sim.ML_KNN_CLASSIFIER_EVAL_SQL,
 )
+registry.register("window_cume_nth", _r.window_cume_nth, _r.WINDOW_CUME_NTH_SQL)
+registry.register("ml_mrr_eval", _sim.ml_mrr_eval, _sim.ML_MRR_EVAL_SQL)

@@ -404,3 +404,59 @@ def test_knn_classifier_eval_matches_graph_replay(spark):
         row = got[lbl]
         assert row["n_nodes"] == n and row["n_correct"] == c
         assert row["acc_ppm"] == c * 1_000_000 // n
+
+
+def test_window_cume_nth_matches_python_replay(spark):
+    from nzwirelessmap_fetch_spark.plans.relational import window_cume_nth
+
+    rows = (
+        Catalog(spark, SF_CORRECT)
+        .table("orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    by_cust = defaultdict(list)
+    for r in rows:
+        by_cust[r["o_custkey"]].append(
+            (r["o_orderdate"], r["o_orderkey"], _cents(r["o_totalprice"]))
+        )
+    got = {r["o_orderkey"]: r for r in window_cume_nth(spark, SF_CORRECT).collect()}
+    for cust, os_ in by_cust.items():
+        os_.sort()
+        n = len(os_)
+        for i, (d, ok, c) in enumerate(os_):
+            row = got[ok]
+            assert row["cents"] == c
+            assert row["cume_ppm"] == (i + 1) * 1_000_000 // n
+            expect_second = os_[1][2] if i >= 1 and n >= 2 else None
+            assert row["second_order_cents"] == expect_second
+            expect_next = os_[i + 1][0] if i + 1 < n else None
+            assert row["next_order_date"] == expect_next
+
+
+def test_mrr_eval_matches_topk_replay(spark):
+    from nzwirelessmap_fetch_spark.operators.similarity import (
+        ml_mrr_eval,
+        sim_topk_bruteforce,
+    )
+
+    labels = dict(
+        Catalog(spark, SF_CORRECT)
+        .table("embeddings")
+        .select("vec_id", "label")
+        .collect()
+    )
+    tk = defaultdict(list)
+    for r in sim_topk_bruteforce(spark, SF_CORRECT).collect():
+        tk[r["q_id"]].append((r["rank"], r["vec_id"]))
+    got = {r["q_id"]: r for r in ml_mrr_eval(spark, SF_CORRECT).collect()}
+    assert set(got) == set(tk)
+    for q, lst in tk.items():
+        hits = [rk for rk, v in sorted(lst) if labels[v] == labels[q]]
+        row = got[q]
+        assert row["q_label"] == labels[q]
+        if hits:
+            assert row["first_hit_rank"] == hits[0]
+            assert row["rr_ppm"] == 1_000_000 // hits[0]
+        else:
+            assert row["first_hit_rank"] is None and row["rr_ppm"] == 0
