@@ -1903,8 +1903,10 @@ def events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(lvl).cast("int").alias("level"),
                 "n_blocks",
                 "detail_num",
+                # DECIMAL(28,6): the sf0.1 numerator already tops 7e13 —
+                # an (18,6) pin overflows at scale
                 (F.col("detail_num") / F.lit(float(4 ** lvl)))
-                .cast("decimal(18,6)")
+                .cast("decimal(28,6)")
                 .cast("double")
                 .alias("detail_energy"),
             )
@@ -1920,7 +1922,7 @@ def _haar_level_sql(lvl: int) -> str:
          CAST(COUNT(*) AS BIGINT) AS n_blocks,
          CAST(SUM((l - r) * (l - r)) AS BIGINT) AS detail_num,
          CAST(CAST(CAST(SUM((l - r) * (l - r)) AS BIGINT)
-              / CAST({float(4 ** lvl)} AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
+              / CAST({float(4 ** lvl)} AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
            AS detail_energy
   FROM (
     SELECT dr // {2 * half} AS b,
