@@ -65,6 +65,17 @@ def main() -> None:
     timings["shared_jaccard_pair_build_capped"] = round(
         time.perf_counter() - start, 3
     )
+    # Same attribution for the embedding-family PCA substrate: four
+    # queries (principal component, ABTT, PCA top-2, whitening) consume
+    # the memoized Gram accumulation + both power-iteration
+    # trajectories — one corpus pass + two dim²-grain iterate chains,
+    # one line.
+    from nzwirelessmap_fetch_spark.operators.sketches import _top2_components
+
+    start = time.perf_counter()
+    for frame in _top2_components(spark, sf_dir):
+        frame.count()
+    timings["shared_pc_build"] = round(time.perf_counter() - start, 3)
 
     def run_one(name: str, fn) -> float:
         start = time.perf_counter()

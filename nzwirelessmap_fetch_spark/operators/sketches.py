@@ -568,12 +568,26 @@ def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_GRAM_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _pc_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized-exact Gram accumulation — the only corpus-sized pass.
+
+    Memoized per (application, sf_dir) as an eager localCheckpoint (the
+    _PAIRS_CACHE discipline): FOUR registry queries consume this matrix
+    (principal component, ABTT residual, PCA top-2, whitening) and each
+    used to re-run the corpus fan-out; the checkpointed state is dim²
+    rows — trivial at any corpus size. bench.py times the build as its
+    own `shared_gram_build` line so no consumer absorbs it.
 
     Round-robin pre-split: the embeddings table is one parquet file at
     bench SF and the dim² fan-out (4096 rows per vector) would
     otherwise run on a single task (the one-file-scan lesson)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _GRAM_CACHE.get(key)
+    if cached is not None:
+        return cached
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = Catalog(spark, sf_dir).table("embeddings").repartition(width)
     pairs = (
@@ -591,11 +605,14 @@ def _pc_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q"),
         )
     )
-    return (
+    gram = (
         pairs.groupBy("i", "j")
         .agg(F.sum("q").alias("gq"))
         .select("i", "j", (F.col("gq").cast("double") / F.lit(_PC_SCALE)).alias("g"))
+        .localCheckpoint(eager=True)
     )
+    _GRAM_CACHE[key] = gram
+    return gram
 
 
 def _pc_iterate(spark: SparkSession, gram: DataFrame):
@@ -668,11 +685,21 @@ def _pc_iterate(spark: SparkSession, gram: DataFrame):
     return normalized(w_last), lam
 
 
+_TRAJ_CACHE: dict[tuple[str, str], tuple] = {}
+
+
 def _pc_trajectory(spark: SparkSession, sf_dir: str):
     """The shared power-iteration trajectory on the corpus Gram matrix.
-    Consumed by ``embedding_principal_component`` and the ABTT residual
-    projection."""
-    return _pc_iterate(spark, _pc_gram(spark, sf_dir))
+    Consumed by ``embedding_principal_component``, the ABTT residual
+    projection, and (as component 1) ``_top2_components``. Memoized per
+    (application, sf_dir): every iterate is already an eager
+    localCheckpoint of ≤ dim² rows, so reuse is free and exact."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TRAJ_CACHE.get(key)
+    if cached is None:
+        cached = _pc_iterate(spark, _pc_gram(spark, sf_dir))
+        _TRAJ_CACHE[key] = cached
+    return cached
 
 
 def _ddb_matvec(gram: str, v: str, out: str) -> str:
@@ -854,12 +881,22 @@ FROM base
 """
 
 
+_TOP2_CACHE: dict[tuple[str, str], tuple] = {}
+
+
 def _top2_components(spark: SparkSession, sf_dir: str):
     """Shared top-2 trajectory: power-iterate the Gram matrix, deflate
     (G₂ = G − λ₁·v₁v₁ᵀ), iterate again. Returns (v1, lam1, v2, lam2) —
-    per-dim loading frames and 1-row eigenvalue frames."""
+    per-dim loading frames and 1-row eigenvalue frames. Memoized like
+    ``_pc_trajectory`` (component 1 comes FROM that cache, so the two
+    PCA-family consumers and the two trajectory consumers share one
+    physical iteration history)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    top2 = _TOP2_CACHE.get(key)
+    if top2 is not None:
+        return top2
     gram = _pc_gram(spark, sf_dir)
-    v1, lam1 = _pc_iterate(spark, gram)
+    v1, lam1 = _pc_trajectory(spark, sf_dir)
     vi = v1.select(F.col("j").alias("i"), F.col("v").alias("vi"))
     vj = v1.select("j", F.col("v").alias("vj"))
     gram2 = (
@@ -874,6 +911,7 @@ def _top2_components(spark: SparkSession, sf_dir: str):
     )
     # dim²-row deflated matrix; _pc_iterate checkpoints it on entry
     v2, lam2 = _pc_iterate(spark, gram2)
+    _TOP2_CACHE[key] = (v1, lam1, v2, lam2)
     return v1, lam1, v2, lam2
 
 
