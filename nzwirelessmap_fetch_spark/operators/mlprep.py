@@ -335,3 +335,125 @@ SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
          // (2 * CAST(SUM(np) AS BIGINT) * CAST(SUM(nn) AS BIGINT)) AS auc_ppm
 FROM cum
 """
+
+
+def ml_best_split_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram best-split finding — THE inner loop of every
+    gradient-boosted-tree trainer (XGBoost/LightGBM grow trees by
+    scanning a feature histogram for the threshold maximizing variance
+    reduction): fit a depth-1 regression stump predicting line revenue
+    from quantity. For threshold t, the split score is
+    S_L²/n_L + S_R²/n_R (the Σy² term cancels in comparisons); gain is
+    the variance reduction vs the root.
+
+    Exactness: per-quantity sums stay integer cents; squares go through
+    DECIMAL(38,0) (the BIGINT square overflows — the standard-scaler
+    lesson); each candidate's score is ONE fixed IEEE expression over
+    exact integers, so the argmax (score DESC, t ASC) is engine-stable.
+
+    Plan: ONE feature-keyed agg collapses the corpus to ≤ |quantity
+    domain| rows (the LightGBM histogram); cumulative sums, candidate
+    scoring, and the argmax all run on that aggregated grain. At 100 TB
+    the histogram is a mergeable map-side sketch — the corpus is
+    scanned once, exactly like the production trainers.
+    """
+    li = Catalog(spark, sf_dir).table("lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    hist = (
+        li.select(F.col("l_quantity").cast("long").alias("q"), cents.alias("y"))
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("s"))
+    )
+    w = Window.orderBy("q")
+    cum = (
+        hist.select(
+            "q",
+            F.sum("n").over(w).alias("nl"),
+            F.sum("s").over(w).alias("sl"),
+        )
+        .crossJoin(
+            F.broadcast(
+                hist.agg(
+                    F.sum("n").alias("nt"), F.sum("s").alias("st")
+                )
+            )
+        )
+        .filter(F.col("nl") < F.col("nt"))  # both sides non-empty
+    )
+    sq = (
+        "CAST(CAST({x} AS DECIMAL(38,0)) * CAST({x} AS DECIMAL(38,0)) AS DOUBLE)"
+    )
+    score = (
+        f"{sq.format(x='sl')} / CAST(nl AS DOUBLE) + "
+        f"{sq.format(x='st - sl')} / CAST(nt - nl AS DOUBLE)"
+    )
+    root = f"{sq.format(x='st')} / CAST(nt AS DOUBLE)"
+    scored = cum.select(
+        F.col("q").alias("split_q"),
+        F.col("nl").alias("n_left"),
+        (F.col("nt") - F.col("nl")).alias("n_right"),
+        F.expr("sl div nl").alias("mean_left_cents"),
+        F.expr("(st - sl) div (nt - nl)").alias("mean_right_cents"),
+        F.expr(f"({score}) - ({root})")
+        .cast("decimal(28,4)")
+        .cast("double")
+        .alias("gain"),
+        F.expr(score).alias("raw_score"),
+    )
+    wbest = Window.orderBy(F.desc("raw_score"), F.asc("split_q"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            "split_q",
+            "n_left",
+            "n_right",
+            "mean_left_cents",
+            "mean_right_cents",
+            "gain",
+        )
+    )
+
+
+ML_BEST_SPLIT_STUMP_SQL = """
+WITH hist AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS s
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st FROM hist
+),
+cum AS (
+  SELECT q,
+         CAST(SUM(n) OVER (ORDER BY q) AS BIGINT) AS nl,
+         CAST(SUM(s) OVER (ORDER BY q) AS BIGINT) AS sl,
+         t.nt, t.st
+  FROM hist CROSS JOIN tot t
+),
+scored AS (
+  SELECT q AS split_q, nl AS n_left, nt - nl AS n_right,
+         sl // nl AS mean_left_cents,
+         (st - sl) // (nt - nl) AS mean_right_cents,
+         CAST(CAST(
+           CAST(CAST(sl AS DECIMAL(38,0)) * CAST(sl AS DECIMAL(38,0)) AS DOUBLE)
+             / CAST(nl AS DOUBLE)
+           + CAST(CAST(st - sl AS DECIMAL(38,0)) * CAST(st - sl AS DECIMAL(38,0))
+                  AS DOUBLE) / CAST(nt - nl AS DOUBLE)
+           - CAST(CAST(st AS DECIMAL(38,0)) * CAST(st AS DECIMAL(38,0)) AS DOUBLE)
+             / CAST(nt AS DOUBLE)
+         AS DECIMAL(28,4)) AS DOUBLE) AS gain,
+         CAST(CAST(sl AS DECIMAL(38,0)) * CAST(sl AS DECIMAL(38,0)) AS DOUBLE)
+           / CAST(nl AS DOUBLE)
+         + CAST(CAST(st - sl AS DECIMAL(38,0)) * CAST(st - sl AS DECIMAL(38,0))
+                AS DOUBLE) / CAST(nt - nl AS DOUBLE) AS raw_score
+  FROM cum WHERE nl < nt
+)
+SELECT split_q, n_left, n_right, mean_left_cents, mean_right_cents, gain
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY raw_score DESC, split_q ASC) AS rk
+  FROM scored
+) WHERE rk = 1
+"""

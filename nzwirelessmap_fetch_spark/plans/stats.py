@@ -3095,3 +3095,96 @@ SELECT l_partkey, n_demand_days,
        CAST(CAST(s / i AS DECIMAL(18,6)) AS DOUBLE) AS demand_per_day
 FROM final
 """
+
+
+XYZ_X_PPM = 500_000    # CV < 0.5  → X (stable demand)
+XYZ_Y_PPM = 1_000_000  # CV < 1.0  → Y (variable); else Z (erratic)
+
+
+def parts_xyz_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification — the second axis of the
+    ABC-XYZ inventory matrix (``parts_pareto_abc`` is the first): each
+    part's weekly-demand coefficient of variation over the corpus'
+    full week span, classed X (CV<{XYZ_X_PPM} ppm), Y, Z. ABC says
+    what a part is WORTH; XYZ says how PREDICTABLE it is — the matrix
+    drives safety-stock and forecasting-method choice (X→Croston/Holt,
+    Z→reorder point).
+
+    Zero-weeks need no calendar spine: weeks with no sales contribute
+    nothing to Σx or Σx², so mean = S/W and E[x²] = Q/W over the
+    global span W are exact with only the active-week rows. All sums
+    integer; CV = sqrt(var)/mean is one IEEE tree (sqrt allowed),
+    ppm-floored.
+
+    Plan: one (part, week) agg, one part-keyed rollup, a 1-row global
+    span broadcast — two keyed exchanges total, both aggregated-grain.
+    """
+    li = Catalog(spark, sf_dir).table("lineitem")
+    week = (
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01")) / 7
+    ).cast("long")
+    weekly = li.groupBy(F.col("l_partkey"), week.alias("wk")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("v")
+    )
+    span = weekly.agg(
+        (F.max("wk") - F.min("wk") + 1).alias("w_span")
+    )
+    per_part = weekly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_active_weeks"),
+        F.sum("v").alias("s_qty"),
+        F.sum(F.col("v") * F.col("v")).alias("q2"),
+    )
+    cv = (
+        "floor(1000000D * sqrt("
+        "  CAST(q2 AS DOUBLE) / CAST(w_span AS DOUBLE)"
+        "  - (CAST(s_qty AS DOUBLE) / CAST(w_span AS DOUBLE))"
+        "    * (CAST(s_qty AS DOUBLE) / CAST(w_span AS DOUBLE))"
+        ") / (CAST(s_qty AS DOUBLE) / CAST(w_span AS DOUBLE)))"
+    )
+    return per_part.crossJoin(F.broadcast(span)).select(
+        "l_partkey",
+        "n_active_weeks",
+        "s_qty",
+        F.expr(cv).cast("long").alias("cv_ppm"),
+        F.expr(
+            f"CASE WHEN {cv} < {XYZ_X_PPM} THEN 'X' "
+            f"WHEN {cv} < {XYZ_Y_PPM} THEN 'Y' ELSE 'Z' END"
+        ).alias("xyz_class"),
+    )
+
+
+PARTS_XYZ_CLASSES_SQL = f"""
+WITH weekly AS (
+  SELECT l_partkey,
+         date_diff('day', DATE '1970-01-01', l_shipdate) // 7 AS wk,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+  FROM lineitem GROUP BY 1, 2
+),
+span AS (SELECT MAX(wk) - MIN(wk) + 1 AS w_span FROM weekly),
+per_part AS (
+  SELECT l_partkey, COUNT(*) AS n_active_weeks,
+         CAST(SUM(v) AS BIGINT) AS s_qty,
+         CAST(SUM(v * v) AS BIGINT) AS q2
+  FROM weekly GROUP BY l_partkey
+)
+SELECT l_partkey, n_active_weeks, s_qty,
+       CAST(FLOOR(1000000 * sqrt(
+         CAST(q2 AS DOUBLE) / CAST(w_span AS DOUBLE)
+         - (CAST(s_qty AS DOUBLE) / CAST(w_span AS DOUBLE))
+           * (CAST(s_qty AS DOUBLE) / CAST(w_span AS DOUBLE))
+       ) / (CAST(s_qty AS DOUBLE) / CAST(w_span AS DOUBLE))) AS BIGINT)
+         AS cv_ppm,
+       CASE WHEN FLOOR(1000000 * sqrt(
+         CAST(q2 AS DOUBLE) / CAST(w_span AS DOUBLE)
+         - (CAST(s_qty AS DOUBLE) / CAST(w_span AS DOUBLE))
+           * (CAST(s_qty AS DOUBLE) / CAST(w_span AS DOUBLE))
+       ) / (CAST(s_qty AS DOUBLE) / CAST(w_span AS DOUBLE))) < {XYZ_X_PPM}
+            THEN 'X'
+            WHEN FLOOR(1000000 * sqrt(
+         CAST(q2 AS DOUBLE) / CAST(w_span AS DOUBLE)
+         - (CAST(s_qty AS DOUBLE) / CAST(w_span AS DOUBLE))
+           * (CAST(s_qty AS DOUBLE) / CAST(w_span AS DOUBLE))
+       ) / (CAST(s_qty AS DOUBLE) / CAST(w_span AS DOUBLE))) < {XYZ_Y_PPM}
+            THEN 'Y' ELSE 'Z' END AS xyz_class
+FROM per_part CROSS JOIN span
+"""

@@ -839,3 +839,9 @@ registry.register(
 )
 registry.register("window_cume_nth", _r.window_cume_nth, _r.WINDOW_CUME_NTH_SQL)
 registry.register("ml_mrr_eval", _sim.ml_mrr_eval, _sim.ML_MRR_EVAL_SQL)
+registry.register(
+    "ml_best_split_stump", _ml.ml_best_split_stump, _ml.ML_BEST_SPLIT_STUMP_SQL
+)
+registry.register(
+    "parts_xyz_classes", _st.parts_xyz_classes, _st.PARTS_XYZ_CLASSES_SQL
+)

@@ -460,3 +460,79 @@ def test_mrr_eval_matches_topk_replay(spark):
             assert row["rr_ppm"] == 1_000_000 // hits[0]
         else:
             assert row["first_hit_rank"] is None and row["rr_ppm"] == 0
+
+
+def test_best_split_stump_matches_python_replay(spark):
+    from nzwirelessmap_fetch_spark.operators.mlprep import ml_best_split_stump
+
+    rows = (
+        Catalog(spark, SF_CORRECT)
+        .table("lineitem")
+        .select(F.col("l_quantity").cast("long").alias("q"), "l_extendedprice")
+        .collect()
+    )
+    hist = defaultdict(lambda: [0, 0])
+    for r in rows:
+        hist[r["q"]][0] += 1
+        hist[r["q"]][1] += _cents(r["l_extendedprice"])
+    qs = sorted(hist)
+    nt = sum(v[0] for v in hist.values())
+    st = sum(v[1] for v in hist.values())
+    best = None
+    nl = sl = 0
+    for q in qs:
+        nl += hist[q][0]
+        sl += hist[q][1]
+        if nl >= nt:
+            continue
+        score = sl * sl / nl + (st - sl) ** 2 / (nt - nl)
+        if best is None or score > best[0]:
+            best = (score, q, nl, sl)
+    got = ml_best_split_stump(spark, SF_CORRECT).collect()[0]
+    _, q, nl, sl = best
+    assert got["split_q"] == q
+    assert got["n_left"] == nl and got["n_right"] == nt - nl
+    assert got["mean_left_cents"] == sl // nl
+    assert got["mean_right_cents"] == (st - sl) // (nt - nl)
+    # engine computes float(sl²)/nl (DECIMAL→DOUBLE rounds the square
+    # first); python divides the exact integer — compare relatively
+    # gain is a small difference of huge scores, so ulp noise scales
+    # with the scores (~1e18 here), not the gain
+    expect_gain = best[0] - st * st / nt
+    assert abs(got["gain"] - expect_gain) <= 1e-12 * best[0]
+    assert got["gain"] >= 0  # a split never increases SSE
+
+
+def test_xyz_classes_matches_python_replay(spark):
+    from nzwirelessmap_fetch_spark.plans.stats import (
+        XYZ_X_PPM,
+        XYZ_Y_PPM,
+        parts_xyz_classes,
+    )
+
+    rows = (
+        Catalog(spark, SF_CORRECT)
+        .table("lineitem")
+        .select("l_partkey", "l_shipdate", F.col("l_quantity").cast("long").alias("v"))
+        .collect()
+    )
+    weekly = defaultdict(Counter)
+    for r in rows:
+        weekly[r["l_partkey"]][(r["l_shipdate"].toordinal() - 719163) // 7] += r["v"]
+    wmin = min(w for d in weekly.values() for w in d)
+    wmax = max(w for d in weekly.values() for w in d)
+    span = wmax - wmin + 1
+    got = {r["l_partkey"]: r for r in parts_xyz_classes(spark, SF_CORRECT).collect()}
+    assert set(got) == set(weekly)
+    for pk, d in weekly.items():
+        s = sum(d.values())
+        q2 = sum(v * v for v in d.values())
+        mean = s / span
+        var = q2 / span - mean * mean
+        cv_ppm = math.floor(1_000_000 * math.sqrt(var) / mean)
+        row = got[pk]
+        assert row["n_active_weeks"] == len(d)
+        assert row["s_qty"] == s
+        assert row["cv_ppm"] == cv_ppm
+        expect = "X" if cv_ppm < XYZ_X_PPM else ("Y" if cv_ppm < XYZ_Y_PPM else "Z")
+        assert row["xyz_class"] == expect
