@@ -457,3 +457,114 @@ FROM (
   FROM scored
 ) WHERE rk = 1
 """
+
+
+def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift & gains table — the third classic model-eval readout
+    (with AUC and MRR): bucket the population into score deciles via
+    the same histogram sketch as ``ml_quantile_binning``, then report
+    per-decile response rate and TOP-DOWN cumulative gains/lift — "the
+    top 20% of scores captures X% of responders at Y× random". The
+    campaign-targeting readout every scoring model ships with.
+
+    All-integer: counts, ppm response rates, and cumulative
+    gain/lift ratios divide exactly once each. Plan: the corpus
+    collapses to the score-domain histogram; decile edges, bin
+    assignment, and the 10-row cumulative pass ride aggregated grains
+    (the binning/AUC discipline — no global sort anywhere).
+    """
+    o = Catalog(spark, sf_dir).table("orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = o.select(
+        (F.col("o_orderpriority") == "1-URGENT").alias("resp"),
+        cents.alias("cents"),
+        (cents / HIST_WIDTH).cast("long").alias("hb"),
+    )
+    hist = base.groupBy("hb").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("hb"))
+    ).crossJoin(F.broadcast(base.agg(F.count(F.lit(1)).alias("n"))))
+    ranks = spark.range(1, N_BINS).select(F.col("id").alias("k"))
+    edges = (
+        cum.join(
+            F.broadcast(ranks),
+            F.col("cum") >= F.ceil(F.col("k") * F.col("n") / N_BINS),
+        )
+        .groupBy("k")
+        .agg(F.min("hb").alias("edge"))
+    )
+    edge_arr = edges.agg(
+        F.array_sort(F.collect_list(F.struct("k", "edge"))).alias("es")
+    ).select(F.expr("transform(es, x -> x.edge)").alias("edge_arr"))
+    binned = base.crossJoin(F.broadcast(edge_arr)).select(
+        "resp",
+        F.expr("size(filter(edge_arr, e -> e <= hb))").cast("int").alias("bin"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("resp"), 1).otherwise(0)).alias("r"),
+    )
+    wtop = Window.orderBy(F.desc("bin"))  # decile 9 = highest scores first
+    return (
+        per_bin.withColumn("cum_n", F.sum("n").over(wtop))
+        .withColumn("cum_r", F.sum("r").over(wtop))
+        .crossJoin(
+            F.broadcast(
+                per_bin.agg(F.sum("n").alias("nt"), F.sum("r").alias("rt"))
+            )
+        )
+        .select(
+            "bin",
+            "n",
+            "r",
+            F.expr("r * 1000000L div n").alias("resp_ppm"),
+            F.expr("cum_r * 1000000L div rt").alias("cum_gain_ppm"),
+            F.expr("cum_r * nt * 1000000L div (cum_n * rt)").alias("cum_lift_ppm"),
+        )
+    )
+
+
+ML_LIFT_GAINS_TABLE_SQL = f"""
+WITH base AS (
+  SELECT o_orderpriority = '1-URGENT' AS resp,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           // {HIST_WIDTH} AS hb
+  FROM orders
+),
+hist AS (SELECT hb, COUNT(*) AS cnt FROM base GROUP BY hb),
+cum AS (
+  SELECT hb, SUM(cnt) OVER (ORDER BY hb) AS cum,
+         (SELECT COUNT(*) FROM base) AS n
+  FROM hist
+),
+edges AS (
+  SELECT k, CAST(MIN(hb) AS BIGINT) AS edge
+  FROM cum JOIN range(1, {N_BINS}) r(k)
+    ON cum >= CEIL(k * n / {N_BINS}.0)
+  GROUP BY k
+),
+earr AS (SELECT list(edge ORDER BY k) AS edge_arr FROM edges),
+binned AS (
+  SELECT b.resp,
+         CAST(LEN(list_filter(e.edge_arr, x -> x <= b.hb)) AS INT) AS bin
+  FROM base b CROSS JOIN earr e
+),
+per_bin AS (
+  SELECT bin, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN resp THEN 1 ELSE 0 END) AS BIGINT) AS r
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(r) AS BIGINT) AS rt
+  FROM per_bin
+)
+SELECT p.bin, p.n, p.r,
+       p.r * 1000000 // p.n AS resp_ppm,
+       CAST(SUM(p.r) OVER (ORDER BY p.bin DESC) AS BIGINT) * 1000000 // t.rt
+         AS cum_gain_ppm,
+       CAST(SUM(p.r) OVER (ORDER BY p.bin DESC) AS BIGINT) * t.nt * 1000000
+         // (CAST(SUM(p.n) OVER (ORDER BY p.bin DESC) AS BIGINT) * t.rt)
+         AS cum_lift_ppm
+FROM per_bin p CROSS JOIN tot t
+"""

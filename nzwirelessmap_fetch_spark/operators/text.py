@@ -2554,3 +2554,155 @@ CROSS JOIN top1 t
 LEFT JOIN words wd ON wd.doc_id = d.doc_id
 GROUP BY d.doc_id, t.merge_pair
 """
+
+
+KN_DISCOUNT_NUM = 3  # D = 3/4 — dyadic, exact in binary floating point
+KN_TOP = 50          # report the top-K bigrams by raw count
+
+
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities — the smoothing that
+    made n-gram LMs competitive (Kneser & Ney 1995; KenLM's default)
+    and the quality bar for LM-data pipelines that score corpora with
+    count-based models. Unlike the MLE table (``text_bigram_lm``), KN
+    (a) subtracts a fixed discount D from every observed bigram and
+    (b) backs off to the CONTINUATION unigram — how many distinct left
+    contexts a word follows — which fixes the "San Francisco" problem
+    (high count(francisco) but only one context).
+
+        p_KN(w2|w1) = max(c(w1,w2) − D, 0)/c(w1)
+                      + D·N1+(w1,•)/c(w1) · N1+(•,w2)/N1+(•,•)
+
+    Exactness: D = 3/4 is dyadic, every other term is an integer count,
+    and the whole expression is ONE fixed IEEE tree (+,·,/ only) —
+    bit-stable across engines; emitted both as raw double and
+    ppb-floored integer. Probabilities sum to 1 over the vocabulary per
+    context (the interpolation's defining invariant — pinned in tests).
+
+    Plan: one (w1,w2) keyed agg builds the bigram table; unigram
+    totals, left-context fanouts N1+(w1,•), and continuation counts
+    N1+(•,w2) are three aggregated-grain rollups of THAT table (no
+    second corpus scan); the global N1+(•,•) broadcasts as one row.
+    Vocabulary-sized keys throughout — the KenLM count-pass shape.
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    tokd = d.select(_words().alias("t"))
+    pairs = F.when(
+        F.size(F.col("t")) >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1), "
+            "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+    big = (
+        tokd.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .persist()
+    )
+    left = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("fanout")
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("ncont"))
+    tot = big.agg(F.count(F.lit(1)).alias("nbigrams"))
+    kn = (
+        "greatest(CAST(c12 AS DOUBLE) - 0.75D, 0D) / CAST(c1 AS DOUBLE)"
+        " + 0.75D * CAST(fanout AS DOUBLE) / CAST(c1 AS DOUBLE)"
+        "   * CAST(ncont AS DOUBLE) / CAST(nbigrams AS DOUBLE)"
+    )
+    return (
+        big.join(left, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.expr(kn).alias("kn_prob"),
+            F.expr(f"CAST(floor(({kn}) * 1000000000D) AS BIGINT)").alias(
+                "kn_ppb"
+            ),
+        )
+        .orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+        .limit(KN_TOP)
+    )
+
+
+TEXT_KNESER_NEY_BIGRAM_SQL = f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+),
+big AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM (
+    SELECT UNNEST(list_transform(range(1, LEN(t)), i -> t[i])) AS w1,
+           UNNEST(list_transform(range(1, LEN(t)), i -> t[i + 1])) AS w2
+    FROM toks WHERE LEN(t) >= 2
+  ) GROUP BY w1, w2
+),
+lft AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS fanout
+  FROM big GROUP BY w1
+),
+cont AS (SELECT w2, COUNT(*) AS ncont FROM big GROUP BY w2),
+tot AS (SELECT COUNT(*) AS nbigrams FROM big)
+SELECT b.w1, b.w2, b.c12,
+       GREATEST(CAST(b.c12 AS DOUBLE) - 0.75, 0.0) / CAST(l.c1 AS DOUBLE)
+         + 0.75 * CAST(l.fanout AS DOUBLE) / CAST(l.c1 AS DOUBLE)
+           * CAST(c.ncont AS DOUBLE) / CAST(t.nbigrams AS DOUBLE) AS kn_prob,
+       CAST(FLOOR((GREATEST(CAST(b.c12 AS DOUBLE) - 0.75, 0.0)
+                     / CAST(l.c1 AS DOUBLE)
+                   + 0.75 * CAST(l.fanout AS DOUBLE) / CAST(l.c1 AS DOUBLE)
+                     * CAST(c.ncont AS DOUBLE) / CAST(t.nbigrams AS DOUBLE))
+                  * 1000000000) AS BIGINT) AS kn_ppb
+FROM big b JOIN lft l USING (w1) JOIN cont c USING (w2) CROSS JOIN tot t
+ORDER BY b.c12 DESC, b.w1 ASC, b.w2 ASC
+LIMIT {KN_TOP}
+"""
+
+
+def corpus_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language source diversity as the inverse Simpson index —
+    the "effective number of sources" (n²/Σc²) a language's documents
+    actually draw from, the concentration metric curation dashboards
+    track to catch a language silently collapsing onto one crawl
+    domain. Unlike Shannon entropy this needs NO logarithm: the index
+    is a ratio of integer sums, so the ppm output is exact (the
+    transcendental-free diversity measure, same reason the Gini and
+    Rényi-2 families pin cleanly).
+
+    Plan: one (lang, source) agg, one lang rollup — both bounded by
+    the label domains, zero corpus rescans.
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    per = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum(F.col("c") * F.col("c")).alias("sumsq"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_sources",
+            F.expr("n_docs * n_docs * 1000000L div sumsq").alias(
+                "eff_sources_ppm"
+            ),
+        )
+    )
+
+
+CORPUS_SOURCE_DIVERSITY_SQL = """
+WITH per AS (
+  SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY lang, source
+)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_sources,
+       CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT) * 1000000
+         // CAST(SUM(c * c) AS BIGINT) AS eff_sources_ppm
+FROM per
+GROUP BY lang
+"""

@@ -845,3 +845,16 @@ registry.register(
 registry.register(
     "parts_xyz_classes", _st.parts_xyz_classes, _st.PARTS_XYZ_CLASSES_SQL
 )
+registry.register(
+    "text_kneser_ney_bigram",
+    _tx.text_kneser_ney_bigram,
+    _tx.TEXT_KNESER_NEY_BIGRAM_SQL,
+)
+registry.register(
+    "ml_lift_gains_table", _ml.ml_lift_gains_table, _ml.ML_LIFT_GAINS_TABLE_SQL
+)
+registry.register(
+    "corpus_source_diversity",
+    _tx.corpus_source_diversity,
+    _tx.CORPUS_SOURCE_DIVERSITY_SQL,
+)

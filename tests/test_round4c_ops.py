@@ -536,3 +536,117 @@ def test_xyz_classes_matches_python_replay(spark):
         assert row["cv_ppm"] == cv_ppm
         expect = "X" if cv_ppm < XYZ_X_PPM else ("Y" if cv_ppm < XYZ_Y_PPM else "Z")
         assert row["xyz_class"] == expect
+
+
+def test_kneser_ney_sums_to_one_and_matches_replay(spark):
+    from nzwirelessmap_fetch_spark.operators.text import (
+        KN_TOP,
+        text_kneser_ney_bigram,
+    )
+
+    texts = [
+        r["text"] for r in Catalog(spark, SF_CORRECT).table("documents").collect()
+    ]
+    big: Counter = Counter()
+    for t in texts:
+        w = t.split(" ")
+        for i in range(len(w) - 1):
+            big[(w[i], w[i + 1])] += 1
+    c1: Counter = Counter()
+    fanout: Counter = Counter()
+    ncont: Counter = Counter()
+    for (w1, w2), c in big.items():
+        c1[w1] += c
+        fanout[w1] += 1
+        ncont[w2] += 1
+    nbig = len(big)
+    D = 0.75
+
+    def kn(w1, w2):
+        return max(big[(w1, w2)] - D, 0.0) / c1[w1] + D * fanout[w1] / c1[w1] * (
+            ncont[w2] / nbig
+        )
+
+    got = text_kneser_ney_bigram(spark, SF_CORRECT).collect()
+    assert len(got) == KN_TOP
+    for r in got:
+        assert abs(r["kn_prob"] - kn(r["w1"], r["w2"])) < 1e-12
+        assert r["c12"] == big[(r["w1"], r["w2"])]
+    # the interpolation's defining invariant: per context w1,
+    # Σ_{w2 ∈ vocab-with-continuation} p_KN(w2|w1) == 1
+    w1 = got[0]["w1"]
+    total = sum(kn(w1, w2) for w2 in ncont)
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_lift_gains_matches_python_replay(spark):
+    from nzwirelessmap_fetch_spark.operators.mlprep import (
+        HIST_WIDTH,
+        N_BINS,
+        ml_lift_gains_table,
+    )
+
+    rows = (
+        Catalog(spark, SF_CORRECT)
+        .table("orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    pop = [
+        (r["o_orderpriority"] == "1-URGENT", _cents(r["o_totalprice"]) // HIST_WIDTH)
+        for r in rows
+    ]
+    n = len(pop)
+    hist = Counter(hb for _, hb in pop)
+    cum, acc = {}, 0
+    for hb in sorted(hist):
+        acc += hist[hb]
+        cum[hb] = acc
+    edges = [
+        min(hb for hb, c in cum.items() if c >= math.ceil(k * n / N_BINS))
+        for k in range(1, N_BINS)
+    ]
+    per_bin = defaultdict(lambda: [0, 0])
+    for resp, hb in pop:
+        b = sum(1 for e in edges if e <= hb)
+        per_bin[b][0] += 1
+        per_bin[b][1] += int(resp)
+    nt = sum(v[0] for v in per_bin.values())
+    rt = sum(v[1] for v in per_bin.values())
+    got = {r["bin"]: r for r in ml_lift_gains_table(spark, SF_CORRECT).collect()}
+    assert set(got) == set(per_bin)
+    cn = cr = 0
+    for b in sorted(per_bin, reverse=True):
+        cn += per_bin[b][0]
+        cr += per_bin[b][1]
+        row = got[b]
+        assert row["n"] == per_bin[b][0] and row["r"] == per_bin[b][1]
+        assert row["resp_ppm"] == per_bin[b][1] * 1_000_000 // per_bin[b][0]
+        assert row["cum_gain_ppm"] == cr * 1_000_000 // rt
+        assert row["cum_lift_ppm"] == cr * nt * 1_000_000 // (cn * rt)
+    # gains are monotone: the bottom decile closes at 100%
+    assert got[min(per_bin)]["cum_gain_ppm"] == 1_000_000
+
+
+def test_source_diversity_matches_python_replay(spark):
+    from nzwirelessmap_fetch_spark.operators.text import corpus_source_diversity
+
+    rows = (
+        Catalog(spark, SF_CORRECT)
+        .table("documents")
+        .select("lang", "source")
+        .collect()
+    )
+    per = defaultdict(Counter)
+    for r in rows:
+        per[r["lang"]][r["source"]] += 1
+    got = {r["lang"]: r for r in corpus_source_diversity(spark, SF_CORRECT).collect()}
+    assert set(got) == set(per)
+    for lang, cnts in per.items():
+        n = sum(cnts.values())
+        sq = sum(c * c for c in cnts.values())
+        row = got[lang]
+        assert row["n_docs"] == n and row["n_sources"] == len(cnts)
+        assert row["eff_sources_ppm"] == n * n * 1_000_000 // sq
+        # bounds: 1 ≤ effective sources ≤ observed sources
+        assert 1_000_000 <= row["eff_sources_ppm"] <= len(cnts) * 1_000_000
