@@ -2771,3 +2771,64 @@ SELECT o_custkey, o_orderkey,
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
+
+
+_MERGE_ROOTS: dict[tuple, str] = {}
+
+
+def format_schema_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (``mergeSchema``): an early batch of a
+    dataset lands WITHOUT a column that later batches carry — the
+    normal life of any long-lived lake table — and the read must unify
+    the parts (missing column → NULL) without rewriting history. Batch
+    1 = 1992-94 orders with (key, date, price); batch 2 = the rest
+    adding o_orderpriority. The merged read aggregates per priority
+    with the NULL bucket holding exactly the batch-1 rows — a green row
+    proves the union-by-name semantics AND that no value was disturbed
+    crossing the schema boundary.
+
+    At 100 TB this is the painless half of schema evolution (adds are
+    metadata-only; renames/retypes need a table format's MERGE).
+    Footer unification costs one pass over file METADATA, not data.
+
+    Reference scope: the reference re-derives its schema from each
+    monthly Access drop (fetch.go:180-218) — i.e. its schema is
+    allowed to drift per version; this operator is that contract on a
+    columnar lake layout.
+    """
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    root = _MERGE_ROOTS.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="schemamerge-stage-")
+        _MERGE_ROOTS[key] = root
+    o = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        "o_orderpriority",
+    )
+    early = o.filter(F.year("o_orderdate") <= 1997).drop("o_orderpriority")
+    late = o.filter(F.year("o_orderdate") > 1997)
+    early.write.mode("overwrite").parquet(f"{root}/batch1")
+    late.write.mode("overwrite").parquet(f"{root}/batch2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{root}/batch1", f"{root}/batch2"
+    )
+    return merged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("price") * 100).cast("long").alias("sum_price_cents"),
+    )
+
+
+FORMAT_SCHEMA_MERGE_ROUNDTRIP_SQL = """
+SELECT CASE WHEN YEAR(o_orderdate) <= 1997 THEN NULL
+            ELSE o_orderpriority END AS o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS sum_price_cents
+FROM orders
+GROUP BY CASE WHEN YEAR(o_orderdate) <= 1997 THEN NULL
+              ELSE o_orderpriority END
+"""

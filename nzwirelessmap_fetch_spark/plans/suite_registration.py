@@ -858,3 +858,8 @@ registry.register(
     _tx.corpus_source_diversity,
     _tx.CORPUS_SOURCE_DIVERSITY_SQL,
 )
+registry.register(
+    "format_schema_merge_roundtrip",
+    _r.format_schema_merge_roundtrip,
+    _r.FORMAT_SCHEMA_MERGE_ROUNDTRIP_SQL,
+)

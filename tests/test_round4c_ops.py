@@ -650,3 +650,24 @@ def test_source_diversity_matches_python_replay(spark):
         assert row["eff_sources_ppm"] == n * n * 1_000_000 // sq
         # bounds: 1 ≤ effective sources ≤ observed sources
         assert 1_000_000 <= row["eff_sources_ppm"] <= len(cnts) * 1_000_000
+
+
+def test_schema_merge_roundtrip_null_bucket(spark):
+    from nzwirelessmap_fetch_spark.plans.relational import (
+        format_schema_merge_roundtrip,
+    )
+
+    rows = format_schema_merge_roundtrip(spark, SF_CORRECT).collect()
+    null_bucket = [r for r in rows if r["o_orderpriority"] is None]
+    assert len(null_bucket) == 1
+    early = (
+        Catalog(spark, SF_CORRECT)
+        .table("orders")
+        .filter(F.year("o_orderdate") <= 1997)
+        .count()
+    )
+    # the NULL bucket holds exactly the pre-evolution batch
+    assert null_bucket[0]["n_orders"] == early
+    assert sum(r["n_orders"] for r in rows) == Catalog(
+        spark, SF_CORRECT
+    ).table("orders").count()
