@@ -671,3 +671,24 @@ def test_schema_merge_roundtrip_null_bucket(spark):
     assert sum(r["n_orders"] for r in rows) == Catalog(
         spark, SF_CORRECT
     ).table("orders").count()
+
+
+def test_observe_metrics_on_flagship(spark):
+    """Spark's observability surface: `df.observe` attaches named
+    aggregate metrics to a plan and reports them with the action —
+    the zero-extra-pass way a production pipeline audits row counts
+    and value bounds (a second count() would rescan 100 TB)."""
+    from pyspark.sql import Observation
+
+    from nzwirelessmap_fetch_spark.plans.flagship import flagship
+
+    obs = Observation("flagship_audit")
+    df = flagship(spark, SF_CORRECT).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.min("quantity").alias("min_qty"),
+    )
+    n = df.count()
+    got = obs.get
+    assert got["rows"] == n > 0
+    assert got["min_qty"] is None or got["min_qty"] >= 0
