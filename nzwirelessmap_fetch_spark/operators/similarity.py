@@ -2435,3 +2435,139 @@ SELECT q_id, q_label,
                 CAST(0 AS BIGINT)) AS rr_ppm
 FROM j GROUP BY q_id, q_label
 """
+
+
+def sim_maxsim_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production late-interaction pipeline as ONE checked plan:
+    ANN candidate generation (the bucket-valved banded-LSH pair
+    stream) followed by MaxSim re-ranking of ONLY the candidate
+    documents — the two-stage retrieval ``sim_maxsim_late_interaction``
+    documents as its scale contract, now oracle-checked instead of a
+    docstring promise (the dedup-valve precedent: the scale-safe twin
+    is the one the gate pins).
+
+    A document is a candidate for a query iff ANY of its token vectors
+    shares a verified LSH pair with ANY query token — so re-rank work
+    is |candidates|·|q-tokens|·|doc-tokens| FLOPs instead of
+    |corpus|·|q-tokens|: at 100 TB the pair stream prunes, the exact
+    scorer never sees the full corpus, and missed docs are the
+    documented ANN recall trade (measurable against the exact twin).
+
+    Determinism: identical scoring tree to the exact operator (max =
+    comparison; sum folds in pinned vec_id order); candidate sets are
+    exact set-semantics joins on the deterministic pair stream.
+    """
+    mv = (
+        Catalog(spark, sf_dir)
+        .table("embeddings")
+        .select(
+            (F.col("vec_id") / MV_GROUP).cast("long").alias("mv_id"),
+            "vec_id",
+            "embedding",
+        )
+    )
+    pairs = sim_lsh_banded(spark, sf_dir).select("vec_a", "vec_b")
+    sym = pairs.union(
+        pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+    )
+    ids = sym.select(
+        (F.col("vec_a") / MV_GROUP).cast("long").alias("q_id"),
+        (F.col("vec_b") / MV_GROUP).cast("long").alias("d_id"),
+    )
+    cand = (
+        ids.filter(
+            (F.col("q_id") < MV_N_QUERIES) & (F.col("d_id") >= MV_N_QUERIES)
+        )
+        .distinct()
+    )
+    qtok = mv.filter(F.col("mv_id") < MV_N_QUERIES).select(
+        F.col("mv_id").alias("q_id"),
+        F.col("vec_id").alias("q_vec"),
+        F.col("embedding").alias("q_emb"),
+    )
+    dtok = mv.filter(F.col("mv_id") >= MV_N_QUERIES).select(
+        F.col("mv_id").alias("d_id"),
+        F.col("vec_id").alias("d_vec"),
+        F.col("embedding").alias("d_emb"),
+    )
+    tok = (
+        cand.join(dtok, "d_id")
+        .join(F.broadcast(qtok), "q_id")
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("d_emb")))
+        .groupBy("q_id", "q_vec", "d_id")
+        .agg(F.max("cos").alias("maxcos"))
+    )
+    scored = (
+        tok.groupBy("q_id", "d_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("q_vec", "maxcos"))).alias("ms")
+        )
+        .select(
+            "q_id",
+            "d_id",
+            F.expr(
+                "aggregate(transform(ms, x -> x.maxcos), 0D, (acc, v) -> acc + v)"
+            ).alias("maxsim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("maxsim"), F.asc("d_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= MV_TOP_K)
+        .select("q_id", "d_id", "maxsim", "rank")
+    )
+
+
+SIM_MAXSIM_PRUNED_SQL = f"""
+WITH {_BANDED_CTES},
+sym AS (
+  SELECT vec_a, vec_b FROM banded_pairs
+  UNION ALL
+  SELECT vec_b AS vec_a, vec_a AS vec_b FROM banded_pairs
+),
+mcand AS (
+  SELECT DISTINCT vec_a // {MV_GROUP} AS q_id, vec_b // {MV_GROUP} AS d_id
+  FROM sym
+  WHERE vec_a // {MV_GROUP} < {MV_N_QUERIES}
+    AND vec_b // {MV_GROUP} >= {MV_N_QUERIES}
+),
+mv AS (
+  SELECT vec_id // {MV_GROUP} AS mv_id, vec_id, embedding FROM embeddings
+),
+q AS (
+  SELECT mv_id AS q_id, vec_id AS q_vec, embedding AS q_emb
+  FROM mv WHERE mv_id < {MV_N_QUERIES}
+),
+tok AS (
+  SELECT c.q_id, q.q_vec, c.d_id,
+         MAX(
+           list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(generate_series(1, len(d.embedding)),
+                              i -> q.q_emb[i]::DOUBLE * d.embedding[i]::DOUBLE)),
+             (a, b) -> a + b)
+           / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(generate_series(1, len(q.q_emb)),
+                                i -> q.q_emb[i]::DOUBLE * q.q_emb[i]::DOUBLE)),
+               (a, b) -> a + b))
+              * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(generate_series(1, len(d.embedding)),
+                                i -> d.embedding[i]::DOUBLE * d.embedding[i]::DOUBLE)),
+               (a, b) -> a + b)))
+         ) AS maxcos
+  FROM mcand c
+  JOIN mv d ON d.mv_id = c.d_id
+  JOIN q ON q.q_id = c.q_id
+  GROUP BY c.q_id, q.q_vec, c.d_id
+),
+scored AS (
+  SELECT q_id, d_id,
+         list_reduce(list_prepend(0.0::DOUBLE, list(maxcos ORDER BY q_vec)),
+                     (a, b) -> a + b) AS maxsim
+  FROM tok GROUP BY q_id, d_id
+)
+SELECT q_id, d_id, maxsim, CAST(rank AS INT) AS rank FROM (
+  SELECT q_id, d_id, maxsim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY maxsim DESC, d_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {MV_TOP_K}
+"""

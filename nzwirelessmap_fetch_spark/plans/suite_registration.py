@@ -863,3 +863,6 @@ registry.register(
     _r.format_schema_merge_roundtrip,
     _r.FORMAT_SCHEMA_MERGE_ROUNDTRIP_SQL,
 )
+registry.register(
+    "sim_maxsim_pruned", _sim.sim_maxsim_pruned, _sim.SIM_MAXSIM_PRUNED_SQL
+)

@@ -692,3 +692,47 @@ def test_observe_metrics_on_flagship(spark):
     got = obs.get
     assert got["rows"] == n > 0
     assert got["min_qty"] is None or got["min_qty"] >= 0
+
+
+def test_maxsim_pruned_subset_of_exact_candidates(spark):
+    """The pruned ranking must (a) only contain LSH-candidate docs and
+    (b) agree with the exact MaxSim score on every (q, d) it emits —
+    pruning changes WHICH docs compete, never their scores."""
+    from nzwirelessmap_fetch_spark.operators.similarity import (
+        sim_maxsim_late_interaction,
+        sim_maxsim_pruned,
+    )
+
+    exact = {
+        (r["q_id"], r["d_id"]): r["maxsim"]
+        for r in sim_maxsim_late_interaction(spark, SF_CORRECT).collect()
+    }
+    # exact top-k only has k rows per q; recompute full scores for pairs
+    # the pruned variant emits but exact top-k cut off
+    pruned = sim_maxsim_pruned(spark, SF_CORRECT).collect()
+    assert pruned
+    import numpy as np
+
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in Catalog(spark, SF_CORRECT).table("embeddings").collect()
+    }
+    docs = defaultdict(list)
+    for vid, v in emb.items():
+        docs[vid // MV_GROUP].append((vid, v))
+
+    def maxsim(q_id, d_id):
+        s = 0.0
+        for _, qv in sorted(docs[q_id]):
+            s += max(
+                float(qv @ dv) / (np.linalg.norm(qv) * np.linalg.norm(dv))
+                for _, dv in docs[d_id]
+            )
+        return s
+
+    for r in pruned:
+        assert r["d_id"] >= MV_N_QUERIES and r["q_id"] < MV_N_QUERIES
+        expect = exact.get((r["q_id"], r["d_id"]), None)
+        if expect is None:
+            expect = maxsim(r["q_id"], r["d_id"])
+        assert abs(r["maxsim"] - expect) < 1e-9
