@@ -420,3 +420,44 @@ def test_merkle_manifest_invariant_under_repartition(spark, parts, seed):
         )
 
     assert manifest(base) == manifest(base.repartition(parts))
+
+
+# ---------------------------------------------------------------------------
+# BPE single-pair merge identity (text_bpe_merge_step's core claim)
+# ---------------------------------------------------------------------------
+
+WORD = st.text(alphabet="abc", min_size=0, max_size=12)
+PAIR = st.text(alphabet="abc", min_size=2, max_size=2)
+
+
+def _greedy_merge_count(word: str, pair: str) -> int:
+    """Reference greedy left-to-right non-overlapping single-pair merge."""
+    n = i = 0
+    while i < len(word) - 1:
+        if word[i : i + 2] == pair:
+            n += 1
+            i += 2  # merged token consumes both chars (non-overlapping)
+        else:
+            i += 1
+    return n
+
+
+@SETTINGS
+@given(st.lists(st.tuples(WORD, PAIR), min_size=1, max_size=30))
+def test_replace_identity_equals_greedy_merge(spark, cases):
+    """(len(w) − len(replace(w, p, ''))) div 2 == the greedy
+    non-overlapping merge count, for EVERY word/pair — including the
+    aa-in-aaa overlap family a counting argument gets wrong. This is
+    the identity text_bpe_merge_step's zero-shuffle plan rests on."""
+    df = spark.createDataFrame(
+        [(w, p) for w, p in cases], "w string, p string"
+    ).select(
+        "w",
+        "p",
+        F.expr("(length(w) - length(replace(w, p, ''))) div 2").alias("m"),
+    )
+    for row in df.collect():
+        assert row["m"] == _greedy_merge_count(row["w"], row["p"]), (
+            row["w"],
+            row["p"],
+        )
