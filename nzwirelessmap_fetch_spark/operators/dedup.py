@@ -1265,12 +1265,40 @@ def corpus_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_shingles(max_df=…)`` (stop-shingle removal BEFORE the index join
     bounds the hottest key); the PPJoin prefix trick does not apply to
     containment's A-side-only denominator, so df-capping IS the scale
-    lever — same tradeoff as the Jaccard build, documented there."""
+    lever — same tradeoff as the Jaccard build, documented there. The
+    valve is oracle-checked in :func:`corpus_containment_capped`."""
+    return _containment_pairs(spark, sf_dir, max_df=None)
+
+
+def corpus_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment detection with the document-frequency skew valve ON
+    (``_shingles(max_df=JACCARD_MAX_DF)``) — the plan to run at 100 TB.
+
+    Semantics: shingles appearing in more than ``JACCARD_MAX_DF``
+    documents are dropped BEFORE the inverted-index join, and
+    containment C(A→B) = |A∩B|/|A| is computed over the CAPPED shingle
+    sets (both numerator and denominator — size attaches post-cap, so
+    the ratio stays a true containment of the filtered sets). The
+    oracle replays the identical cap, so the scale-safe plan is the
+    oracle-checked one — the last Σdf²-family member to get its capped
+    twin (r4 verdict directive #1).
+
+    Why this bounds the blow-up: the inverted-index self-join emits
+    Σ_shingle df² pair rows; capping df ≤ c bounds that by
+    |distinct shingles|·c² — linear in corpus size instead of quadratic
+    on saturated keys. Same valve, same constant, same oracle pattern as
+    :func:`dedup_ngram_jaccard_capped`."""
+    return _containment_pairs(spark, sf_dir, max_df=JACCARD_MAX_DF)
+
+
+def _containment_pairs(
+    spark: SparkSession, sf_dir: str, max_df: int | None = None
+) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
     # persist: the shingle build feeds three consumers (sizes + both
     # sides of the inverted-index join) — one materialization, not three
     sh = (
-        _shingles(d)
+        _shingles(d, max_df=max_df)
         .select(
             "doc_id",
             F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
@@ -1329,6 +1357,40 @@ sh AS (
                           i -> w[i] || ' ' || w[i+1])) AS shingle
     FROM w WHERE len(w) >= 2)
 ),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+       CAST(CAST(n_inter / sa.n AS DECIMAL(18,6)) AS DOUBLE) AS containment,
+       n_inter = sa.n AS is_subset
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE n_inter * {CONTAIN_DEN} >= sa.n * {CONTAIN_NUM}
+"""
+
+
+# Oracle for the df-capped twin: identical shape, with the stop-shingle
+# drop (df ≤ JACCARD_MAX_DF) replayed BEFORE sizes and the index join —
+# the same place the engine applies it (_shingles(max_df=…)).
+CORPUS_CONTAINMENT_CAPPED_SQL = f"""
+WITH
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh0 AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+                          i -> w[i] || ' ' || w[i+1])) AS shingle
+    FROM w WHERE len(w) >= 2)
+),
+keep AS (
+  SELECT shingle FROM sh0 GROUP BY shingle
+  HAVING COUNT(*) <= {JACCARD_MAX_DF}
+),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
 sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter

@@ -511,6 +511,11 @@ registry.register(
     _tx.corpus_winnowing_capped,
     _tx.CORPUS_WINNOWING_CAPPED_SQL,
 )
+registry.register(
+    "corpus_containment_capped",
+    _dd.corpus_containment_capped,
+    _dd.CORPUS_CONTAINMENT_CAPPED_SQL,
+)
 registry.register("sim_rrf_fusion", _sim.sim_rrf_fusion, _sim.SIM_RRF_FUSION_SQL)
 registry.register(
     "layout_hilbert_key", _r.layout_hilbert_key, _r.LAYOUT_HILBERT_KEY_SQL

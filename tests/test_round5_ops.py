@@ -1,0 +1,71 @@
+"""Round-5 operator tests: capped-containment twin, scale-profile
+registry metadata, merge-into writer, and ADVICE fixes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nzwirelessmap_fetch_spark.operators.dedup import (
+    CONTAIN_DEN,
+    CONTAIN_NUM,
+    JACCARD_MAX_DF,
+    _containment_pairs,
+    _shingles,
+    corpus_containment,
+    corpus_containment_capped,
+)
+from nzwirelessmap_fetch_spark.catalog import Catalog
+from tests.conftest import SF_SMOKE
+
+
+def test_containment_capped_matches_semantics(spark):
+    """The df-capped containment must equal a from-scratch recompute of
+    containment over the CAPPED shingle sets — the valve changes the
+    measure's input sets, never its arithmetic."""
+    rows = corpus_containment_capped(spark, SF_SMOKE).collect()
+    # independent recompute: capped shingle sets as Python sets
+    sh = _shingles(
+        Catalog(spark, SF_SMOKE).table("documents"), max_df=JACCARD_MAX_DF
+    ).collect()
+    sets: dict[int, set[str]] = {}
+    for r in sh:
+        sets.setdefault(r.doc_id, set()).add(r.shingle)
+    expected = set()
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a != b and len(sa & sb) * CONTAIN_DEN >= len(sa) * CONTAIN_NUM:
+                expected.add((a, b))
+    got = {(r.doc_a, r.doc_b) for r in rows}
+    assert got == expected
+    for r in rows:
+        assert r.n_inter == len(sets[r.doc_a] & sets[r.doc_b])
+        assert r.n_a == len(sets[r.doc_a])
+        assert r.is_subset == (r.n_inter == r.n_a)
+
+
+def test_containment_cap_off_is_identity(spark):
+    """A cap looser than every shingle's df must reproduce the exact
+    (uncapped) operator bit-for-bit — the valve is a pure filter."""
+    uncapped = corpus_containment(spark, SF_SMOKE)
+    loose = _containment_pairs(spark, SF_SMOKE, max_df=10**9)
+    assert loose.exceptAll(uncapped).count() == 0
+    assert uncapped.exceptAll(loose).count() == 0
+
+
+def test_containment_cap_bounds_pair_fanout(spark):
+    """The valve's whole point: capped postings bound the inverted-index
+    fan-out by |keys|·cap² while the uncapped fan-out is Σdf²."""
+    d = Catalog(spark, SF_SMOKE).table("documents")
+    df_counts = (
+        _shingles(d)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    )
+    uncapped_pairs = sum(r.df * r.df for r in df_counts)
+    capped_pairs = sum(
+        r.df * r.df for r in df_counts if r.df <= JACCARD_MAX_DF
+    )
+    n_keys_kept = sum(1 for r in df_counts if r.df <= JACCARD_MAX_DF)
+    assert capped_pairs <= n_keys_kept * JACCARD_MAX_DF**2
+    assert capped_pairs < uncapped_pairs
