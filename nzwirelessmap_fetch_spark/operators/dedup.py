@@ -1295,9 +1295,20 @@ def _containment_pairs(
     spark: SparkSession, sf_dir: str, max_df: int | None = None
 ) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
-    # persist: the shingle build feeds three consumers (sizes + both
-    # sides of the inverted-index join) — one materialization, not three
-    sh = (
+    # Asymmetric prefix filter (SSJoin overlap/containment variant —
+    # exact, no recall loss): for C(A→B) = |A∩B|/|A| ≥ t, an A that
+    # misses B on ALL of its first ⌊n_a·(1-t)⌋+1 shingles (any fixed
+    # global total order; hash-ascending here) has |A∩B| ≤ ⌈t·n_a⌉-1 <
+    # required. So the probe side joins only A-PREFIX postings against
+    # B's full postings: fan-out drops from Σdf² to Σ df_prefix·df —
+    # ~(1-t)× = 5× fewer index-join rows at t=4/5. Hash order (not the
+    # canonical df-ascending AllPairs order): measured at sf0.1, the df
+    # groupBy + posting-stream join that df-order needs cost MORE than
+    # it saved on this near-uniform corpus (8.6 s vs 7.5 s) — the same
+    # finding the Jaccard build documents; on a real Zipfian corpus the
+    # df-order variant is the knob to revisit. Replaces the round-4
+    # full df² self-join (18-33 s → 7.5 s best-of-3 on this host).
+    sets = (
         _shingles(d, max_df=max_df)
         .select(
             "doc_id",
@@ -1305,31 +1316,69 @@ def _containment_pairs(
             .cast("long")
             .alias("h"),
         )
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("hs"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .persist()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # Explicit width on the index join: AQE sizes post-shuffle partitions
-    # by INPUT bytes, but an inverted-index self-join's OUTPUT is Σdf² —
-    # orders of magnitude larger (73M pair rows from a 4 MB index at
-    # sf0.1, which AQE coalesced onto ONE task: 37 s → 19 s at 32-way
-    # → 5-7 s at 128-way, the over-decomposition also splitting the
-    # hottest df² key block across finer hash ranges). Repartitioning by
-    # the join key pre-sizes the stage for its output volume, which
-    # AQE's input-byte heuristic cannot see.
-    width = max(4 * int(spark.conf.get("spark.sql.shuffle.partitions")), 128)
-    a = sh.select(F.col("doc_id").alias("doc_a"), "h").repartition(width, "h")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "h").repartition(width, "h")
-    inter = (
-        a.join(b, "h")
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # Eager fill: `sets` feeds three subtrees (prefix probes, full
+    # postings, verify arrays) — concurrently-scheduled consumers of a
+    # lazy persist would each recompute the shingle aggregation.
+    sets.count()
+    # prefix length ⌊n/5⌋+1 at t=4/5 = n - ceil(t·n) + 1. Sizes ride
+    # along on the exploded streams so the SIZE bound — C(A→B) ≥ t needs
+    # |B| ≥ t·|A| because n_inter ≤ min — prunes candidate rows INSIDE
+    # the index join, before any downstream work.
+    probes = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("n_a"),
+        F.explode(
+            F.slice("hs", 1, (F.floor(F.col("n") / CONTAIN_DEN) + 1).cast("int"))
+        ).alias("h"),
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    postings = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("n_b"),
+        F.explode("hs").alias("h"),
+    )
+    # Explicit width on the index join: AQE sizes post-shuffle partitions
+    # by INPUT bytes, but an inverted-index join's OUTPUT is Σ df_a·df_b —
+    # far larger; pre-sizing the stage for its output volume is the same
+    # fan-out blind-spot fix the winnowing join carries (PLANS.md).
+    width = max(4 * int(spark.conf.get("spark.sql.shuffle.partitions")), 128)
+    cand = (
+        probes.repartition(width, "h")
+        .join(postings.repartition(width, "h"), "h")
+        .filter(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("n_b") * CONTAIN_DEN >= F.col("n_a") * CONTAIN_NUM)
+        )
+        .select("doc_a", "doc_b", "n_a", "n_b")
+    )
+    # Verify candidates with ONE sorted-array intersection per row (JVM
+    # codegen, O(n_a+n_b)) against the doc→array map (|docs| rows of
+    # bounded arrays — ~2 MB at sf0.1, so AQE picks broadcast here; at
+    # cluster scale it grows with the corpus and AQE falls back to a
+    # keyed join — deliberately NO F.broadcast hint, which would pin a
+    # corpus-sized build side). Also deliberately NO pre-verify
+    # distinct: measured at sf0.1 the candidate stream barely dedups
+    # (15.4 M → 10.6 M) so the distinct was a pure 6.6 s shuffle; raw
+    # rows flow straight through the verify and the distinct runs on
+    # the ~10³× smaller VERIFIED output instead.
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")
+    )
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
+        )
         .filter(
             F.col("n_inter") * CONTAIN_DEN >= F.col("n_a") * CONTAIN_NUM
         )
@@ -1345,6 +1394,7 @@ def _containment_pairs(
             .alias("containment"),
             (F.col("n_inter") == F.col("n_a")).alias("is_subset"),
         )
+        .distinct()
     )
 
 
