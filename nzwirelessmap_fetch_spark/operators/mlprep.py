@@ -519,7 +519,15 @@ def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r",
             F.expr("r * 1000000L div n").alias("resp_ppm"),
             F.expr("cum_r * 1000000L div rt").alias("cum_gain_ppm"),
-            F.expr("cum_r * nt * 1000000L div (cum_n * rt)").alias("cum_lift_ppm"),
+            # decimal(38,0) arithmetic: cum_r·nt·1e6 overflows int64 once
+            # nt ≳ 3M rows (silent wrap in non-ANSI Spark vs a DuckDB
+            # raise — the engines would diverge exactly at scale); the
+            # 128-bit intermediate holds to ~1e26 and IntegralDivide
+            # returns the bigint ppm
+            F.expr(
+                "cast(cast(cum_r as decimal(38,0)) * nt * 1000000 "
+                "div (cast(cum_n as decimal(38,0)) * rt) as bigint)"
+            ).alias("cum_lift_ppm"),
         )
     )
 
@@ -563,8 +571,8 @@ SELECT p.bin, p.n, p.r,
        p.r * 1000000 // p.n AS resp_ppm,
        CAST(SUM(p.r) OVER (ORDER BY p.bin DESC) AS BIGINT) * 1000000 // t.rt
          AS cum_gain_ppm,
-       CAST(SUM(p.r) OVER (ORDER BY p.bin DESC) AS BIGINT) * t.nt * 1000000
-         // (CAST(SUM(p.n) OVER (ORDER BY p.bin DESC) AS BIGINT) * t.rt)
-         AS cum_lift_ppm
+       CAST(CAST(SUM(p.r) OVER (ORDER BY p.bin DESC) AS HUGEINT) * t.nt * 1000000
+         // (CAST(SUM(p.n) OVER (ORDER BY p.bin DESC) AS HUGEINT) * t.rt)
+         AS BIGINT) AS cum_lift_ppm
 FROM per_bin p CROSS JOIN tot t
 """

@@ -1632,7 +1632,14 @@ def _winnow_pairs(
             .filter(F.col("df") <= max_df)
             .select("fp")
         )
-        fp = fp.join(keep, "fp").select("doc_id", "fp").persist()
+        capped = fp.join(keep, "fp").select("doc_id", "fp").persist()
+        # the pre-cap frame's only remaining consumer was the df count
+        # feeding `keep` — release it once the capped frame exists, so
+        # the capped path doesn't hold two cached copies of the
+        # fingerprint stream until clearCache (r4 ADVICE)
+        capped.count()
+        fp.unpersist()
+        fp = capped
     sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     # explicit width: AQE coalesces this join's partitions by INPUT bytes
     # (a few MB) but the self-join's OUTPUT is Σdf² (190M pair rows at

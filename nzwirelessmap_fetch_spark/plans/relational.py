@@ -2781,7 +2781,7 @@ def format_schema_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     dataset lands WITHOUT a column that later batches carry — the
     normal life of any long-lived lake table — and the read must unify
     the parts (missing column → NULL) without rewriting history. Batch
-    1 = 1992-94 orders with (key, date, price); batch 2 = the rest
+    1 = orders through 1997 with (key, date, price); batch 2 = the rest
     adding o_orderpriority. The merged read aggregates per priority
     with the NULL bucket holding exactly the batch-1 rows — a green row
     proves the union-by-name semantics AND that no value was disturbed

@@ -70,10 +70,16 @@ class VersionedArtifactReader(DataSourceReader):
     def read(self, partition: ArtifactPartition):
         adir = os.path.join(partition.root, partition.artifact)
         names = sorted(os.listdir(adir))
+        # `latest` may be a DIRECTORY on stores written by Spark's
+        # directory-output sinks (write_versioned_ndjson /
+        # CloudArtifactSink) — guard with isfile so those stores still
+        # yield size-only rows instead of IsADirectoryError.
         latest_bytes = None
-        if "latest" in names:
-            with open(os.path.join(adir, "latest"), "rb") as f:
+        latest_path = os.path.join(adir, "latest")
+        if "latest" in names and os.path.isfile(latest_path):
+            with open(latest_path, "rb") as f:
                 latest_bytes = f.read()
+        rows = []
         for name in names:
             if name.startswith("_"):
                 continue  # manifests (e.g. _storage_classes.json)
@@ -86,10 +92,23 @@ class VersionedArtifactReader(DataSourceReader):
                 n_records = len(json.loads(payload))
             except ValueError:
                 n_records = -1  # non-JSON-array artifact: size-only row
-            yield (
-                partition.artifact,
-                name,
-                n_records,
-                len(payload),
-                latest_bytes is not None and payload == latest_bytes,
+            rows.append(
+                [
+                    partition.artifact,
+                    name,
+                    n_records,
+                    len(payload),
+                    latest_bytes is not None and payload == latest_bytes,
+                ]
             )
+        # `latest` is a byte-copy of the newest version (fetch.go parity),
+        # so byte-equality alone would also flag an OLDER version whose
+        # content happens to repeat. Only the NEWEST byte-equal version
+        # (version keys are RFC3339 — lexicographic max = newest) keeps
+        # the flag.
+        matching = [r[1] for r in rows if r[4] and r[1] != "latest"]
+        newest_match = max(matching) if matching else None
+        for r in rows:
+            if r[1] != "latest" and r[4] and r[1] != newest_match:
+                r[4] = False
+            yield tuple(r)

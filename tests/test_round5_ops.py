@@ -52,6 +52,47 @@ def test_containment_cap_off_is_identity(spark):
     assert uncapped.exceptAll(loose).count() == 0
 
 
+def test_artifact_reader_dir_latest_and_duplicate_content(spark, tmp_path):
+    """r4 ADVICE: (a) a directory named `latest` (Spark dir-output
+    stores) must yield size-only rows, not IsADirectoryError; (b) when
+    an OLD version's bytes equal `latest`, only the NEWEST byte-equal
+    version keeps is_latest."""
+    import os
+
+    from nzwirelessmap_fetch_spark.sources.artifact_source import (
+        VersionedArtifactDataSource,
+    )
+
+    store = tmp_path / "store"
+    # artifact A: v1 and v3 identical content, latest = that content
+    a = store / "a.json"
+    os.makedirs(a)
+    (a / "2024-01-01T00:00:00Z").write_bytes(b"[1,2]")
+    (a / "2024-01-02T00:00:00Z").write_bytes(b"[9]")
+    (a / "2024-01-03T00:00:00Z").write_bytes(b"[1,2]")
+    (a / "latest").write_bytes(b"[1,2]")
+    # artifact B: `latest` is a DIRECTORY (Spark directory sink shape)
+    b = store / "b.json"
+    os.makedirs(b / "latest")
+    (b / "latest" / "part-00000").write_bytes(b"[1]")
+    (b / "2024-01-01T00:00:00Z").write_bytes(b"[1]")
+
+    spark.dataSource.register(VersionedArtifactDataSource)
+    rows = (
+        spark.read.format("versioned_artifacts")
+        .option("root", str(store))
+        .load()
+        .collect()
+    )
+    by_key = {(r.artifact, r.version): r for r in rows}
+    assert by_key[("a.json", "2024-01-03T00:00:00Z")].is_latest
+    assert not by_key[("a.json", "2024-01-01T00:00:00Z")].is_latest
+    assert not by_key[("a.json", "2024-01-02T00:00:00Z")].is_latest
+    # directory `latest` skipped, version row still present, no crash
+    assert ("b.json", "latest") not in by_key
+    assert not by_key[("b.json", "2024-01-01T00:00:00Z")].is_latest
+
+
 def test_containment_cap_bounds_pair_fanout(spark):
     """The valve's whole point: capped postings bound the inverted-index
     fan-out by |keys|·cap² while the uncapped fan-out is Σdf²."""
