@@ -84,23 +84,23 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 GRAPH_PAGERANK_SQL = f"""
 WITH
 w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
                           i -> w[i] || ' ' || w[i+1])) AS shingle
     FROM w WHERE len(w) >= 2)
 ),
 sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
+inter AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
   FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT doc_a, doc_b FROM inter
   JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
   WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION SELECT doc_b, doc_a FROM pairs
 ),
@@ -180,23 +180,23 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 GRAPH_BFS_LEVELS_SQL = f"""
 WITH RECURSIVE
 w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
                           i -> w[i] || ' ' || w[i+1])) AS shingle
     FROM w WHERE len(w) >= 2)
 ),
 sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
+inter AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
   FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT doc_a, doc_b FROM inter
   JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
   WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION SELECT doc_b, doc_a FROM pairs
 ),
@@ -273,23 +273,23 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 GRAPH_TRIANGLE_COUNT_SQL = """
 WITH
 w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
                           i -> w[i] || ' ' || w[i+1])) AS shingle
     FROM w WHERE len(w) >= 2)
 ),
 sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
+inter AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
   FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT doc_a, doc_b FROM inter
   JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
   WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION SELECT doc_b, doc_a FROM pairs
 ),
@@ -365,23 +365,23 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 GRAPH_ASSORTATIVITY_SQL = """
 WITH
 w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
                           i -> w[i] || ' ' || w[i+1])) AS shingle
     FROM w WHERE len(w) >= 2)
 ),
 sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
+inter AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
   FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT doc_a, doc_b FROM inter
   JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
   WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a, doc_b FROM pairs
   UNION SELECT doc_b, doc_a FROM pairs
 ),
@@ -419,23 +419,23 @@ FROM d
 # directions). New graph oracles compose on top of this text.
 _EDGE_SQL_CTE = """
 w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
                           i -> w[i] || ' ' || w[i+1])) AS shingle
     FROM w WHERE len(w) >= 2)
 ),
 sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
+inter AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
   FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT doc_a, doc_b FROM inter
   JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
   WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION SELECT doc_b, doc_a FROM pairs
 )"""
@@ -582,7 +582,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 GRAPH_LINK_PREDICTION_SQL = f"""
 WITH
 li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-edges AS (
+edges AS MATERIALIZED (
   SELECT a.l_partkey AS src, b.l_partkey AS dst
   FROM li a JOIN li b USING (l_orderkey)
   WHERE a.l_partkey <> b.l_partkey
@@ -815,7 +815,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 GRAPH_HITS_SQL = f"""
-WITH edges AS (
+WITH edges AS MATERIALIZED (
   SELECT DISTINCT o_custkey AS cust, l_partkey AS part
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
@@ -894,23 +894,23 @@ def graph_community_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
 GRAPH_COMMUNITY_LABEL_PROP_SQL = """
 WITH
 w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
                           i -> w[i] || ' ' || w[i+1])) AS shingle
     FROM w WHERE len(w) >= 2)
 ),
 sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
+inter AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
   FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT doc_a, doc_b FROM inter
   JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
   WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION SELECT doc_b, doc_a FROM pairs
 ),
@@ -1016,23 +1016,23 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 GRAPH_RANDOM_WALKS_SQL = f"""
 WITH
 w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
                           i -> w[i] || ' ' || w[i+1])) AS shingle
     FROM w WHERE len(w) >= 2)
 ),
 sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
+inter AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
   FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT doc_a, doc_b FROM inter
   JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
   WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION SELECT doc_b, doc_a FROM pairs
 ),
