@@ -93,6 +93,82 @@ def test_artifact_reader_dir_latest_and_duplicate_content(spark, tmp_path):
     assert not by_key[("b.json", "2024-01-01T00:00:00Z")].is_latest
 
 
+def _make_wav(freq_hz: float, n_frames: int, rate: int = 8000) -> bytes:
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = b"".join(
+            struct.pack(
+                "<h", int(12000 * math.sin(2 * math.pi * freq_hz * i / rate))
+            )
+            for i in range(n_frames)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_audio_decode_real_path(spark):
+    """REAL decoder end-to-end in this container: synthesized 16-bit PCM
+    WAV blobs flow through the same mapInPandas plumbing as the registry's
+    fake-decode entries, and the wave-header fields + RMS agree with a
+    local numpy recompute."""
+    import numpy as np
+
+    from nzwirelessmap_fetch_spark.operators.multimodal import (
+        audio_decode_features,
+        decode_audio,
+    )
+
+    blobs = [(i, _make_wav(200.0 + 50 * i, 800 + 100 * i)) for i in range(6)]
+    media = spark.createDataFrame(blobs, "media_id long, media binary")
+    rows = {r.media_id: r for r in audio_decode_features(media).collect()}
+    assert len(rows) == 6
+    for i, data in blobs:
+        local = decode_audio(data)
+        r = rows[i]
+        assert (r.sample_rate, r.n_channels, r.n_frames) == (8000, 1, 800 + 100 * i)
+        assert np.isclose(r.rms, local["rms"])
+        assert r.rms > 1000  # a real sine wave, not the fake's hash
+
+
+def test_image_decode_both_paths():
+    """Import-guarded image decoder: real PIL decode when the library is
+    present, documented NotImplementedError when absent — the swap point
+    is the callable, never the plan shape."""
+    import pytest
+
+    from nzwirelessmap_fetch_spark.operators.multimodal import (
+        IMAGE_DECODER_AVAILABLE,
+        decode_image,
+        fake_decode_features,
+    )
+
+    payload = b"not-an-image-but-bytes"
+    fake = fake_decode_features(payload)
+    assert set(fake) == {"n_bytes", "content_md5", "width", "height"}
+    if not IMAGE_DECODER_AVAILABLE:
+        with pytest.raises(NotImplementedError):
+            decode_image(payload)
+        pytest.skip("PIL absent in this container: real path covered on PIL hosts")
+    # PIL present: a 1-pixel PNG must decode for real
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (3, 2)).save(buf, format="PNG")
+    real = decode_image(buf.getvalue())
+    assert (real["width"], real["height"]) == (3, 2)
+    assert set(real) == set(fake)
+
+
 def test_scale_profiles_metadata():
     """Every exact-measure entry must name an existing, scale-safe twin
     (r4 verdict directive #5: the 100 TB plan is registry metadata, not
