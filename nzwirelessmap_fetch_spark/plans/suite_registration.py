@@ -295,6 +295,14 @@ registry.register("table_diff", _r.table_snapshot_diff, _r.TABLE_SNAPSHOT_DIFF_S
 registry.register(
     "table_diff_versions", _r.table_diff_versions, _r.TABLE_SNAPSHOT_DIFF_SQL
 )
+# r5: CDC family round-trips through the merge WRITER — v2 exists at rest
+# only because SnapshotParquetTable.merge_into committed it (same oracle:
+# the diff recovered from disk must equal the SQL-derived change set)
+registry.register(
+    "table_merge_write_roundtrip",
+    _r.table_merge_write_roundtrip,
+    _r.TABLE_SNAPSHOT_DIFF_SQL,
+)
 registry.register(
     "agg_incremental_maintenance",
     _r.agg_incremental_maintenance,

@@ -93,6 +93,27 @@ def test_artifact_reader_dir_latest_and_duplicate_content(spark, tmp_path):
     assert not by_key[("b.json", "2024-01-01T00:00:00Z")].is_latest
 
 
+def test_snapshot_merge_into(spark, tmp_path):
+    """merge_into semantics at rest: matched rows replaced, unmatched
+    inserted, deletes dropped, pointer flipped marker-last, and v1
+    untouched (time travel still sees pre-merge data)."""
+    from nzwirelessmap_fetch_spark.sinks.writers import SnapshotParquetTable
+
+    sink = SnapshotParquetTable(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    sink.write_version(base, "t", "1")
+    changes = spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string")
+    deletes = spark.createDataFrame([(3,)], "k long")
+    sink.merge_into(spark, "t", changes, "k", "2", deletes=deletes)
+    assert sink.resolve("t") == "2"
+    v2 = {r.k: r.v for r in sink.read_version(spark, "t").collect()}
+    assert v2 == {1: "a", 2: "B", 4: "d"}  # update, keep, insert, delete
+    v1 = {r.k: r.v for r in sink.read_version(spark, "t", "1").collect()}
+    assert v1 == {1: "a", 2: "b", 3: "c"}  # history immutable
+
+
 def _make_wav(freq_hz: float, n_frames: int, rate: int = 8000) -> bytes:
     import io
     import math
