@@ -93,6 +93,56 @@ def test_artifact_reader_dir_latest_and_duplicate_content(spark, tmp_path):
     assert not by_key[("b.json", "2024-01-01T00:00:00Z")].is_latest
 
 
+def test_jdbc_ingest_live_roundtrip(spark, tmp_path):
+    """LIVE end-to-end JDBC ingest in this container: Spark ships the
+    Derby embedded driver, so the generic `read_jdbc` path — the exact
+    machinery `read_access_jdbc` funnels through when the UCanAccess jar
+    is present — is driven against a real JDBC database, not a mock.
+    Creates an embedded Derby DB through the JVM, inserts Access-shaped
+    rows (MONEY as DECIMAL(19,4), BOOLEAN as SMALLINT), reads it back via
+    spark.read.format('jdbc'), and applies the closed-map type contract."""
+    from nzwirelessmap_fetch_spark.sources.readers import (
+        access_select_with_conversions,
+        read_jdbc,
+    )
+
+    db = str(tmp_path / "derbydb")
+    jvm = spark._jvm  # noqa: SLF001
+    conn = jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{db};create=true")
+    st = conn.createStatement()
+    st.execute(
+        'CREATE TABLE licences ("licenceid" INT, "fee" DECIMAL(19,4), '
+        '"active" SMALLINT, "name" VARCHAR(64))'
+    )
+    st.execute(
+        'INSERT INTO licences VALUES (1, 150.2500, 1, \'Alpha\'),'
+        "(2, 0.0000, 0, 'Beta')"
+    )
+    st.close()
+    conn.close()
+
+    df = read_jdbc(
+        spark,
+        f"jdbc:derby:{db}",
+        "licences",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    out = access_select_with_conversions(
+        df,
+        {
+            "licenceid": "LONG",
+            "fee": "MONEY",
+            "active": "BOOLEAN",
+            "name": "TEXT",
+        },
+    )
+    rows = {r.licenceid: r for r in out.collect()}
+    assert len(rows) == 2
+    assert rows[1].fee == "150.2500"  # MONEY → string, 4dp wire format
+    assert rows[1].active == 1 and rows[2].active == 0  # BOOLEAN → 0/1 int
+    assert dict(out.dtypes)["licenceid"] == "int"
+
+
 def test_snapshot_merge_into(spark, tmp_path):
     """merge_into semantics at rest: matched rows replaced, unmatched
     inserted, deletes dropped, pointer flipped marker-last, and v1
