@@ -576,3 +576,89 @@ SELECT p.bin, p.n, p.r,
          AS BIGINT) AS cum_lift_ppm
 FROM per_bin p CROSS JOIN tot t
 """
+
+
+# ─── Calibration / reliability table ────────────────────────────────────────
+
+CAL_BINS = 10  # reliability-diagram bins over [0, 1)
+
+
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table + per-bin ECE contribution — the calibration
+    eval that completes the model-eval family (AUC ranks, lift/gains
+    targets, THIS answers "do predicted probabilities mean anything?").
+
+    Deterministic pseudo-model (both engines replay it exactly): the
+    predicted probability is ``(price-cents mod 101)/100`` — a score
+    decorrelated from the label by construction, so the table itself
+    demonstrates miscalibration detection. Bins are p̂-deciles; per bin:
+    count, mean predicted (ppm), observed positive rate (ppm), |gap|
+    (ppm), and the bin's weighted ECE term (ppm of total rows).
+
+    Plan: ONE groupBy over ≤ CAL_BINS keys with map-side combine — the
+    corpus is scanned once; every downstream row count is bounded by
+    the bin domain, never by data volume. All-integer ppm arithmetic
+    (the decimal-cast discipline), no floats until nothing is summed.
+    """
+    o = Catalog(spark, sf_dir).table("orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    p_pct = cents % 101  # 0..100 pseudo-probability (percent)
+    base = o.select(
+        p_pct.alias("p_pct"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("pos"),
+    )
+    per_bin = (
+        base.groupBy(
+            F.least(F.col("p_pct") * CAL_BINS / 101, F.lit(CAL_BINS - 1))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p_pct").alias("sum_p_pct"),
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("n_pos"),
+        )
+    )
+    tot = per_bin.agg(F.sum("n").alias("nt"))
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.expr("sum_p_pct * 10000L div n").alias("pred_ppm"),
+            F.expr("n_pos * 1000000L div n").alias("obs_ppm"),
+            F.expr(
+                "abs(sum_p_pct * 10000L div n - n_pos * 1000000L div n)"
+            ).alias("gap_ppm"),
+            F.expr(
+                "cast(cast(abs(sum_p_pct * 10000L div n - n_pos * 1000000L div n)"
+                " as decimal(38,0)) * n div nt as bigint)"
+            ).alias("ece_term_ppm"),
+        )
+    )
+
+
+ML_CALIBRATION_BINS_SQL = f"""
+WITH base AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) % 101
+           AS p_pct,
+         o_orderpriority = '1-URGENT' AS pos
+  FROM orders
+),
+per_bin AS (
+  SELECT LEAST(p_pct * {CAL_BINS} // 101, {CAL_BINS - 1}) AS bin,
+         COUNT(*) AS n,
+         CAST(SUM(p_pct) AS BIGINT) AS sum_p_pct,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM base GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM per_bin)
+SELECT bin, n, n_pos,
+       sum_p_pct * 10000 // n AS pred_ppm,
+       n_pos * 1000000 // n AS obs_ppm,
+       ABS(sum_p_pct * 10000 // n - n_pos * 1000000 // n) AS gap_ppm,
+       CAST(CAST(ABS(sum_p_pct * 10000 // n - n_pos * 1000000 // n) AS HUGEINT)
+            * n // nt AS BIGINT) AS ece_term_ppm
+FROM per_bin CROSS JOIN tot
+"""

@@ -2571,3 +2571,105 @@ SELECT q_id, d_id, maxsim, CAST(rank AS INT) AS rank FROM (
   FROM scored)
 WHERE rank <= {MV_TOP_K}
 """
+
+
+# ─── Matryoshka truncation eval ─────────────────────────────────────────────
+
+MRL_FRAC = 4  # truncated representation = first dim/4 components
+
+
+def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-dimension retrieval eval (Matryoshka representation
+    learning, Kusupati et al. 2022 — the production pattern of serving a
+    PREFIX of each embedding): per query, how much of the full-dimension
+    cosine top-k does ranking by only the first dim/{MRL_FRAC} components
+    recover? The measured recall is the go/no-go for running ANN over
+    truncated vectors (4× less memory bandwidth, 4× smaller index) —
+    the cheapest lever a 100 TB vector store has.
+
+    Plan: ONE broadcast of the query set, one corpus scan computing BOTH
+    cosines row-locally (the truncated dot is a prefix slice of the same
+    array — no second scan), two rank windows over the same scored
+    frame, overlap count per query. Integer outputs only (overlap and
+    recall-ppm), so the hash is float-ulp-proof; both engines fold dot
+    products in identical element order."""
+    e = Catalog(spark, sf_dir).table("embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    d4 = F.expr(f"size(embedding) div {MRL_FRAC}")
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos_full", cosine(F.col("q_emb"), F.col("embedding")))
+        .withColumn(
+            "cos_trunc",
+            cosine(F.slice(F.col("q_emb"), F.lit(1), d4), F.slice(F.col("embedding"), F.lit(1), d4)),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("cos_full"), F.asc("vec_id"))
+    wt = Window.partitionBy("q_id").orderBy(F.desc("cos_trunc"), F.asc("vec_id"))
+    ranked = scored.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rt", F.row_number().over(wt)
+    )
+    return (
+        ranked.filter(F.col("rf") <= TOP_K)
+        .groupBy("q_id")
+        .agg(
+            F.sum(F.when(F.col("rt") <= TOP_K, 1).otherwise(0)).alias("n_overlap")
+        )
+        .select(
+            "q_id",
+            F.lit(TOP_K).alias("k"),
+            "n_overlap",
+            F.expr(f"n_overlap * 1000000L div {TOP_K}").alias("recall_ppm"),
+        )
+    )
+
+
+EMBEDDING_MATRYOSHKA_EVAL_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(generate_series(1, len(e.embedding)),
+                            i -> q.q_emb[i]::DOUBLE * e.embedding[i]::DOUBLE)),
+           (a, b) -> a + b)
+         / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(generate_series(1, len(q.q_emb)),
+                              i -> q.q_emb[i]::DOUBLE * q.q_emb[i]::DOUBLE)),
+             (a, b) -> a + b))
+            * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(generate_series(1, len(e.embedding)),
+                              i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)),
+             (a, b) -> a + b))) AS cos_full,
+         list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(generate_series(1, len(e.embedding) // {MRL_FRAC}),
+                            i -> q.q_emb[i]::DOUBLE * e.embedding[i]::DOUBLE)),
+           (a, b) -> a + b)
+         / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(generate_series(1, len(q.q_emb) // {MRL_FRAC}),
+                              i -> q.q_emb[i]::DOUBLE * q.q_emb[i]::DOUBLE)),
+             (a, b) -> a + b))
+            * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(generate_series(1, len(e.embedding) // {MRL_FRAC}),
+                              i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)),
+             (a, b) -> a + b))) AS cos_trunc
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_full DESC, vec_id ASC) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_trunc DESC, vec_id ASC) AS rt
+  FROM scored
+)
+SELECT q_id, {TOP_K} AS k,
+       CAST(SUM(CASE WHEN rt <= {TOP_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       CAST(SUM(CASE WHEN rt <= {TOP_K} THEN 1 ELSE 0 END) AS BIGINT)
+         * 1000000 // {TOP_K} AS recall_ppm
+FROM ranked WHERE rf <= {TOP_K}
+GROUP BY q_id
+"""

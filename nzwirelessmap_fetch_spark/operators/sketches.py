@@ -1540,3 +1540,122 @@ def _jl_oracle() -> str:
 
 
 EMBEDDING_RANDOM_PROJECTION_SQL = _jl_oracle()
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct-count sketch
+# ---------------------------------------------------------------------------
+
+KMV_K = 256  # sketch size: relative error ~ 1/sqrt(k-2) ≈ 6.3%
+_H_SPACE = 1 << 60  # md5_long60 hash domain
+
+
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k distinct-count sketch (Bar-Yossef et al. 2002) —
+    the MERGEABLE distinct estimator whose state is k hash values, and
+    (unlike HLL implementations) is bit-reproducible across engines:
+    md5-derived hashes mean DuckDB replays the EXACT estimate, so the
+    oracle pins the sketch's arithmetic, not a tolerance band.
+
+    Estimator: with h uniform on [0, 2^60), the k-th smallest distinct
+    hash h_k estimates density k/n ≈ h_k/2^60 → n̂ = (k-1)·2^60 / h_k
+    (the unbiased k-1 form). When fewer than k distinct values exist the
+    sketch IS the exact distinct set (n̂ = |sketch|) — the fixture's
+    smallest SF exercises that branch.
+
+    Merge property (the reason production distinct-counts are sketches):
+    bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)). Proven
+    in-query: per-priority bottom-k sketches (5 independent sketches)
+    merge into exactly the global sketch's estimate — `est_ppm` and
+    `est_merged_ppm` are asserted equal by the oracle hash.
+
+    Plan: one distinct-hash agg (keyed shuffle with map-side combine),
+    then TakeOrdered k (per-partition bottom-k, merged once — bounded
+    driver state); the per-group path is a window rank over the same
+    aggregated stream. Nothing driver-side scales with row count."""
+    o = Catalog(spark, sf_dir).table("orders")
+    h = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    distinct_h = h.select("h").distinct()
+    n_exact = distinct_h.count()  # scalar for the error column (bounded)
+    bottom = distinct_h.orderBy("h").limit(KMV_K)
+    direct = bottom.agg(
+        F.count(F.lit(1)).alias("kk"), F.max("h").alias("hk")
+    )
+    # per-group sketches, then merge: union the 5 bottom-k sets and
+    # re-take bottom-k — the sketch algebra a combiner tree runs
+    grp_h = h.distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    grp_bottom = (
+        grp_h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("h")
+        .distinct()
+    )
+    merged = (
+        grp_bottom.orderBy("h")
+        .limit(KMV_K)
+        .agg(F.count(F.lit(1)).alias("kk_m"), F.max("h").alias("hk_m"))
+    )
+    def _est(kk: str, hk: str) -> str:
+        return (
+            f"if({kk} < {KMV_K}, {kk}, "
+            f"cast(cast({kk} - 1 as decimal(38,0)) * {_H_SPACE} div {hk} as bigint))"
+        )
+
+    return (
+        direct.crossJoin(F.broadcast(merged))
+        .select(
+            F.lit(KMV_K).alias("k"),
+            F.lit(n_exact).cast("long").alias("n_exact"),
+            F.expr(_est("kk", "hk")).alias("est"),
+            F.expr(_est("kk_m", "hk_m")).alias("est_merged"),
+        )
+        .select(
+            "k",
+            "n_exact",
+            "est",
+            "est_merged",
+            F.expr(
+                f"abs(est - n_exact) * 1000000L div greatest(n_exact, 1)"
+            ).alias("err_ppm"),
+        )
+    )
+
+
+AGG_KMV_DISTINCT_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT o_orderpriority AS grp,
+         ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM orders
+),
+dh AS (SELECT DISTINCT h FROM h),
+bk AS (SELECT h FROM dh ORDER BY h LIMIT {KMV_K}),
+direct AS (SELECT COUNT(*) AS kk, MAX(h) AS hk FROM bk),
+grp_bottom AS (
+  SELECT DISTINCT h FROM (
+    SELECT h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn FROM h)
+  WHERE rn <= {KMV_K}
+),
+mg AS (
+  SELECT COUNT(*) AS kk_m, MAX(h) AS hk_m
+  FROM (SELECT h FROM grp_bottom ORDER BY h LIMIT {KMV_K})
+),
+ne AS (SELECT COUNT(*) AS n_exact FROM dh)
+SELECT {KMV_K} AS k,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CASE WHEN kk < {KMV_K} THEN kk
+            ELSE CAST(CAST(kk - 1 AS HUGEINT) * {_H_SPACE} // hk AS BIGINT)
+       END AS est,
+       CASE WHEN kk_m < {KMV_K} THEN kk_m
+            ELSE CAST(CAST(kk_m - 1 AS HUGEINT) * {_H_SPACE} // hk_m AS BIGINT)
+       END AS est_merged,
+       ABS((CASE WHEN kk < {KMV_K} THEN kk
+            ELSE CAST(CAST(kk - 1 AS HUGEINT) * {_H_SPACE} // hk AS BIGINT) END)
+           - n_exact) * 1000000 // GREATEST(n_exact, 1) AS err_ppm
+FROM direct CROSS JOIN mg CROSS JOIN ne
+"""

@@ -905,3 +905,21 @@ registry.register(
 registry.register(
     "sim_maxsim_pruned", _sim.sim_maxsim_pruned, _sim.SIM_MAXSIM_PRUNED_SQL
 )
+
+# ─── Round-5 additions ───────────────────────────────────────────────────────
+registry.register(
+    "ml_calibration_bins", _ml.ml_calibration_bins, _ml.ML_CALIBRATION_BINS_SQL
+)
+registry.register(
+    "agg_kmv_distinct", _sk.agg_kmv_distinct, _sk.AGG_KMV_DISTINCT_SQL
+)
+registry.register(
+    "stream_foreach_batch_merge",
+    _es.stream_foreach_batch_merge,
+    _es.STREAM_FOREACH_BATCH_MERGE_SQL,
+)
+registry.register(
+    "embedding_matryoshka_eval",
+    _sim.embedding_matryoshka_eval,
+    _sim.EMBEDDING_MATRYOSHKA_EVAL_SQL,
+)

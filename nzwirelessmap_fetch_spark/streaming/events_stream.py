@@ -1077,3 +1077,80 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """
+
+
+def stream_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC into the at-rest snapshot store: ``foreachBatch``
+    applies each micro-batch's per-user deltas to the versioned parquet
+    table via ``SnapshotParquetTable.merge_into``-style read-merge-write
+    (one new version per batch, pointer flipped marker-last) — the
+    standard "stream upserts a serving table" pattern that a real table
+    format runs as MERGE INTO per batch.
+
+    Determinism: per-user (count, cents-sum) accumulation is associative
+    and commutative, so the FINAL at-rest state is independent of how the
+    file source splits micro-batches; the oracle recomputes it from the
+    complete input. Each call starts a fresh store root (the query is
+    re-runnable; versions are per-run artifacts, the final state is the
+    contract).
+
+    Scale: each batch's delta is one keyed partial agg; the merge is a
+    full-outer join on the user key — at 100 TB both sides are keyed by
+    user_id, and a bucketed base table makes the join exchange-free on
+    the base side. No collect, no driver state."""
+    import tempfile
+
+    from ..sinks.writers import SnapshotParquetTable
+
+    sink = SnapshotParquetTable(tempfile.mkdtemp(prefix="stream-merge-"))
+    schema = "user_id long, n bigint, total_cents bigint"
+    sink.write_version(
+        spark.createDataFrame([], schema), "user_stats", "0"
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        delta = batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("d_n"),
+            F.sum(F.expr("cast(floor(value * 100) as bigint)")).alias("d_cents"),
+        )
+        base = sink.read_version(batch.sparkSession, "user_stats", "latest")
+        # the change set covers ONLY the batch's users (right join keeps
+        # delta rows, folds in any existing base totals); untouched base
+        # rows survive through merge_into's anti-join ∪ — the true MERGE
+        # WHEN MATCHED / NOT MATCHED shape
+        changes = base.join(delta, "user_id", "right_outer").select(
+            "user_id",
+            (F.coalesce("n", F.lit(0)) + F.col("d_n")).alias("n"),
+            (F.coalesce("total_cents", F.lit(0)) + F.col("d_cents")).alias(
+                "total_cents"
+            ),
+        )
+        sink.merge_into(
+            batch.sparkSession, "user_stats", changes, "user_id", str(batch_id + 1)
+        )
+
+    stream = _event_stream(spark, sf_dir).select("user_id", "value")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="stream-merge-ckpt-")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return sink.read_version(spark, "user_stats", "latest")
+
+
+STREAM_FOREACH_BATCH_MERGE_SQL = """
+SELECT user_id,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+GROUP BY user_id
+"""

@@ -164,6 +164,58 @@ def test_snapshot_merge_into(spark, tmp_path):
     assert v1 == {1: "a", 2: "b", 3: "c"}  # history immutable
 
 
+def test_kmv_sketch_properties(spark):
+    """KMV invariants: the merged per-group sketch must equal the direct
+    sketch's estimate exactly (bottom-k algebra), and when the distinct
+    count is below k the sketch degrades to the exact count."""
+    from nzwirelessmap_fetch_spark.operators.sketches import (
+        KMV_K,
+        agg_kmv_distinct,
+    )
+    from tests.conftest import SF_CORRECT
+
+    row = agg_kmv_distinct(spark, SF_CORRECT).collect()[0]
+    assert row.est == row.est_merged  # merge property, exact equality
+    if row.n_exact < KMV_K:
+        assert row.est == row.n_exact  # below-k: sketch IS the set
+    else:
+        # ~1/sqrt(k-2) relative error; allow 4 sigma
+        assert row.err_ppm < 4_000_000 / (KMV_K - 2) ** 0.5
+
+    small = agg_kmv_distinct(spark, SF_SMOKE).collect()[0]
+    assert small.n_exact < KMV_K and small.est == small.n_exact
+
+
+def test_calibration_bins_consistency(spark):
+    """Reliability-table invariants: bins partition the corpus, ppm
+    columns stay in range, and the ECE terms are the n-weighted gaps."""
+    from nzwirelessmap_fetch_spark.catalog import Catalog
+    from nzwirelessmap_fetch_spark.operators.mlprep import ml_calibration_bins
+
+    rows = ml_calibration_bins(spark, SF_SMOKE).collect()
+    total = Catalog(spark, SF_SMOKE).table("orders").count()
+    assert sum(r.n for r in rows) == total
+    nt = sum(r.n for r in rows)
+    for r in rows:
+        assert 0 <= r.pred_ppm <= 1_000_000
+        assert 0 <= r.obs_ppm <= 1_000_000
+        assert r.gap_ppm == abs(r.pred_ppm - r.obs_ppm)
+        assert r.ece_term_ppm == r.gap_ppm * r.n // nt
+
+
+def test_matryoshka_recall_bounds(spark):
+    from nzwirelessmap_fetch_spark.operators.similarity import (
+        TOP_K,
+        embedding_matryoshka_eval,
+    )
+
+    rows = embedding_matryoshka_eval(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_overlap <= TOP_K
+        assert r.recall_ppm == r.n_overlap * 1_000_000 // TOP_K
+
+
 def _make_wav(freq_hz: float, n_frames: int, rate: int = 8000) -> bytes:
     import io
     import math

@@ -1,0 +1,176 @@
+"""One-decade-up scaling sweep: sf0.1 → sf1 (r4 verdict directive #3).
+
+No sf1 fixture ships in /root/testdata, so this tool BUILDS one by
+replicating the sf0.1 tables ×10 under .scaling_sf1/ (gitignored),
+growth-realistically:
+
+- ``documents``: each replica's words are prefixed ``r{i}.`` so replicas
+  share ZERO shingles — vocabulary grows with the corpus (Heaps' law),
+  document-frequency per shingle stays flat, and the TRUE near-dup pair
+  count grows linearly (each replica contributes the sf0.1 pairs). Naive
+  byte-copy replication would instead make every doc a 10-way exact dup,
+  inflating true pair counts ×100 BY CONSTRUCTION and measuring the
+  fixture, not the plan.
+- ``embeddings``: vectors are cyclically rolled by the replica index
+  (norm- and distribution-preserving new points, not 10 coincident
+  copies that would degenerate every top-k to clone sets).
+- ``orders``: key-shifted copies (densities scale linearly).
+- remaining tables: copied as-is (the family under test doesn't read
+  them; they exist so Catalog paths resolve).
+
+Then it times the r4-named expansion family at sf0.1 and sf1 and prints
+the 0.1→1 ratio table for SCALING.md: a 10× data step costing ≤10× time
+= no quadratic candidate generation at the top of the measured range.
+
+    python tools/scaling_sf1.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from nzwirelessmap_fetch_spark.catalog import TABLES  # noqa: E402
+from nzwirelessmap_fetch_spark.plans import registry  # noqa: E402
+from nzwirelessmap_fetch_spark.session import get_spark  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scaling_sf1")
+REPLICAS = 10
+
+QUERIES = [
+    # the r4 verdict's named expansion family
+    "corpus_span_dedup",
+    "dedup_simhash_hamming",
+    "sim_lsh_banded",
+    "ml_quantile_binning",
+    "sim_maxsim_late_interaction",
+    "sim_maxsim_pruned",
+    "dedup_ngram_jaccard_capped",
+    "corpus_winnowing_capped",
+    "corpus_containment_capped",
+    # linear-regime references so the family ratios have a baseline
+    "text_stats",
+    "dedup_exact",
+    "agg_pricing_summary",
+]
+
+
+def build_sf1(spark) -> None:
+    if os.path.exists(os.path.join(SF1, "_built")):
+        return
+    os.makedirs(SF1, exist_ok=True)
+    ids = list(range(REPLICAS))
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    parts = []
+    for i in ids:
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "), lambda w: F.concat(F.lit(f"r{i}."), w)
+                    ),
+                    " ",
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    rep = parts[0]
+    for p in parts[1:]:
+        rep = rep.unionByName(p)
+    rep = rep.withColumn("n_chars", F.length("text").cast("long"))
+    rep.repartition(32).write.mode("overwrite").parquet(f"{SF1}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    parts = []
+    for i in ids:
+        k = i % dim
+        rolled = (
+            F.concat(
+                F.slice("embedding", k + 1, dim - k), F.slice("embedding", 1, k)
+            )
+            if k
+            else F.col("embedding")
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
+                rolled.alias("embedding"),
+                "label",
+            )
+        )
+    rep = parts[0]
+    for p in parts[1:]:
+        rep = rep.unionByName(p)
+    rep.repartition(32).write.mode("overwrite").parquet(f"{SF1}/embeddings.parquet")
+
+    orders = spark.read.parquet(f"{SF01}/orders.parquet")
+    parts = [
+        orders.select(
+            (F.col("o_orderkey") + i * 100_000_000).alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        for i in ids
+    ]
+    rep = parts[0]
+    for p in parts[1:]:
+        rep = rep.unionByName(p)
+    rep.repartition(32).write.mode("overwrite").parquet(f"{SF1}/orders.parquet")
+
+    for t in TABLES:
+        if t in ("documents", "embeddings", "orders"):
+            continue
+        src = f"{SF01}/{t}.parquet"
+        dst = f"{SF1}/{t}.parquet"
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        else:
+            shutil.copy(src, dst)
+    open(os.path.join(SF1, "_built"), "w").write("ok")
+
+
+def main() -> None:
+    spark = get_spark(
+        "scaling-sf1", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    )
+    spark.range(1000).count()
+    build_sf1(spark)
+    qs = registry.queries()
+    results: dict[str, dict[str, float]] = {}
+    for sf, sf_dir in (("0.1", SF01), ("1", SF1)):
+        for name in QUERIES:
+            best = float("inf")
+            for _ in range(2):  # best-of-2: same host-noise guard as bench.py
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            results.setdefault(name, {})[sf] = best
+    print("| query | sf0.1 s | sf1 s | 0.1→1 ratio (10× data) |")
+    print("|---|---|---|---|")
+    for name in QUERIES:
+        r = results[name]
+        print(
+            f"| {name} | {r['0.1']:.2f} | {r['1']:.2f} "
+            f"| {r['1'] / max(r['0.1'], 1e-9):.1f}× |"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
