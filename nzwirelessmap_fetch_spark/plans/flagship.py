@@ -200,3 +200,110 @@ SELECT bucket,
 FROM measured
 GROUP BY bucket
 """
+
+
+# ─── Spatial grid neighbor join (round 5) ───────────────────────────────────
+
+GRID_R_CENTS = 200_000  # radius: 2000 coordinate units, in cents
+
+
+def geo_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius self-join over tower coordinates via GRID-CELL BUCKETING —
+    the spatial member of the bounded-candidate-generation family (the
+    reference's whole point is a map of towers; "which towers sit within
+    interference range of each other" is the spatial query its data
+    invites). All-pairs distance is Θ(n²); quantizing points to
+    R-sized grid cells and probing each point's 3×3 cell stencil bounds
+    candidates to the 9 cells that can POSSIBLY hold a within-R
+    neighbor — the spatial analog of LSH banding, and the exact plan
+    (cell side = R ⇒ no within-R pair spans beyond adjacent cells; the
+    distance verify drops false candidates).
+
+    Tower stand-ins (FIXTURES.md discipline): suppliers, with
+    x = acctbal-cents and y = a key-derived spread — both
+    integer-exact, so candidate generation and the squared-distance
+    verify never touch a float; only the reported distance takes one
+    IEEE-exact sqrt.
+
+    Plan: 9× map-side stencil explode on the probe side (bounded), one
+    cell-keyed equi-join, row-local integer verify. At 100 TB this is
+    the standard spatial-join recipe (geohash/S2 bucketing); skewed
+    cells (dense cities) AQE-split like any hot key."""
+    s = Catalog(spark, sf_dir).table("supplier")
+    pts = s.select(
+        F.col("s_suppkey").alias("id"),
+        # +100000 shifts x non-negative (acctbal ≥ -999.99): floor-vs-
+        # truncate integer-division semantics never diverge across engines
+        ((F.col("s_acctbal").cast("decimal(18,2)") * 100).cast("long") + 100_000)
+        .alias("x"),
+        ((F.col("s_suppkey") * 104729) % 1_000_000).cast("long").alias("y"),
+    )
+    r = F.lit(GRID_R_CENTS)
+    cell = lambda c: F.floor(F.col(c) / r).cast("long")  # noqa: E731
+    # probe side: each point explodes to its 3×3 neighborhood stencil
+    probes = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(-1, 1), dx -> "
+                f"transform(sequence(-1, 1), dy -> "
+                f"struct(floor(x / {GRID_R_CENTS}) + dx as cx, "
+                f"floor(y / {GRID_R_CENTS}) + dy as cy))))"
+            )
+        ).alias("cell"),
+    ).select("id_a", "xa", "ya", "cell.cx", "cell.cy")
+    index = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        cell("x").alias("cx"),
+        cell("y").alias("cy"),
+    )
+    # long-typed squared distance (** is float pow; integer multiply
+    # keeps the verify exact and the python-side constant is a LongType
+    # literal — an int32 lit would overflow at R²=4e10)
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    return (
+        probes.join(index, ["cx", "cy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("d2", (dx * dx + dy * dy).cast("long"))
+        .filter(F.col("d2") <= F.lit(GRID_R_CENTS * GRID_R_CENTS))
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(F.sqrt(F.col("d2").cast("double"))).cast("long").alias(
+                "dist_cents"
+            ),
+        )
+    )
+
+
+GEO_GRID_NEIGHBOR_JOIN_SQL = f"""
+WITH pts AS (
+  SELECT s_suppkey AS id,
+         CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000 AS x,
+         (s_suppkey * 104729) % 1000000 AS y
+  FROM supplier
+),
+probes AS (
+  SELECT id AS id_a, x AS xa, y AS ya,
+         (x // {GRID_R_CENTS}) + dx AS cx,
+         (y // {GRID_R_CENTS}) + dy AS cy
+  FROM pts, generate_series(-1, 1) g1(dx), generate_series(-1, 1) g2(dy)
+),
+idx AS (
+  SELECT id AS id_b, x AS xb, y AS yb,
+         x // {GRID_R_CENTS} AS cx, y // {GRID_R_CENTS} AS cy
+  FROM pts
+)
+SELECT id_a, id_b,
+       CAST(FLOOR(SQRT(CAST((xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+                            AS DOUBLE))) AS BIGINT) AS dist_cents
+FROM probes JOIN idx USING (cx, cy)
+WHERE id_a < id_b
+  AND (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+        <= {GRID_R_CENTS}::BIGINT * {GRID_R_CENTS}
+"""

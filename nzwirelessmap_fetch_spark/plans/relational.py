@@ -2869,3 +2869,115 @@ FROM orders
 GROUP BY CASE WHEN YEAR(o_orderdate) <= 1997 THEN NULL
               ELSE o_orderpriority END
 """
+
+
+def catalog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling sweep (the engine-surface feature behind every
+    "expectation suite": null rates, exact distinct cardinalities,
+    value bounds per column) over ``orders`` — one row per column, ONE
+    scan: all per-column aggregates compute in a single pass (multiple
+    COUNT DISTINCTs expand-node together) and a map-side ``stack``
+    unpivots the 1-row aggregate into the per-column report.
+
+    Representation discipline: every min/max is reported as a STRING of
+    an integer-exact value (cents for money, epoch-micros for
+    timestamps) — double→string and timestamp→string formatting are
+    engine-specific, integer strings are not.
+
+    At 100 TB: profile cost = one corpus scan with map-side partials;
+    the COUNT DISTINCT expand multiplies rows by |columns| pre-shuffle —
+    for very wide tables swap in the KMV sketch (`agg_kmv_distinct`)
+    per column, same shape, bounded state."""
+    o = Catalog(spark, sf_dir).table("orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    od_us = F.unix_micros("o_orderdate")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        # o_orderkey
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("nn_k"),
+        F.countDistinct("o_orderkey").alias("nd_k"),
+        F.min("o_orderkey").cast("string").alias("mn_k"),
+        F.max("o_orderkey").cast("string").alias("mx_k"),
+        # o_custkey
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("nn_c"),
+        F.countDistinct("o_custkey").alias("nd_c"),
+        F.min("o_custkey").cast("string").alias("mn_c"),
+        F.max("o_custkey").cast("string").alias("mx_c"),
+        # o_orderstatus
+        F.sum(F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)).alias("nn_s"),
+        F.countDistinct("o_orderstatus").alias("nd_s"),
+        F.min("o_orderstatus").alias("mn_s"),
+        F.max("o_orderstatus").alias("mx_s"),
+        # o_totalprice (cents)
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias("nn_p"),
+        F.countDistinct(cents).alias("nd_p"),
+        F.min(cents).cast("string").alias("mn_p"),
+        F.max(cents).cast("string").alias("mx_p"),
+        # o_orderdate (epoch micros)
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("nn_d"),
+        F.countDistinct(od_us).alias("nd_d"),
+        F.min(od_us).cast("string").alias("mn_d"),
+        F.max(od_us).cast("string").alias("mx_d"),
+        # o_orderpriority
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)).alias("nn_o"),
+        F.countDistinct("o_orderpriority").alias("nd_o"),
+        F.min("o_orderpriority").alias("mn_o"),
+        F.max("o_orderpriority").alias("mx_o"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(6, "
+            "'o_orderkey', nn_k, nd_k, mn_k, mx_k, "
+            "'o_custkey', nn_c, nd_c, mn_c, mx_c, "
+            "'o_orderstatus', nn_s, nd_s, mn_s, mx_s, "
+            "'o_totalprice_cents', nn_p, nd_p, mn_p, mx_p, "
+            "'o_orderdate_us', nn_d, nd_d, mn_d, mx_d, "
+            "'o_orderpriority', nn_o, nd_o, mn_o, mx_o) "
+            "as (column_name, n_null, n_distinct, min_repr, max_repr)"
+        ),
+        "n_rows",
+    )
+
+
+CATALOG_PROFILE_SQL = """
+WITH a AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_k,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd_k,
+         CAST(MIN(o_orderkey) AS VARCHAR) AS mn_k,
+         CAST(MAX(o_orderkey) AS VARCHAR) AS mx_k,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_c,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_c,
+         CAST(MIN(o_custkey) AS VARCHAR) AS mn_c,
+         CAST(MAX(o_custkey) AS VARCHAR) AS mx_c,
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_s,
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_s,
+         MIN(o_orderstatus) AS mn_s,
+         MAX(o_orderstatus) AS mx_s,
+         CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_p,
+         CAST(COUNT(DISTINCT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS nd_p,
+         CAST(MIN(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS VARCHAR) AS mn_p,
+         CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS VARCHAR) AS mx_p,
+         CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_d,
+         CAST(COUNT(DISTINCT epoch_us(o_orderdate)) AS BIGINT) AS nd_d,
+         CAST(MIN(epoch_us(o_orderdate)) AS VARCHAR) AS mn_d,
+         CAST(MAX(epoch_us(o_orderdate)) AS VARCHAR) AS mx_d,
+         CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_o,
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd_o,
+         MIN(o_orderpriority) AS mn_o,
+         MAX(o_orderpriority) AS mx_o
+  FROM orders
+)
+SELECT 'o_orderkey' AS column_name, nn_k AS n_null, nd_k AS n_distinct,
+       mn_k AS min_repr, mx_k AS max_repr, n_rows FROM a
+UNION ALL
+SELECT 'o_custkey', nn_c, nd_c, mn_c, mx_c, n_rows FROM a
+UNION ALL
+SELECT 'o_orderstatus', nn_s, nd_s, mn_s, mx_s, n_rows FROM a
+UNION ALL
+SELECT 'o_totalprice_cents', nn_p, nd_p, mn_p, mx_p, n_rows FROM a
+UNION ALL
+SELECT 'o_orderdate_us', nn_d, nd_d, mn_d, mx_d, n_rows FROM a
+UNION ALL
+SELECT 'o_orderpriority', nn_o, nd_o, mn_o, mx_o, n_rows FROM a
+"""

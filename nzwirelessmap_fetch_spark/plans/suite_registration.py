@@ -923,3 +923,11 @@ registry.register(
     _sim.embedding_matryoshka_eval,
     _sim.EMBEDDING_MATRYOSHKA_EVAL_SQL,
 )
+registry.register(
+    "geo_grid_neighbor_join",
+    _flagship.geo_grid_neighbor_join,
+    _flagship.GEO_GRID_NEIGHBOR_JOIN_SQL,
+)
+registry.register(
+    "catalog_profile", _r.catalog_profile, _r.CATALOG_PROFILE_SQL
+)

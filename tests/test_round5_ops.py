@@ -292,6 +292,35 @@ def test_image_decode_both_paths():
     assert set(real) == set(fake)
 
 
+def test_geo_grid_join_exact_vs_bruteforce(spark):
+    """The 3×3 stencil grid join must return EXACTLY the within-R pairs
+    (cell side = R ⇒ no within-R pair escapes adjacent cells) — verified
+    against the quadratic brute force on the smoke fixture."""
+    from nzwirelessmap_fetch_spark.plans.flagship import (
+        GRID_R_CENTS,
+        geo_grid_neighbor_join,
+    )
+
+    s = Catalog(spark, SF_SMOKE).table("supplier").collect()
+    pts = {
+        r.s_suppkey: (
+            int(round(float(r.s_acctbal) * 100)) + 100_000,
+            (r.s_suppkey * 104729) % 1_000_000,
+        )
+        for r in s
+    }
+    expected = set()
+    items = sorted(pts.items())
+    for i, (ida, (xa, ya)) in enumerate(items):
+        for idb, (xb, yb) in items[i + 1 :]:
+            if (xa - xb) ** 2 + (ya - yb) ** 2 <= GRID_R_CENTS**2:
+                expected.add((ida, idb))
+    got = {
+        (r.id_a, r.id_b) for r in geo_grid_neighbor_join(spark, SF_SMOKE).collect()
+    }
+    assert got == expected and expected  # exact, and the fixture has pairs
+
+
 def test_scale_profiles_metadata():
     """Every exact-measure entry must name an existing, scale-safe twin
     (r4 verdict directive #5: the 100 TB plan is registry metadata, not
