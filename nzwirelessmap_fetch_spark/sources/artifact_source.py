@@ -26,7 +26,13 @@ import json
 import os
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 @dataclass
@@ -53,6 +59,16 @@ class VersionedArtifactDataSource(DataSource):
         if not root:
             raise ValueError("versioned_artifacts requires .option('root', PATH)")
         return VersionedArtifactReader(root)
+
+    def writer(self, schema, overwrite: bool) -> "VersionedArtifactWriter":
+        root = self.options.get("root")
+        artifact = self.options.get("artifact")
+        version = self.options.get("version")
+        if not (root and artifact and version):
+            raise ValueError(
+                "versioned_artifacts write requires .option('root'/'artifact'/'version')"
+            )
+        return VersionedArtifactWriter(root, artifact, version, [f.name for f in schema.fields])
 
 
 class VersionedArtifactReader(DataSourceReader):
@@ -112,3 +128,66 @@ class VersionedArtifactReader(DataSourceReader):
             if r[1] != "latest" and r[4] and r[1] != newest_match:
                 r[4] = False
             yield tuple(r)
+
+
+@dataclass
+class _PartNdjson(WriterCommitMessage):
+    """Per-task commit message: the task's staged NDJSON payload. Rows
+    stay executor-side until commit; only the already-serialized bytes
+    cross to the driver — acceptable for artifact-sized outputs (this
+    sink's contract is SMALL versioned artifacts, the reference's
+    prism.json; bulk data belongs in the parquet sinks)."""
+
+    index: int
+    payload: bytes
+
+
+class VersionedArtifactWriter(DataSourceWriter):
+    """WRITE side of the Spark 4 Python DataSource — the committer
+    pattern the reference's layout implies, done properly:
+
+    - ``write(iterator)`` per task serializes its partition to NDJSON
+      and returns it as the commit MESSAGE (no files appear yet).
+    - ``commit(messages)`` on the driver assembles the version object,
+      writes ``root/<artifact>/<version>`` first and the mutable
+      ``latest`` copy after — and ONLY on all-tasks-success; a failed
+      job calls ``abort`` and the store is untouched (fetch.go's
+      versioned layout with real all-or-nothing semantics instead of
+      its best-effort ordering).
+
+    Usage:
+        df.write.format("versioned_artifacts")
+          .option("root", ROOT).option("artifact", "prism.json")
+          .option("version", ts).mode("append").save()
+    """
+
+    def __init__(self, root: str, artifact: str, version: str, cols: list[str]):
+        self.root = root
+        self.artifact = artifact
+        self.version = version
+        self.cols = cols
+
+    def write(self, iterator) -> _PartNdjson:
+        from pyspark import TaskContext
+
+        lines = [
+            json.dumps(dict(zip(self.cols, row)), sort_keys=True)
+            for row in iterator
+        ]
+        payload = ("\n".join(lines) + ("\n" if lines else "")).encode()
+        return _PartNdjson(TaskContext.get().partitionId(), payload)
+
+    def commit(self, messages) -> None:
+        adir = os.path.join(self.root, self.artifact)
+        os.makedirs(adir, exist_ok=True)
+        body = b"".join(
+            m.payload for m in sorted(messages, key=lambda m: m.index)
+        )
+        vpath = os.path.join(adir, self.version)
+        with open(vpath, "wb") as f:
+            f.write(body)
+        with open(os.path.join(adir, "latest"), "wb") as f:
+            f.write(body)
+
+    def abort(self, messages) -> None:
+        pass  # nothing staged on disk — abort is a true no-op

@@ -143,6 +143,52 @@ def test_jdbc_ingest_live_roundtrip(spark, tmp_path):
     assert dict(out.dtypes)["licenceid"] == "int"
 
 
+def test_artifact_datasource_write_path(spark, tmp_path):
+    """Spark 4 Python DataSource WRITE path: df.write.format(...) stages
+    per-task NDJSON in commit messages and materializes version + latest
+    only in commit() — then the READ side of the same source sees the
+    new version as latest."""
+    from pyspark.sql import functions as F
+
+    from nzwirelessmap_fetch_spark.sources.artifact_source import (
+        VersionedArtifactDataSource,
+    )
+
+    spark.dataSource.register(VersionedArtifactDataSource)
+    root = str(tmp_path / "store")
+    df = spark.range(5).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("name")
+    )
+    (
+        df.repartition(3)
+        .write.format("versioned_artifacts")
+        .option("root", root)
+        .option("artifact", "prism.json")
+        .option("version", "2024-02-01T00:00:00Z")
+        .mode("append")
+        .save()
+    )
+    import json as _json
+    import os as _os
+
+    lines = [
+        _json.loads(l)
+        for l in open(_os.path.join(root, "prism.json", "2024-02-01T00:00:00Z"))
+    ]
+    assert sorted(r["id"] for r in lines) == [0, 1, 2, 3, 4]
+    assert all(r["name"] == f"v{r['id']}" for r in lines)
+    # read side: version flagged latest (byte-copy contract)
+    rows = {
+        r.version: r
+        for r in spark.read.format("versioned_artifacts")
+        .option("root", root)
+        .load()
+        .collect()
+    }
+    assert rows["2024-02-01T00:00:00Z"].is_latest
+    assert rows["latest"].n_bytes == rows["2024-02-01T00:00:00Z"].n_bytes
+
+
 def test_snapshot_merge_into(spark, tmp_path):
     """merge_into semantics at rest: matched rows replaced, unmatched
     inserted, deletes dropped, pointer flipped marker-last, and v1
