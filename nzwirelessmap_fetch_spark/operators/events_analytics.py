@@ -1947,3 +1947,70 @@ rel AS MATERIALIZED (
 """
     + " UNION ALL ".join(_haar_level_sql(l) for l in range(1, HAAR_LEVELS + 1))
 )
+
+
+def events_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE argument + PARTITION BY (the Spark-4
+    table-function input surface the lateral UDTFs don't cover): the
+    engine partitions the input relation BY KEY and feeds each
+    partition's rows to one UDTF instance — ``eval`` accumulates,
+    ``terminate`` emits the per-key summary. This is the imperative
+    per-group aggregator escape hatch (real parsers, sessionizers,
+    stateful scoring) with the JOIN/SHUFFLE handled declaratively by
+    the planner.
+
+    Summary computed imperatively per user: event count, span of
+    epoch-micros timestamps. The declarative twin is a plain groupBy —
+    which IS the oracle, so the green row proves the table-arg
+    partitioning delivers every row to exactly one instance, once.
+
+    Scale: per-key state only (two longs + a count), key-parallel
+    across executors; Arrow-batched row feed.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n bigint, first_us bigint, last_us bigint, span_us bigint")
+    class UserSpan:
+        def __init__(self):
+            self._uid = None
+            self._n = 0
+            self._first = None
+            self._last = None
+
+        def eval(self, row):
+            self._uid = row["user_id"]
+            us = row["us"]
+            self._n += 1
+            self._first = us if self._first is None else min(self._first, us)
+            self._last = us if self._last is None else max(self._last, us)
+
+        def terminate(self):
+            if self._uid is not None:
+                yield (
+                    self._uid,
+                    self._n,
+                    self._first,
+                    self._last,
+                    self._last - self._first,
+                )
+
+    spark.udtf.register("user_span_udtf", UserSpan)
+    Catalog(spark, sf_dir).table("events").createOrReplaceTempView(
+        "__events_for_udtf"
+    )
+    return spark.sql(
+        "SELECT * FROM user_span_udtf("
+        "  TABLE(SELECT user_id, unix_micros(ts) AS us FROM __events_for_udtf)"
+        "  PARTITION BY user_id)"
+    )
+
+
+EVENTS_UDTF_TABLE_ARG_SQL = """
+SELECT user_id,
+       COUNT(*) AS n,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us,
+       CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS span_us
+FROM events
+GROUP BY user_id
+"""

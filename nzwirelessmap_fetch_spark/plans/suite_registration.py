@@ -931,3 +931,8 @@ registry.register(
 registry.register(
     "catalog_profile", _r.catalog_profile, _r.CATALOG_PROFILE_SQL
 )
+registry.register(
+    "events_udtf_table_arg",
+    _ea.events_udtf_table_arg,
+    _ea.EVENTS_UDTF_TABLE_ARG_SQL,
+)
