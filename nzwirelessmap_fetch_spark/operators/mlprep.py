@@ -662,3 +662,59 @@ SELECT bin, n, n_pos,
             * n // nt AS BIGINT) AS ece_term_ppm
 FROM per_bin CROSS JOIN tot
 """
+
+
+def agg_pandas_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF (the vectorized UDAF surface — usable in
+    ``groupBy().agg`` and OVER windows, unlike applyInPandas): exact
+    lower-median of order cents per priority, computed in numpy on
+    Arrow-delivered int64 batches.
+
+    Integer discipline: the group's cents arrive as int64; the lower
+    median (element at (n−1)//2 of the sorted array) is an ELEMENT of
+    the input, so no interpolation float ever exists — DuckDB's
+    quantile_disc replays it exactly.
+
+    Scale: Spark's partial-aggregation machinery does NOT apply to
+    GROUPED_AGG UDFs (each group's values collect to one executor) —
+    fine at |group| ≲ memory, the documented contract; for unbounded
+    groups use the histogram-sketch median (`agg_weighted_median`)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the type-hint form can't see through this
+    # module's `from __future__ import annotations` (hints arrive as
+    # strings and the GROUPED_AGG signature check rejects them)
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def lower_median(v):
+        import numpy as np
+
+        a = np.sort(v.to_numpy(dtype="int64"))
+        return int(a[(len(a) - 1) // 2])
+
+    o = Catalog(spark, sf_dir).table("orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = o.select(
+        F.col("o_orderpriority").alias("priority"), cents.alias("cents")
+    )
+    # GROUPED_AGG UDFs can't mix with JVM aggregates in one agg()
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the UDAF owns the agg alone
+    return base.groupBy("priority").agg(
+        lower_median("cents").alias("median_cents")
+    )
+
+
+AGG_PANDAS_GROUPED_UDAF_SQL = """
+WITH c AS (
+  SELECT o_orderpriority AS priority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+ranked AS (
+  SELECT priority, cents,
+         ROW_NUMBER() OVER (PARTITION BY priority ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY priority) AS n
+  FROM c
+)
+SELECT priority, cents AS median_cents
+FROM ranked WHERE rn = (n - 1) // 2 + 1
+"""

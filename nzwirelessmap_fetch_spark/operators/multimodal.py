@@ -773,3 +773,43 @@ SELECT a.doc_id,
 FROM act a LEFT JOIN seg_sum s ON s.doc_id = a.doc_id
 GROUP BY a.doc_id
 """
+
+
+def multimodal_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` over binary media — the zero-copy sibling of
+    mapInPandas: record batches arrive as **pyarrow.RecordBatch** and
+    every per-item reduction here is a VECTORIZED Arrow compute kernel
+    (`binary_length`, `count_substring`) — no Python executes per item,
+    let alone per byte. The right surface when the UDF body is itself
+    Arrow-native (tokenizers with Arrow bindings, tensor libs reading
+    Arrow buffers); the deliberate contrast with the mapInPandas
+    entries is that nothing is ever converted to pandas objects."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    media = media_table(spark, sf_dir)
+
+    def arrow_stats(batches):
+        for batch in batches:
+            blobs = batch.column("media")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.binary_length(blobs), pa.int32()),
+                    pc.cast(pc.count_substring(blobs, b" "), pa.int32()),
+                ],
+                names=["doc_id", "n_bytes", "n_spaces"],
+            )
+
+    return media.select("doc_id", "media").mapInArrow(
+        arrow_stats, "doc_id long, n_bytes int, n_spaces int"
+    )
+
+
+MULTIMODAL_MAP_IN_ARROW_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CAST(octet_length(encode(text))
+            - octet_length(encode(replace(text, ' ', ''))) AS INT) AS n_spaces
+FROM documents
+"""

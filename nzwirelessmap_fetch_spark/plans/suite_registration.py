@@ -936,3 +936,13 @@ registry.register(
     _ea.events_udtf_table_arg,
     _ea.EVENTS_UDTF_TABLE_ARG_SQL,
 )
+registry.register(
+    "agg_pandas_grouped_udaf",
+    _ml.agg_pandas_grouped_udaf,
+    _ml.AGG_PANDAS_GROUPED_UDAF_SQL,
+)
+registry.register(
+    "multimodal_map_in_arrow",
+    _mm.multimodal_map_in_arrow,
+    _mm.MULTIMODAL_MAP_IN_ARROW_SQL,
+)
