@@ -62,16 +62,21 @@ registry.register(
     _es.stream_stateful_user_stats,
     _es.STREAM_STATEFUL_USER_STATS_SQL,
 )
-registry.register("stream_sliding_counts", _es.stream_sliding_counts, _es.STREAM_SLIDING_COUNTS_SQL)
+# r5: spatial-join category rep takes this slot (streaming keeps five
+# reps in the window; stream_sliding_counts re-registers below the cut)
+registry.register(
+    "geo_grid_neighbor_join",
+    _flagship.geo_grid_neighbor_join,
+    _flagship.GEO_GRID_NEIGHBOR_JOIN_SQL,
+)
 # CEP pattern matching replaces the CMS cells slot here (sketches stay
 # repped by agg_approx_distinct); stream_cms_cells re-registers below the cut
 registry.register(
     "events_pattern_match", _ea.events_pattern_match, _ea.EVENTS_PATTERN_MATCH_SQL
 )
+# r5: data-profiling category rep takes this slot
 registry.register(
-    "stream_windowed_distinct",
-    _es.stream_windowed_distinct,
-    _es.STREAM_WINDOWED_DISTINCT_SQL,
+    "catalog_profile", _r.catalog_profile, _r.CATALOG_PROFILE_SQL
 )
 
 # 13–16 — aggregation family: plain group-by, HLL sketch, grouping sets,
@@ -923,13 +928,12 @@ registry.register(
     _sim.embedding_matryoshka_eval,
     _sim.EMBEDDING_MATRYOSHKA_EVAL_SQL,
 )
+# displaced streaming reps (still oracle-checked via CORRECTNESS_FULL)
+registry.register("stream_sliding_counts", _es.stream_sliding_counts, _es.STREAM_SLIDING_COUNTS_SQL)
 registry.register(
-    "geo_grid_neighbor_join",
-    _flagship.geo_grid_neighbor_join,
-    _flagship.GEO_GRID_NEIGHBOR_JOIN_SQL,
-)
-registry.register(
-    "catalog_profile", _r.catalog_profile, _r.CATALOG_PROFILE_SQL
+    "stream_windowed_distinct",
+    _es.stream_windowed_distinct,
+    _es.STREAM_WINDOWED_DISTINCT_SQL,
 )
 registry.register(
     "events_udtf_table_arg",
