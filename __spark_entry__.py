@@ -33,3 +33,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each ``queries()`` entry."""
     return registry.oracle_sql()
+
+
+def scale_profiles() -> dict[str, dict[str, str | None]]:
+    """Optional metadata (not part of the driver gate): which registry
+    name to run at 100 TB. Entries tagged 'exact_measure' compute a
+    textbook unbounded-fan-out measure and name their oracle-checked
+    scale-safe twin in ``scale_twin`` (README "Which name to run at
+    100 TB")."""
+    return registry.scale_profiles()
