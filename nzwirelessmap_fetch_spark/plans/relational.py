@@ -2981,3 +2981,110 @@ SELECT 'o_orderdate_us', nn_d, nd_d, mn_d, mx_d, n_rows FROM a
 UNION ALL
 SELECT 'o_orderpriority', nn_o, nd_o, mn_o, mx_o, n_rows FROM a
 """
+
+
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (`|>` operators — SPARK-49555): the same
+    filter → aggregate → filter chain a DataFrame expresses, written as
+    a linear pipeline in SQL. Each `|>` stage maps 1:1 onto a logical
+    operator, so Catalyst sees the identical plan as the classic
+    nested-SELECT form — the oracle IS that classic form, proving the
+    surface is pure syntax, not new semantics."""
+    Catalog(spark, sf_dir).table("orders").createOrReplaceTempView(
+        "__orders_pipe"
+    )
+    return spark.sql(
+        """
+        FROM __orders_pipe
+        |> WHERE o_orderstatus = 'F'
+        |> EXTEND cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)
+             AS cents
+        |> AGGREGATE COUNT(*) AS n, SUM(cents) AS total_cents
+             GROUP BY o_orderpriority
+        |> WHERE n > 10
+        |> SELECT o_orderpriority AS priority, n, total_cents
+        """
+    )
+
+
+SQL_PIPE_SYNTAX_SQL = """
+SELECT o_orderpriority AS priority, COUNT(*) AS n,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+HAVING COUNT(*) > 10
+"""
+
+
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 session variables (DECLARE / SET VARIABLE): a threshold
+    parameter lives in session state and parameterizes the query text —
+    the SQL-scripting surface that replaces string interpolation for
+    dashboard/report parameterization. The oracle inlines the same
+    constant, so the green row proves variable resolution happens at
+    plan time with no semantic drift."""
+    spark.sql("DECLARE OR REPLACE VARIABLE __min_cents BIGINT DEFAULT 0")
+    spark.sql("SET VARIABLE __min_cents = 15000000")
+    Catalog(spark, sf_dir).table("orders").createOrReplaceTempView(
+        "__orders_vars"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority, COUNT(*) AS n_big
+        FROM __orders_vars
+        WHERE cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)
+              >= __min_cents
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+SQL_SESSION_VARIABLES_SQL = """
+SELECT o_orderpriority AS priority, COUNT(*) AS n_big
+FROM orders
+WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) >= 15000000
+GROUP BY o_orderpriority
+"""
+
+
+def sql_string_collations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string collations (COLLATE UTF8_LCASE): grouping a
+    mixed-case key under a case-insensitive collation folds case WITHOUT
+    rewriting values through lower() — collation travels with the type,
+    so every downstream comparison inherits it. Fixture: priority
+    strings case-scrambled by orderkey parity (10 distinct binary
+    strings), grouped under UTF8_LCASE back to the 5 logical values.
+    The oracle is the explicit lower() rewrite — identical groups prove
+    the collation's equivalence classes."""
+    Catalog(spark, sf_dir).table("orders").createOrReplaceTempView(
+        "__orders_coll"
+    )
+    return spark.sql(
+        """
+        WITH scrambled AS (
+          SELECT CASE WHEN o_orderkey % 2 = 0
+                      THEN upper(o_orderpriority)
+                      ELSE lower(o_orderpriority) END
+                   COLLATE UTF8_LCASE AS priority_ci
+          FROM __orders_coll
+        )
+        SELECT lower(priority_ci) AS priority, COUNT(*) AS n
+        FROM scrambled
+        GROUP BY priority_ci
+        """
+    )
+
+
+SQL_STRING_COLLATIONS_SQL = """
+WITH scrambled AS (
+  SELECT CASE WHEN o_orderkey % 2 = 0
+              THEN upper(o_orderpriority)
+              ELSE lower(o_orderpriority) END AS priority_ci
+  FROM orders
+)
+SELECT lower(priority_ci) AS priority, COUNT(*) AS n
+FROM scrambled
+GROUP BY lower(priority_ci)
+"""

@@ -950,3 +950,14 @@ registry.register(
     _mm.multimodal_map_in_arrow,
     _mm.MULTIMODAL_MAP_IN_ARROW_SQL,
 )
+registry.register("sql_pipe_syntax", _r.sql_pipe_syntax, _r.SQL_PIPE_SYNTAX_SQL)
+registry.register(
+    "sql_session_variables",
+    _r.sql_session_variables,
+    _r.SQL_SESSION_VARIABLES_SQL,
+)
+registry.register(
+    "sql_string_collations",
+    _r.sql_string_collations,
+    _r.SQL_STRING_COLLATIONS_SQL,
+)
