@@ -55,6 +55,8 @@ QUERIES = [
     "dedup_ngram_jaccard_capped",
     "corpus_winnowing_capped",
     "corpus_containment_capped",
+    "corpus_containment",
+    "geo_grid_neighbor_join",
     # linear-regime references so the family ratios have a baseline
     "text_stats",
     "dedup_exact",
