@@ -1918,3 +1918,97 @@ SELECT doc_id,
        1000000 // COUNT(*) OVER (PARTITION BY md5(text)) AS weight_ppm
 FROM documents
 """
+
+
+def corpus_containment_cap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured semantic cost of the containment df-cap (the
+    dedup_snm_quality_eval discipline applied to round 5's valve): the
+    EXACT containment pair set is truth; the capped plan is the system;
+    one row reports |truth|, |capped|, their overlap, and precision /
+    recall in ppm. The number a 100 TB user needs before flipping to
+    `corpus_containment_capped` — "bounded fan-out costs THIS much
+    recall on THIS corpus", measured, not asserted.
+
+    Plan: both pair sets are the bounded prefix-filtered builds above;
+    the comparison is two tiny joins on (doc_a, doc_b) over
+    output-sized frames."""
+    # localCheckpoint: each pair frame is OUTPUT-sized (tens of rows at
+    # the gate SF) but feeds two counting actions each — without the
+    # checkpoint every count re-executes the full inverted-index build
+    # (measured 17.4 s → ~6 s at sf0.01)
+    exact = (
+        _containment_pairs(spark, sf_dir, max_df=None)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    capped = (
+        _containment_pairs(spark, sf_dir, max_df=JACCARD_MAX_DF)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    hit = exact.join(capped, ["doc_a", "doc_b"], "left_semi")
+    n_truth = exact.count()
+    n_capped = capped.count()
+    n_hit = hit.count()
+    return spark.createDataFrame(
+        [(n_truth, n_capped, n_hit)],
+        "n_truth long, n_capped long, n_hit long",
+    ).select(
+        "n_truth",
+        "n_capped",
+        "n_hit",
+        F.expr("n_hit * 1000000L div greatest(n_capped, 1)").alias(
+            "precision_ppm"
+        ),
+        F.expr("n_hit * 1000000L div greatest(n_truth, 1)").alias("recall_ppm"),
+    )
+
+
+CORPUS_CONTAINMENT_CAP_EVAL_SQL = f"""
+WITH
+w AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh0 AS MATERIALIZED (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+                          i -> w[i] || ' ' || w[i+1])) AS shingle
+    FROM w WHERE len(w) >= 2)
+),
+sz0 AS (SELECT doc_id, COUNT(*) AS n FROM sh0 GROUP BY doc_id),
+inter0 AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh0 a JOIN sh0 b USING (shingle)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+truth AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM inter0
+  JOIN sz0 sa ON sa.doc_id = doc_a JOIN sz0 sb ON sb.doc_id = doc_b
+  WHERE n_inter * {CONTAIN_DEN} >= sa.n * {CONTAIN_NUM}
+),
+keep AS (
+  SELECT shingle FROM sh0 GROUP BY shingle
+  HAVING COUNT(*) <= {JACCARD_MAX_DF}
+),
+sh1 AS MATERIALIZED (
+  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+sz1 AS (SELECT doc_id, COUNT(*) AS n FROM sh1 GROUP BY doc_id),
+inter1 AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh1 a JOIN sh1 b USING (shingle)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+capped AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM inter1
+  JOIN sz1 sa ON sa.doc_id = doc_a JOIN sz1 sb ON sb.doc_id = doc_b
+  WHERE n_inter * {CONTAIN_DEN} >= sa.n * {CONTAIN_NUM}
+),
+hit AS (SELECT doc_a, doc_b FROM truth INTERSECT SELECT doc_a, doc_b FROM capped)
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT)  AS n_truth,
+       CAST((SELECT COUNT(*) FROM capped) AS BIGINT) AS n_capped,
+       CAST((SELECT COUNT(*) FROM hit) AS BIGINT)    AS n_hit,
+       (SELECT COUNT(*) FROM hit) * 1000000
+         // GREATEST((SELECT COUNT(*) FROM capped), 1) AS precision_ppm,
+       (SELECT COUNT(*) FROM hit) * 1000000
+         // GREATEST((SELECT COUNT(*) FROM truth), 1)  AS recall_ppm
+"""

@@ -961,3 +961,8 @@ registry.register(
     _r.sql_string_collations,
     _r.SQL_STRING_COLLATIONS_SQL,
 )
+registry.register(
+    "corpus_containment_cap_eval",
+    _dd.corpus_containment_cap_eval,
+    _dd.CORPUS_CONTAINMENT_CAP_EVAL_SQL,
+)
