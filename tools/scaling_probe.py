@@ -47,6 +47,13 @@ QUERIES = [
     "sim_maxsim_late_interaction",  # query-tokens broadcast MaxSim re-rank
     "parts_croston_demand",   # per-part fold (parts are the parallel unit)
     "text_bpe_merge_step",    # pair-count shuffle + map-only merge apply
+    # round-5 additions
+    "corpus_containment_capped",  # df-capped prefix-filtered index join
+    "geo_grid_neighbor_join",     # grid-cell stencil spatial join
+    "catalog_profile",            # one-scan multi-distinct profile
+    "agg_kmv_distinct",           # bottom-k sketch + TakeOrdered merge
+    "ml_calibration_bins",        # bounded-domain reliability table
+    "embedding_matryoshka_eval",  # dual-cosine scan + two rank windows
 ]
 
 
