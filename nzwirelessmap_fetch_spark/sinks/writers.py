@@ -221,6 +221,18 @@ class SnapshotParquetTable:
         the documented trade until Delta/Iceberg jars are available
         (ROADMAP). One keyed shuffle per side; with base and changes
         bucketed by ``key`` it is exchange-free."""
+        # Real MERGE INTO raises when a target row matches multiple source
+        # rows; a duplicate-keyed change set here would silently write
+        # duplicate keys into the snapshot. Enforce the same contract
+        # (one aggregate pass over the delta-sized change frame).
+        dup = changes.agg(
+            (F.count(F.lit(1)) - F.countDistinct(key)).alias("d")
+        ).first()["d"]
+        if dup:
+            raise ValueError(
+                f"merge_into: changes frame has {dup} duplicate {key!r} rows; "
+                "MERGE requires a unique source key"
+            )
         base = self.read_version(spark, table, "latest")
         merged = base.join(
             changes.select(key), key, "left_anti"

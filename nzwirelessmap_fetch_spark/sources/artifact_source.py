@@ -49,6 +49,10 @@ class VersionedArtifactDataSource(DataSource):
         return "versioned_artifacts"
 
     def schema(self) -> str:
+        # `version` keys MUST be fixed-width RFC3339 timestamps (the
+        # reference's fetch.go layout): is_latest disambiguation sorts
+        # byte-equal versions lexicographically, which orders correctly
+        # only for fixed-width keys ('9' > '10' would mis-assign it).
         return (
             "artifact string, version string, n_records bigint, "
             "n_bytes bigint, is_latest boolean"
@@ -68,7 +72,9 @@ class VersionedArtifactDataSource(DataSource):
             raise ValueError(
                 "versioned_artifacts write requires .option('root'/'artifact'/'version')"
             )
-        return VersionedArtifactWriter(root, artifact, version, [f.name for f in schema.fields])
+        return VersionedArtifactWriter(
+            root, artifact, version, [f.name for f in schema.fields], overwrite
+        )
 
 
 class VersionedArtifactReader(DataSourceReader):
@@ -161,11 +167,19 @@ class VersionedArtifactWriter(DataSourceWriter):
           .option("version", ts).mode("append").save()
     """
 
-    def __init__(self, root: str, artifact: str, version: str, cols: list[str]):
+    def __init__(
+        self,
+        root: str,
+        artifact: str,
+        version: str,
+        cols: list[str],
+        overwrite: bool = False,
+    ):
         self.root = root
         self.artifact = artifact
         self.version = version
         self.cols = cols
+        self.overwrite = overwrite
 
     def write(self, iterator) -> _PartNdjson:
         from pyspark import TaskContext
@@ -184,6 +198,13 @@ class VersionedArtifactWriter(DataSourceWriter):
             m.payload for m in sorted(messages, key=lambda m: m.index)
         )
         vpath = os.path.join(adir, self.version)
+        # version objects are immutable: mode('append') refuses to clobber
+        # an existing version; mode('overwrite') opts into replacement
+        if os.path.exists(vpath) and not self.overwrite:
+            raise FileExistsError(
+                f"version {self.version!r} of {self.artifact!r} already exists; "
+                "use mode('overwrite') to replace it"
+            )
         with open(vpath, "wb") as f:
             f.write(body)
         with open(os.path.join(adir, "latest"), "wb") as f:

@@ -1079,6 +1079,38 @@ GROUP BY user_id
 """
 
 
+def merge_user_stats_batch(sink, batch: DataFrame, batch_id: int) -> None:
+    """One micro-batch of the streaming CDC merge (extracted from
+    ``stream_foreach_batch_merge`` so retry idempotence is unit-testable).
+
+    foreachBatch is at-least-once: a re-delivered batch would re-apply
+    its delta on top of the already-flipped pointer and double-count.
+    The version NAME is the idempotence token — batch N commits version
+    N+1, so a latest pointer at or past N+1 means this batch already
+    landed and the retry is a no-op."""
+    if int(sink.resolve("user_stats")) >= batch_id + 1:
+        return
+    delta = batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("d_n"),
+        F.sum(F.expr("cast(floor(value * 100) as bigint)")).alias("d_cents"),
+    )
+    base = sink.read_version(batch.sparkSession, "user_stats", "latest")
+    # the change set covers ONLY the batch's users (right join keeps
+    # delta rows, folds in any existing base totals); untouched base
+    # rows survive through merge_into's anti-join ∪ — the true MERGE
+    # WHEN MATCHED / NOT MATCHED shape
+    changes = base.join(delta, "user_id", "right_outer").select(
+        "user_id",
+        (F.coalesce("n", F.lit(0)) + F.col("d_n")).alias("n"),
+        (F.coalesce("total_cents", F.lit(0)) + F.col("d_cents")).alias(
+            "total_cents"
+        ),
+    )
+    sink.merge_into(
+        batch.sparkSession, "user_stats", changes, "user_id", str(batch_id + 1)
+    )
+
+
 def stream_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC into the at-rest snapshot store: ``foreachBatch``
     applies each micro-batch's per-user deltas to the versioned parquet
@@ -1109,25 +1141,7 @@ def stream_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        delta = batch.groupBy("user_id").agg(
-            F.count(F.lit(1)).alias("d_n"),
-            F.sum(F.expr("cast(floor(value * 100) as bigint)")).alias("d_cents"),
-        )
-        base = sink.read_version(batch.sparkSession, "user_stats", "latest")
-        # the change set covers ONLY the batch's users (right join keeps
-        # delta rows, folds in any existing base totals); untouched base
-        # rows survive through merge_into's anti-join ∪ — the true MERGE
-        # WHEN MATCHED / NOT MATCHED shape
-        changes = base.join(delta, "user_id", "right_outer").select(
-            "user_id",
-            (F.coalesce("n", F.lit(0)) + F.col("d_n")).alias("n"),
-            (F.coalesce("total_cents", F.lit(0)) + F.col("d_cents")).alias(
-                "total_cents"
-            ),
-        )
-        sink.merge_into(
-            batch.sparkSession, "user_stats", changes, "user_id", str(batch_id + 1)
-        )
+        merge_user_stats_batch(sink, batch, batch_id)
 
     stream = _event_stream(spark, sf_dir).select("user_id", "value")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
