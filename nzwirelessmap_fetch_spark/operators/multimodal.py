@@ -46,23 +46,38 @@ except ImportError:  # this container ships no PIL — fall back to the stub
 
 
 def decode_image(data: bytes) -> dict:
-    """Real decoder hook: PIL when importable (r4 verdict directive #6),
-    else the documented NotImplementedError. Returns the same schema as
-    ``fake_decode_features`` so the mapInPandas plumbing is identical on
-    both paths — swap the callable, not the plan."""
-    if not IMAGE_DECODER_AVAILABLE:
-        raise NotImplementedError(
-            "image decode requires PIL/libvips; use fake_decode_features in tests"
-        )
-    import io
+    """Real decoder hook, three guarded branches (r4 directive #6 + r6
+    directive #3): PIL when importable (JPEG/WebP/…); else the
+    pure-stdlib PNG decoder (`functions/png.py` — zlib + all five row
+    filters, runs in THIS container); else the documented
+    NotImplementedError (now only reachable for non-PNG formats on a
+    PIL-less host). Same output schema as ``fake_decode_features`` so
+    the mapInPandas plumbing is identical on every path — swap the
+    callable, not the plan."""
+    from ..functions import png as _png
 
-    with _PILImage.open(io.BytesIO(data)) as img:
+    if IMAGE_DECODER_AVAILABLE:
+        import io
+
+        with _PILImage.open(io.BytesIO(data)) as img:
+            return {
+                "n_bytes": len(data),
+                "content_md5": hashlib.md5(data).hexdigest(),
+                "width": int(img.width),
+                "height": int(img.height),
+            }
+    if _png.is_png(data):
+        w, h, _ch, _raw = _png.decode_png(data)
         return {
             "n_bytes": len(data),
             "content_md5": hashlib.md5(data).hexdigest(),
-            "width": int(img.width),
-            "height": int(img.height),
+            "width": w,
+            "height": h,
         }
+    raise NotImplementedError(
+        "non-PNG image decode requires PIL/libvips; PNG decodes via the "
+        "stdlib codec; use fake_decode_features for oracle-replayable tests"
+    )
 
 
 def decode_audio(data: bytes) -> dict:
@@ -124,6 +139,103 @@ def audio_decode_features(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "media").mapInPandas(
         extract, AUDIO_DECODE_SCHEMA
+    )
+
+
+IMAGE_DECODE_SCHEMA = (
+    "media_id long, n_bytes bigint, content_md5 string, width int, height int"
+)
+
+
+def image_decode_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL-pixel plumbing over any (media_id, media
+    binary) frame: PNG (or PIL) decode per item via mapInPandas — the
+    exact physical shape of the registry's fake-decode entries, running
+    an actual image decoder end-to-end (tested in-container with
+    stdlib-encoded PNG blobs; r6 directive #3)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["media"].map(lambda b: decode_image(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": feats.map(lambda f: f["n_bytes"]),
+                    "content_md5": feats.map(lambda f: f["content_md5"]),
+                    "width": feats.map(lambda f: f["width"]),
+                    "height": feats.map(lambda f: f["height"]),
+                }
+            )
+
+    return media.select("media_id", "media").mapInPandas(
+        extract, IMAGE_DECODE_SCHEMA
+    )
+
+
+IMAGE_RESIZE_SCHEMA = (
+    "media_id long, in_w int, in_h int, out_w int, out_h int, thumb binary"
+)
+
+
+def image_resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL resize through the same mapInPandas shape as
+    ``multimodal_resize``: PNG-decode → luminance → integer box
+    resample → re-encode the thumbnail as a valid PNG binary column.
+    Scan-bound pure map, no shuffle; thumbnails are (out_w*out_h)-byte
+    gray PNGs regardless of input payload size."""
+    from ..functions import png as _png
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                w, h, ch, raw = _png.decode_png(bytes(blob))
+                thumb = _png.box_resize(
+                    _png.luminance(raw, w, h, ch), w, h, out_w, out_h
+                )
+                rows.append(
+                    (
+                        mid,
+                        w,
+                        h,
+                        out_w,
+                        out_h,
+                        _png.encode_png(thumb, out_w, out_h, channels=1),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "in_w", "in_h", "out_w", "out_h", "thumb"],
+            )
+
+    return media.select("media_id", "media").mapInPandas(
+        resize, IMAGE_RESIZE_SCHEMA
+    )
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """REAL-pixel dHash (9x8 luminance grid) per media item — the
+    real-decoder twin of ``multimodal_phash_dedup``'s byte-signal hash,
+    through the identical Arrow-batch plumbing."""
+    from ..functions import png as _png
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    # two's-complement wrap: the 64-bit hash must fit
+                    # Spark's signed long (bit 63 set would overflow)
+                    "dhash": pdf["media"].map(
+                        lambda b: (lambda v: v - (1 << 64) if v >= 1 << 63 else v)(
+                            _png.image_dhash(bytes(b))
+                        )
+                    ),
+                }
+            )
+
+    return media.select("media_id", "media").mapInPandas(
+        hash_batch, "media_id long, dhash long"
     )
 
 

@@ -7,6 +7,117 @@ import pytest
 from pyspark.sql import functions as F
 
 
+def _test_image(w: int = 30, h: int = 20, channels: int = 3) -> bytes:
+    """Deterministic synthetic raster: smooth gradients + a bright block
+    so luminance/dHash have real structure."""
+    raw = bytearray()
+    for y in range(h):
+        for x in range(w):
+            base = [
+                (x * 255) // max(w - 1, 1),
+                (y * 255) // max(h - 1, 1),
+                (x * y * 7) % 256,
+                255,
+            ]
+            if w // 4 <= x < w // 2 and h // 4 <= y < h // 2:
+                base[0] = base[1] = 250
+            raw += bytes(base[:channels])
+    return bytes(raw)
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Stdlib PNG codec: encode→decode is pixel-exact for every row
+    filter (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) and every channel
+    layout (gray, gray+alpha, RGB, RGBA)."""
+    from nzwirelessmap_fetch_spark.functions import png
+
+    for channels in (1, 2, 3, 4):
+        raw = _test_image(17, 13, channels)
+        for ftype in range(5):
+            blob = png.encode_png(raw, 17, 13, channels, filter_type=ftype)
+            w, h, ch, out = png.decode_png(blob)
+            assert (w, h, ch) == (17, 13, channels), (channels, ftype)
+            assert out == raw, f"filter {ftype} channels {channels} not exact"
+
+
+def test_png_codec_rejects_corruption_and_unsupported():
+    from nzwirelessmap_fetch_spark.functions import png
+
+    blob = bytearray(png.encode_png(_test_image(), 30, 20, 3))
+    blob[40] ^= 0xFF  # flip a byte inside IHDR/IDAT territory
+    with pytest.raises((ValueError, Exception)):
+        png.decode_png(bytes(blob))
+    with pytest.raises(ValueError, match="signature"):
+        png.decode_png(b"definitely not a png")
+
+
+def test_decode_image_stdlib_png_branch():
+    """decode_image's guaranteed-present branch: a real PNG decodes to
+    its true dimensions IN THIS CONTAINER; the NotImplementedError path
+    now only fires for non-PNG payloads (when PIL is absent)."""
+    from nzwirelessmap_fetch_spark.functions import png
+    from nzwirelessmap_fetch_spark.operators.multimodal import (
+        IMAGE_DECODER_AVAILABLE,
+        decode_image,
+    )
+
+    blob = png.encode_png(_test_image(30, 20, 3), 30, 20, 3, filter_type=4)
+    feats = decode_image(blob)
+    assert (feats["width"], feats["height"]) == (30, 20)
+    assert feats["n_bytes"] == len(blob)
+    if not IMAGE_DECODER_AVAILABLE:
+        with pytest.raises(NotImplementedError, match="non-PNG"):
+            decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+
+
+def test_image_pipelines_real_pixels(spark):
+    """REAL pixels end-to-end through the Arrow-batch plumbing (r6
+    directive #3): decode-features, resize (thumb is itself a decodable
+    PNG of the box-resampled luminance), and real-pixel dHash — each
+    verified against a local recompute, and the dHash obeys the
+    perceptual contract (tiny edit → small Hamming distance; unrelated
+    image → large)."""
+    import hashlib
+
+    from nzwirelessmap_fetch_spark.functions import png
+    from nzwirelessmap_fetch_spark.operators.multimodal import (
+        image_decode_features,
+        image_phash,
+        image_resize,
+    )
+
+    base_raw = bytearray(_test_image(36, 24, 3))
+    edited = bytearray(base_raw)
+    edited[100] ^= 0x04  # one-subpixel tweak
+    blobs = [
+        (0, png.encode_png(bytes(base_raw), 36, 24, 3, filter_type=1)),
+        (1, png.encode_png(bytes(edited), 36, 24, 3, filter_type=3)),
+        (2, png.encode_png(_test_image(40, 40, 4)[::-1], 40, 40, 4)),
+    ]
+    media = spark.createDataFrame(blobs, "media_id long, media binary")
+
+    feats = {r.media_id: r for r in image_decode_features(media).collect()}
+    assert (feats[0].width, feats[0].height) == (36, 24)
+    assert (feats[2].width, feats[2].height) == (40, 40)
+    assert feats[0].content_md5 == hashlib.md5(blobs[0][1]).hexdigest()
+
+    thumbs = {r.media_id: r for r in image_resize(media, 8, 8).collect()}
+    for mid, blob in blobs:
+        t = thumbs[mid]
+        assert (t.out_w, t.out_h) == (8, 8)
+        tw, th, tch, traw = png.decode_png(bytes(t.thumb))
+        assert (tw, th, tch) == (8, 8, 1)
+        # local recompute of the expected grid
+        w, h, ch, raw = png.decode_png(blob)
+        expect = png.box_resize(png.luminance(raw, w, h, ch), w, h, 8, 8)
+        assert traw == expect
+
+    hashes = {r.media_id: r.dhash for r in image_phash(media).collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(hashes[0], hashes[1]) <= 4  # near-dup stays near
+    assert ham(hashes[0], hashes[2]) > 10  # unrelated image far
+
+
 def test_artifact_version_immutability(spark, tmp_path):
     """mode('append') must refuse to clobber an existing version object
     (the store's version-immutability contract); mode('overwrite') opts
