@@ -2188,6 +2188,169 @@ def table_merge_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _snapshot_diff(at_rest_v1, at_rest_v2, cols)
 
 
+def table_txn_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-log audit over two LOGGED commits (r6 verdict
+    directive #4): v1 = base orders committed with op='write', v2
+    committed by ``merge_into`` (op='merge', read-set ``orders@1``,
+    optimistic-concurrency checked). The output joins the JSON commit
+    log read back from disk with (a) per-version at-rest row counts and
+    (b) the insert/update/delete counts of the diff BETWEEN the two
+    logged commits, plus the timestamp-time-travel resolution at a
+    mid-point instant (``read_as_of`` → v1). The oracle recomputes every
+    column from the fixture relations + the pinned commit constants —
+    so the green row certifies the log's content, the commit ordering
+    (parent chain), and as-of resolution end to end.
+
+    Scale: the log is commit-count-sized METADATA (two dicts here) —
+    reading it driver-side is the same bounded-domain pattern a real
+    table format's snapshot manager uses; row counts and diff counts
+    are distributed aggregates over the at-rest parquet, never
+    collected."""
+    import tempfile
+
+    from ..sinks.writers import SnapshotParquetTable
+
+    ts1 = "2024-01-01T00:00:00.000000Z"
+    ts2 = "2024-01-02T00:00:00.000000Z"
+    mid = "2024-01-01T12:00:00.000000Z"
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    key = (spark.sparkContext.applicationId, sf_dir, "txn")
+    root = _SNAPSHOT_ROOTS.get(key)
+    sink = SnapshotParquetTable(root) if root else None
+    if root is None:
+        root = tempfile.mkdtemp(prefix="snapshots-txn-")
+        _SNAPSHOT_ROOTS[key] = root
+        sink = SnapshotParquetTable(root)
+        o, updates, inserts, deletes = _orders_change_set(spark, sf_dir)
+        # the log APPENDS (commits are history, not state), so the build
+        # runs once per (session, sf) — re-runs read the same two commits
+        sink.write_version(o, "orders", "1", commit_ts=ts1)
+        sink.merge_into(
+            spark,
+            "orders",
+            updates.unionByName(inserts),
+            "o_orderkey",
+            "2",
+            deletes=deletes,
+            commit_ts=ts2,
+        )
+    entries = sink.log_entries("orders")
+    assert [e["version"] for e in entries] == ["1", "2"]
+    log = spark.createDataFrame(
+        [
+            (
+                e["seq"],
+                e["version"],
+                e["parent"],
+                e["op"],
+                ",".join(e["read_set"]),
+                e["commit_ts"],
+            )
+            for e in entries
+        ],
+        "seq int, version string, parent string, op string, "
+        "read_set string, commit_ts string",
+    )
+    v1 = sink.read_version(spark, "orders", "1")
+    v2 = sink.read_version(spark, "orders", "latest")
+    n_rows = (
+        v1.agg(F.count(F.lit(1)).alias("n_rows")).withColumn("version", F.lit("1"))
+    ).unionByName(
+        v2.agg(F.count(F.lit(1)).alias("n_rows")).withColumn("version", F.lit("2"))
+    )
+    dc = (
+        _snapshot_diff(v1, v2, cols)
+        .agg(
+            F.sum(F.when(F.col("change_type") == "insert", 1)).alias("n_insert"),
+            F.sum(F.when(F.col("change_type") == "update", 1)).alias("n_update"),
+            F.sum(F.when(F.col("change_type") == "delete", 1)).alias("n_delete"),
+        )
+        .withColumn("version", F.lit("2"))
+    )
+    asof = sink.version_as_of("orders", mid)  # timestamp time travel → '1'
+    return (
+        log.join(n_rows, "version")
+        .join(dc, "version", "left")
+        .select(
+            "seq",
+            "version",
+            "parent",
+            "op",
+            "read_set",
+            "commit_ts",
+            "n_rows",
+            "n_insert",
+            "n_update",
+            "n_delete",
+            (F.col("version") == F.lit(asof)).alias("as_of_mid"),
+        )
+    )
+
+
+TABLE_TXN_LOG_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders
+),
+updates AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(4,2)) AS DOUBLE)
+           AS o_totalprice,
+         o_orderpriority
+  FROM base WHERE o_orderkey % 10 = 0
+),
+inserts AS (
+  SELECT 9000000000 + n_nationkey AS o_orderkey,
+         CAST(1 AS BIGINT) AS o_custkey, 'N' AS o_orderstatus,
+         0.0 AS o_totalprice, '5-LOW' AS o_orderpriority
+  FROM nation
+),
+changes AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts),
+v2 AS (
+  SELECT * FROM (
+    SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+    UNION ALL
+    SELECT * FROM changes)
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base WHERE o_orderkey % 13 = 0)
+),
+j AS (
+  SELECT b.o_orderkey AS k_b, n.o_orderkey AS k_n,
+         b.o_custkey AS b_custkey, n.o_custkey AS n_custkey,
+         b.o_orderstatus AS b_status, n.o_orderstatus AS n_status,
+         b.o_totalprice AS b_price, n.o_totalprice AS n_price,
+         b.o_orderpriority AS b_prio, n.o_orderpriority AS n_prio
+  FROM base b FULL OUTER JOIN v2 n ON b.o_orderkey = n.o_orderkey
+),
+typed AS (
+  SELECT CASE WHEN k_b IS NULL THEN 'insert'
+              WHEN k_n IS NULL THEN 'delete'
+              WHEN (b_custkey IS NOT DISTINCT FROM n_custkey)
+               AND (b_status IS NOT DISTINCT FROM n_status)
+               AND (b_price IS NOT DISTINCT FROM n_price)
+               AND (b_prio IS NOT DISTINCT FROM n_prio) THEN NULL
+              ELSE 'update' END AS change_type
+  FROM j
+),
+dc AS (
+  SELECT CAST(SUM(CASE WHEN change_type = 'insert' THEN 1 END) AS BIGINT) AS n_insert,
+         CAST(SUM(CASE WHEN change_type = 'update' THEN 1 END) AS BIGINT) AS n_update,
+         CAST(SUM(CASE WHEN change_type = 'delete' THEN 1 END) AS BIGINT) AS n_delete
+  FROM typed WHERE change_type IS NOT NULL
+)
+SELECT CAST(1 AS INTEGER) AS seq, '1' AS version, CAST(NULL AS VARCHAR) AS parent,
+       'write' AS op, '' AS read_set, '2024-01-01T00:00:00.000000Z' AS commit_ts,
+       (SELECT COUNT(*) FROM base) AS n_rows,
+       CAST(NULL AS BIGINT) AS n_insert, CAST(NULL AS BIGINT) AS n_update,
+       CAST(NULL AS BIGINT) AS n_delete, TRUE AS as_of_mid
+UNION ALL
+SELECT CAST(2 AS INTEGER), '2', '1', 'merge', 'orders@1',
+       '2024-01-02T00:00:00.000000Z',
+       (SELECT COUNT(*) FROM v2),
+       (SELECT n_insert FROM dc), (SELECT n_update FROM dc),
+       (SELECT n_delete FROM dc), FALSE
+"""
+
+
 TABLE_SNAPSHOT_DIFF_SQL = """
 WITH base AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority

@@ -308,6 +308,10 @@ registry.register(
     _r.table_merge_write_roundtrip,
     _r.TABLE_SNAPSHOT_DIFF_SQL,
 )
+# r6: transaction-log audit — two logged commits (write + conflict-checked
+# merge), at-rest row counts, diff-between-commits, and timestamp as-of
+# resolution, all oracle-recomputed from the fixture + pinned constants
+registry.register("table_txn_log", _r.table_txn_log, _r.TABLE_TXN_LOG_SQL)
 registry.register(
     "agg_incremental_maintenance",
     _r.agg_incremental_maintenance,

@@ -169,6 +169,67 @@ def test_merge_into_rejects_duplicate_source_keys(spark, tmp_path):
     assert sink.resolve("t") == "1"  # failed merge left the pointer alone
 
 
+def test_txn_log_conflict_abort_and_time_travel(spark, tmp_path):
+    """Optimistic concurrency on the transaction log: a merge that read
+    v1 must ABORT (no log entry, no pointer move past the interloper)
+    when a concurrent writer committed v2 in between; the log records
+    parent chain + read-set; timestamp as-of resolves mid-instants."""
+    from nzwirelessmap_fetch_spark.sinks.writers import (
+        SnapshotConflictError,
+        SnapshotParquetTable,
+    )
+
+    sink = SnapshotParquetTable(tmp_path / "snap")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    sink.write_version(base, "t", "1", commit_ts="2024-01-01T00:00:00.000000Z")
+
+    # transaction A reads latest (v1) ...
+    read_version = sink.resolve("t")
+    changes = spark.createDataFrame([(2, "B")], "k long, v string")
+    merged = (
+        sink.read_version(spark, "t", read_version)
+        .join(changes.select("k"), "k", "left_anti")
+        .unionByName(changes)
+    )
+    # ... but a concurrent writer commits v2 first
+    sink.write_version(
+        base.withColumn("v", F.upper("v")),
+        "t",
+        "2",
+        commit_ts="2024-01-02T00:00:00.000000Z",
+    )
+    with pytest.raises(SnapshotConflictError, match="latest moved"):
+        sink.write_version(
+            merged, "t", "3", op="merge",
+            read_set=[f"t@{read_version}"], expect_parent=read_version,
+        )
+    # aborted commit left no trace: pointer and log unchanged
+    assert sink.resolve("t") == "2"
+    log = sink.log_entries("t")
+    assert [e["version"] for e in log] == ["1", "2"]
+    assert log[1]["parent"] == "1"
+
+    # retry on the new base succeeds and records its read-set
+    sink.merge_into(
+        spark, "t", changes, "k", "3",
+        commit_ts="2024-01-03T00:00:00.000000Z",
+    )
+    log = sink.log_entries("t")
+    assert log[2]["op"] == "merge" and log[2]["read_set"] == ["t@2"]
+    assert log[2]["parent"] == "2"
+
+    # timestamp time travel: mid-instant resolves to the version live then
+    assert sink.version_as_of("t", "2024-01-01T12:00:00.000000Z") == "1"
+    assert sink.version_as_of("t", "2024-01-02T12:00:00.000000Z") == "2"
+    asof = {
+        r.k: r.v
+        for r in sink.read_as_of(spark, "t", "2024-01-02T12:00:00.000000Z").collect()
+    }
+    assert asof == {1: "A", 2: "B"}
+    with pytest.raises(FileNotFoundError):
+        sink.version_as_of("t", "2023-12-31T00:00:00.000000Z")
+
+
 def test_foreach_batch_merge_retry_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: re-delivering a micro-batch must be
     a no-op (the committed version name is the idempotence token), and a
