@@ -181,9 +181,12 @@ _PAIRS_CACHE: dict[tuple[str, str, int | None], DataFrame] = {}
 
 
 def _verified_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, max_df: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_df: int | None = None,
+    order: str = "hash",
 ) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, max_df)
+    key = (spark.sparkContext.applicationId, sf_dir, max_df, order)
     cached = _PAIRS_CACHE.get(key)
     if cached is not None:
         return cached
@@ -208,14 +211,33 @@ def _verified_jaccard_pairs(
     # joins — and without the persist each consumer re-runs the whole
     # shingle aggregation (measured 20× slower). Unpersisted below once the
     # checkpoint materializes.
-    sets = (
-        sh.groupBy("doc_id")
-        .agg(
-            F.sort_array(F.collect_list("h")).alias("hs"),
-            F.count(F.lit(1)).alias("n"),
+    if order == "df":
+        # df-ascending global order (canonical AllPairs/PPJoin): prefixes
+        # carry the rarest shingles — see _containment_pairs for the
+        # adjudication story; both orders satisfy the prefix + positional
+        # lemmas ((df, h) is a global total order).
+        df_tab = sh.groupBy("h").agg(F.count(F.lit(1)).alias("dfc"))
+        sets = (
+            sh.join(df_tab, "h")
+            .select("doc_id", F.struct("dfc", "h").alias("kh"))
+            .groupBy("doc_id")
+            .agg(
+                F.expr("transform(sort_array(collect_list(kh)), x -> x.h)").alias(
+                    "hs"
+                ),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .persist()
         )
-        .persist()
-    )
+    else:
+        sets = (
+            sh.groupBy("doc_id")
+            .agg(
+                F.sort_array(F.collect_list("h")).alias("hs"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .persist()
+        )
     # Eager materialization (scalar count, no driver data): the plan below
     # consumes `sets` from FOUR subtrees. A lazy persist is populated by
     # whichever stage runs first — and concurrently-scheduled stages that
@@ -1297,7 +1319,10 @@ def corpus_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _containment_pairs(
-    spark: SparkSession, sf_dir: str, max_df: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_df: int | None = None,
+    order: str = "hash",
 ) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
     # Asymmetric prefix filter (SSJoin overlap/containment variant —
@@ -1314,16 +1339,41 @@ def _containment_pairs(
     # df-order variant is the knob to revisit. Replaces the round-4
     # full df² self-join (18-33 s → 7.5 s best-of-3 on this host).
     # xxhash64: internal-only key, same rationale as the Jaccard build
-    sets = (
-        _shingles(d, max_df=max_df)
-        .select("doc_id", F.xxhash64("shingle").alias("h"))
-        .groupBy("doc_id")
-        .agg(
-            F.sort_array(F.collect_list("h")).alias("hs"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .persist()
+    sh = _shingles(d, max_df=max_df).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
     )
+    if order == "df":
+        # Canonical AllPairs df-ascending global order: each doc's array
+        # is sorted rarest-shingle-first, so the prefix carries the
+        # LOWEST-df postings — on a Zipfian corpus this keeps head terms
+        # ("of the", df≈corpus) out of every prefix and the index join's
+        # fan-out tracks the tail, not the head. Costs one df groupBy +
+        # one posting join up front; (df, h) is a global total order so
+        # the prefix lemma holds unchanged. Measured against hash order
+        # on both the near-uniform and the Zipfian fixture
+        # (tools/skew_fixture.py --variants; PLANS.md r6).
+        df_tab = sh.groupBy("h").agg(F.count(F.lit(1)).alias("dfc"))
+        sets = (
+            sh.join(df_tab, "h")
+            .select("doc_id", F.struct("dfc", "h").alias("kh"))
+            .groupBy("doc_id")
+            .agg(
+                F.expr("transform(sort_array(collect_list(kh)), x -> x.h)").alias(
+                    "hs"
+                ),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .persist()
+        )
+    else:
+        sets = (
+            sh.groupBy("doc_id")
+            .agg(
+                F.sort_array(F.collect_list("h")).alias("hs"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .persist()
+        )
     # Eager fill: `sets` feeds three subtrees (prefix probes, full
     # postings, verify arrays) — concurrently-scheduled consumers of a
     # lazy persist would each recompute the shingle aggregation.
@@ -1684,14 +1734,36 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _snm_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Multi-pass SNM sort keys (r6 verdict directive #5): production SNM
+# runs SEVERAL passes on independent keys and unions candidates, because
+# one key misses pairs whose edits disturb that key's prefix. Each key
+# is content-derived and DuckDB-replayable; `head` is the original
+# single-pass key.
+_SNM_TOKS = "array_sort(array_distinct(split(text, ' ')))"
+SNM_PASS_KEYS: dict[str, str] = {
+    # first 3 tokens of the sorted distinct-token set
+    "head": f"array_join(slice({_SNM_TOKS}, 1, 3), ' ')",
+    # last 3 tokens, descending — immune to edits at the set's head
+    "tail": f"array_join(slice(reverse({_SNM_TOKS}), 1, 3), ' ')",
+    # first 3 under the REVERSED-string order — groups shared suffixes
+    "suffix": (
+        "array_join(slice(array_sort(transform("
+        "array_distinct(split(text, ' ')), t -> reverse(t))), 1, 3), ' ')"
+    ),
+}
+
+
+def _snm_candidates(
+    spark: SparkSession, sf_dir: str, key_sql: str | None = None
+) -> DataFrame:
     """Sort-adjacent candidate pairs (rank gap 1..W-1 in the global
-    SNM order) with each side's distinct-token set attached."""
+    SNM order for the given sort key) with each side's distinct-token
+    set attached. ``key_sql`` defaults to the ``head`` pass key."""
     d = Catalog(spark, sf_dir).table("documents")
     toks = F.array_sort(F.array_distinct(F.split("text", " ")))
     keyed = d.select(
         "doc_id",
-        F.array_join(F.slice(toks, 1, 3), " ").alias("snm_key"),
+        F.expr(key_sql or SNM_PASS_KEYS["head"]).alias("snm_key"),
         toks.alias("hs"),
         F.size(toks).alias("n"),
     ).withColumn("bucket", F.substring("snm_key", 1, 1))
@@ -1882,6 +1954,227 @@ SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
        CAST(CAST(CAST(n_hits AS DOUBLE) / n_true_pairs AS DECIMAL(18,6)) AS DOUBLE)
          AS recall
 FROM counts
+"""
+
+
+# DuckDB replicas of SNM_PASS_KEYS (same global orders)
+_SNM_TOKS_SQL = "list_sort(list_distinct(string_split(text, ' ')))"
+SNM_PASS_KEYS_SQL: dict[str, str] = {
+    "head": f"array_to_string({_SNM_TOKS_SQL}[1:3], ' ')",
+    "tail": f"array_to_string(list_reverse({_SNM_TOKS_SQL})[1:3], ' ')",
+    "suffix": (
+        "array_to_string(list_sort(list_transform("
+        "list_distinct(string_split(text, ' ')), t -> reverse(t)))[1:3], ' ')"
+    ),
+}
+
+
+def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood dedup (r6 verdict directive #5):
+    three passes on independent content-derived keys (head / tail /
+    suffix of the token-set order), candidates UNIONED, each distinct
+    pair verified ONCE by token-set Jaccard. This is how production SNM
+    recovers the recall a single sort key leaves behind
+    (``dedup_snm_quality_eval`` measured one-pass recall at 0.24) while
+    keeping the blocking volume EXACTLY (W-1)·n·passes — still linear
+    by construction, still skew-immune (no bucket valve needed).
+
+    Output carries ``n_passes`` (how many passes surfaced the pair) —
+    the redundancy profile that tells a deployment which keys earn
+    their pass.
+
+    Scale: each pass is the same per-bucket rank + block equi-join as
+    the single-pass operator; the union is map-side; verification joins
+    the token-set table per distinct candidate pair (candidate-volume-
+    sized, ≤3(W-1)·n rows). No quadratic stage anywhere."""
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = F.array_sort(F.array_distinct(F.split("text", " ")))
+    tok_tab = d.select("doc_id", toks.alias("hs"), F.size(toks).alias("n"))
+    cand = None
+    for name, key_sql in SNM_PASS_KEYS.items():
+        c = _snm_candidates(spark, sf_dir, key_sql=key_sql).select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            F.lit(name).alias("pass_name"),
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    per_pair = (
+        cand.distinct()  # a pass can emit a pair once; distinct per (pair, pass)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_passes"))
+    )
+    ta = tok_tab.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n").alias("na")
+    )
+    tb = tok_tab.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n").alias("nb")
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    return (
+        per_pair.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("n_inter", inter)
+        .withColumn(
+            "jac_ppm",
+            F.expr("CAST(n_inter AS BIGINT) * 1000000 div (na + nb - n_inter)"),
+        )
+        .filter(F.col("jac_ppm") >= int(JACCARD_THRESHOLD * 1_000_000))
+        .select("doc_a", "doc_b", "n_passes", "jac_ppm")
+    )
+
+
+def _snm_multipass_cand_sql() -> str:
+    """Shared candidate-union CTE body for the multipass oracles."""
+    passes = []
+    for name, key in SNM_PASS_KEYS_SQL.items():
+        passes.append(
+            f"""
+  SELECT '{name}' AS pass_name,
+         LEAST(a.doc_id, b.doc_id) AS doc_a,
+         GREATEST(a.doc_id, b.doc_id) AS doc_b
+  FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY {key}, doc_id) AS r
+        FROM documents) a
+  JOIN (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY {key}, doc_id) AS r
+        FROM documents) b
+    ON b.r > a.r AND b.r - a.r < {SNM_WINDOW}"""
+        )
+    return " UNION ALL ".join(passes)
+
+
+DEDUP_SNM_MULTIPASS_SQL = f"""
+WITH cand AS (
+  SELECT DISTINCT pass_name, doc_a, doc_b FROM ({_snm_multipass_cand_sql()})
+),
+per_pair AS (
+  SELECT doc_a, doc_b, CAST(COUNT(*) AS INT) AS n_passes
+  FROM cand GROUP BY 1, 2
+),
+tok AS (
+  SELECT doc_id, {_SNM_TOKS_SQL} AS hs,
+         LEN(list_distinct(string_split(text, ' '))) AS n
+  FROM documents
+)
+SELECT doc_a, doc_b, n_passes,
+       CAST(LEN(list_intersect(ta.hs, tb.hs)) AS BIGINT) * 1000000
+         // CAST(ta.n + tb.n - LEN(list_intersect(ta.hs, tb.hs)) AS BIGINT)
+         AS jac_ppm
+FROM per_pair
+JOIN tok ta ON ta.doc_id = doc_a
+JOIN tok tb ON tb.doc_id = doc_b
+WHERE CAST(LEN(list_intersect(ta.hs, tb.hs)) AS BIGINT) * 1000000
+        // CAST(ta.n + tb.n - LEN(list_intersect(ta.hs, tb.hs)) AS BIGINT)
+      >= {int(JACCARD_THRESHOLD * 1_000_000)}
+"""
+
+
+def dedup_snm_multipass_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pass AND union recall/precision of multi-pass SNM blocking
+    against the exact Jaccard ≥ 0.5 truth set — extends
+    ``dedup_snm_quality_eval`` to the multipass design question: what
+    does each extra key BUY? One output row per pass plus a ``union``
+    row; the union row's recall is the operative number (directive #5's
+    done-bar: ≫ the 0.24 single-pass figure) at a candidate volume that
+    stays (W-1)·n·passes."""
+    truth = (
+        _verified_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    )
+    frames = []
+    union_cand = None
+    for name, key_sql in SNM_PASS_KEYS.items():
+        # persisted: each pass's candidate set feeds its own stats row,
+        # its hit semi-join, AND the union row — without the persist the
+        # rank+block join subtree evaluates ~4× inside the one plan
+        # (measured 34.6 s → the per-pass cost once, id-pair-sized cache)
+        c = (
+            _snm_candidates(spark, sf_dir, key_sql=key_sql)
+            .select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+            )
+            .distinct()
+            .persist()
+        )
+        frames.append((name, c))
+        union_cand = c if union_cand is None else union_cand.unionByName(c)
+    frames.append(("union", union_cand.distinct()))
+    out = None
+    for name, c in frames:
+        hit = c.join(truth, ["doc_a", "doc_b"], "left_semi")
+        tagged = (
+            c.select(F.lit("cand").alias("k"))
+            .unionAll(truth.select(F.lit("truth").alias("k")))
+            .unionAll(hit.select(F.lit("hit").alias("k")))
+        )
+        row = tagged.groupBy().agg(
+            F.lit(name).alias("pass_name"),
+            F.sum((F.col("k") == "cand").cast("long")).alias("n_candidates"),
+            F.sum((F.col("k") == "truth").cast("long")).alias("n_true_pairs"),
+            F.sum((F.col("k") == "hit").cast("long")).alias("n_hits"),
+        )
+        out = row if out is None else out.unionByName(row)
+
+    def ratio(num: str, den: str) -> F.Column:
+        return (
+            (F.col(num).cast("double") / F.col(den))
+            .cast("decimal(18,6)")
+            .cast("double")
+        )
+
+    return out.select(
+        "pass_name",
+        "n_candidates",
+        "n_true_pairs",
+        "n_hits",
+        ratio("n_hits", "n_candidates").alias("precision"),
+        ratio("n_hits", "n_true_pairs").alias("recall"),
+    )
+
+
+DEDUP_SNM_MULTIPASS_EVAL_SQL = f"""
+WITH cand AS (
+  SELECT DISTINCT pass_name, doc_a, doc_b FROM ({_snm_multipass_cand_sql()})
+),
+all_cand AS (
+  SELECT 'union' AS pass_name, doc_a, doc_b
+  FROM (SELECT DISTINCT doc_a, doc_b FROM cand)
+  UNION ALL
+  SELECT pass_name, doc_a, doc_b FROM cand
+),
+w2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh2 AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+                          i -> w[i] || ' ' || w[i+1])) AS shingle
+    FROM w2 WHERE len(w) >= 2)
+),
+sz2 AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+inter2 AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh2 a JOIN sh2 b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+truth AS (
+  SELECT DISTINCT doc_a, doc_b FROM inter2
+  JOIN sz2 sa ON sa.doc_id = doc_a JOIN sz2 sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+),
+stats AS (
+  SELECT c.pass_name,
+         COUNT(*) AS n_candidates,
+         (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+         COUNT(*) FILTER (WHERE t.doc_a IS NOT NULL) AS n_hits
+  FROM all_cand c
+  LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+  GROUP BY 1
+)
+SELECT pass_name,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(CAST(CAST(n_hits AS DOUBLE) / n_candidates AS DECIMAL(18,6)) AS DOUBLE)
+         AS precision,
+       CAST(CAST(CAST(n_hits AS DOUBLE) / n_true_pairs AS DECIMAL(18,6)) AS DOUBLE)
+         AS recall
+FROM stats
 """
 
 

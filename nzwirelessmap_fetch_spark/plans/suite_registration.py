@@ -842,6 +842,18 @@ registry.register(
     _dd.dedup_snm_quality_eval,
     _dd.DEDUP_SNM_QUALITY_EVAL_SQL,
 )
+# r6: multi-pass SNM — three independent sort keys, unioned candidates,
+# one verification per distinct pair; eval rows quantify what each key buys
+registry.register(
+    "dedup_snm_multipass",
+    _dd.dedup_snm_multipass,
+    _dd.DEDUP_SNM_MULTIPASS_SQL,
+)
+registry.register(
+    "dedup_snm_multipass_eval",
+    _dd.dedup_snm_multipass_eval,
+    _dd.DEDUP_SNM_MULTIPASS_EVAL_SQL,
+)
 registry.register(
     "p2p_link_lengths", _flagship.p2p_link_lengths, _flagship.P2P_LINK_LENGTHS_SQL
 )

@@ -282,8 +282,57 @@ def measure() -> None:
     spark.stop()
 
 
+def variants() -> None:
+    """The r6 re-adjudication proper: hash-order vs df-ascending prefix
+    order for BOTH pair builds, on BOTH fixtures (near-uniform sf0.1 and
+    the Zipfian skew corpus). Best-of-2 per cell; the winner per fixture
+    goes to PLANS.md."""
+    from nzwirelessmap_fetch_spark.operators.dedup import (
+        _PAIRS_CACHE,
+        _containment_pairs,
+        _verified_jaccard_pairs,
+    )
+    from nzwirelessmap_fetch_spark.session import get_spark
+
+    spark = get_spark(
+        "skew-variants", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    )
+
+    def jacc(sf, o):
+        _PAIRS_CACHE.clear()  # memoized per (app, sf, order): bypass for timing
+        return _verified_jaccard_pairs(spark, sf, order=o)
+
+    builds = {
+        "containment": lambda sf, o: _containment_pairs(spark, sf, order=o),
+        "jaccard": jacc,
+    }
+    print("| build | fixture | order | best-of-2 s | rows |")
+    print("|---|---|---|---|---|")
+    for bname, fn in builds.items():
+        for tag, sf in (("sf0.1", SF01), ("skew", OUT)):
+            base_rows = {}
+            for order in ("hash", "df"):
+                best, rows_n = float("inf"), None
+                for _ in range(2):
+                    spark.catalog.clearCache()
+                    t0 = time.monotonic()
+                    rows_n = fn(sf, order).count()
+                    best = min(best, time.monotonic() - t0)
+                base_rows[order] = rows_n
+                print(
+                    f"| {bname} | {tag} | {order} | {best:.2f} | {rows_n} |",
+                    flush=True,
+                )
+            assert (
+                base_rows["hash"] == base_rows["df"]
+            ), f"order variant changed {bname}@{tag} results!"
+    spark.stop()
+
+
 if __name__ == "__main__":
     build(force="--force" in sys.argv)
     corpus_stats()
     if "--measure" in sys.argv:
         measure()
+    if "--variants" in sys.argv:
+        variants()
