@@ -749,6 +749,212 @@ FROM q
 
 
 # ---------------------------------------------------------------------------
+# Louvain: one greedy level over the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+def graph_louvain_one_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One greedy Louvain sweep (r6 verdict directive #8) over the
+    memoized Jaccard edge stream, integer-micro modularity gain: from
+    the singleton partition, every node simultaneously evaluates moving
+    into each neighbor's community and takes the best strictly-positive
+    gain — the synchronous first level every distributed Louvain
+    (GraphX/Gelly implementations) runs, since sequential node visits
+    don't scale.
+
+    Exact arithmetic: with E the directed edge count, k_i node degrees,
+    and singleton start, the gain of moving i into {j} is
+    ΔQ·E² = 2·w(i,j)·E − 2·k_i·k_j with w(i,j)=1 on this simple graph —
+    so the argmax over neighbors is min(k_j, j) (rarest-degree neighbor,
+    id tie-break) and the move fires iff k_i·k_j < E. All decisions are
+    BIGINT; no float enters until the final pinned modularity division.
+
+    Output: the singleton baseline row and the post-sweep row
+    (n_communities, n_moved, exact q_num, modularity) — the measured
+    statement "one greedy level buys THIS much modularity".
+
+    Plan: degrees are one keyed agg; gains ride the edge stream with two
+    degree joins (AQE-broadcast at this size, keyed at corpus scale);
+    the argmax is a struct-min groupBy; post-sweep modularity is the
+    same two-agg pattern as ``graph_modularity``. No iteration, no
+    driver state, no quadratic stage."""
+    sym = _jaccard_edges(spark, sf_dir)
+    edges = sym.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
+    deg = edges.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    tot = edges.agg(F.count(F.lit(1)).alias("m"))
+    ks = deg.select(F.col("node").alias("s"), F.col("k").alias("k_s"))
+    kt = deg.select(F.col("node").alias("t"), F.col("k").alias("k_t"))
+    prop = (
+        edges.join(ks, "s")
+        .join(kt, "t")
+        .groupBy("s")
+        .agg(
+            F.min(F.struct("k_t", "t")).alias("b"),
+            F.min("k_s").alias("k_s"),  # constant within the group
+        )
+        .crossJoin(F.broadcast(tot))  # 1-row scalar, safe at any scale
+        .select(
+            F.col("s").alias("node"),
+            F.when(
+                F.col("k_s") * F.col("b.k_t") < F.col("m"), F.col("b.t")
+            )
+            .otherwise(F.col("s"))
+            .alias("c"),
+        )
+    )
+    # Synchronous-sweep swap resolution: when i proposes →j AND j
+    # proposes →i, unresolved simultaneous moves SWAP the two labels
+    # (two singleton communities with zero internal edges — modularity
+    # loss, the classic two-node oscillation). Standard fix: in a
+    # mutual pair only the LARGER id moves, so {i, j} lands in
+    # community min(i, j). One self-join on the proposal stream.
+    mutual = prop.alias("p1").join(
+        prop.alias("p2"),
+        (F.col("p1.c") == F.col("p2.node")) & (F.col("p2.c") == F.col("p1.node")),
+        "left_semi",
+    ).select(F.col("node"), F.lit(True).alias("is_mutual"))
+    best = (
+        prop.join(mutual, "node", "left")
+        .select(
+            "node",
+            F.when(
+                F.col("is_mutual").isNotNull() & (F.col("node") < F.col("c")),
+                F.col("node"),
+            )
+            .otherwise(F.col("c"))
+            .alias("c"),
+        )
+        .withColumn("moved", F.col("c") != F.col("node"))
+    )
+    singleton = deg.select("node", F.col("node").alias("c"))
+    out = None
+    for method, labels, moved in (
+        ("singleton", singleton, F.lit(0).cast("long")),
+        ("louvain1", best, F.sum(F.col("moved").cast("long"))),
+    ):
+        ls = labels.select(F.col("node").alias("s"), F.col("c").alias("cs"))
+        lt = labels.select(F.col("node").alias("t"), F.col("c").alias("ct"))
+        tagged = edges.join(ls, "s").join(lt, "t")
+        e_c = (
+            tagged.filter(F.col("cs") == F.col("ct"))
+            .groupBy(F.col("cs").alias("c"))
+            .agg(F.count(F.lit(1)).alias("e_c"))
+        )
+        d_c = tagged.groupBy(F.col("cs").alias("c")).agg(
+            F.count(F.lit(1)).alias("d_c")
+        )
+        n_moved = (
+            labels.agg(moved.alias("n_moved"))
+            if method == "louvain1"
+            else spark.range(1).select(F.lit(0).cast("long").alias("n_moved"))
+        )
+        row = (
+            d_c.join(e_c, "c", "left")
+            .withColumn("e_c", F.coalesce(F.col("e_c"), F.lit(0)))
+            .crossJoin(F.broadcast(tot))
+            .agg(
+                F.lit(method).alias("method"),
+                F.count(F.lit(1)).alias("n_communities"),
+                F.max("m").alias("n_directed_edges"),
+                F.sum(
+                    F.col("e_c") * F.col("m") - F.col("d_c") * F.col("d_c")
+                ).alias("q_num"),
+            )
+            .crossJoin(F.broadcast(n_moved))
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "method",
+        "n_communities",
+        "n_moved",
+        "n_directed_edges",
+        "q_num",
+        (
+            F.col("q_num").cast("double")
+            / (
+                F.col("n_directed_edges").cast("double")
+                * F.col("n_directed_edges").cast("double")
+            )
+        )
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("modularity"),
+    )
+
+
+def _louvain_tail_sql(method: str, labels_cte: str, moved_sql: str) -> str:
+    return f"""
+  SELECT '{method}' AS method,
+         COUNT(*) AS n_communities,
+         {moved_sql} AS n_moved,
+         MAX(m) AS n_directed_edges,
+         CAST(SUM(e_c * m - d_c * d_c) AS BIGINT) AS q_num
+  FROM (
+    SELECT d.c, d.d_c, COALESCE(e.e_c, 0) AS e_c, t.m
+    FROM (SELECT ls.c, COUNT(*) AS d_c
+          FROM edges JOIN {labels_cte} ls ON ls.node = edges.src
+          GROUP BY ls.c) d
+    LEFT JOIN (SELECT ls.c, COUNT(*) AS e_c
+               FROM edges
+               JOIN {labels_cte} ls ON ls.node = edges.src
+               JOIN {labels_cte} lt ON lt.node = edges.dst
+               WHERE ls.c = lt.c GROUP BY ls.c) e USING (c)
+    CROSS JOIN (SELECT COUNT(*) AS m FROM edges) t
+  )"""
+
+
+GRAPH_LOUVAIN_ONE_LEVEL_SQL = f"""
+WITH
+{_EDGE_SQL_CTE},
+deg AS (SELECT src AS node, COUNT(*) AS k FROM edges GROUP BY src),
+tot AS (SELECT COUNT(*) AS m FROM edges),
+gains AS (
+  SELECT e.src AS node, ks.k AS k_s, kt.k AS k_t, e.dst AS t,
+         ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY kt.k, e.dst) AS rn
+  FROM edges e
+  JOIN deg ks ON ks.node = e.src
+  JOIN deg kt ON kt.node = e.dst
+),
+singleton AS (SELECT node, node AS c, FALSE AS moved FROM deg),
+prop AS (
+  SELECT g.node,
+         CASE WHEN g.k_s * g.k_t < t.m THEN g.t ELSE g.node END AS c
+  FROM gains g CROSS JOIN tot t
+  WHERE g.rn = 1
+),
+louv AS (
+  SELECT p1.node,
+         CASE WHEN EXISTS (SELECT 1 FROM prop p2
+                           WHERE p2.node = p1.c AND p2.c = p1.node)
+                   AND p1.node < p1.c
+              THEN p1.node ELSE p1.c END AS c,
+         CASE WHEN EXISTS (SELECT 1 FROM prop p2
+                           WHERE p2.node = p1.c AND p2.c = p1.node)
+                   AND p1.node < p1.c
+              THEN FALSE ELSE p1.c <> p1.node END AS moved
+  FROM prop p1
+),
+q AS (
+{_louvain_tail_sql("singleton", "singleton", "CAST(0 AS BIGINT)")}
+  UNION ALL
+{_louvain_tail_sql(
+    "louvain1",
+    "louv",
+    "(SELECT CAST(COUNT(*) FILTER (WHERE moved) AS BIGINT) FROM louv)",
+)}
+)
+SELECT method, n_communities, n_moved, n_directed_edges, q_num,
+       CAST(CAST(CAST(q_num AS DOUBLE)
+                 / (CAST(n_directed_edges AS DOUBLE)
+                    * CAST(n_directed_edges AS DOUBLE))
+            AS DECIMAL(18,6)) AS DOUBLE) AS modularity
+FROM q
+"""
+
+
+# ---------------------------------------------------------------------------
 # HITS hubs & authorities (bipartite purchase graph)
 # ---------------------------------------------------------------------------
 

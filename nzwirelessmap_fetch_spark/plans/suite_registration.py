@@ -534,6 +534,13 @@ registry.register(
 registry.register(
     "graph_modularity", _gr.graph_modularity, _gr.GRAPH_MODULARITY_SQL
 )
+# r6: one greedy Louvain level — singleton baseline vs post-sweep
+# integer-exact modularity, synchronous moves (the distributed level-1)
+registry.register(
+    "graph_louvain_one_level",
+    _gr.graph_louvain_one_level,
+    _gr.GRAPH_LOUVAIN_ONE_LEVEL_SQL,
+)
 registry.register(
     "corpus_winnowing",
     _tx.corpus_winnowing,
