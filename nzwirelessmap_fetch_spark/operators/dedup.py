@@ -184,7 +184,7 @@ def _verified_jaccard_pairs(
     spark: SparkSession,
     sf_dir: str,
     max_df: int | None = None,
-    order: str = "hash",
+    order: str = "df",
 ) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, max_df, order)
     cached = _PAIRS_CACHE.get(key)
@@ -199,9 +199,11 @@ def _verified_jaccard_pairs(
     # this stage is the suite's heaviest shared line. Hashes that an
     # ORACLE replays in SQL (minhash perms, simhash, KMV) stay md5 —
     # DuckDB has no xxhash64.
-    # The canonical prefix order is hash-ascending: any fixed global total
-    # order satisfies the prefix lemma, and h-order avoids a document-
-    # frequency join that bought nothing on near-uniform corpora.
+    # Prefix order: df-ascending by default since r6 (any fixed global
+    # total order satisfies the prefix lemma; the Zipfian-fixture
+    # adjudication in PLANS.md r6 measured df-order 34% faster under
+    # skew — 1.88 vs 2.83 s — and ~19% slower only on the saturated
+    # uniform fixture, 5.70 vs 4.80 s).
     sh = _shingles(d, max_df=max_df).select(
         "doc_id", F.xxhash64("shingle").alias("h")
     )
@@ -1322,7 +1324,7 @@ def _containment_pairs(
     spark: SparkSession,
     sf_dir: str,
     max_df: int | None = None,
-    order: str = "hash",
+    order: str = "df",
 ) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
     # Asymmetric prefix filter (SSJoin overlap/containment variant —
@@ -1331,12 +1333,15 @@ def _containment_pairs(
     # global total order; hash-ascending here) has |A∩B| ≤ ⌈t·n_a⌉-1 <
     # required. So the probe side joins only A-PREFIX postings against
     # B's full postings: fan-out drops from Σdf² to Σ df_prefix·df —
-    # ~(1-t)× = 5× fewer index-join rows at t=4/5. Hash order (not the
-    # canonical df-ascending AllPairs order): measured at sf0.1, the df
-    # groupBy + posting-stream join that df-order needs cost MORE than
-    # it saved on this near-uniform corpus (8.6 s vs 7.5 s) — the same
-    # finding the Jaccard build documents; on a real Zipfian corpus the
-    # df-order variant is the knob to revisit. Replaces the round-4
+    # ~(1-t)× = 5× fewer index-join rows at t=4/5. Prefix ORDER
+    # re-adjudicated in r6 on a Zipfian fixture (tools/skew_fixture.py
+    # --variants, PLANS.md r6): df-ascending (the canonical AllPairs
+    # order) is now the DEFAULT — it wins 30% on the Zipf corpus
+    # (4.10 vs 5.84 s) because head shingles never enter a prefix,
+    # and loses only ~9% on the saturated near-uniform test fixture
+    # (5.93 vs 5.45 s) where every df is equal and the df groupBy is
+    # pure overhead. Real corpora are Zipfian; order="hash" keeps the
+    # uniform-optimal variant measurable. Replaces the round-4
     # full df² self-join (18-33 s → 7.5 s best-of-3 on this host).
     # xxhash64: internal-only key, same rationale as the Jaccard build
     sh = _shingles(d, max_df=max_df).select(

@@ -953,6 +953,14 @@ registry.register(
 )
 # displaced streaming reps (still oracle-checked via CORRECTNESS_FULL)
 registry.register("stream_sliding_counts", _es.stream_sliding_counts, _es.STREAM_SLIDING_COUNTS_SQL)
+# r6: JVM-side twin of the protobuf-gated transformWithState entry —
+# same per-user running-totals contract, state held by a codegen'd
+# update-mode aggregation (no Python state server)
+registry.register(
+    "stream_jvm_running_totals",
+    _es.stream_jvm_running_totals,
+    _es.STREAM_JVM_RUNNING_TOTALS_SQL,
+)
 registry.register(
     "stream_windowed_distinct",
     _es.stream_windowed_distinct,
