@@ -95,6 +95,67 @@ def run_pipeline_from_url(
     return {"skipped": False, "version": art.version, "rows": result.count()}
 
 
+def run_pipeline_from_url_jdbc(
+    spark: SparkSession,
+    url: str,
+    staging_dir: str | Path,
+    out_root: str | Path,
+    member_prefix: str = "prismdb/",
+    driver: str = "org.apache.derby.jdbc.EmbeddedDriver",
+    jdbc_url_for=None,
+    tables: list[str] | None = None,
+) -> dict:
+    """The §3.1 DAG with the database behind a LIVE JDBC DRIVER (r6
+    verdict directive #9) — the closest in-container rehearsal of the
+    reference's real flow, where the .mdb is read through a JDBC bridge
+    (UCanAccess; fetch.go:189-196 shells to the equivalent jar):
+
+    GET the zip (P1) → version key from Last-Modified (P2) → skip if
+    the timestamped JSON marker exists (P3) → stage the DATABASE TREE
+    (P6/P7 — an embedded JDBC database is a directory; the single-file
+    .mdb is the degenerate case) → discover tables via JDBC metadata
+    (P8) → register every table as a lowercase temp view via
+    spark.read.jdbc (P9/P10/P12) → flagship SQL (P15) → versioned CSV +
+    JSON, latest-first marker-last (P16-P18). Idempotent re-run probes
+    the marker before any staging work.
+
+    ``driver``/``jdbc_url_for`` parameterize the engine: Derby embedded
+    by default (live-testable here — Spark ships the driver); a
+    UCanAccess deployment passes the UCanAccess driver and a
+    ``jdbc:ucanaccess://<staged>/prism.mdb`` URL factory, everything
+    else unchanged."""
+    from .sources.acquire import fetch_artifact
+    from .sources.readers import discover_jdbc_tables, read_jdbc
+    from .sources.zip_staging import stage_tree
+
+    staging = Path(staging_dir)
+    art = fetch_artifact(url, staging)
+    sink = VersionedArtifactSink(out_root)
+    if sink.exists(ARTIFACT_JSON, art.version):
+        return {"skipped": True, "version": art.version, "rows": None}
+
+    db_root = stage_tree(art.local_path, member_prefix, staging / "dbtree")
+    jdbc_url = (
+        jdbc_url_for(db_root) if jdbc_url_for else f"jdbc:derby:{db_root}"
+    )
+    names = tables or discover_jdbc_tables(spark, jdbc_url, driver=driver)
+    for t in names:
+        # quote the EXACT discovered name: engines fold unquoted
+        # identifiers (Derby uppercases), so a discovered lowercase
+        # name would not resolve unquoted
+        df = read_jdbc(spark, jdbc_url, f'"{t}"', driver=driver)
+        # engines uppercase unquoted identifiers (Derby does); the
+        # flagship SQL is written lowercase — normalize at the boundary
+        df.toDF(*[c.lower() for c in df.columns]).createOrReplaceTempView(
+            t.lower()
+        )
+    result = spark.sql(FLAGSHIP_ORACLE_SQL)
+
+    sink.write_versioned_csv(result, ARTIFACT_CSV, art.version)
+    sink.write_versioned_json(result, ARTIFACT_JSON, art.version)
+    return {"skipped": False, "version": art.version, "rows": result.count()}
+
+
 def main(argv: list[str] | None = None) -> None:
     """CLI: ``python -m nzwirelessmap_fetch_spark.pipeline SF_DIR OUT_ROOT
     [VERSION]`` — the reference's `/fetch` trigger without the HTTP server

@@ -56,6 +56,35 @@ def read_jdbc(
     return reader.load()
 
 
+def discover_jdbc_tables(
+    spark: SparkSession, url: str, driver: str | None = None
+) -> list[str]:
+    """P8 (schema discovery) over a live JDBC connection: user tables
+    from ``DatabaseMetaData.getTables`` — the same catalog walk the
+    reference's jar does over the Access system tables (AccessExporter
+    table enumeration). Driver-side JVM metadata call, bounded by the
+    catalog size; data never crosses."""
+    jvm = spark._jvm  # noqa: SLF001
+    gw = spark.sparkContext._gateway  # noqa: SLF001
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        types = gw.new_array(jvm.java.lang.String, 1)
+        types[0] = "TABLE"
+        rs = conn.getMetaData().getTables(None, None, "%", types)
+        out: list[str] = []
+        while rs.next():
+            schema = rs.getString("TABLE_SCHEM")
+            if schema and schema.upper().startswith("SYS"):
+                continue  # engine system catalogs (Derby SYS/SYSIBM)
+            out.append(rs.getString("TABLE_NAME"))
+        rs.close()
+        return sorted(out)
+    finally:
+        conn.close()
+
+
 UCANACCESS_DRIVER = "net.ucanaccess.jdbc.UcanaccessDriver"
 
 # Classpath recipe for the direct-.mdb path (SURVEY §3.2 parity): the

@@ -45,19 +45,33 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import SCHEMAS, parquet_ts_unit
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if parquet_ts_unit(f"{sf_dir}/events.parquet", "ts") != "ns":
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        # directory-shaped table (multi-file fixtures, e.g. the sf1
+        # scaling replica): stream the directory itself. A
+        # pathGlobFilter would match FILE names inside it — with the
+        # old sf_dir + glob formulation a directory layout silently
+        # matched ZERO files and the stream ran empty (caught by the
+        # r6 sf1 sweep's impossible 0.2 s timings).
+        def reader(schema):
+            return spark.readStream.schema(schema).parquet(path)
+
+    else:
+
+        def reader(schema):
+            return (
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+            )
+
+    if parquet_ts_unit(path, "ts") != "ns":
         # TIMESTAMP(MICROS) fixtures: plain typed read, no truncation.
-        return (
-            spark.readStream.schema(SCHEMAS["events"])
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        return reader(SCHEMAS["events"])
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_RAW_EVENTS)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    raw = reader(_RAW_EVENTS)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

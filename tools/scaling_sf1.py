@@ -44,6 +44,22 @@ SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scaling_sf1")
 REPLICAS = 10
 
+QUERIES_GRAPH_STREAM = [
+    # r6 verdict directive #7: the graph + streaming families' decade
+    "graph_pagerank",
+    "graph_triangle_count",
+    "graph_kcore",
+    "graph_modularity",
+    "graph_louvain_one_level",
+    "dedup_connected_components",
+    "stream_windowed_counts",
+    "stream_sliding_counts",
+    "stream_stateful_user_stats",
+    "stream_dedup_events",
+    "stream_jvm_running_totals",
+    "stream_foreach_batch_merge",
+]
+
 QUERIES = [
     # the r4 verdict's named expansion family
     "corpus_span_dedup",
@@ -64,9 +80,15 @@ QUERIES = [
 ]
 
 
+_BUILD_VERSION = "v2"  # v2: events replicated too (graph+stream decade)
+
+
 def build_sf1(spark) -> None:
-    if os.path.exists(os.path.join(SF1, "_built")):
+    marker = os.path.join(SF1, "_built")
+    if os.path.exists(marker) and open(marker).read().strip() == _BUILD_VERSION:
         return
+    if os.path.exists(SF1):
+        shutil.rmtree(SF1)
     os.makedirs(SF1, exist_ok=True)
     ids = list(range(REPLICAS))
 
@@ -134,8 +156,29 @@ def build_sf1(spark) -> None:
         rep = rep.unionByName(p)
     rep.repartition(32).write.mode("overwrite").parquet(f"{SF1}/orders.parquet")
 
+    # events: key-shifted replicas — NEW users per replica (user_id +
+    # i·1e6), so streaming per-key state grows linearly with data (the
+    # growth-realistic shape: more users, not 10× traffic on the same
+    # users), and event ids stay unique for the dedup entries.
+    events = spark.read.parquet(f"{SF01}/events.parquet")
+    parts = [
+        events.select(
+            (F.col("event_id") + i * 100_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + i * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in ids
+    ]
+    rep = parts[0]
+    for p in parts[1:]:
+        rep = rep.unionByName(p)
+    rep.repartition(32).write.mode("overwrite").parquet(f"{SF1}/events.parquet")
+
     for t in TABLES:
-        if t in ("documents", "embeddings", "orders"):
+        if t in ("documents", "embeddings", "orders", "events"):
             continue
         src = f"{SF01}/{t}.parquet"
         dst = f"{SF1}/{t}.parquet"
@@ -143,7 +186,7 @@ def build_sf1(spark) -> None:
             shutil.copytree(src, dst, dirs_exist_ok=True)
         else:
             shutil.copy(src, dst)
-    open(os.path.join(SF1, "_built"), "w").write("ok")
+    open(os.path.join(SF1, "_built"), "w").write(_BUILD_VERSION)
 
 
 def main() -> None:
@@ -153,9 +196,12 @@ def main() -> None:
     spark.range(1000).count()
     build_sf1(spark)
     qs = registry.queries()
+    queries = (
+        QUERIES_GRAPH_STREAM if "--graph-stream" in sys.argv else QUERIES
+    )
     results: dict[str, dict[str, float]] = {}
     for sf, sf_dir in (("0.1", SF01), ("1", SF1)):
-        for name in QUERIES:
+        for name in queries:
             best = float("inf")
             for _ in range(2):  # best-of-2: same host-noise guard as bench.py
                 t0 = time.perf_counter()
@@ -163,9 +209,10 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
                 spark.catalog.clearCache()
             results.setdefault(name, {})[sf] = best
+            print(f"  sf{sf} {name}: {best:.2f}s", flush=True)
     print("| query | sf0.1 s | sf1 s | 0.1→1 ratio (10× data) |")
     print("|---|---|---|---|")
-    for name in QUERIES:
+    for name in queries:
         r = results[name]
         print(
             f"| {name} | {r['0.1']:.2f} | {r['1']:.2f} "
