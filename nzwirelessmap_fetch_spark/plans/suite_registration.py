@@ -40,17 +40,30 @@ from . import tpch as _tpch
 # 1 — flagship reference-parity query
 registry.register("p2p_links", _flagship.flagship, _flagship.FLAGSHIP_ORACLE_SQL)
 
-# 2–5 — multimodal (round-1 verdict: these must never be starved of rows)
+# 2–3 — multimodal (round-1 verdict: never starved of rows; r6 window
+# rotation: resize/frame_sample move below the cut, the newest families
+# take their driver slots — every family keeps ≥1 rep, r6 directive #6)
 registry.register("multimodal_features", _mm.multimodal_features, _mm.MULTIMODAL_FEATURES_SQL)
-registry.register("multimodal_resize", _mm.multimodal_resize, _mm.MULTIMODAL_RESIZE_SQL)
-registry.register("multimodal_frame_sample", _mm.multimodal_frame_sample, _mm.MULTIMODAL_FRAME_SAMPLE_SQL)
 registry.register(
     "multimodal_audio_energy", _mm.multimodal_audio_energy, _mm.MULTIMODAL_AUDIO_ENERGY_SQL
 )
 
-# 6–12 — structured streaming (same round-1 rationale) + CEP
+# 4–5 — r5/r6 table-format additions: MERGE-writer round trip + txn log
+registry.register(
+    "table_merge_write_roundtrip",
+    _r.table_merge_write_roundtrip,
+    _r.TABLE_SNAPSHOT_DIFF_SQL,
+)
+registry.register("table_txn_log", _r.table_txn_log, _r.TABLE_TXN_LOG_SQL)
+
+# 6–12 — structured streaming (same round-1 rationale) + CEP; r6: the
+# JVM stateful twin replaces stream_stream_join in the window
 registry.register("stream_windowed_counts", _es.stream_windowed_counts, _es.STREAM_WINDOWED_COUNTS_SQL)
-registry.register("stream_stream_join", _es.stream_stream_join, _es.STREAM_STREAM_JOIN_SQL)
+registry.register(
+    "stream_jvm_running_totals",
+    _es.stream_jvm_running_totals,
+    _es.STREAM_JVM_RUNNING_TOTALS_SQL,
+)
 registry.register("stream_dedup_events", _es.stream_dedup_events, _es.STREAM_DEDUP_EVENTS_SQL)
 registry.register(
     "stream_session_windows",
@@ -84,7 +97,11 @@ registry.register(
 # (agg_pivot moved below the cut — aggregation keeps three reps here and
 # pivot's parity evidence rides CORRECTNESS_FULL)
 registry.register("agg_pricing_summary", _r.agg_pricing_summary, _r.AGG_PRICING_SUMMARY_SQL)
-registry.register("agg_approx_distinct", _r.agg_approx_distinct, _r.AGG_APPROX_DISTINCT_SQL)
+# r6 rotation: KMV takes the approx-distinct slot (agg_approx_distinct
+# re-registers below the cut — same family, newer sketch gets hard signal)
+registry.register(
+    "agg_kmv_distinct", _sk.agg_kmv_distinct, _sk.AGG_KMV_DISTINCT_SQL
+)
 registry.register("agg_rollup", _r.agg_rollup, _r.AGG_ROLLUP_SQL)
 from ..operators import mlprep as _ml_first  # noqa: E402
 
@@ -132,7 +149,13 @@ registry.register("text_udtf_tokens", _tx.text_udtf_tokens, _tx.TEXT_UDTF_TOKENS
 # driver-visible green rows cover the heaviest dedup machinery.
 registry.register("dedup_exact", _dd.dedup_exact, _dd.DEDUP_EXACT_SQL)
 registry.register("dedup_minhash_lsh", _dd.dedup_minhash_lsh, _dd.DEDUP_MINHASH_LSH_SQL)
-registry.register("dedup_simhash", _dd.dedup_simhash, _dd.DEDUP_SIMHASH_SQL)
+# r6 rotation: multi-pass SNM takes the window slot (dedup_simhash
+# re-registers below the cut; the simhash family keeps full-registry rows)
+registry.register(
+    "dedup_snm_multipass",
+    _dd.dedup_snm_multipass,
+    _dd.DEDUP_SNM_MULTIPASS_SQL,
+)
 registry.register("dedup_embedding_cosine", _dd.dedup_embedding_cosine, _dd.DEDUP_EMBEDDING_COSINE_SQL)
 registry.register(
     "dedup_ngram_jaccard",
@@ -143,14 +166,19 @@ registry.register(
 )
 registry.register("dedup_connected_components", _dd.dedup_connected_components, _dd.DEDUP_CONNECTED_COMPONENTS_SQL)
 
-# 37–39 — text analysis: stats, language ID, PII scrubbing
+# 37–38 — text analysis: stats, language ID (pii_scrub rotates below)
 registry.register("text_stats", _tx.text_stats, _tx.TEXT_STATS_SQL)
 registry.register("text_langid", _tx.text_langid, _tx.TEXT_LANGID_SQL)
-registry.register("text_pii_scrub", _tx.text_pii_scrub, _tx.TEXT_PII_SCRUB_SQL)
 
-# 40–41 — corpus curation: quality filter, composed dedup pipeline
+# 39–41 — corpus curation: quality filter + the r5 cap-eval (precision/
+# recall of the containment df-cap valve — the quality-of-the-valve
+# meta-eval gets driver signal; the composed pipeline rotates below)
 registry.register("corpus_quality_filter", _tx.corpus_quality_filter, _tx.CORPUS_QUALITY_FILTER_SQL)
-registry.register("corpus_dedup_pipeline", _cp.corpus_dedup_pipeline, _cp.CORPUS_DEDUP_PIPELINE_SQL)
+registry.register(
+    "corpus_containment_cap_eval",
+    _dd.corpus_containment_cap_eval,
+    _dd.CORPUS_CONTAINMENT_CAP_EVAL_SQL,
+)
 
 # 42–44 — similarity search: brute-force baseline, banded LSH (the
 # scale-safe shape), trained IVF
@@ -170,10 +198,26 @@ registry.register("asof_purchase_click", _asof.asof_purchase_click, _asof.ASOF_P
 registry.register("sessionize", _sess.sessionize, _sess.SESSIONIZE_SQL)
 registry.register("events_funnel", _ea.events_funnel, _ea.EVENTS_FUNNEL_SQL)
 registry.register("graph_pagerank", _gr.graph_pagerank, _gr.GRAPH_PAGERANK_SQL)
+# r6: the new Louvain level rides in the window next to its family rep
+registry.register(
+    "graph_louvain_one_level",
+    _gr.graph_louvain_one_level,
+    _gr.GRAPH_LOUVAIN_ONE_LEVEL_SQL,
+)
 registry.register("pack_sequences", _pk.pack_sequences, _pk.PACK_SEQUENCES_SQL)
 registry.register("embedding_quantize", _pk.embedding_quantize, _pk.EMBEDDING_QUANTIZE_SQL)
 
 # ─── Entries 51+: checked by tools/check_queries.py (CORRECTNESS_FULL_r*) ───
+
+# r6 window rotation: demoted representatives — their families keep a
+# newer rep inside the driver window; parity evidence rides CORRECTNESS_FULL
+registry.register("multimodal_resize", _mm.multimodal_resize, _mm.MULTIMODAL_RESIZE_SQL)
+registry.register("multimodal_frame_sample", _mm.multimodal_frame_sample, _mm.MULTIMODAL_FRAME_SAMPLE_SQL)
+registry.register("stream_stream_join", _es.stream_stream_join, _es.STREAM_STREAM_JOIN_SQL)
+registry.register("agg_approx_distinct", _r.agg_approx_distinct, _r.AGG_APPROX_DISTINCT_SQL)
+registry.register("dedup_simhash", _dd.dedup_simhash, _dd.DEDUP_SIMHASH_SQL)
+registry.register("text_pii_scrub", _tx.text_pii_scrub, _tx.TEXT_PII_SCRUB_SQL)
+registry.register("corpus_dedup_pipeline", _cp.corpus_dedup_pipeline, _cp.CORPUS_DEDUP_PIPELINE_SQL)
 
 registry.register("agg_pivot", _r.agg_pivot, _r.AGG_PIVOT_SQL)
 
@@ -300,18 +344,6 @@ registry.register("table_diff", _r.table_snapshot_diff, _r.TABLE_SNAPSHOT_DIFF_S
 registry.register(
     "table_diff_versions", _r.table_diff_versions, _r.TABLE_SNAPSHOT_DIFF_SQL
 )
-# r5: CDC family round-trips through the merge WRITER — v2 exists at rest
-# only because SnapshotParquetTable.merge_into committed it (same oracle:
-# the diff recovered from disk must equal the SQL-derived change set)
-registry.register(
-    "table_merge_write_roundtrip",
-    _r.table_merge_write_roundtrip,
-    _r.TABLE_SNAPSHOT_DIFF_SQL,
-)
-# r6: transaction-log audit — two logged commits (write + conflict-checked
-# merge), at-rest row counts, diff-between-commits, and timestamp as-of
-# resolution, all oracle-recomputed from the fixture + pinned constants
-registry.register("table_txn_log", _r.table_txn_log, _r.TABLE_TXN_LOG_SQL)
 registry.register(
     "agg_incremental_maintenance",
     _r.agg_incremental_maintenance,
@@ -533,13 +565,6 @@ registry.register(
 )
 registry.register(
     "graph_modularity", _gr.graph_modularity, _gr.GRAPH_MODULARITY_SQL
-)
-# r6: one greedy Louvain level — singleton baseline vs post-sweep
-# integer-exact modularity, synchronous moves (the distributed level-1)
-registry.register(
-    "graph_louvain_one_level",
-    _gr.graph_louvain_one_level,
-    _gr.GRAPH_LOUVAIN_ONE_LEVEL_SQL,
 )
 registry.register(
     "corpus_winnowing",
@@ -849,13 +874,6 @@ registry.register(
     _dd.dedup_snm_quality_eval,
     _dd.DEDUP_SNM_QUALITY_EVAL_SQL,
 )
-# r6: multi-pass SNM — three independent sort keys, unioned candidates,
-# one verification per distinct pair; eval rows quantify what each key buys
-registry.register(
-    "dedup_snm_multipass",
-    _dd.dedup_snm_multipass,
-    _dd.DEDUP_SNM_MULTIPASS_SQL,
-)
 registry.register(
     "dedup_snm_multipass_eval",
     _dd.dedup_snm_multipass_eval,
@@ -939,9 +957,6 @@ registry.register(
     "ml_calibration_bins", _ml.ml_calibration_bins, _ml.ML_CALIBRATION_BINS_SQL
 )
 registry.register(
-    "agg_kmv_distinct", _sk.agg_kmv_distinct, _sk.AGG_KMV_DISTINCT_SQL
-)
-registry.register(
     "stream_foreach_batch_merge",
     _es.stream_foreach_batch_merge,
     _es.STREAM_FOREACH_BATCH_MERGE_SQL,
@@ -953,14 +968,6 @@ registry.register(
 )
 # displaced streaming reps (still oracle-checked via CORRECTNESS_FULL)
 registry.register("stream_sliding_counts", _es.stream_sliding_counts, _es.STREAM_SLIDING_COUNTS_SQL)
-# r6: JVM-side twin of the protobuf-gated transformWithState entry —
-# same per-user running-totals contract, state held by a codegen'd
-# update-mode aggregation (no Python state server)
-registry.register(
-    "stream_jvm_running_totals",
-    _es.stream_jvm_running_totals,
-    _es.STREAM_JVM_RUNNING_TOTALS_SQL,
-)
 registry.register(
     "stream_windowed_distinct",
     _es.stream_windowed_distinct,
@@ -991,9 +998,4 @@ registry.register(
     "sql_string_collations",
     _r.sql_string_collations,
     _r.SQL_STRING_COLLATIONS_SQL,
-)
-registry.register(
-    "corpus_containment_cap_eval",
-    _dd.corpus_containment_cap_eval,
-    _dd.CORPUS_CONTAINMENT_CAP_EVAL_SQL,
 )

@@ -84,12 +84,41 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_STATE_PARTITIONS = 8
 
 
+def _state_partitions_for(sf_dir: str) -> int:
+    """Size state-store instances from the INPUT VOLUME — the r6 sf1
+    sweep measured the Pandas-state op at 22.6 s with the fixture-pinned
+    8 instances on 10× data vs 10.6 s at 16/32 (per-instance Arrow
+    round-trips dominate once per-key state grows). One instance per
+    ~1 MB of event bytes, clamped to [8, 64]; at sf0.1 (2 MB) this
+    resolves to the measured-optimal 8, at the sf1 replica (21 MB) to
+    ~20. Production pins
+    this at checkpoint creation; re-sizing an EXISTING checkpoint's
+    state requires an offline repartition, which is why the rule keys
+    on stable input volume, not core count."""
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        nbytes = sum(
+            e.stat().st_size for e in os.scandir(path) if e.is_file()
+        )
+    else:
+        nbytes = os.path.getsize(path)
+    return max(8, min(64, nbytes // (1 << 20)))
+
+
 def _run_to_completion(
-    agg: DataFrame, spark: SparkSession, mode: str = "append"
+    agg: DataFrame,
+    spark: SparkSession,
+    mode: str = "append",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     name = f"stream_out_{next(_query_counter)}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(state_partitions or STREAM_STATE_PARTITIONS),
+    )
     try:
         q = (
             agg.writeStream.outputMode(mode)
@@ -234,7 +263,9 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf="EventTimeTimeout",
     )
-    return _run_to_completion(agg, spark)
+    return _run_to_completion(
+        agg, spark, state_partitions=_state_partitions_for(sf_dir)
+    )
 
 
 STREAM_STATEFUL_USER_STATS_SQL = """
