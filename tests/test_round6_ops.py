@@ -169,6 +169,43 @@ def test_merge_into_rejects_duplicate_source_keys(spark, tmp_path):
     assert sink.resolve("t") == "1"  # failed merge left the pointer alone
 
 
+def test_stage_tree_extracts_and_guards(tmp_path):
+    """Directory-artifact staging: subtree extracted with layout
+    preserved; traversal members rejected (zip-slip); missing prefix is
+    the reference's not-found error contract."""
+    import zipfile
+
+    from nzwirelessmap_fetch_spark.sources.zip_staging import stage_tree
+
+    z = tmp_path / "a.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("db/seg0/c1.dat", b"x")
+        zf.writestr("db/service.properties", b"k=v")
+        zf.writestr("other/readme", b"no")
+    root = stage_tree(z, "db/", tmp_path / "out")
+    assert (root / "seg0" / "c1.dat").read_bytes() == b"x"
+    assert (root / "service.properties").exists()
+    assert not (root / "readme").exists()
+    with pytest.raises(FileNotFoundError):
+        stage_tree(z, "nope/", tmp_path / "out2")
+    evil = tmp_path / "evil.zip"
+    with zipfile.ZipFile(evil, "w") as zf:
+        zf.writestr("db/../../escape", b"!")
+    with pytest.raises(ValueError, match="unsafe"):
+        stage_tree(evil, "db/", tmp_path / "out3")
+
+
+def test_state_partitions_volume_rule():
+    """State-store instances size from event-table bytes: the measured
+    optimum 8 at fixture volume, more at the sf1 decade, clamped at 64."""
+    from nzwirelessmap_fetch_spark.streaming.events_stream import (
+        _state_partitions_for,
+    )
+
+    assert _state_partitions_for("/root/testdata/sf0.1") == 8  # 2 MB
+    assert _state_partitions_for("/root/testdata/sf0.01") == 8
+
+
 def test_txn_log_conflict_abort_and_time_travel(spark, tmp_path):
     """Optimistic concurrency on the transaction log: a merge that read
     v1 must ABORT (no log entry, no pointer move past the interloper)
