@@ -1583,13 +1583,91 @@ def corpus_winnowing_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _winnow_pairs(spark, sf_dir, max_df=WINNOW_MAX_DF)
 
 
-def _winnow_pairs(
+def _winnow_pairs_array_verify(
     spark: SparkSession, sf_dir: str, max_df: int | None
 ) -> DataFrame:
-    # round-robin pre-split BEFORE fingerprint extraction: the documents
-    # table is one parquet file at bench SF, and the O(chars·w) per-row
-    # gram/min-window array work otherwise runs on a single task (the
-    # one-file-scan lesson; the pair join below already had its width)
+    """The r5-REJECTED array-verify plan, kept as a measurable variant
+    (r6 directive #1 asks for measurement, not memory): smaller-side
+    prefix probe against full postings, one sorted-array intersection
+    per candidate, no groupBy-count. Exact — for a pair (x, y) with
+    (n_x, x) < (n_y, y) lexicographic, overlap ≥ α_x =
+    max(MIN_SHARED, ceil(n_x/2)) forces one of x's first
+    n_x − α_x + 1 fingerprints into y, so probing x's prefix finds
+    every qualifying pair. Same output rows as `_winnow_pairs`
+    (asserted when measured); default stays the count-agg plan per the
+    r5 AND r6 measurements (PLANS.md)."""
+    width = max(4 * int(spark.conf.get("spark.sql.shuffle.partitions")), 128)
+    fp = _winnow_fingerprints(spark, sf_dir, max_df)
+    sets = (
+        fp.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("fp")).alias("fps"),
+            F.count(F.lit(1)).alias("n_fp"),
+        )
+        .persist()
+    )
+    sets.count()  # eager fill: three consumers below
+    alpha = F.greatest(
+        F.lit(WINNOW_MIN_SHARED), F.ceil(F.col("n_fp") / 2)
+    ).cast("int")
+    probes = sets.select(
+        F.col("doc_id").alias("doc_s"),
+        F.col("n_fp").alias("n_s"),
+        F.explode(
+            F.slice("fps", 1, (F.col("n_fp") - alpha + 1).cast("int"))
+        ).alias("fp"),
+    )
+    postings = sets.select(
+        F.col("doc_id").alias("doc_l"),
+        F.col("n_fp").alias("n_l"),
+        F.explode("fps").alias("fp"),
+    )
+    smaller = (F.col("n_s") < F.col("n_l")) | (
+        (F.col("n_s") == F.col("n_l")) & (F.col("doc_s") < F.col("doc_l"))
+    )
+    cand = (
+        probes.repartition(width, "fp")
+        .join(postings.repartition(width, "fp"), "fp")
+        .filter(smaller)
+        .select("doc_s", "doc_l", "n_s", "n_l")
+        .distinct()
+    )
+    ss = sets.select(F.col("doc_id").alias("doc_s"), F.col("fps").alias("fps_s"))
+    sl = sets.select(F.col("doc_id").alias("doc_l"), F.col("fps").alias("fps_l"))
+    return (
+        cand.join(ss, "doc_s")
+        .join(sl, "doc_l")
+        .withColumn(
+            "n_shared", F.size(F.array_intersect("fps_s", "fps_l")).cast("long")
+        )
+        .filter(
+            (F.col("n_shared") >= WINNOW_MIN_SHARED)
+            & (2 * F.col("n_shared") >= F.least("n_s", "n_l"))
+        )
+        .select(
+            F.least("doc_s", "doc_l").alias("doc_a"),
+            F.greatest("doc_s", "doc_l").alias("doc_b"),
+            "n_shared",
+            F.when(F.col("doc_s") < F.col("doc_l"), F.col("n_s"))
+            .otherwise(F.col("n_l"))
+            .alias("n_fp_a"),
+            F.when(F.col("doc_s") < F.col("doc_l"), F.col("n_l"))
+            .otherwise(F.col("n_s"))
+            .alias("n_fp_b"),
+            (F.col("n_shared") / F.least("n_s", "n_l"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("containment_est"),
+        )
+    )
+
+
+def _winnow_fingerprints(
+    spark: SparkSession, sf_dir: str, max_df: int | None
+) -> DataFrame:
+    """Shared fingerprint extraction (doc_id, fp) with the optional
+    df-cap applied — split out so the count-agg plan and the measurable
+    array-verify variant provably consume identical inputs."""
     width = max(4 * int(spark.conf.get("spark.sql.shuffle.partitions")), 128)
     d = (
         Catalog(spark, sf_dir)
@@ -1616,10 +1694,6 @@ def _winnow_pairs(
                ) div {w}))
         """
     )
-    # persist: the O(chars·w) fingerprint extraction feeds THREE
-    # consumers (sizes + both sides of the inverted-index join) — without
-    # it the scan-side array work runs three times (measured 3× on the
-    # sf0.1 bench)
     fp = (
         d.select("doc_id", grams.alias("g"))
         .select("doc_id", F.explode(fps).alias("fp"))
@@ -1633,13 +1707,21 @@ def _winnow_pairs(
             .select("fp")
         )
         capped = fp.join(keep, "fp").select("doc_id", "fp").persist()
-        # the pre-cap frame's only remaining consumer was the df count
-        # feeding `keep` — release it once the capped frame exists, so
-        # the capped path doesn't hold two cached copies of the
-        # fingerprint stream until clearCache (r4 ADVICE)
         capped.count()
         fp.unpersist()
         fp = capped
+    return fp
+
+
+def _winnow_pairs(
+    spark: SparkSession, sf_dir: str, max_df: int | None
+) -> DataFrame:
+    # Fingerprint extraction shared with the array-verify variant
+    # (round-robin pre-split + persist + optional df-cap all live in
+    # `_winnow_fingerprints` — the one-file-scan lesson and the r4
+    # unpersist ADVICE are documented there).
+    width = max(4 * int(spark.conf.get("spark.sql.shuffle.partitions")), 128)
+    fp = _winnow_fingerprints(spark, sf_dir, max_df)
     sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     # explicit width: AQE coalesces this join's partitions by INPUT bytes
     # (a few MB) but the self-join's OUTPUT is Σdf² (190M pair rows at

@@ -169,6 +169,23 @@ def test_merge_into_rejects_duplicate_source_keys(spark, tmp_path):
     assert sink.resolve("t") == "1"  # failed merge left the pointer alone
 
 
+def test_winnow_array_verify_variant_exact(spark):
+    """The measurable array-verify winnowing plan emits EXACTLY the
+    count-agg plan's rows (smaller-side prefix lemma, both orders of
+    exceptAll empty) — the r6 adjudication compares plans, never
+    semantics."""
+    from nzwirelessmap_fetch_spark.operators.text import (
+        _winnow_pairs,
+        _winnow_pairs_array_verify,
+    )
+    from tests.conftest import SF_SMOKE
+
+    a = _winnow_pairs(spark, SF_SMOKE, None)
+    b = _winnow_pairs_array_verify(spark, SF_SMOKE, None)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
 def test_stage_tree_extracts_and_guards(tmp_path):
     """Directory-artifact staging: subtree extracted with layout
     preserved; traversal members rejected (zip-slip); missing prefix is
