@@ -38,8 +38,11 @@ def main(names: list[str]) -> int:
     spark = get_spark("check-queries", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     con = duckdb.connect()
     for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        # directory-shaped tables (multi-file replicas): DuckDB needs a glob
+        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')"
         )
 
     results: dict[str, dict] = {}
