@@ -65,6 +65,19 @@ def main() -> None:
     timings["shared_jaccard_pair_build_capped"] = round(
         time.perf_counter() - start, 3
     )
+    # r6: the containment pair builds are memoized too (exact + capped
+    # feed corpus_containment, its twin AND the cap-eval — the eval alone
+    # used to rebuild both). Explicit attribution lines, same rationale.
+    from nzwirelessmap_fetch_spark.operators.dedup import _containment_pairs
+
+    start = time.perf_counter()
+    _containment_pairs(spark, sf_dir, max_df=None)
+    timings["shared_containment_build"] = round(time.perf_counter() - start, 3)
+    start = time.perf_counter()
+    _containment_pairs(spark, sf_dir, max_df=JACCARD_MAX_DF)
+    timings["shared_containment_build_capped"] = round(
+        time.perf_counter() - start, 3
+    )
     # Same attribution for the embedding-family PCA substrate: four
     # queries (principal component, ABTT, PCA top-2, whitening) consume
     # the memoized Gram accumulation + both power-iteration

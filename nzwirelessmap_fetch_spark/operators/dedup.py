@@ -1320,12 +1320,25 @@ def corpus_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _containment_pairs(spark, sf_dir, max_df=JACCARD_MAX_DF)
 
 
+# Memoized per (application, sf_dir, max_df, order) like _PAIRS_CACHE:
+# three registry entries (exact, capped, cap-eval) consume these builds,
+# and the cap-eval consumes BOTH — without the memo the suite runs the
+# inverted-index build up to twice per variant (r6: ~9 s duplicate work
+# per bench run). Output is pair-volume-sized; localCheckpoint truncates
+# the lineage and frees the internal `sets` persist.
+_CONTAIN_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _containment_pairs(
     spark: SparkSession,
     sf_dir: str,
     max_df: int | None = None,
     order: str = "df",
 ) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, max_df, order)
+    cached = _CONTAIN_CACHE.get(key)
+    if cached is not None:
+        return cached
     d = Catalog(spark, sf_dir).table("documents")
     # Asymmetric prefix filter (SSJoin overlap/containment variant —
     # exact, no recall loss): for C(A→B) = |A∩B|/|A| ≥ t, an A that
@@ -1429,7 +1442,7 @@ def _containment_pairs(
     sb = sets.select(
         F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")
     )
-    return (
+    out = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
@@ -1451,7 +1464,11 @@ def _containment_pairs(
             (F.col("n_inter") == F.col("n_a")).alias("is_subset"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    sets.unpersist()
+    _CONTAIN_CACHE[key] = out
+    return out
 
 
 CORPUS_CONTAINMENT_SQL = f"""
