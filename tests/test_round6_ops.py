@@ -40,6 +40,40 @@ def test_png_codec_roundtrip_all_filters():
             assert out == raw, f"filter {ftype} channels {channels} not exact"
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 16),
+        channels=st.sampled_from([1, 2, 3, 4]),
+        ftype=st.integers(0, 4),
+        data=st.data(),
+    )
+    def test_png_codec_roundtrip_property(w, h, channels, ftype, data):
+        """Property: encode→decode is the identity for ANY 8-bit raster,
+        every filter type, every channel layout — including 1-pixel
+        images and extreme values (hypothesis-driven)."""
+        from nzwirelessmap_fetch_spark.functions import png
+
+        raw = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * channels,
+                    max_size=w * h * channels,
+                )
+            )
+        )
+        blob = png.encode_png(raw, w, h, channels, filter_type=ftype)
+        assert png.decode_png(blob) == (w, h, channels, raw)
+
+except ImportError:  # hypothesis is baked in; guard mirrors repo style
+    pass
+
+
 def test_png_codec_rejects_corruption_and_unsupported():
     from nzwirelessmap_fetch_spark.functions import png
 
