@@ -954,6 +954,260 @@ FROM q
 """
 
 
+def _louvain_weighted_sweep(wedges: DataFrame, deg: DataFrame, tot) -> DataFrame:
+    """One synchronous greedy sweep over a WEIGHTED directed edge list
+    (s, t, w) with degrees (node, k): gain of moving s into {t} is
+    ΔQ·E² = 2·w(s,t)·E − 2·k_s·k_t (self-loop terms cancel — the level-2
+    form; level 1 is the w=1 special case). Argmax by (gain desc, t asc),
+    move iff gain > 0; mutual-swap resolution keeps the smaller id in
+    place. Returns (node, c, moved)."""
+    ks = deg.select(F.col("node").alias("s"), F.col("k").alias("k_s"))
+    kt = deg.select(F.col("node").alias("t"), F.col("k").alias("k_t"))
+    gain = (
+        2 * F.col("w") * F.col("m") - 2 * F.col("k_s") * F.col("k_t")
+    ).alias("gain")
+    prop = (
+        wedges.join(ks, "s")
+        .join(kt, "t")
+        .crossJoin(F.broadcast(tot))  # 1-row scalar
+        .select("s", "t", gain)
+        .groupBy("s")
+        .agg(F.max(F.struct(F.col("gain"), (-F.col("t")).alias("nt"))).alias("b"))
+        .select(
+            F.col("s").alias("node"),
+            F.when(F.col("b.gain") > 0, -F.col("b.nt"))
+            .otherwise(F.col("s"))
+            .alias("c"),
+        )
+    )
+    mutual = prop.alias("p1").join(
+        prop.alias("p2"),
+        (F.col("p1.c") == F.col("p2.node")) & (F.col("p2.c") == F.col("p1.node")),
+        "left_semi",
+    ).select(F.col("node"), F.lit(True).alias("is_mutual"))
+    return (
+        prop.join(mutual, "node", "left")
+        .select(
+            "node",
+            F.when(
+                F.col("is_mutual").isNotNull() & (F.col("node") < F.col("c")),
+                F.col("node"),
+            )
+            .otherwise(F.col("c"))
+            .alias("c"),
+        )
+        .withColumn("moved", F.col("c") != F.col("node"))
+    )
+
+
+def graph_louvain_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Louvain shape — level 1 over nodes, then CONTRACTION (one
+    node per community, directed edge weights summed, self-loops kept as
+    internal mass) and a second greedy sweep over the community graph
+    with the WEIGHTED gain 2·w(c,d)·E − 2·D_c·D_d (the singleton
+    self-loop terms cancel exactly, so the same integer formula drives
+    both levels). Output: singleton / louvain1 / louvain2 rows, each
+    with modularity computed over the ORIGINAL edges under the composed
+    labels — level 2's Q is exactly the contracted graph's Q, so the row
+    sequence is the algorithm's monotone-improvement ladder, measured.
+
+    Scale: contraction is one keyed agg over the edge list (the graph
+    SHRINKS each level — the property that makes Louvain tractable at
+    billions of edges); each sweep is degree joins + a struct-max
+    groupBy. No iteration beyond the two unrolled levels, no driver
+    state."""
+    sym = _jaccard_edges(spark, sf_dir)
+    edges = sym.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
+    deg = edges.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    tot = edges.agg(F.count(F.lit(1)).alias("m"))
+    lab1 = _louvain_weighted_sweep(
+        edges.withColumn("w", F.lit(1).cast("long")), deg, tot
+    ).persist()  # consumed by contraction, composition, and its own row
+    lab1.count()
+
+    # contraction: community graph with summed directed weights
+    l_s = lab1.select(F.col("node").alias("s"), F.col("c").alias("cs"))
+    l_t = lab1.select(F.col("node").alias("t"), F.col("c").alias("ct"))
+    ce = (
+        edges.join(l_s, "s")
+        .join(l_t, "t")
+        .groupBy(F.col("cs").alias("s"), F.col("ct").alias("t"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .persist()
+    )
+    ce.count()
+    cdeg = ce.groupBy(F.col("s").alias("node")).agg(F.sum("w").alias("k"))
+    lab2 = _louvain_weighted_sweep(ce.filter(F.col("s") != F.col("t")), cdeg, tot)
+    # communities whose only edges are self-loops never propose: they
+    # keep their label through the coalesce below
+    composed = (
+        lab1.select("node", F.col("c").alias("c1"))
+        .join(
+            lab2.select(F.col("node").alias("c1"), F.col("c").alias("c2")),
+            "c1",
+            "left",
+        )
+        .select("node", F.coalesce("c2", "c1").alias("c"))
+    )
+    n_moved2 = lab2.agg(
+        F.sum(F.col("moved").cast("long")).alias("n_moved")
+    ).fillna(0)
+
+    singleton = deg.select("node", F.col("node").alias("c"))
+    out = None
+    for method, labels, moved_frame in (
+        ("singleton", singleton, None),
+        ("louvain1", lab1.select("node", "c"),
+         lab1.agg(F.sum(F.col("moved").cast("long")).alias("n_moved"))),
+        ("louvain2", composed, n_moved2),
+    ):
+        ls = labels.select(F.col("node").alias("s"), F.col("c").alias("cs"))
+        lt = labels.select(F.col("node").alias("t"), F.col("c").alias("ct"))
+        tagged = edges.join(ls, "s").join(lt, "t")
+        e_c = (
+            tagged.filter(F.col("cs") == F.col("ct"))
+            .groupBy(F.col("cs").alias("c"))
+            .agg(F.count(F.lit(1)).alias("e_c"))
+        )
+        d_c = tagged.groupBy(F.col("cs").alias("c")).agg(
+            F.count(F.lit(1)).alias("d_c")
+        )
+        if moved_frame is None:
+            moved_frame = edges.sparkSession.range(1).select(
+                F.lit(0).cast("long").alias("n_moved")
+            )
+        row = (
+            d_c.join(e_c, "c", "left")
+            .withColumn("e_c", F.coalesce(F.col("e_c"), F.lit(0)))
+            .crossJoin(F.broadcast(tot))
+            .agg(
+                F.lit(method).alias("method"),
+                F.count(F.lit(1)).alias("n_communities"),
+                F.max("m").alias("n_directed_edges"),
+                F.sum(
+                    F.col("e_c") * F.col("m") - F.col("d_c") * F.col("d_c")
+                ).alias("q_num"),
+            )
+            .crossJoin(F.broadcast(moved_frame))
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "method",
+        "n_communities",
+        "n_moved",
+        "n_directed_edges",
+        "q_num",
+        (
+            F.col("q_num").cast("double")
+            / (
+                F.col("n_directed_edges").cast("double")
+                * F.col("n_directed_edges").cast("double")
+            )
+        )
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("modularity"),
+    )
+
+
+GRAPH_LOUVAIN_TWO_LEVEL_SQL = f"""
+WITH
+{_EDGE_SQL_CTE},
+deg AS (SELECT src AS node, COUNT(*) AS k FROM edges GROUP BY src),
+tot AS (SELECT COUNT(*) AS m FROM edges),
+gains AS (
+  SELECT e.src AS node,
+         2 * 1 * t.m - 2 * ks.k * kt.k AS gain, e.dst AS t,
+         ROW_NUMBER() OVER (PARTITION BY e.src
+                            ORDER BY 2 * 1 * t.m - 2 * ks.k * kt.k DESC,
+                                     e.dst) AS rn
+  FROM edges e
+  JOIN deg ks ON ks.node = e.src
+  JOIN deg kt ON kt.node = e.dst
+  CROSS JOIN tot t
+),
+singleton AS (SELECT node, node AS c, FALSE AS moved FROM deg),
+prop AS (
+  SELECT node, CASE WHEN gain > 0 THEN t ELSE node END AS c
+  FROM gains WHERE rn = 1
+),
+louv AS (
+  SELECT p1.node,
+         CASE WHEN EXISTS (SELECT 1 FROM prop p2
+                           WHERE p2.node = p1.c AND p2.c = p1.node)
+                   AND p1.node < p1.c
+              THEN p1.node ELSE p1.c END AS c,
+         CASE WHEN EXISTS (SELECT 1 FROM prop p2
+                           WHERE p2.node = p1.c AND p2.c = p1.node)
+                   AND p1.node < p1.c
+              THEN FALSE ELSE p1.c <> p1.node END AS moved
+  FROM prop p1
+),
+cedges AS MATERIALIZED (
+  SELECT ls.c AS s, lt.c AS t, COUNT(*) AS w
+  FROM edges JOIN louv ls ON ls.node = edges.src
+             JOIN louv lt ON lt.node = edges.dst
+  GROUP BY 1, 2
+),
+cdeg AS (SELECT s AS node, CAST(SUM(w) AS BIGINT) AS k FROM cedges GROUP BY s),
+gains2 AS (
+  SELECT e.s AS node,
+         2 * e.w * t.m - 2 * ks.k * kt.k AS gain, e.t,
+         ROW_NUMBER() OVER (PARTITION BY e.s
+                            ORDER BY 2 * e.w * t.m - 2 * ks.k * kt.k DESC,
+                                     e.t) AS rn
+  FROM cedges e
+  JOIN cdeg ks ON ks.node = e.s
+  JOIN cdeg kt ON kt.node = e.t
+  CROSS JOIN tot t
+  WHERE e.s <> e.t
+),
+prop2 AS (
+  SELECT node, CASE WHEN gain > 0 THEN t ELSE node END AS c
+  FROM gains2 WHERE rn = 1
+),
+louv2 AS (
+  SELECT p1.node,
+         CASE WHEN EXISTS (SELECT 1 FROM prop2 p2
+                           WHERE p2.node = p1.c AND p2.c = p1.node)
+                   AND p1.node < p1.c
+              THEN p1.node ELSE p1.c END AS c,
+         CASE WHEN EXISTS (SELECT 1 FROM prop2 p2
+                           WHERE p2.node = p1.c AND p2.c = p1.node)
+                   AND p1.node < p1.c
+              THEN FALSE ELSE p1.c <> p1.node END AS moved
+  FROM prop2 p1
+),
+composed AS (
+  SELECT l1.node, COALESCE(l2.c, l1.c) AS c
+  FROM louv l1 LEFT JOIN louv2 l2 ON l2.node = l1.c
+),
+q AS (
+{_louvain_tail_sql("singleton", "singleton", "CAST(0 AS BIGINT)")}
+  UNION ALL
+{_louvain_tail_sql(
+    "louvain1",
+    "louv",
+    "(SELECT CAST(COUNT(*) FILTER (WHERE moved) AS BIGINT) FROM louv)",
+)}
+  UNION ALL
+{_louvain_tail_sql(
+    "louvain2",
+    "composed",
+    "(SELECT CAST(COALESCE(COUNT(*) FILTER (WHERE moved), 0) AS BIGINT) FROM louv2)",
+)}
+)
+SELECT method, n_communities, n_moved, n_directed_edges, q_num,
+       CAST(CAST(CAST(q_num AS DOUBLE)
+                 / (CAST(n_directed_edges AS DOUBLE)
+                    * CAST(n_directed_edges AS DOUBLE))
+            AS DECIMAL(18,6)) AS DOUBLE) AS modularity
+FROM q
+"""
+
+
 # ---------------------------------------------------------------------------
 # HITS hubs & authorities (bipartite purchase graph)
 # ---------------------------------------------------------------------------

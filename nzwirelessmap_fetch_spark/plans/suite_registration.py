@@ -218,6 +218,12 @@ registry.register("agg_approx_distinct", _r.agg_approx_distinct, _r.AGG_APPROX_D
 registry.register("dedup_simhash", _dd.dedup_simhash, _dd.DEDUP_SIMHASH_SQL)
 registry.register("text_pii_scrub", _tx.text_pii_scrub, _tx.TEXT_PII_SCRUB_SQL)
 registry.register("corpus_dedup_pipeline", _cp.corpus_dedup_pipeline, _cp.CORPUS_DEDUP_PIPELINE_SQL)
+# r6 depth: full Louvain shape — contraction + weighted second sweep
+registry.register(
+    "graph_louvain_two_level",
+    _gr.graph_louvain_two_level,
+    _gr.GRAPH_LOUVAIN_TWO_LEVEL_SQL,
+)
 
 registry.register("agg_pivot", _r.agg_pivot, _r.AGG_PIVOT_SQL)
 
