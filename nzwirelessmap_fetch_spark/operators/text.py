@@ -756,6 +756,144 @@ GROUP BY s.doc_id
 """
 
 
+def corpus_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span SCRUB — the ACTION that `corpus_span_dedup`'s profile feeds
+    (§2.4, the ExactSubstr discipline of Lee et al.'s "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499,
+    applied at the word-span grain): every word position covered by any
+    {SPAN_W}-word span that also appears in ANOTHER document is REMOVED,
+    and the cleaned text is emitted — detection→removal as one
+    operator, the way production curation actually rewrites documents
+    (soft-weighting's counterpart for sub-document duplication).
+
+    Plan: indexed span hashes are a row-local transform+explode; the
+    duplicated-span set is one keyed agg (n_docs ≥ 2) semi-joined back;
+    covered positions explode ×{SPAN_W} (bounded) and dedupe; the
+    rebuild is a per-doc sort_array(collect_list(struct(p, word))) —
+    doc-length-bounded arrays, one keyed agg. Fully-scrubbed documents
+    survive as empty text via the left join (a dropped row would
+    silently shrink the corpus). At 100 TB the dup-span set takes the
+    same df-cap valve as every hot-key family member."""
+    d = Catalog(spark, sf_dir).table("documents")
+    # persisted: `w` feeds the span explode, the word explode AND the
+    # final doc spine; `pos` feeds the dup agg and the coverage semi-join
+    # — without the persists the md5-span subtree evaluates 3× (measured
+    # 11.3 s → ~4 s at sf0.01). Both frames are corpus-row / span-row
+    # sized with bounded payloads.
+    w = d.select("doc_id", F.split("text", " ").alias("w")).persist()
+    spans_arr = F.expr(
+        f"""CASE WHEN size(w) >= {SPAN_W}
+             THEN transform(sequence(1, size(w) - {SPAN_W} + 1),
+                            i -> struct(i AS i,
+                                        cast(conv(substring(md5(
+                                          array_join(slice(w, i, {SPAN_W}), ' ')
+                                        ), 1, 8), 16, 10) AS BIGINT) AS h))
+             ELSE array() END"""
+    )
+    pos = (
+        w.select("doc_id", F.explode(spans_arr).alias("s"))
+        .select("doc_id", F.col("s.i").alias("i"), F.col("s.h").alias("h"))
+        .persist()
+    )
+    # one shuffle (partial-agg COUNT DISTINCT) instead of distinct +
+    # groupBy stacking two exchanges on different keys
+    dup = (
+        pos.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    covered = (
+        pos.join(dup, "h", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(SPAN_W - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    words = w.select(
+        "doc_id", F.posexplode("w").alias("p0", "word")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "word")
+    kept = (
+        words.join(covered, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(p, word))),"
+                    " x -> x.word)"
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        w.select("doc_id", F.size("w").alias("n_words"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (F.col("n_words") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+CORPUS_SPAN_SCRUB_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, s.i AS i,
+         ('0x' || substr(md5(s.sp), 1, 8))::BIGINT AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, GREATEST(len(w) - {SPAN_W} + 1, 0)),
+             i -> struct_pack(i := i,
+                              sp := array_to_string(w[i:i+{SPAN_W - 1}], ' ')))) AS s
+    FROM w)
+),
+dup AS (
+  SELECT h FROM (
+    SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM pos GROUP BY h)
+  WHERE n_docs >= 2
+),
+covered AS (
+  SELECT DISTINCT p.doc_id, p.i + offs.d AS pp
+  FROM pos p JOIN dup USING (h)
+  CROSS JOIN (SELECT unnest(generate_series(0, {SPAN_W - 1})) AS d) offs
+),
+words AS (
+  SELECT doc_id, s.p AS p, s.word AS word
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w)),
+                                 p -> struct_pack(p := p, word := w[p]))) AS s
+    FROM w)
+),
+kept AS (
+  SELECT wd.doc_id,
+         COUNT(*) AS n_kept,
+         string_agg(wd.word, ' ' ORDER BY wd.p) AS clean_text
+  FROM words wd
+  LEFT JOIN covered c ON c.doc_id = wd.doc_id AND c.pp = wd.p
+  WHERE c.doc_id IS NULL
+  GROUP BY wd.doc_id
+)
+SELECT w.doc_id,
+       CAST(len(w.w) AS BIGINT) AS n_words,
+       CAST(len(w.w) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(k.clean_text, '') AS clean_text
+FROM w LEFT JOIN kept k USING (doc_id)
+"""
+
+
 def corpus_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-rarity document score (§2.4 text analysis): the mean log2
     frequency bucket of a document's tokens against the corpus unigram

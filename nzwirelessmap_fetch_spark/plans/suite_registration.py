@@ -376,6 +376,8 @@ registry.register(
 registry.register("events_top_paths", _ea.events_top_paths, _ea.EVENTS_TOP_PATHS_SQL)
 registry.register("sim_range_search", _sim.sim_range_search, _sim.SIM_RANGE_SEARCH_SQL)
 registry.register("corpus_span_dedup", _tx.corpus_span_dedup, _tx.CORPUS_SPAN_DEDUP_SQL)
+# r6 depth: the REMOVAL action over the detected spans (ExactSubstr shape)
+registry.register("corpus_span_scrub", _tx.corpus_span_scrub, _tx.CORPUS_SPAN_SCRUB_SQL)
 registry.register("corpus_rarity_score", _tx.corpus_rarity_score, _tx.CORPUS_RARITY_SCORE_SQL)
 registry.register("corpus_url_canonical", _tx.corpus_url_canonical, _tx.CORPUS_URL_CANONICAL_SQL)
 registry.register(
