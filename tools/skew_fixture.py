@@ -238,7 +238,7 @@ MEASURE_QUERIES = [
     "sim_topk_ivf",
     "graph_link_prediction",
     "join_skew_salted",
-    "events_sessionize",
+    "sessionize",
     "text_stats",
     "dedup_exact",
 ]
