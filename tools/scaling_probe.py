@@ -54,6 +54,13 @@ QUERIES = [
     "agg_kmv_distinct",           # bottom-k sketch + TakeOrdered merge
     "ml_calibration_bins",        # bounded-domain reliability table
     "embedding_matryoshka_eval",  # dual-cosine scan + two rank windows
+    # round-6 additions
+    "dedup_snm_multipass",        # 3 sort-key passes, 3(W-1)·n candidates
+    "graph_louvain_one_level",    # degree joins + struct-max sweep
+    "graph_louvain_two_level",    # + contraction + weighted sweep
+    "table_txn_log",              # two logged commits + diff counts
+    "corpus_span_scrub",          # covered-position anti-join + doc rebuild
+    "stream_jvm_running_totals",  # unbounded update-mode agg
 ]
 
 
