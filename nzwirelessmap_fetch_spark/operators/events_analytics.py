@@ -595,10 +595,13 @@ WITH l AS (
   FROM events
 )
 SELECT CASE WHEN late_us = 0 THEN 'on-time'
-            WHEN late_us <= 60 * 1000000 THEN '<=1m'
-            WHEN late_us <= 300 * 1000000 THEN '<=5m'
-            WHEN late_us <= 900 * 1000000 THEN '<=15m'
-            WHEN late_us <= 3600 * 1000000 THEN '<=1h'
+            -- pre-multiplied literals: DuckDB folds INT32*INT32 in
+            -- INT32 and 3600*1000000 overflows (surfaced by the r6
+            -- skew-fixture gate on TIMESTAMP-us events)
+            WHEN late_us <= 60000000 THEN '<=1m'
+            WHEN late_us <= 300000000 THEN '<=5m'
+            WHEN late_us <= 900000000 THEN '<=15m'
+            WHEN late_us <= 3600000000 THEN '<=1h'
             ELSE '>1h' END AS lateness_band,
        COUNT(*) AS n_events
 FROM l
