@@ -353,10 +353,17 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             "dim",
             "n_vecs",
-            (F.col("sfx").cast("double") / F.col("n_vecs") / F.lit(1e8))
-            .cast("decimal(18,8)")
-            .cast("double")
-            .alias("mean_val"),
+            # FLOOR at the 1e-8 grain instead of a DECIMAL cast: the
+            # double→DECIMAL rounding disagrees between engines on
+            # boundary values (triggered by negative components — the r6
+            # skew gate caught a 1-ulp drift); floor(one shared double
+            # division) is bit-identical everywhere
+            (
+                F.floor(F.col("sfx").cast("double") / F.col("n_vecs")).cast(
+                    "double"
+                )
+                / F.lit(1e8)
+            ).alias("mean_val"),
         )
     )
 
@@ -370,8 +377,8 @@ WITH exploded AS (
                   UNNEST(generate_series(1, len(embedding))) AS dim) u
 )
 SELECT label, dim, COUNT(*) AS n_vecs,
-       CAST(CAST(CAST(SUM(fx) AS DOUBLE) / COUNT(*) / 100000000.0
-                 AS DECIMAL(18,8)) AS DOUBLE) AS mean_val
+       CAST(FLOOR(CAST(SUM(fx) AS DOUBLE) / COUNT(*)) AS DOUBLE)
+         / 100000000.0 AS mean_val
 FROM exploded
 GROUP BY label, dim
 """

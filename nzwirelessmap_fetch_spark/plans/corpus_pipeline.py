@@ -116,10 +116,18 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_quality = s["quality"].agg(F.count(F.lit(1)).alias("n_quality"))
     n_exact = s["exact"].agg(F.count(F.lit(1)).alias("n_exact"))
     split = s["near"].select(_split_col().alias("split"))
+    # coalesce: SUM over zero rows is NULL in Spark but the report
+    # contract is counts — an empty pipeline (every doc failing the
+    # quality gate, which the r6 skew-fixture full gate produced) must
+    # report 0/0, matching the oracle's COUNT semantics
     n_near = split.agg(
         F.count(F.lit(1)).alias("n_near"),
-        F.sum((F.col("split") == "train").cast("int")).alias("n_train"),
-        F.sum((F.col("split") == "eval").cast("int")).alias("n_eval"),
+        F.coalesce(
+            F.sum((F.col("split") == "train").cast("int")), F.lit(0)
+        ).alias("n_train"),
+        F.coalesce(
+            F.sum((F.col("split") == "eval").cast("int")), F.lit(0)
+        ).alias("n_eval"),
     )
     return (
         n_raw.join(F.broadcast(n_quality))

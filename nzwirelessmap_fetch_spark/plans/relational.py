@@ -381,7 +381,13 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).table("lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        # l_quantity LAST: the synthetic fixture carries duplicate
+        # (orderkey, linenumber) rows, so the triple is NOT a total
+        # order — tied rows' running sums were engine-order-dependent
+        # (caught by the r6 skew-fixture full gate; the order-insensitive
+        # hash still differs because {p+a, p+a+b} ≠ {p+b, p+a+b} unless
+        # a = b, which appending the summed column itself guarantees).
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return li.select(
@@ -396,7 +402,7 @@ WINDOW_RUNNING_SUM_SQL = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
             OVER (PARTITION BY l_suppkey
-                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS DOUBLE) AS running_qty
 FROM lineitem

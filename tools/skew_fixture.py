@@ -129,8 +129,14 @@ def build(force: bool = False) -> None:
     base = np.datetime64("2024-01-01T00:00:00")
     ts = base + rng.randint(0, 30 * 86400, size=N_EVENTS).astype("timedelta64[s]")
     value = np.round(rng.lognormal(1.0, 1.0, size=N_EVENTS), 4)
+    # props carries the driver fixture's contract key `k` (the variant
+    # ops construct JSON around $.k — a fixture without it nulls the
+    # whole constructed document), plus extra keys for heterogeneity
     props = np.array(
-        [json.dumps({"p": int(u % 7), "ab": bool(u % 2)}) for u in user_id]
+        [
+            json.dumps({"k": int(u % 100), "p": int(u % 7), "ab": bool(u % 2)})
+            for u in user_id
+        ]
     )
     pq.write_table(
         pa.table(
