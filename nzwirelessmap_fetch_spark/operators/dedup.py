@@ -2142,14 +2142,21 @@ def dedup_snm_multipass_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
         )
 
-    return out.select(
+    result = out.select(
         "pass_name",
         "n_candidates",
         "n_true_pairs",
         "n_hits",
         ratio("n_hits", "n_candidates").alias("precision"),
         ratio("n_hits", "n_true_pairs").alias("recall"),
-    )
+    ).localCheckpoint(eager=True)  # stats-sized (one row per pass + union)
+    # release the three per-pass candidate persists now that the stats
+    # are materialized — they otherwise leak executor storage until the
+    # caller's clearCache() (r6 ADVICE)
+    for _name, c in frames:
+        if _name != "union":
+            c.unpersist()
+    return result
 
 
 DEDUP_SNM_MULTIPASS_EVAL_SQL = f"""

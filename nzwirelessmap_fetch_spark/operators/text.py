@@ -1742,6 +1742,11 @@ def _winnow_pairs_array_verify(
             F.sort_array(F.collect_list("fp")).alias("fps"),
             F.count(F.lit(1)).alias("n_fp"),
         )
+        # A doc with < MIN_SHARED fingerprints can never reach
+        # n_shared >= MIN_SHARED, and keeping it would make the prefix
+        # slice length n_fp - alpha + 1 NEGATIVE (alpha floors at
+        # MIN_SHARED; Spark's slice() throws on negative length).
+        .filter(F.col("n_fp") >= WINNOW_MIN_SHARED)
         .persist()
     )
     sets.count()  # eager fill: three consumers below

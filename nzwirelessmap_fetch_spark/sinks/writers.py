@@ -245,16 +245,26 @@ class SnapshotParquetTable:
             )
         ldir = self._log_dir(table)
         ldir.mkdir(parents=True, exist_ok=True)
+        # Log-entry allocation is ATOMIC: the glob count is only a seq
+        # hint; O_EXCL ('x' mode) creation is the arbiter, so two
+        # concurrent unchecked writers can never silently overwrite each
+        # other's log file — the loser bumps seq and retries (r6 ADVICE).
         seq = len(list(ldir.glob("*.json"))) + 1
-        entry = {
-            "seq": seq,
-            "version": version,
-            "parent": current,
-            "op": op,
-            "read_set": read_set or [],
-            "commit_ts": commit_ts,
-        }
-        (ldir / f"{seq:08d}.json").write_text(json.dumps(entry, sort_keys=True))
+        while True:
+            entry = {
+                "seq": seq,
+                "version": version,
+                "parent": current,
+                "op": op,
+                "read_set": read_set or [],
+                "commit_ts": commit_ts,
+            }
+            try:
+                with open(ldir / f"{seq:08d}.json", "x") as fh:
+                    fh.write(json.dumps(entry, sort_keys=True))
+                break
+            except FileExistsError:
+                seq += 1
         marker.parent.mkdir(parents=True, exist_ok=True)
         marker.write_text(version)  # marker-last: pointer moves only on success
 

@@ -294,6 +294,7 @@ def variants() -> None:
     the Zipfian skew corpus). Best-of-2 per cell; the winner per fixture
     goes to PLANS.md."""
     from nzwirelessmap_fetch_spark.operators.dedup import (
+        _CONTAIN_CACHE,
         _PAIRS_CACHE,
         _containment_pairs,
         _verified_jaccard_pairs,
@@ -308,8 +309,15 @@ def variants() -> None:
         _PAIRS_CACHE.clear()  # memoized per (app, sf, order): bypass for timing
         return _verified_jaccard_pairs(spark, sf, order=o)
 
+    def contain(sf, o):
+        # Same bypass for the containment memo: clearCache() does NOT
+        # evict localCheckpoint blocks, so a stale _CONTAIN_CACHE entry
+        # would make every timed run after the first a ~0 s cache hit.
+        _CONTAIN_CACHE.clear()
+        return _containment_pairs(spark, sf, order=o)
+
     builds = {
-        "containment": lambda sf, o: _containment_pairs(spark, sf, order=o),
+        "containment": contain,
         "jaccard": jacc,
     }
     print("| build | fixture | order | best-of-2 s | rows |")
