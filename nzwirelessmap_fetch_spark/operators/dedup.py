@@ -179,48 +179,55 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # checkpointed DataFrame bound to a stopped SparkContext to a new session.
 _PAIRS_CACHE: dict[tuple[str, str, int | None], DataFrame] = {}
 
+# Corpus-adaptive prefix order (r6 verdict directive #2). The r6 2×2
+# matrix proved the best global prefix order FLIPS with df skew:
+# df-ascending wins 30–34% on the Zipfian fixture (head shingles never
+# enter a prefix) but loses 9–19% on the saturated near-uniform fixture
+# (every df equal → the df join-back is pure overhead). `order="auto"`
+# turns the constant into a rule: build the df table (vocab-sized,
+# map-side-combinable groupBy), probe max(df)/p99(df) with one tiny
+# aggregate over it, and pick df-ascending iff the ratio crosses
+# DF_SKEW_ORDER_RATIO. Measured ratios: sf0.01 → 1.10, sf0.1 → 1.04,
+# Zipf fixture → 194 — two orders of magnitude of margin either side
+# of the threshold. On a skewed corpus the probed df table is REUSED
+# by the df path (zero waste); on a flat corpus the probe pays only
+# the df groupBy, not the join-back that made hash order win.
+DF_SKEW_ORDER_RATIO = 8
+_ORDER_PROBE_CACHE: dict[tuple, str] = {}
 
-def _verified_jaccard_pairs(
-    spark: SparkSession,
-    sf_dir: str,
-    max_df: int | None = None,
-    order: str = "df",
-) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, max_df, order)
-    cached = _PAIRS_CACHE.get(key)
-    if cached is not None:
-        return cached
-    d = Catalog(spark, sf_dir).table("documents")
-    # 64-bit xxhash64 shingle identity — PURELY INTERNAL key (the oracle
-    # recomputes Jaccard from shingle STRINGS; results agree absent
-    # 2^-64 collision events, the same exposure the previous 60-bit
-    # md5-substring key carried). xxhash64 is ~1.6× faster than
-    # md5+conv on the warm sets build (1.12 s → 0.70 s at sf0.1) and
-    # this stage is the suite's heaviest shared line. Hashes that an
-    # ORACLE replays in SQL (minhash perms, simhash, KMV) stay md5 —
-    # DuckDB has no xxhash64.
-    # Prefix order: df-ascending by default since r6 (any fixed global
-    # total order satisfies the prefix lemma; the Zipfian-fixture
-    # adjudication in PLANS.md r6 measured df-order 34% faster under
-    # skew — 1.88 vs 2.83 s — and ~19% slower only on the saturated
-    # uniform fixture, 5.70 vs 4.80 s).
-    sh = _shingles(d, max_df=max_df).select(
-        "doc_id", F.xxhash64("shingle").alias("h")
-    )
-    # doc → (sorted shingle-hash set, set size): |docs| rows (~2 MB at
-    # sf0.1) with bounded arrays. Persisted (MEMORY_AND_DISK) because FOUR
-    # consumers read it — both prefix join sides and both verification
-    # joins — and without the persist each consumer re-runs the whole
-    # shingle aggregation (measured 20× slower). Unpersisted below once the
-    # checkpoint materializes.
+
+def _prefix_order_sets(spark, sh, probe_key, order):
+    """Build the doc → (globally-ordered shingle-hash array, size) table
+    both pair builds share, resolving ``order="auto"`` via the df-skew
+    probe. Returns ``(resolved_order, sets, df_tab)`` — ``df_tab`` is a
+    persisted frame the CALLER must unpersist after materializing
+    ``sets`` (None when the hash path ran or the probe was cached)."""
+    df_tab = None
+    if order == "auto":
+        cached = _ORDER_PROBE_CACHE.get(probe_key)
+        if cached is not None:
+            order = cached
+        else:
+            df_tab = sh.groupBy("h").agg(F.count(F.lit(1)).alias("dfc")).persist()
+            stats = df_tab.agg(
+                F.max("dfc").alias("mx"),
+                F.percentile_approx("dfc", F.lit(0.99), F.lit(10000)).alias("p99"),
+            ).first()
+            p99 = max(int(stats["p99"] or 1), 1)
+            order = "df" if stats["mx"] >= DF_SKEW_ORDER_RATIO * p99 else "hash"
+            _ORDER_PROBE_CACHE[probe_key] = order
+            if order != "df":
+                df_tab.unpersist()
+                df_tab = None
     if order == "df":
         # df-ascending global order (canonical AllPairs/PPJoin): prefixes
-        # carry the rarest shingles — see _containment_pairs for the
-        # adjudication story; both orders satisfy the prefix + positional
-        # lemmas ((df, h) is a global total order).
-        df_tab = sh.groupBy("h").agg(F.count(F.lit(1)).alias("dfc"))
+        # carry the rarest shingles; (df, h) is a global total order so
+        # the prefix + positional lemmas hold unchanged.
+        tab = df_tab
+        if tab is None:
+            tab = sh.groupBy("h").agg(F.count(F.lit(1)).alias("dfc"))
         sets = (
-            sh.join(df_tab, "h")
+            sh.join(tab, "h")
             .select("doc_id", F.struct("dfc", "h").alias("kh"))
             .groupBy("doc_id")
             .agg(
@@ -240,6 +247,45 @@ def _verified_jaccard_pairs(
             )
             .persist()
         )
+    return order, sets, df_tab
+
+
+def _verified_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    max_df: int | None = None,
+    order: str = "auto",
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, max_df, order)
+    cached = _PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    d = Catalog(spark, sf_dir).table("documents")
+    # 64-bit xxhash64 shingle identity — PURELY INTERNAL key (the oracle
+    # recomputes Jaccard from shingle STRINGS; results agree absent
+    # 2^-64 collision events, the same exposure the previous 60-bit
+    # md5-substring key carried). xxhash64 is ~1.6× faster than
+    # md5+conv on the warm sets build (1.12 s → 0.70 s at sf0.1) and
+    # this stage is the suite's heaviest shared line. Hashes that an
+    # ORACLE replays in SQL (minhash perms, simhash, KMV) stay md5 —
+    # DuckDB has no xxhash64.
+    # Prefix order: "auto" since r7 — the df-skew probe picks
+    # df-ascending on Zipfian corpora (30–34% faster, r6 matrix) and
+    # hash order on flat ones (no wasted join-back); both orders are
+    # proven row-identical (any fixed global total order satisfies the
+    # prefix + positional lemmas). See _prefix_order_sets.
+    sh = _shingles(d, max_df=max_df).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
+    # doc → (ordered shingle-hash set, set size): |docs| rows (~2 MB at
+    # sf0.1) with bounded arrays. Persisted (MEMORY_AND_DISK) because FOUR
+    # consumers read it — both prefix join sides and both verification
+    # joins — and without the persist each consumer re-runs the whole
+    # shingle aggregation (measured 20× slower). Unpersisted below once the
+    # checkpoint materializes.
+    resolved, sets, probe_tab = _prefix_order_sets(
+        spark, sh, (spark.sparkContext.applicationId, sf_dir, max_df), order
+    )
     # Eager materialization (scalar count, no driver data): the plan below
     # consumes `sets` from FOUR subtrees. A lazy persist is populated by
     # whichever stage runs first — and concurrently-scheduled stages that
@@ -247,6 +293,8 @@ def _verified_jaccard_pairs(
     # (measured: the one-job formulation ran ~35 s at sf0.1 vs ~15 s with
     # the two persists filled up front).
     sets.count()
+    if probe_tab is not None:
+        probe_tab.unpersist()
     # prefix length p = n - ceil(t·n) + 1; with t=0.5: floor(n/2)+1.
     # posexplode keeps the in-set position for the PPJoin positional filter.
     prefixes = sets.select(
@@ -325,6 +373,9 @@ def _verified_jaccard_pairs(
     sets.unpersist()
     cand.unpersist()
     _PAIRS_CACHE[key] = pairs
+    # an "auto" build and an explicit call for the order it resolved to
+    # are the same frame — share the checkpoint under both keys
+    _PAIRS_CACHE[key[:3] + (resolved,)] = pairs
     return pairs
 
 
@@ -1333,7 +1384,7 @@ def _containment_pairs(
     spark: SparkSession,
     sf_dir: str,
     max_df: int | None = None,
-    order: str = "df",
+    order: str = "auto",
 ) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, max_df, order)
     cached = _CONTAIN_CACHE.get(key)
@@ -1349,53 +1400,31 @@ def _containment_pairs(
     # ~(1-t)× = 5× fewer index-join rows at t=4/5. Prefix ORDER
     # re-adjudicated in r6 on a Zipfian fixture (tools/skew_fixture.py
     # --variants, PLANS.md r6): df-ascending (the canonical AllPairs
-    # order) is now the DEFAULT — it wins 30% on the Zipf corpus
-    # (4.10 vs 5.84 s) because head shingles never enter a prefix,
-    # and loses only ~9% on the saturated near-uniform test fixture
-    # (5.93 vs 5.45 s) where every df is equal and the df groupBy is
-    # pure overhead. Real corpora are Zipfian; order="hash" keeps the
-    # uniform-optimal variant measurable. Replaces the round-4
+    # order) wins 30% on the Zipf corpus (4.10 vs 5.84 s) because head
+    # shingles never enter a prefix, and loses only ~9% on the
+    # saturated near-uniform test fixture (5.93 vs 5.45 s) where every
+    # df is equal and the df groupBy is pure overhead — since r7 the
+    # default is the df-skew PROBE ("auto") that picks per corpus;
+    # explicit order="df"/"hash" keeps both variants measurable.
+    # Replaces the round-4
     # full df² self-join (18-33 s → 7.5 s best-of-3 on this host).
-    # xxhash64: internal-only key, same rationale as the Jaccard build
+    # xxhash64: internal-only key, same rationale as the Jaccard build.
+    # Order "auto" since r7: the df-skew probe picks df-ascending on
+    # Zipfian corpora (head terms never enter a prefix — 30% faster on
+    # the Zipf fixture) and hash order on flat ones (skips the
+    # join-back that made hash win 9% there); see _prefix_order_sets.
     sh = _shingles(d, max_df=max_df).select(
         "doc_id", F.xxhash64("shingle").alias("h")
     )
-    if order == "df":
-        # Canonical AllPairs df-ascending global order: each doc's array
-        # is sorted rarest-shingle-first, so the prefix carries the
-        # LOWEST-df postings — on a Zipfian corpus this keeps head terms
-        # ("of the", df≈corpus) out of every prefix and the index join's
-        # fan-out tracks the tail, not the head. Costs one df groupBy +
-        # one posting join up front; (df, h) is a global total order so
-        # the prefix lemma holds unchanged. Measured against hash order
-        # on both the near-uniform and the Zipfian fixture
-        # (tools/skew_fixture.py --variants; PLANS.md r6).
-        df_tab = sh.groupBy("h").agg(F.count(F.lit(1)).alias("dfc"))
-        sets = (
-            sh.join(df_tab, "h")
-            .select("doc_id", F.struct("dfc", "h").alias("kh"))
-            .groupBy("doc_id")
-            .agg(
-                F.expr("transform(sort_array(collect_list(kh)), x -> x.h)").alias(
-                    "hs"
-                ),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .persist()
-        )
-    else:
-        sets = (
-            sh.groupBy("doc_id")
-            .agg(
-                F.sort_array(F.collect_list("h")).alias("hs"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .persist()
-        )
+    resolved, sets, probe_tab = _prefix_order_sets(
+        spark, sh, (spark.sparkContext.applicationId, sf_dir, max_df), order
+    )
     # Eager fill: `sets` feeds three subtrees (prefix probes, full
     # postings, verify arrays) — concurrently-scheduled consumers of a
     # lazy persist would each recompute the shingle aggregation.
     sets.count()
+    if probe_tab is not None:
+        probe_tab.unpersist()
     # prefix length ⌊n/5⌋+1 at t=4/5 = n - ceil(t·n) + 1. Sizes ride
     # along on the exploded streams so the SIZE bound — C(A→B) ≥ t needs
     # |B| ≥ t·|A| because n_inter ≤ min — prunes candidate rows INSIDE
@@ -1468,6 +1497,7 @@ def _containment_pairs(
     )
     sets.unpersist()
     _CONTAIN_CACHE[key] = out
+    _CONTAIN_CACHE[key[:3] + (resolved,)] = out
     return out
 
 

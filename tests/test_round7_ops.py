@@ -1,0 +1,106 @@
+"""Round-7 tests: adaptive prefix order, txn-log concurrency, and the
+round-7 operators (executing compaction, schema evolution, converged
+Louvain)."""
+
+from __future__ import annotations
+
+import json
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_adaptive_prefix_order_probe_and_identity(spark):
+    """order="auto" (r6 directive #2): the df-skew probe picks hash
+    order on the flat smoke fixture (measured max/p99 ≈ 1.1, threshold
+    8), memoizes the decision per (app, corpus, max_df), and all three
+    orders produce row-identical pair sets."""
+    from nzwirelessmap_fetch_spark.operators.dedup import (
+        _CONTAIN_CACHE,
+        _ORDER_PROBE_CACHE,
+        _PAIRS_CACHE,
+        _containment_pairs,
+        _verified_jaccard_pairs,
+    )
+
+    _PAIRS_CACHE.clear()
+    _CONTAIN_CACHE.clear()
+    _ORDER_PROBE_CACHE.clear()
+    probe_key = (spark.sparkContext.applicationId, SF_SMOKE, None)
+
+    auto = {
+        tuple(r)
+        for r in _verified_jaccard_pairs(spark, SF_SMOKE, order="auto")
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    # flat synthetic corpus → hash order (no df join-back)
+    assert _ORDER_PROBE_CACHE[probe_key] == "hash"
+    # the auto build is also cached under its RESOLVED order key
+    assert any(k[3] == "hash" for k in _PAIRS_CACHE)
+
+    for order in ("df", "hash"):
+        explicit = {
+            tuple(r)
+            for r in _verified_jaccard_pairs(spark, SF_SMOKE, order=order)
+            .select("doc_a", "doc_b")
+            .collect()
+        }
+        assert explicit == auto, f"order={order} changed the pair set"
+
+    c_auto = {
+        tuple(r)
+        for r in _containment_pairs(spark, SF_SMOKE, order="auto")
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    c_df = {
+        tuple(r)
+        for r in _containment_pairs(spark, SF_SMOKE, order="df")
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    assert c_auto == c_df
+    _PAIRS_CACHE.clear()
+    _CONTAIN_CACHE.clear()
+    _ORDER_PROBE_CACHE.clear()
+
+
+def test_txn_log_seq_allocation_is_atomic(tmp_path, spark):
+    """Two unchecked writers committing concurrently must never share a
+    log seq (r6 ADVICE: the glob count is a hint, O_EXCL the arbiter) —
+    both commits appear in the log with distinct seq numbers."""
+    from nzwirelessmap_fetch_spark.sinks.writers import SnapshotParquetTable
+
+    sink = SnapshotParquetTable(tmp_path)
+    base = spark.range(3).select(F.col("id").alias("k"))
+    sink.write_version(base, "t", "1", commit_ts="2024-01-01T00:00:00.000000Z")
+
+    errs: list[Exception] = []
+    barrier = threading.Barrier(2)
+
+    def commit(version: str) -> None:
+        try:
+            barrier.wait(timeout=30)
+            sink.write_version(
+                base, "t", version, commit_ts=f"2024-01-02T00:00:00.00000{version}Z"
+            )
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errs.append(exc)
+
+    ts = [threading.Thread(target=commit, args=(v,)) for v in ("2", "3")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    assert not errs
+    entries = sink.log_entries("t")
+    seqs = [e["seq"] for e in entries]
+    assert len(seqs) == len(set(seqs)) == 3
+    assert {e["version"] for e in entries} == {"1", "2", "3"}
+    # files on disk agree with the parsed log (no overwritten entry)
+    files = sorted(p.name for p in (tmp_path / "t" / "_log").iterdir())
+    assert len(files) == 3
