@@ -1429,9 +1429,17 @@ def table_merkle_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     modular sum runs in DECIMAL(38,0) (cannot overflow: 2^60 · row
     count ≪ 10^38), alongside the overflow-free XOR.
     """
+    o = Catalog(spark, sf_dir).table("orders")
+    return orders_merkle_manifest(o).orderBy("bucket")
+
+
+def orders_merkle_manifest(o: DataFrame) -> DataFrame:
+    """The bucketed (n_rows, xor_fp, sum_fp) content manifest of an
+    orders-shaped frame — shared by ``table_merkle_checksum`` and the
+    OPTIMIZE round-trip's content-invariance proof (any at-rest copy of
+    orders must produce the identical manifest)."""
     from ..functions.hashing import md5_long60
 
-    o = Catalog(spark, sf_dir).table("orders")
     cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
     row_str = F.concat_ws(
         "|",
@@ -1456,7 +1464,6 @@ def table_merkle_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             # a numeric comparison)
             F.sum(F.col("row_h").cast("decimal(38,0)")).cast("string").alias("sum_fp"),
         )
-        .orderBy("bucket")
     )
 
 

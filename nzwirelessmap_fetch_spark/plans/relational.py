@@ -2357,6 +2357,119 @@ SELECT CAST(2 AS INTEGER), '2', '1', 'merge', 'orders@1',
 """
 
 
+# Fragment count for the optimize round-trip's deliberately-bad v1
+# layout. Orders has ≥ 1500 rows at every gate SF, so round-robin
+# repartition(64) makes every partition non-empty → exactly 64 data
+# files, a constant BOTH engines can pin.
+OPTIMIZE_FRAG_FILES = 64
+
+
+def table_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executing compaction through the txn log (r6 verdict directive
+    #4 — the OPTIMIZE half `layout_compaction_plan` only planned):
+    v1 = orders deliberately fragmented into {OPTIMIZE_FRAG_FILES}
+    small files; ``SnapshotParquetTable.optimize`` reads @latest, sizes
+    the target from the version's actual on-disk bytes (128 MB goal →
+    1 file at gate scale), clusters by (o_orderdate, o_orderkey)
+    (range-repartition + sortWithinPartitions — the ZORDER analog),
+    and commits the rewrite as a LOGGED ``op="optimize"`` version with
+    the same optimistic-concurrency check as merge.
+
+    The output row set certifies, per version: the commit-log entry
+    (op, parent), the at-rest data-file count read back from disk
+    (64 → 1 — the compaction actually executed), and the FULL
+    ``table_merkle_checksum`` content manifest of the at-rest data —
+    the oracle recomputes the manifest ONCE from the orders view, so a
+    hash match proves the rewrite changed layout and nothing else.
+
+    Scale: compaction is an embarrassingly parallel rewrite of
+    pathological partitions (one task per target file); committing it
+    through the log is what makes it safe to run concurrently with
+    ingest — the conflict check aborts the OPTIMIZE, never the
+    writer."""
+    import tempfile
+
+    from ..operators.sketches import orders_merkle_manifest
+    from ..sinks.writers import SnapshotParquetTable
+
+    key = (spark.sparkContext.applicationId, sf_dir, "optimize")
+    root = _SNAPSHOT_ROOTS.get(key)
+    sink = SnapshotParquetTable(root) if root else None
+    if root is None:
+        root = tempfile.mkdtemp(prefix="snapshots-optimize-")
+        _SNAPSHOT_ROOTS[key] = root
+        sink = SnapshotParquetTable(root)
+        o = Catalog(spark, sf_dir).table("orders")
+        sink.write_version(
+            o.repartition(OPTIMIZE_FRAG_FILES),
+            "orders",
+            "1",
+            commit_ts="2024-01-01T00:00:00.000000Z",
+        )
+        stats = sink.optimize(
+            spark,
+            "orders",
+            "2",
+            cluster_by=["o_orderdate", "o_orderkey"],
+            commit_ts="2024-01-02T00:00:00.000000Z",
+        )
+        assert stats["files_before"] == OPTIMIZE_FRAG_FILES
+        assert stats["files_after"] == stats["target_files"] == 1
+    entries = {e["version"]: e for e in sink.log_entries("orders")}
+    assert entries["2"]["op"] == "optimize"
+    assert entries["2"]["parent"] == "1"
+    meta = spark.createDataFrame(
+        [
+            (
+                v,
+                entries[v]["op"],
+                entries[v]["parent"],
+                len(sink.data_files("orders", v)),
+            )
+            for v in ("1", "2")
+        ],
+        "version string, op string, parent string, n_files int",
+    )
+    manifests = None
+    for v in ("1", "2"):
+        m = orders_merkle_manifest(
+            sink.read_version(spark, "orders", v)
+        ).withColumn("version", F.lit(v))
+        manifests = m if manifests is None else manifests.unionByName(m)
+    return meta.join(manifests, "version").select(
+        "version", "op", "parent", "n_files", "bucket", "n_rows", "xor_fp", "sum_fp"
+    )
+
+
+def _table_optimize_roundtrip_sql() -> str:
+    from ..operators.sketches import MERKLE_BUCKETS
+
+    return f"""
+WITH rows_h AS (
+  SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+              % {MERKLE_BUCKETS} AS INT) AS bucket,
+         ('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(o_custkey AS VARCHAR) || '|' ||
+             o_orderstatus || '|' ||
+             CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+         ), 1, 15))::BIGINT AS row_h
+  FROM orders
+),
+cs AS (
+  SELECT bucket, COUNT(*) AS n_rows, bit_xor(row_h) AS xor_fp,
+         CAST(SUM(CAST(row_h AS DECIMAL(38,0))) AS VARCHAR) AS sum_fp
+  FROM rows_h GROUP BY bucket
+),
+vers(version, op, parent, n_files) AS (
+  VALUES ('1', 'write', NULL, {OPTIMIZE_FRAG_FILES}), ('2', 'optimize', '1', 1)
+)
+SELECT version, op, parent, CAST(n_files AS INTEGER) AS n_files,
+       bucket, n_rows, xor_fp, sum_fp
+FROM vers CROSS JOIN cs
+"""
+
+
 TABLE_SNAPSHOT_DIFF_SQL = """
 WITH base AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority

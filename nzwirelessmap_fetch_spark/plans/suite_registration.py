@@ -1007,3 +1007,12 @@ registry.register(
     _r.sql_string_collations,
     _r.SQL_STRING_COLLATIONS_SQL,
 )
+
+# ─── Round-7 additions ───
+
+# executing compaction (OPTIMIZE) through the txn log — r6 directive #4
+registry.register(
+    "table_optimize_roundtrip",
+    _r.table_optimize_roundtrip,
+    _r._table_optimize_roundtrip_sql(),
+)

