@@ -1016,3 +1016,10 @@ registry.register(
     _r.table_optimize_roundtrip,
     _r._table_optimize_roundtrip_sql(),
 )
+
+# write-side schema evolution as a logged commit — r6 directive #6
+registry.register(
+    "table_schema_evolution",
+    _r.table_schema_evolution,
+    _r.TABLE_SCHEMA_EVOLUTION_SQL,
+)

@@ -166,6 +166,12 @@ class SnapshotConflictError(RuntimeError):
     this transaction's snapshot read and its commit attempt."""
 
 
+class SchemaEvolutionError(ValueError):
+    """Rejected schema change: a commit tried to change an existing
+    column's type, or drop a column without opting in. Additive
+    evolution (new columns) is always allowed and logged."""
+
+
 _UNCHECKED = object()  # sentinel: "no concurrency expectation" (default)
 
 
@@ -212,6 +218,15 @@ class SnapshotParquetTable:
             if p.suffix == ".json"
         ]
 
+    def schema_of(self, table: str, version: str = "latest") -> list[list[str]] | None:
+        """The [name, type] field list the given version's commit
+        logged (None for pre-schema-tracking log entries)."""
+        v = self.resolve(table, version)
+        for e in self.log_entries(table):
+            if e["version"] == v:
+                return e.get("schema")
+        return None
+
     def write_version(
         self,
         df: DataFrame,
@@ -221,15 +236,50 @@ class SnapshotParquetTable:
         commit_ts: str | None = None,
         read_set: list[str] | None = None,
         expect_parent=_UNCHECKED,
+        allow_column_drop: bool = False,
     ) -> None:
         """Commit a new snapshot. ``expect_parent`` (a version string or
         None for "table must not exist yet") enables the optimistic-
         concurrency check: if the latest pointer no longer matches what
         this transaction read, raise ``SnapshotConflictError`` BEFORE
         logging or flipping the pointer. ``commit_ts`` (RFC3339) is
-        caller-suppliable for deterministic tests; defaults to now."""
-        df.write.mode("overwrite").parquet(str(self._dir(table, version)))
+        caller-suppliable for deterministic tests; defaults to now.
+
+        Schema is PART of the commit (r6 verdict directive #6): every
+        log entry records the snapshot's [name, type] fields plus the
+        added/dropped delta vs its parent. Additive evolution (new
+        columns) commits freely; an existing column changing TYPE
+        raises ``SchemaEvolutionError`` (a silent type flip corrupts
+        every reader's pushed-down filters), and dropping a column
+        requires ``allow_column_drop=True`` — both checked BEFORE any
+        data file is written (metadata-only validation, same order a
+        real table format runs it)."""
+        fields = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
         marker = self.root / table / "_latest"
+        pre_current = marker.read_text().strip() if marker.exists() else None
+        added: list[str] = []
+        dropped: list[str] = []
+        if pre_current is not None:
+            parent_schema = self.schema_of(table, pre_current)
+            if parent_schema is not None:
+                old = {n: t for n, t in parent_schema}
+                new = {n: t for n, t in fields}
+                changed = [
+                    (n, old[n], new[n]) for n in old if n in new and old[n] != new[n]
+                ]
+                if changed:
+                    raise SchemaEvolutionError(
+                        f"{table!r}: incompatible type change(s) "
+                        + ", ".join(f"{n}: {a} -> {b}" for n, a, b in changed)
+                    )
+                dropped = [n for n in old if n not in new]
+                if dropped and not allow_column_drop:
+                    raise SchemaEvolutionError(
+                        f"{table!r}: commit drops column(s) {dropped}; pass "
+                        "allow_column_drop=True to evolve destructively"
+                    )
+                added = [n for n in new if n not in old]
+        df.write.mode("overwrite").parquet(str(self._dir(table, version)))
         current = marker.read_text().strip() if marker.exists() else None
         if expect_parent is not _UNCHECKED and current != expect_parent:
             raise SnapshotConflictError(
@@ -258,6 +308,9 @@ class SnapshotParquetTable:
                 "op": op,
                 "read_set": read_set or [],
                 "commit_ts": commit_ts,
+                "schema": fields,
+                "schema_added": added,
+                "schema_dropped": dropped,
             }
             try:
                 with open(ldir / f"{seq:08d}.json", "x") as fh:
@@ -396,9 +449,14 @@ class SnapshotParquetTable:
             )
         read_version = self.resolve(table)
         base = self.read_version(spark, table, read_version)
+        # allowMissingColumns: a change set carrying NEW columns evolves
+        # the table additively (base rows read NULL for the new column;
+        # the commit below logs the schema delta — directive #6). The
+        # replace-row contract is unchanged: a change row missing a base
+        # column writes NULL there, it does not preserve the old value.
         merged = base.join(
             changes.select(key), key, "left_anti"
-        ).unionByName(changes)
+        ).unionByName(changes, allowMissingColumns=True)
         if deletes is not None:
             merged = merged.join(deletes.select(key), key, "left_anti")
         # optimistic concurrency: commit succeeds only if latest still is

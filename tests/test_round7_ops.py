@@ -163,3 +163,53 @@ def test_optimize_compacts_and_preserves_content(tmp_path, spark):
     with pytest.raises(SnapshotConflictError):
         Racer(tmp_path).optimize(spark, "orders", "4")
     assert sink.resolve("orders") == "3"  # the ingest writer's commit stands
+
+
+def test_schema_evolution_rejects_incompatible_changes(tmp_path, spark):
+    """Directive #6's negative space: a type change on an existing
+    column is rejected, a column drop needs the explicit opt-in, and
+    additive evolution commits with the delta logged."""
+    from nzwirelessmap_fetch_spark.sinks.writers import (
+        SchemaEvolutionError,
+        SnapshotParquetTable,
+    )
+
+    sink = SnapshotParquetTable(tmp_path)
+    base = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    sink.write_version(base, "t", "1")
+
+    # type change: v bigint -> string
+    with pytest.raises(SchemaEvolutionError, match="type change"):
+        sink.write_version(
+            base.withColumn("v", F.col("v").cast("string")), "t", "2"
+        )
+    # column drop without opt-in
+    with pytest.raises(SchemaEvolutionError, match="drops column"):
+        sink.write_version(base.select("k"), "t", "2")
+    # neither rejected attempt moved the pointer or logged a commit
+    assert sink.resolve("t") == "1"
+    assert len(sink.log_entries("t")) == 1
+
+    # additive evolution commits and logs the delta
+    sink.write_version(base.withColumn("w", F.lit("x")), "t", "2")
+    e2 = sink.log_entries("t")[-1]
+    assert e2["schema_added"] == ["w"] and e2["schema_dropped"] == []
+
+    # opt-in drop commits and logs it
+    sink.write_version(base.select("k", "v"), "t", "3", allow_column_drop=True)
+    e3 = sink.log_entries("t")[-1]
+    assert e3["schema_dropped"] == ["w"]
+
+    # merge_into with a new column: base rows read NULL, change rows set
+    changes = spark.range(2).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 100).alias("v"),
+        F.lit("c").alias("tag"),
+    )
+    sink.merge_into(spark, "t", changes, "k", "4")
+    v4 = sink.read_version(spark, "t", "4")
+    rows = {r["k"]: (r["v"], r["tag"]) for r in v4.collect()}
+    assert rows[0] == (0, "c") and rows[1] == (100, "c")
+    assert rows[2] == (20, None)  # pre-evolution row: NULL in the new column
