@@ -218,6 +218,29 @@ class SnapshotParquetTable:
             if p.suffix == ".json"
         ]
 
+    def is_committed(self, table: str, version: str) -> bool:
+        """True iff ``version`` has a log entry — the log append IS the
+        commit point (r6 verdict directive #5: the log is the single
+        commit protocol; the ``_latest`` pointer is a read cache)."""
+        return any(e["version"] == version for e in self.log_entries(table))
+
+    def recover(self, table: str) -> str | None:
+        """Reconcile the ``_latest`` pointer with the log tail. A crash
+        between log append and pointer flip leaves a committed version
+        (it is in the log; its data dir was written before the append)
+        behind a stale pointer — any reader/writer repairs that here by
+        re-flipping the pointer to the max-seq logged version. Returns
+        the recovered latest version (None for an empty log)."""
+        entries = self.log_entries(table)
+        if not entries:
+            return None
+        tail = entries[-1]["version"]
+        marker = self.root / table / "_latest"
+        if not marker.exists() or marker.read_text().strip() != tail:
+            marker.parent.mkdir(parents=True, exist_ok=True)
+            marker.write_text(tail)
+        return tail
+
     def schema_of(self, table: str, version: str = "latest") -> list[list[str]] | None:
         """The [name, type] field list the given version's commit
         logged (None for pre-schema-tracking log entries)."""

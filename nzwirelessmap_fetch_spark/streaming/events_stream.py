@@ -1181,36 +1181,58 @@ GROUP BY user_id
 """
 
 
-def merge_user_stats_batch(sink, batch: DataFrame, batch_id: int) -> None:
+def merge_user_stats_batch(
+    sink, batch: DataFrame, batch_id: int, max_retries: int = 3
+) -> None:
     """One micro-batch of the streaming CDC merge (extracted from
     ``stream_foreach_batch_merge`` so retry idempotence is unit-testable).
 
-    foreachBatch is at-least-once: a re-delivered batch would re-apply
-    its delta on top of the already-flipped pointer and double-count.
-    The version NAME is the idempotence token — batch N commits version
-    N+1, so a latest pointer at or past N+1 means this batch already
-    landed and the retry is a no-op."""
-    if int(sink.resolve("user_stats")) >= batch_id + 1:
-        return
+    The txn LOG is the single commit protocol (r6 verdict directive
+    #5): batch N commits version N+1 through ``merge_into``'s logged,
+    optimistic-concurrency-checked commit, so
+
+    - **replay** (foreachBatch is at-least-once): the version token in
+      the LOG — not pointer arithmetic — decides; a re-delivered batch
+      whose version is already committed is a no-op. ``recover()``
+      first reconciles a pointer left stale by a crash between log
+      append and pointer flip, so a replayed batch never merges onto a
+      pre-commit base.
+    - **concurrency**: a writer that lands between this batch's
+      snapshot read and its commit raises ``SnapshotConflictError``;
+      the batch re-reads the new base and re-merges (bounded retries) —
+      the standard streaming-MERGE loop, never a blind overwrite."""
+    from ..sinks.writers import SnapshotConflictError
+
+    version = str(batch_id + 1)
+    sink.recover("user_stats")
+    if sink.is_committed("user_stats", version):
+        return  # replay: this batch's commit is already in the log
     delta = batch.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("d_n"),
         F.sum(F.expr("cast(floor(value * 100) as bigint)")).alias("d_cents"),
     )
-    base = sink.read_version(batch.sparkSession, "user_stats", "latest")
-    # the change set covers ONLY the batch's users (right join keeps
-    # delta rows, folds in any existing base totals); untouched base
-    # rows survive through merge_into's anti-join ∪ — the true MERGE
-    # WHEN MATCHED / NOT MATCHED shape
-    changes = base.join(delta, "user_id", "right_outer").select(
-        "user_id",
-        (F.coalesce("n", F.lit(0)) + F.col("d_n")).alias("n"),
-        (F.coalesce("total_cents", F.lit(0)) + F.col("d_cents")).alias(
-            "total_cents"
-        ),
-    )
-    sink.merge_into(
-        batch.sparkSession, "user_stats", changes, "user_id", str(batch_id + 1)
-    )
+    for attempt in range(max_retries + 1):
+        base = sink.read_version(batch.sparkSession, "user_stats", "latest")
+        # the change set covers ONLY the batch's users (right join keeps
+        # delta rows, folds in any existing base totals); untouched base
+        # rows survive through merge_into's anti-join ∪ — the true MERGE
+        # WHEN MATCHED / NOT MATCHED shape
+        changes = base.join(delta, "user_id", "right_outer").select(
+            "user_id",
+            (F.coalesce("n", F.lit(0)) + F.col("d_n")).alias("n"),
+            (F.coalesce("total_cents", F.lit(0)) + F.col("d_cents")).alias(
+                "total_cents"
+            ),
+        )
+        try:
+            sink.merge_into(
+                batch.sparkSession, "user_stats", changes, "user_id", version
+            )
+            return
+        except SnapshotConflictError:
+            if attempt == max_retries:
+                raise
+            # concurrent committer moved latest: recompute on the new base
 
 
 def stream_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -213,3 +213,62 @@ def test_schema_evolution_rejects_incompatible_changes(tmp_path, spark):
     rows = {r["k"]: (r["v"], r["tag"]) for r in v4.collect()}
     assert rows[0] == (0, "c") and rows[1] == (100, "c")
     assert rows[2] == (20, None)  # pre-evolution row: NULL in the new column
+
+
+def test_stream_merge_log_is_commit_protocol(tmp_path, spark):
+    """Directive #5: the streaming MERGE's idempotence token is the
+    version IN THE LOG (replay no-op), a stale pointer from a crash
+    between log append and flip is repaired before merging, and a
+    concurrent committer forces a retry that lands on the new base —
+    all commits visible in _log/."""
+    from nzwirelessmap_fetch_spark.sinks.writers import SnapshotParquetTable
+    from nzwirelessmap_fetch_spark.streaming.events_stream import (
+        merge_user_stats_batch,
+    )
+
+    sink = SnapshotParquetTable(tmp_path)
+    schema = "user_id long, n bigint, total_cents bigint"
+    sink.write_version(spark.createDataFrame([], schema), "user_stats", "0")
+    batch0 = spark.createDataFrame(
+        [(1, 1.0), (1, 2.5), (2, 10.0)], "user_id long, value double"
+    )
+    merge_user_stats_batch(sink, batch0, 0)
+    assert sink.is_committed("user_stats", "1")
+
+    # crash window: pointer rewound to pre-commit while the log has v1 —
+    # a replayed batch repairs the pointer and still no-ops
+    (tmp_path / "user_stats" / "_latest").write_text("0")
+    merge_user_stats_batch(sink, batch0, 0)
+    assert sink.resolve("user_stats") == "1"  # recovered, not re-applied
+    rows = {
+        r["user_id"]: (r["n"], r["total_cents"])
+        for r in sink.read_version(spark, "user_stats", "latest").collect()
+    }
+    assert rows == {1: (2, 350), 2: (1, 1000)}  # applied exactly once
+
+    # concurrent writer between the batch's read and its commit: the
+    # batch retries on the new base; BOTH commits are in the log
+    class Racer(SnapshotParquetTable):
+        def read_version(self, spk, table, version="latest"):
+            df = super().read_version(spk, table, version)
+            if not getattr(self, "_raced", False) and version == "latest":
+                self._raced = True
+                sink.merge_into(
+                    spark,
+                    "user_stats",
+                    spark.createDataFrame([(99, 1, 100)], schema),
+                    "user_id",
+                    "ingest-1",
+                )
+            return df
+
+    batch1 = spark.createDataFrame([(2, 0.5)], "user_id long, value double")
+    merge_user_stats_batch(Racer(tmp_path), batch1, 1)
+    versions = [e["version"] for e in sink.log_entries("user_stats")]
+    assert versions == ["0", "1", "ingest-1", "2"]
+    rows = {
+        r["user_id"]: (r["n"], r["total_cents"])
+        for r in sink.read_version(spark, "user_stats", "latest").collect()
+    }
+    # batch1 merged ON TOP of the concurrent ingest (no lost update)
+    assert rows == {1: (2, 350), 2: (2, 1050), 99: (1, 100)}
