@@ -1023,3 +1023,10 @@ registry.register(
     _r.table_schema_evolution,
     _r.TABLE_SCHEMA_EVOLUTION_SQL,
 )
+
+# Louvain to convergence — r6 directive #8
+registry.register(
+    "graph_louvain_converged",
+    _gr.graph_louvain_converged,
+    _gr.GRAPH_LOUVAIN_CONVERGED_SQL,
+)
