@@ -12,8 +12,9 @@ Reference analog: the jar's real binary decode of OLE/BLOB columns
 batch plumbing, not a byte-derived stand-in.
 
 Scope (documented, checked): 8-bit-depth, non-interlaced PNG, color
-types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA); all five row
-filters. Palette (type 3), 16-bit depth and Adam7 raise
+types 0 (gray), 2 (RGB), 3 (palette, incl. tRNS transparency — r6
+verdict directive #7), 4 (gray+alpha), 6 (RGBA); all five row filters.
+16-bit depth, sub-8-bit palette indices and Adam7 raise
 NotImplementedError with the exact unsupported feature named.
 """
 
@@ -89,6 +90,38 @@ def encode_png(
     )
 
 
+def encode_png_palette(
+    indices: bytes,
+    width: int,
+    height: int,
+    palette: list[tuple[int, int, int]],
+    trns: list[int] | None = None,
+    filter_type: int = 0,
+) -> bytes:
+    """Encode 8-bit palette indices as a color-type-3 PNG (PLTE + an
+    optional tRNS alpha table) — the encoder half that lets the
+    palette decode path be property-tested without fixture files."""
+    if len(indices) != width * height:
+        raise ValueError(f"indices length {len(indices)} != {width}*{height}")
+    if not 1 <= len(palette) <= 256:
+        raise ValueError("palette must have 1..256 entries")
+    if max(indices) >= len(palette):
+        raise ValueError("index out of palette range")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    plte = b"".join(bytes(rgb) for rgb in palette)
+    scan = bytearray()
+    prev = bytes(width)
+    for y in range(height):
+        line = indices[y * width : (y + 1) * width]
+        scan.append(filter_type)
+        scan += _filter_row(filter_type, line, prev, 1)
+        prev = line
+    chunks = PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+    if trns is not None:
+        chunks += _chunk(b"tRNS", bytes(trns))
+    return chunks + _chunk(b"IDAT", zlib.compress(bytes(scan), 6)) + _chunk(b"IEND", b"")
+
+
 def is_png(data: bytes) -> bool:
     return data[:8] == PNG_SIGNATURE
 
@@ -101,6 +134,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     ihdr: bytes | None = None
+    plte: bytes | None = None
+    trns: bytes | None = None
     idat = bytearray()
     while pos + 12 <= len(data):
         (ln,) = struct.unpack(">I", data[pos : pos + 4])
@@ -112,6 +147,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + ln
         if ctype == b"IHDR":
             ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"tRNS":
+            trns = body
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -121,12 +160,23 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     width, height = struct.unpack(">II", ihdr[:8])
     depth, color, _comp, _filt, interlace = ihdr[8:13]
     if depth != 8:
-        raise NotImplementedError(f"bit depth {depth} (only 8 handled)")
+        raise NotImplementedError(
+            f"bit depth {depth} (only 8 handled"
+            + (", incl. palette indices" if color == 3 else "")
+            + ")"
+        )
     if interlace != 0:
         raise NotImplementedError("Adam7 interlacing not handled")
-    channels = _CHANNELS.get(color)
-    if channels is None:
-        raise NotImplementedError(f"color type {color} (palette) not handled")
+    if color == 3:
+        # palette scanlines carry 1 byte/pixel (the index); defilter at
+        # bpp=1, then expand through PLTE (+ tRNS alpha when present)
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing/invalid PLTE")
+        channels = 1
+    else:
+        channels = _CHANNELS.get(color)
+        if channels is None:
+            raise NotImplementedError(f"color type {color} not handled")
     scan = zlib.decompress(bytes(idat))
     stride = width * channels
     if len(scan) != (stride + 1) * height:
@@ -160,6 +210,20 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"bad row filter {ftype}")
         out[y * stride : (y + 1) * stride] = line
         prev = line
+    if color == 3:
+        # PLTE lookup: emit RGB, or RGBA when a tRNS alpha table rides
+        # along (indices past the table default to opaque, per spec)
+        n_entries = len(plte) // 3
+        out_ch = 4 if trns is not None else 3
+        px = bytearray(width * height * out_ch)
+        for i, idx in enumerate(out):
+            if idx >= n_entries:
+                raise ValueError(f"palette index {idx} >= {n_entries} entries")
+            j = i * out_ch
+            px[j : j + 3] = plte[idx * 3 : idx * 3 + 3]
+            if out_ch == 4:
+                px[j + 3] = trns[idx] if idx < len(trns) else 255
+        return width, height, out_ch, bytes(px)
     return width, height, channels, bytes(out)
 
 

