@@ -48,11 +48,14 @@ registry.register(
     "multimodal_audio_energy", _mm.multimodal_audio_energy, _mm.MULTIMODAL_AUDIO_ENERGY_SQL
 )
 
-# 4–5 — r5/r6 table-format additions: MERGE-writer round trip + txn log
+# 4–5 — table-format family, r7 rotation: executing compaction takes the
+# merge-roundtrip slot (table_txn_log's v2 IS a merge_into commit, so the
+# merge write path keeps driver signal; the full roundtrip re-registers
+# below the cut) and the txn log keeps its slot
 registry.register(
-    "table_merge_write_roundtrip",
-    _r.table_merge_write_roundtrip,
-    _r.TABLE_SNAPSHOT_DIFF_SQL,
+    "table_optimize_roundtrip",
+    _r.table_optimize_roundtrip,
+    _r._table_optimize_roundtrip_sql(),
 )
 registry.register("table_txn_log", _r.table_txn_log, _r.TABLE_TXN_LOG_SQL)
 
@@ -65,10 +68,13 @@ registry.register(
     _es.STREAM_JVM_RUNNING_TOTALS_SQL,
 )
 registry.register("stream_dedup_events", _es.stream_dedup_events, _es.STREAM_DEDUP_EVENTS_SQL)
+# r7 rotation: schema evolution takes the session-windows slot
+# (streaming keeps four window reps; stream_session_windows re-registers
+# below the cut)
 registry.register(
-    "stream_session_windows",
-    _es.stream_session_windows,
-    _es.STREAM_SESSION_WINDOWS_SQL,
+    "table_schema_evolution",
+    _r.table_schema_evolution,
+    _r.TABLE_SCHEMA_EVOLUTION_SQL,
 )
 registry.register(
     "stream_stateful_user_stats",
@@ -198,16 +204,35 @@ registry.register("asof_purchase_click", _asof.asof_purchase_click, _asof.ASOF_P
 registry.register("sessionize", _sess.sessionize, _sess.SESSIONIZE_SQL)
 registry.register("events_funnel", _ea.events_funnel, _ea.EVENTS_FUNNEL_SQL)
 registry.register("graph_pagerank", _gr.graph_pagerank, _gr.GRAPH_PAGERANK_SQL)
-# r6: the new Louvain level rides in the window next to its family rep
+# r7 rotation: the CONVERGED Louvain loop takes the family's second
+# graph slot (one_level re-registers below the cut)
 registry.register(
-    "graph_louvain_one_level",
-    _gr.graph_louvain_one_level,
-    _gr.GRAPH_LOUVAIN_ONE_LEVEL_SQL,
+    "graph_louvain_converged",
+    _gr.graph_louvain_converged,
+    _gr.GRAPH_LOUVAIN_CONVERGED_SQL,
 )
 registry.register("pack_sequences", _pk.pack_sequences, _pk.PACK_SEQUENCES_SQL)
 registry.register("embedding_quantize", _pk.embedding_quantize, _pk.EMBEDDING_QUANTIZE_SQL)
 
 # ─── Entries 51+: checked by tools/check_queries.py (CORRECTNESS_FULL_r*) ───
+
+# r7 window rotation: demoted representatives — their families keep a
+# newer rep inside the driver window; parity evidence rides CORRECTNESS_FULL
+registry.register(
+    "table_merge_write_roundtrip",
+    _r.table_merge_write_roundtrip,
+    _r.TABLE_SNAPSHOT_DIFF_SQL,
+)
+registry.register(
+    "stream_session_windows",
+    _es.stream_session_windows,
+    _es.STREAM_SESSION_WINDOWS_SQL,
+)
+registry.register(
+    "graph_louvain_one_level",
+    _gr.graph_louvain_one_level,
+    _gr.GRAPH_LOUVAIN_ONE_LEVEL_SQL,
+)
 
 # r6 window rotation: demoted representatives — their families keep a
 # newer rep inside the driver window; parity evidence rides CORRECTNESS_FULL
@@ -1006,27 +1031,4 @@ registry.register(
     "sql_string_collations",
     _r.sql_string_collations,
     _r.SQL_STRING_COLLATIONS_SQL,
-)
-
-# ─── Round-7 additions ───
-
-# executing compaction (OPTIMIZE) through the txn log — r6 directive #4
-registry.register(
-    "table_optimize_roundtrip",
-    _r.table_optimize_roundtrip,
-    _r._table_optimize_roundtrip_sql(),
-)
-
-# write-side schema evolution as a logged commit — r6 directive #6
-registry.register(
-    "table_schema_evolution",
-    _r.table_schema_evolution,
-    _r.TABLE_SCHEMA_EVOLUTION_SQL,
-)
-
-# Louvain to convergence — r6 directive #8
-registry.register(
-    "graph_louvain_converged",
-    _gr.graph_louvain_converged,
-    _gr.GRAPH_LOUVAIN_CONVERGED_SQL,
 )
