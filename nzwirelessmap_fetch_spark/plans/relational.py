@@ -2577,6 +2577,105 @@ FROM counts
 """
 
 
+def table_restore_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-lifecycle round trip (r7 depth on the directive-#4 family):
+    v1 = base orders, v2 = the shared MERGE change set, v3 =
+    ``restore`` back to v1's content (a FORWARD ``op="restore"`` commit
+    — the pointer never rewinds, v2 stays time-travelable), then
+    ``vacuum(keep_latest=2)`` deletes v1's DATA while its log entry
+    survives as permanent audit metadata.
+
+    Output: one row per logged commit — (version, op, n_rows,
+    data_present). The oracle pins v1 as vacuumed (NULL rows, data
+    gone) and recomputes v2/v3 row counts from the fixture, so the
+    green row certifies restore content (v3 ≡ base), the log's parent
+    chain across all three ops, and vacuum's exact retention cut."""
+    import tempfile
+
+    from ..sinks.writers import SnapshotParquetTable
+
+    key = (spark.sparkContext.applicationId, sf_dir, "lifecycle")
+    root = _SNAPSHOT_ROOTS.get(key)
+    sink = SnapshotParquetTable(root) if root else None
+    if root is None:
+        root = tempfile.mkdtemp(prefix="snapshots-lifecycle-")
+        _SNAPSHOT_ROOTS[key] = root
+        sink = SnapshotParquetTable(root)
+        o, updates, inserts, deletes = _orders_change_set(spark, sf_dir)
+        sink.write_version(
+            o, "orders", "1", commit_ts="2024-01-01T00:00:00.000000Z"
+        )
+        sink.merge_into(
+            spark,
+            "orders",
+            updates.unionByName(inserts),
+            "o_orderkey",
+            "2",
+            deletes=deletes,
+            commit_ts="2024-01-02T00:00:00.000000Z",
+        )
+        sink.restore(
+            spark, "orders", "1", "3",
+            commit_ts="2024-01-03T00:00:00.000000Z",
+        )
+        stats = sink.vacuum("orders", keep_latest=2)
+        assert stats["removed_expired"] == ["1"] and stats["removed_orphans"] == []
+    from pathlib import Path
+
+    out = None
+    for e in sink.log_entries("orders"):
+        v = e["version"]
+        present = (Path(root) / "orders" / f"v={v}").exists()
+        if present:
+            row = (
+                sink.read_version(spark, "orders", v)
+                .agg(F.count(F.lit(1)).alias("n_rows"))
+                .select(
+                    F.lit(v).alias("version"),
+                    F.lit(e["op"]).alias("op"),
+                    F.col("n_rows"),
+                    F.lit(True).alias("data_present"),
+                )
+            )
+        else:
+            row = spark.range(1).select(
+                F.lit(v).alias("version"),
+                F.lit(e["op"]).alias("op"),
+                F.lit(None).cast("long").alias("n_rows"),
+                F.lit(False).alias("data_present"),
+            )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+TABLE_RESTORE_VACUUM_SQL = """
+WITH base AS (
+  SELECT o_orderkey FROM orders
+),
+changed AS (
+  SELECT o_orderkey FROM base WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT 9000000000 + n_nationkey FROM nation
+),
+v2n AS (
+  SELECT COUNT(*) AS n FROM (
+    SELECT o_orderkey FROM (
+      SELECT o_orderkey FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changed)
+      UNION ALL
+      SELECT o_orderkey FROM changed)
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base WHERE o_orderkey % 13 = 0)
+  )
+)
+SELECT '1' AS version, 'write' AS op, CAST(NULL AS BIGINT) AS n_rows,
+       FALSE AS data_present
+UNION ALL
+SELECT '2', 'merge', (SELECT n FROM v2n), TRUE
+UNION ALL
+SELECT '3', 'restore', (SELECT COUNT(*) FROM base), TRUE
+"""
+
+
 TABLE_SNAPSHOT_DIFF_SQL = """
 WITH base AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority

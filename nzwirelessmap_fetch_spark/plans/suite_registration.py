@@ -1032,3 +1032,10 @@ registry.register(
     _r.sql_string_collations,
     _r.SQL_STRING_COLLATIONS_SQL,
 )
+
+# r7 depth: table lifecycle — restore (forward rollback) + vacuum
+registry.register(
+    "table_restore_vacuum",
+    _r.table_restore_vacuum,
+    _r.TABLE_RESTORE_VACUUM_SQL,
+)

@@ -417,6 +417,67 @@ class SnapshotParquetTable:
         version = self.version_as_of(table, ts)
         return spark.read.parquet(str(self._dir(table, version)))
 
+    def restore(
+        self, spark, table: str, to_version: str, new_version: str,
+        commit_ts: str | None = None,
+    ) -> None:
+        """ROLLBACK as a forward commit (Delta's RESTORE shape): commit
+        the CONTENT of ``to_version`` as ``new_version`` with
+        ``op="restore"`` and the restored version in the read-set. The
+        mistake stays in history (time travel to it still works); the
+        pointer moves forward, never backward — a backward pointer flip
+        would silently orphan commits and break the log's parent chain.
+        Conflict-checked like every logged commit."""
+        src = self.resolve(table, to_version)
+        current = self.resolve(table)
+        self.write_version(
+            self.read_version(spark, table, src),
+            table,
+            new_version,
+            op="restore",
+            commit_ts=commit_ts,
+            read_set=[f"{table}@{src}"],
+            expect_parent=current,
+            allow_column_drop=True,  # restoring past an evolution IS a drop
+        )
+
+    def vacuum(self, table: str, keep_latest: int = 2) -> dict:
+        """Garbage-collect version directories: delete (a) ORPHANS —
+        data dirs no log entry references, the residue of conflict-
+        aborted or crashed commits — and (b) committed versions older
+        than the newest ``keep_latest`` (their log entries REMAIN: the
+        audit trail is permanent metadata; only the data bytes go).
+        The current latest is always retained regardless of
+        ``keep_latest``. Time travel reaches back exactly
+        ``keep_latest`` versions afterwards — the same contract as a
+        real format's VACUUM retention window.
+
+        Scale: pure file-listing metadata work (no data scan); deletes
+        are per-directory and embarrassingly parallel on an object
+        store. Returns {removed_orphans, removed_expired, kept}."""
+        import shutil
+
+        tdir = self.root / table
+        committed = [e["version"] for e in self.log_entries(table)]
+        latest = self.resolve(table)
+        keep = set(committed[-keep_latest:]) | {latest}
+        removed_orphans, removed_expired, kept = [], [], []
+        for d in sorted(tdir.glob("v=*")):
+            v = d.name[2:]
+            if v not in committed:
+                shutil.rmtree(d)
+                removed_orphans.append(v)
+            elif v not in keep:
+                shutil.rmtree(d)
+                removed_expired.append(v)
+            else:
+                kept.append(v)
+        return {
+            "removed_orphans": removed_orphans,
+            "removed_expired": removed_expired,
+            "kept": kept,
+        }
+
     def version_as_of(self, table: str, ts: str) -> str:
         hits = [e for e in self.log_entries(table) if e["commit_ts"] <= ts]
         if not hits:

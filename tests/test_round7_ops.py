@@ -340,3 +340,38 @@ def test_png_palette_roundtrip_and_trns():
     # (re-chunked blob has a stale CRC → either error is acceptable)
     with pytest.raises(ValueError):
         png.decode_png(bad)
+
+
+def test_restore_and_vacuum_lifecycle(tmp_path, spark):
+    """RESTORE commits the old content FORWARD (history intact, parent
+    chain unbroken); VACUUM removes orphaned and expired data dirs while
+    the log and the retention window survive."""
+    from nzwirelessmap_fetch_spark.sinks.writers import SnapshotParquetTable
+
+    sink = SnapshotParquetTable(tmp_path)
+    v1 = spark.range(3).select(F.col("id").alias("k"))
+    v2 = spark.range(5).select(F.col("id").alias("k"))
+    sink.write_version(v1, "t", "1", commit_ts="2024-01-01T00:00:00.000000Z")
+    sink.write_version(v2, "t", "2", commit_ts="2024-01-02T00:00:00.000000Z")
+
+    sink.restore(spark, "t", "1", "3", commit_ts="2024-01-03T00:00:00.000000Z")
+    assert sink.resolve("t") == "3"
+    assert sink.read_version(spark, "t", "latest").count() == 3  # v1 content
+    e3 = sink.log_entries("t")[-1]
+    assert e3["op"] == "restore" and e3["parent"] == "2"
+    assert e3["read_set"] == ["t@1"]
+    # the "mistake" (v2) is still time-travelable
+    assert sink.read_as_of(spark, "t", "2024-01-02T12:00:00.000000Z").count() == 5
+
+    # orphan: a data dir with no log entry (a crashed/aborted commit)
+    v2.write.mode("overwrite").parquet(str(tmp_path / "t" / "v=99"))
+    stats = sink.vacuum("t", keep_latest=2)
+    assert stats["removed_orphans"] == ["99"]
+    assert stats["removed_expired"] == ["1"]
+    assert sorted(stats["kept"]) == ["2", "3"]
+    # log is intact (audit trail permanent), retained versions readable
+    assert [e["version"] for e in sink.log_entries("t")] == ["1", "2", "3"]
+    assert sink.read_version(spark, "t", "2").count() == 5
+    assert sink.read_version(spark, "t", "latest").count() == 3
+    # vacuumed version's data is gone
+    assert not (tmp_path / "t" / "v=1").exists()
