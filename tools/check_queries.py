@@ -37,6 +37,16 @@ def main(names: list[str]) -> int:
 
     spark = get_spark("check-queries", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     con = duckdb.connect()
+    # Large-SF gates: without a limit DuckDB grows unbounded on the
+    # quadratic oracles (the sf1 CC oracle hit 46 GB and drew the OOM
+    # killer); with a limit it spills to temp instead. Opt-in via env so
+    # the small default gate keeps zero-config behavior.
+    mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM")
+    if mem:
+        spill = f"/tmp/duckdb_spill_{os.getpid()}"
+        os.makedirs(spill, exist_ok=True)
+        con.execute(f"PRAGMA memory_limit='{mem}'")
+        con.execute(f"PRAGMA temp_directory='{spill}'")
     for t in TABLES:
         path = f"{SF_DIR}/{t}.parquet"
         # directory-shaped tables (multi-file replicas): DuckDB needs a glob
