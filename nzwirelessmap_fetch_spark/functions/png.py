@@ -173,6 +173,14 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         if plte is None or len(plte) % 3:
             raise ValueError("palette PNG missing/invalid PLTE")
         channels = 1
+    elif trns is not None:
+        # spec-legal single-transparent-color tRNS on grayscale (0) /
+        # truecolor (2) is NOT applied here; decoding it as opaque would
+        # silently drop alpha — fail loud per the module contract
+        # (r7 ADVICE).
+        raise NotImplementedError(
+            f"tRNS on color type {color} not handled (only palette, type 3)"
+        )
     else:
         channels = _CHANNELS.get(color)
         if channels is None:

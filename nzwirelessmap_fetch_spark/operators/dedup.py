@@ -214,7 +214,11 @@ def _prefix_order_sets(spark, sh, probe_key, order):
                 F.percentile_approx("dfc", F.lit(0.99), F.lit(10000)).alias("p99"),
             ).first()
             p99 = max(int(stats["p99"] or 1), 1)
-            order = "df" if stats["mx"] >= DF_SKEW_ORDER_RATIO * p99 else "hash"
+            # mx is None on an EMPTY shingle table (every doc shorter
+            # than the shingle width) — `None >= int` raises TypeError.
+            # Default to hash order: there is nothing to skew (r7 ADVICE).
+            mx = int(stats["mx"] or 0)
+            order = "df" if mx >= DF_SKEW_ORDER_RATIO * p99 else "hash"
             _ORDER_PROBE_CACHE[probe_key] = order
             if order != "df":
                 df_tab.unpersist()
