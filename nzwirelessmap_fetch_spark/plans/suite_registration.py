@@ -1039,3 +1039,12 @@ registry.register(
     _r.table_restore_vacuum,
     _r.TABLE_RESTORE_VACUUM_SQL,
 )
+
+# ─── Round-8 additions ───────────────────────────────────────────────────────
+# Adaptive winnowing valve eval (r7 verdict directive #1): recall of the
+# budget-derived df cap vs the exact measure is a MEASURED oracle row.
+registry.register(
+    "corpus_winnowing_cap_eval",
+    _tx.corpus_winnowing_cap_eval,
+    _tx.CORPUS_WINNOWING_CAP_EVAL_SQL,
+)
