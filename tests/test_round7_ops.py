@@ -246,21 +246,25 @@ def test_stream_merge_log_is_commit_protocol(tmp_path, spark):
     }
     assert rows == {1: (2, 350), 2: (1, 1000)}  # applied exactly once
 
-    # concurrent writer between the batch's read and its commit: the
-    # batch retries on the new base; BOTH commits are in the log
+    # concurrent writer landing AFTER the batch resolves its base but
+    # BEFORE its commit — and touching an OVERLAPPING key (user 2), the
+    # exact lost-update window the r7 ADVICE flagged: without the
+    # pinned base_version the batch's stale fold would silently
+    # overwrite the racer's totals. The pin forces a
+    # SnapshotConflictError; the retry recomputes on the new base.
     class Racer(SnapshotParquetTable):
-        def read_version(self, spk, table, version="latest"):
-            df = super().read_version(spk, table, version)
+        def resolve(self, table, version="latest"):
+            v = super().resolve(table, version)
             if not getattr(self, "_raced", False) and version == "latest":
                 self._raced = True
                 sink.merge_into(
                     spark,
                     "user_stats",
-                    spark.createDataFrame([(99, 1, 100)], schema),
+                    spark.createDataFrame([(99, 1, 100), (2, 5, 5000)], schema),
                     "user_id",
                     "ingest-1",
                 )
-            return df
+            return v
 
     batch1 = spark.createDataFrame([(2, 0.5)], "user_id long, value double")
     merge_user_stats_batch(Racer(tmp_path), batch1, 1)
@@ -270,8 +274,9 @@ def test_stream_merge_log_is_commit_protocol(tmp_path, spark):
         r["user_id"]: (r["n"], r["total_cents"])
         for r in sink.read_version(spark, "user_stats", "latest").collect()
     }
-    # batch1 merged ON TOP of the concurrent ingest (no lost update)
-    assert rows == {1: (2, 350), 2: (2, 1050), 99: (1, 100)}
+    # batch1's delta (+1 event, +50 cents for user 2) folded ON TOP of
+    # the concurrent ingest's (5, 5000) — no lost update on either side
+    assert rows == {1: (2, 350), 2: (6, 5050), 99: (1, 100)}
 
 
 def test_louvain_converged_ladder_monotone(spark):

@@ -343,7 +343,158 @@ def variants() -> None:
     spark.stop()
 
 
+# ─── sf1 decade of the Zipf corpus (r7 verdict directive #2) ─────────────────
+# The r7 sf1 full gate ran only on the uniform ×10 replica fixture, whose
+# saturated vocabulary makes three rows vacuous 0-row agreements and two
+# Σdf² measures resource-bounded. This builds the REALISTIC shape at the
+# same scale: 10× docs/events/vectors with Zipfian words over a vocab
+# grown per Heaps' law (20k → 100k ≈ 20k·10^0.7), planted near-dups, hub
+# users, and hub embedding clusters; TPC-H tables come from the existing
+# .scaling_sf1 ×10 replicas so every Catalog path resolves at sf1 scale.
+
+OUT_SF1 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".skew_fixture_sf1",
+)
+SF1_TPCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scaling_sf1"
+)
+SF1_SCALE = 10
+VOCAB_SF1 = 100_000
+
+
+def build_sf1(force: bool = False) -> None:
+    marker = os.path.join(OUT_SF1, "_built")
+    if os.path.exists(marker) and not force:
+        return
+    if not os.path.exists(os.path.join(SF1_TPCH, "_built")):
+        raise SystemExit(
+            "run tools/scaling_sf1.py first (needs the ×10 TPC-H replicas)"
+        )
+    if os.path.exists(OUT_SF1):
+        shutil.rmtree(OUT_SF1)
+    os.makedirs(OUT_SF1)
+    rng = np.random.RandomState(8106)
+    n_docs = N_DOCS * SF1_SCALE
+
+    # --- documents: vectorized Zipf draws (50k docs × ~50 words would be
+    # minutes with per-doc rng.choice(p=...); one cumsum + searchsorted
+    # over ALL draws is seconds) ---
+    probs = _zipf_probs(VOCAB_SF1, ZIPF_S)
+    cum = np.cumsum(probs)
+    words = np.array([f"t{r}" for r in range(1, VOCAB_SF1 + 1)])
+    lengths = np.clip(
+        rng.lognormal(mean=np.log(45), sigma=0.5, size=n_docs), 8, 120
+    ).astype(int)
+    flat = words[np.searchsorted(cum, rng.rand(int(lengths.sum())))]
+    bounds = np.concatenate([[0], np.cumsum(lengths)])
+    docs: list[list[str]] = []
+    for i in range(n_docs):
+        if docs and rng.rand() < NEAR_DUP_FRAC:
+            src = list(docs[rng.randint(len(docs))])
+            if len(src) > 9:
+                del src[rng.randint(len(src))]
+            for _ in range(max(1, len(src) // 20)):
+                src[rng.randint(len(src))] = words[
+                    np.searchsorted(cum, rng.rand())
+                ]
+            docs.append(src)
+        else:
+            docs.append(list(flat[bounds[i] : bounds[i + 1]]))
+    texts = [" ".join(d) for d in docs]
+    langs = rng.choice(
+        ["en", "de", "fr", "mi"], size=n_docs, p=[0.7, 0.15, 0.1, 0.05]
+    )
+    sources = np.array([f"src{j}" for j in rng.zipf(1.5, size=n_docs) % 20])
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n_docs), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "source": pa.array(sources, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(OUT_SF1, "documents.parquet"),
+    )
+
+    # --- events: 1M rows, Zipf users over 20k ---
+    n_events = N_EVENTS * SF1_SCALE
+    n_users = N_USERS * SF1_SCALE
+    ucum = np.cumsum(_zipf_probs(n_users, EVENT_ZIPF_S))
+    user_id = np.searchsorted(ucum, rng.rand(n_events)).astype("int64")
+    etypes = np.array(["view", "click", "add", "purchase", "refund", "login"])
+    etype = etypes[
+        rng.choice(6, size=n_events, p=[0.55, 0.25, 0.1, 0.05, 0.01, 0.04])
+    ]
+    base = np.datetime64("2024-01-01T00:00:00")
+    ts = base + rng.randint(0, 30 * 86400, size=n_events).astype("timedelta64[s]")
+    value = np.round(rng.lognormal(1.0, 1.0, size=n_events), 4)
+    props = np.array(
+        [
+            json.dumps({"k": int(u % 100), "p": int(u % 7), "ab": bool(u % 2)})
+            for u in user_id
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n_events), pa.int64()),
+                "ts": pa.array(ts.astype("datetime64[us]")),
+                "user_id": pa.array(user_id),
+                "event_type": pa.array(etype, pa.string()),
+                "value": pa.array(value, pa.float64()),
+                "props": pa.array(props, pa.string()),
+            }
+        ),
+        os.path.join(OUT_SF1, "events.parquet"),
+    )
+
+    # --- embeddings: 20k × 64, hub clusters scaled ×10 ---
+    n_vecs = N_VECS * SF1_SCALE
+    cluster_sizes = tuple(s * SF1_SCALE for s in CLUSTER_SIZES)
+    vecs = np.empty((n_vecs, DIM), dtype="float32")
+    labels = np.empty(n_vecs, dtype="int32")
+    pos = 0
+    for ci, sz in enumerate(cluster_sizes):
+        center = rng.randn(DIM)
+        center /= np.linalg.norm(center)
+        pts = center[None, :] + 0.08 * rng.randn(sz, DIM)
+        vecs[pos : pos + sz] = pts
+        labels[pos : pos + sz] = ci
+        pos += sz
+    rest = n_vecs - pos
+    vecs[pos:] = rng.randn(rest, DIM) / np.sqrt(DIM)
+    labels[pos:] = 99
+    perm = rng.permutation(n_vecs)
+    vecs, labels = vecs[perm], labels[perm]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n_vecs), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        os.path.join(OUT_SF1, "embeddings.parquet"),
+    )
+
+    for t in COPY_TABLES:
+        src = os.path.join(SF1_TPCH, f"{t}.parquet")
+        dst = os.path.join(OUT_SF1, f"{t}.parquet")
+        (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
+
+    open(marker, "w").write("ok")
+
+
 if __name__ == "__main__":
+    if "--sf1" in sys.argv:
+        build_sf1(force="--force" in sys.argv)
+        print(f"sf1 Zipf corpus at {OUT_SF1}")
+        raise SystemExit(0)
     build(force="--force" in sys.argv)
     corpus_stats()
     if "--measure" in sys.argv:
