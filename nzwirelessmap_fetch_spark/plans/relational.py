@@ -2418,10 +2418,11 @@ def table_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert stats["files_after"] == stats["target_files"]
         # The ORACLE pins n_files = 1 (a VALUES row — it cannot read the
         # snapshot store's byte sizes), which holds while orders' on-disk
-        # bytes stay under one 128 MB target file (~sf3; the fixture gate
-        # tops out at sf1 ≈ 45 MB — bound recorded in SCALING.md). If the
-        # fixture ever outgrows the pin, fail with the fix spelled out
-        # rather than a silent hash mismatch (r7 ADVICE).
+        # bytes stay under one 128 MB target file: measured 26.4 MB at
+        # sf1 → the pin breaks around sf5 (bound recorded in SCALING.md,
+        # round-8 growth table). If the fixture ever outgrows the pin,
+        # fail with the fix spelled out rather than a silent hash
+        # mismatch (r7 ADVICE).
         if stats["target_files"] != 1:
             raise AssertionError(
                 "table_optimize_roundtrip fixture outgrew the 1-file oracle "

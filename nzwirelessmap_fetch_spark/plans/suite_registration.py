@@ -176,14 +176,17 @@ registry.register("dedup_connected_components", _dd.dedup_connected_components, 
 registry.register("text_stats", _tx.text_stats, _tx.TEXT_STATS_SQL)
 registry.register("text_langid", _tx.text_langid, _tx.TEXT_LANGID_SQL)
 
-# 39–41 — corpus curation: quality filter + the r5 cap-eval (precision/
-# recall of the containment df-cap valve — the quality-of-the-valve
-# meta-eval gets driver signal; the composed pipeline rotates below)
+# 39–41 — corpus curation: quality filter + the valve cap-eval. r8
+# rotation: the ADAPTIVE winnowing cap-eval (r7 verdict directive #1 —
+# precision/recall of the budget-derived df cut vs exact truth) takes
+# the cap-eval slot; the r5 containment cap-eval re-registers below the
+# cut (same family, newer valve gets the hard driver signal — the
+# agg_kmv_distinct rotation pattern)
 registry.register("corpus_quality_filter", _tx.corpus_quality_filter, _tx.CORPUS_QUALITY_FILTER_SQL)
 registry.register(
-    "corpus_containment_cap_eval",
-    _dd.corpus_containment_cap_eval,
-    _dd.CORPUS_CONTAINMENT_CAP_EVAL_SQL,
+    "corpus_winnowing_cap_eval",
+    _tx.corpus_winnowing_cap_eval,
+    _tx.CORPUS_WINNOWING_CAP_EVAL_SQL,
 )
 
 # 42–44 — similarity search: brute-force baseline, banded LSH (the
@@ -1040,11 +1043,11 @@ registry.register(
     _r.TABLE_RESTORE_VACUUM_SQL,
 )
 
-# ─── Round-8 additions ───────────────────────────────────────────────────────
-# Adaptive winnowing valve eval (r7 verdict directive #1): recall of the
-# budget-derived df cap vs the exact measure is a MEASURED oracle row.
+# ─── Round-8 additions / rotations ───────────────────────────────────────────
+# displaced by the adaptive winnowing cap-eval in the driver window
+# (still oracle-checked via CORRECTNESS_FULL)
 registry.register(
-    "corpus_winnowing_cap_eval",
-    _tx.corpus_winnowing_cap_eval,
-    _tx.CORPUS_WINNOWING_CAP_EVAL_SQL,
+    "corpus_containment_cap_eval",
+    _dd.corpus_containment_cap_eval,
+    _dd.CORPUS_CONTAINMENT_CAP_EVAL_SQL,
 )
