@@ -40,6 +40,24 @@ def main() -> None:
     # warm the JVM + parquet footer cache so per-query numbers measure the
     # query, not session startup
     spark.range(1000).count()
+    # r7 verdict directive #7 (retry-tail attribution): two more one-time
+    # costs used to land on whichever query hit them first and made the
+    # stable >2.5 s retry list — fork/spawn of the Arrow Python worker
+    # pool (first pandas-UDF query) and streaming-engine initialization
+    # (first writeStream). Pay both ONCE here so per-query numbers
+    # measure the plan, not process bootstrap.
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+    wq = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .writeStream.format("noop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    wq.awaitTermination()
 
     timings: dict[str, float] = {}
 
