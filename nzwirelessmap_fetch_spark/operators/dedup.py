@@ -1264,9 +1264,15 @@ def dedup_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Oracle: candidate CTE = DEDUP_MINHASH_LSH_SQL's band join; truth CTE =
 # DEDUP_NGRAM_JACCARD_SQL's exact pairs; scalar subqueries count the
-# overlap.
-DEDUP_LSH_QUALITY_EVAL_SQL = """
-WITH w AS (
+# overlap. The string is assembled from the fragments below so the
+# SEQUENCED gate variant (DEDUP_LSH_QUALITY_EVAL_SQL_STEPS) is equal to
+# the one-shot oracle BY CONSTRUCTION: the r7 sf1 gate showed that
+# running the quadratic truth build and the minhash pipeline as ONE
+# DuckDB query spills both pipelines' state concurrently and fills the
+# host disk, while each half alone fits the budget (dedup_ngram_jaccard
+# green at sf1 in 383 s; dedup_minhash_lsh green). The steps run the
+# halves sequentially into temp tables — peak spill is one pipeline's.
+_LSH_EVAL_SH_CTES = """w AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ),
 sh AS MATERIALIZED (
@@ -1275,8 +1281,9 @@ sh AS MATERIALIZED (
            unnest(list_transform(generate_series(1, len(w)-1),
                                  i -> w[i] || ' ' || w[i+1])) AS shingle
     FROM w WHERE len(w) >= 2)
-),
-h AS (
+)"""
+
+_LSH_EVAL_CAND_CTES = """h AS (
   SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh
 ),
 perms AS (
@@ -1297,8 +1304,9 @@ cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a
   JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-),
-sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+)"""
+
+_LSH_EVAL_TRUTH_CTES = """sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
   FROM sh a JOIN sh b USING (shingle)
@@ -1310,9 +1318,9 @@ truth AS MATERIALIZED (
   JOIN sz sa ON sa.doc_id = doc_a
   JOIN sz sb ON sb.doc_id = doc_b
   WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
-),
-hit AS MATERIALIZED (SELECT doc_a, doc_b FROM cand INTERSECT SELECT doc_a, doc_b FROM truth)
-SELECT (SELECT COUNT(*) FROM cand)  AS n_candidates,
+)"""
+
+_LSH_EVAL_SELECT = """SELECT (SELECT COUNT(*) FROM cand)  AS n_candidates,
        (SELECT COUNT(*) FROM truth) AS n_true_pairs,
        (SELECT COUNT(*) FROM hit)   AS n_hits,
        CAST(CAST((SELECT COUNT(*) FROM hit)::DOUBLE
@@ -1320,8 +1328,39 @@ SELECT (SELECT COUNT(*) FROM cand)  AS n_candidates,
          AS precision,
        CAST(CAST((SELECT COUNT(*) FROM hit)::DOUBLE
                  / (SELECT COUNT(*) FROM truth) AS DECIMAL(18,6)) AS DOUBLE)
-         AS recall
+         AS recall"""
+
+DEDUP_LSH_QUALITY_EVAL_SQL = f"""
+WITH {_LSH_EVAL_SH_CTES},
+{_LSH_EVAL_CAND_CTES},
+{_LSH_EVAL_TRUTH_CTES},
+hit AS MATERIALIZED (SELECT doc_a, doc_b FROM cand INTERSECT SELECT doc_a, doc_b FROM truth)
+{_LSH_EVAL_SELECT}
 """
+
+# Sequenced gate variant (r7 verdict directive #3): same fragments, two
+# CREATE TEMP TABLE steps then the identical final SELECT reading them.
+# tools/check_queries.py runs this under SPARK_GRAFT_ORACLE_SEQ=1 (the
+# sharded large-SF gate); the driver's sf0.01 gate still gets the
+# one-shot string above. Equality is pinned by
+# tests/test_round8_ops.py::test_lsh_eval_sequenced_oracle_equals_oneshot.
+DEDUP_LSH_QUALITY_EVAL_SQL_STEPS = [
+    "CREATE OR REPLACE TEMP TABLE _gate_lsh_cand AS WITH "
+    + _LSH_EVAL_SH_CTES
+    + ",\n"
+    + _LSH_EVAL_CAND_CTES
+    + "\nSELECT doc_a, doc_b FROM cand",
+    "CREATE OR REPLACE TEMP TABLE _gate_lsh_truth AS WITH "
+    + _LSH_EVAL_SH_CTES
+    + ",\n"
+    + _LSH_EVAL_TRUTH_CTES
+    + "\nSELECT doc_a, doc_b FROM truth",
+    """WITH cand AS (SELECT * FROM _gate_lsh_cand),
+truth AS (SELECT * FROM _gate_lsh_truth),
+hit AS (SELECT doc_a, doc_b FROM cand INTERSECT SELECT doc_a, doc_b FROM truth)
+"""
+    + _LSH_EVAL_SELECT,
+]
 
 
 # ─── Containment (near-superset) detection ─────────────────────────────────

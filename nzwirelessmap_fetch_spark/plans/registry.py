@@ -29,6 +29,14 @@ class Entry:
     #                 scale run the scale_twin instead.
     scale_profile: str = "scale_safe"
     scale_twin: str | None = None  # the name to run at 100 TB, if not self
+    # Optional SEQUENCED gate oracle: a list of SQL statements (temp-table
+    # setup steps + a final SELECT) semantically equal to ``oracle`` but
+    # with one heavy pipeline per statement, so DuckDB's peak spill is one
+    # pipeline's, not their sum (r7 sf1 gate: the one-shot
+    # dedup_lsh_quality_eval oracle filled the disk while each half alone
+    # fit). Used only by tools/check_queries.py under
+    # SPARK_GRAFT_ORACLE_SEQ=1; the driver always runs ``oracle``.
+    oracle_steps: tuple[str, ...] | None = None
 
 
 _REGISTRY: dict[str, Entry] = {}
@@ -41,12 +49,21 @@ def register(
     *,
     scale_profile: str = "scale_safe",
     scale_twin: str | None = None,
+    oracle_steps: list[str] | tuple[str, ...] | None = None,
 ) -> None:
     if name in _REGISTRY:
         raise ValueError(f"duplicate query name {name!r}")
     if scale_profile not in ("scale_safe", "exact_measure"):
         raise ValueError(f"unknown scale_profile {scale_profile!r}")
-    _REGISTRY[name] = Entry(fn, oracle, scale_profile, scale_twin)
+    if oracle_steps is not None and oracle is None:
+        raise ValueError("oracle_steps requires a one-shot oracle to mirror")
+    _REGISTRY[name] = Entry(
+        fn,
+        oracle,
+        scale_profile,
+        scale_twin,
+        tuple(oracle_steps) if oracle_steps is not None else None,
+    )
 
 
 def _load_all() -> None:
@@ -64,6 +81,19 @@ def queries() -> dict[str, QueryFn]:
 def oracle_sql() -> dict[str, str]:
     _load_all()
     return {name: e.oracle for name, e in _REGISTRY.items() if e.oracle is not None}
+
+
+def oracle_gate_steps() -> dict[str, tuple[str, ...]]:
+    """Sequenced gate oracles (see Entry.oracle_steps): statement lists
+    for the large-SF gate harness. Empty for almost every entry — only
+    oracles whose one-shot form runs multiple disk-spilling pipelines
+    concurrently register one."""
+    _load_all()
+    return {
+        name: e.oracle_steps
+        for name, e in _REGISTRY.items()
+        if e.oracle_steps is not None
+    }
 
 
 def scale_profiles() -> dict[str, dict[str, str | None]]:

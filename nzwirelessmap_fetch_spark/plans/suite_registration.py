@@ -558,7 +558,10 @@ registry.register(
 # same oracle: identical output contract, log-round star-contraction algorithm
 registry.register("dedup_cc_star", _dd.dedup_cc_star, _dd.DEDUP_CONNECTED_COMPONENTS_SQL)
 registry.register(
-    "dedup_lsh_quality_eval", _dd.dedup_lsh_quality_eval, _dd.DEDUP_LSH_QUALITY_EVAL_SQL
+    "dedup_lsh_quality_eval",
+    _dd.dedup_lsh_quality_eval,
+    _dd.DEDUP_LSH_QUALITY_EVAL_SQL,
+    oracle_steps=_dd.DEDUP_LSH_QUALITY_EVAL_SQL_STEPS,
 )
 registry.register(
     "graph_triangle_count", _gr.graph_triangle_count, _gr.GRAPH_TRIANGLE_COUNT_SQL

@@ -310,3 +310,27 @@ def test_winnow_exact_measure_budget_guard(spark, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_EXACT_PAIR_BUDGET")
     assert corpus_winnowing(spark, SF_SMOKE).count() >= 0
     _WINNOW_PAIRS_CACHE.clear()
+
+
+def test_lsh_eval_sequenced_oracle_equals_oneshot(spark, ddb):
+    """r7 verdict directive #3: the sequenced gate oracle (two temp-table
+    steps + final select, one disk-spilling pipeline per statement) must
+    equal the one-shot driver oracle — both are assembled from the same
+    SQL fragments, and this pins the assembly."""
+    from nzwirelessmap_fetch_spark.operators.dedup import (
+        DEDUP_LSH_QUALITY_EVAL_SQL,
+        DEDUP_LSH_QUALITY_EVAL_SQL_STEPS,
+    )
+    from tests.oracle import frame_fingerprint
+
+    oneshot = ddb.execute(DEDUP_LSH_QUALITY_EVAL_SQL).df()
+    for step in DEDUP_LSH_QUALITY_EVAL_SQL_STEPS[:-1]:
+        ddb.execute(step)
+    sequenced = ddb.execute(DEDUP_LSH_QUALITY_EVAL_SQL_STEPS[-1]).df()
+    assert frame_fingerprint(oneshot) == frame_fingerprint(sequenced)
+    # registry exposure: the gate harness finds the steps by name
+    from nzwirelessmap_fetch_spark.plans import registry
+
+    steps = registry.oracle_gate_steps()
+    assert list(steps) == ["dedup_lsh_quality_eval"]
+    assert steps["dedup_lsh_quality_eval"][-1] == DEDUP_LSH_QUALITY_EVAL_SQL_STEPS[-1]

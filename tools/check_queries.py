@@ -30,8 +30,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF", "/root/testdata/sf0.01")
 def main(names: list[str]) -> int:
     import __spark_entry__ as entrymod
 
+    from nzwirelessmap_fetch_spark.plans import registry
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # Large-SF gates opt into the SEQUENCED oracles (one heavy pipeline
+    # per statement → peak spill is one pipeline's, not their sum). The
+    # default gate mirrors the driver exactly: one-shot strings only.
+    seq_oracles = (
+        registry.oracle_gate_steps()
+        if os.environ.get("SPARK_GRAFT_ORACLE_SEQ") == "1"
+        else {}
+    )
+    profiles = registry.scale_profiles()
     if not names:
         names = list(qs)
 
@@ -63,8 +74,15 @@ def main(names: list[str]) -> int:
         try:
             left = qs[name](spark, SF_DIR).toPandas()
             t_spark = time.monotonic() - t0
-            if name in oracles:
+            if name in seq_oracles:
+                for step in seq_oracles[name][:-1]:
+                    con.execute(step)
+                right = con.execute(seq_oracles[name][-1]).df()
+            elif name in oracles:
                 right = con.execute(oracles[name]).df()
+            else:
+                right = None
+            if right is not None:
                 ln, lc, lh = frame_fingerprint(left)
                 rn, rc, rh = frame_fingerprint(right)
                 row = {
@@ -74,20 +92,39 @@ def main(names: list[str]) -> int:
                     "spark_rows": ln,
                     "oracle_rows": rn,
                 }
+                if name in seq_oracles:
+                    row["oracle_mode"] = "sequenced"
             else:
                 row = {"spark_rows": len(left), "rows_only": True}
             row["spark_sec"] = round(t_spark, 2)
             row["total_sec"] = round(time.monotonic() - t0, 2)
         except Exception as e:  # noqa: BLE001 — mirror the driver's err field
-            row = {"err": f"{type(e).__name__}: {e}"[:300],
-                   "total_sec": round(time.monotonic() - t0, 2)}
+            if type(e).__name__ == "ExactMeasureBoundError":
+                # Structured adjudication (r7 verdict directive #3): the
+                # plan's own admission guard measured the exact measure's
+                # fan-out OVER budget and refused before the catastrophic
+                # shuffle — record the measurement and the oracle-checked
+                # scale twin whose green row stands in at this SF.
+                row = {
+                    "bounded": True,
+                    "note": str(e)[:400],
+                    "scale_twin": (profiles.get(name) or {}).get("scale_twin"),
+                    "total_sec": round(time.monotonic() - t0, 2),
+                }
+            else:
+                row = {"err": f"{type(e).__name__}: {e}"[:300],
+                       "total_sec": round(time.monotonic() - t0, 2)}
         ok = row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
-        if not ok and not row.get("rows_only"):
+        if not ok and not row.get("rows_only") and not row.get("bounded"):
             failures += 1
         results[name] = row
         print(f"{name}: {json.dumps(row)}", flush=True)
 
-    print(f"\n{len(names)} checked, {failures} failing")
+    bounded = sum(1 for r in results.values() if r.get("bounded"))
+    print(
+        f"\n{len(names)} checked, {failures} failing"
+        + (f", {bounded} budget-bounded (twin-adjudicated)" if bounded else "")
+    )
     out = os.environ.get("SPARK_GRAFT_CHECK_OUT")
     if out:
         with open(out, "w") as f:

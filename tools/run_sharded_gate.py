@@ -39,6 +39,7 @@ def main(argv: list[str]) -> int:
             SPARK_GRAFT_DUCKDB_MEM="24GB",
             SPARK_GRAFT_DRIVER_MEM="20g",
             SPARK_GRAFT_CPUS="10",
+            SPARK_GRAFT_ORACLE_SEQ="1",
         )
         shard_files.append(env["SPARK_GRAFT_CHECK_OUT"])
         log = open(os.path.join(REPO, f".gate_shard{i}.log"), "w")
