@@ -187,6 +187,11 @@ registry.register(
     "corpus_winnowing_cap_eval",
     _tx.corpus_winnowing_cap_eval,
     _tx.CORPUS_WINNOWING_CAP_EVAL_SQL,
+    # The eval recomputes the EXACT pair set as its truth side, so it
+    # inherits the exact measure's admission bound; at SFs past the
+    # budget the capped twin's green row is the standing evidence.
+    scale_profile="exact_measure",
+    scale_twin="corpus_winnowing_capped",
 )
 
 # 42–44 — similarity search: brute-force baseline, banded LSH (the

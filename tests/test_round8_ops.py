@@ -334,3 +334,37 @@ def test_lsh_eval_sequenced_oracle_equals_oneshot(spark, ddb):
     steps = registry.oracle_gate_steps()
     assert list(steps) == ["dedup_lsh_quality_eval"]
     assert steps["dedup_lsh_quality_eval"][-1] == DEDUP_LSH_QUALITY_EVAL_SQL_STEPS[-1]
+
+
+def test_inter_cache_transform_parity(ddb):
+    """The gate's inter-CTE cache rewrite (tools/oracle_cache.py) must
+    be result-identical to the committed one-shot oracles for every
+    ELIGIBLE entry — the full-allowlist pin behind the sf1 gate's
+    shared quadratic substrate."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from nzwirelessmap_fetch_spark.plans import registry
+    from tools.oracle_cache import ELIGIBLE, sequenced
+    from tests.oracle import frame_fingerprint
+
+    oracles = entrymod.oracle_sql()
+    steps = registry.oracle_gate_steps()
+    assert ELIGIBLE <= set(oracles)
+    ddb.execute("DROP TABLE IF EXISTS _gate_inter_lt")
+    for name in sorted(ELIGIBLE):
+        statements = list(steps.get(name) or [oracles[name]])
+        cached = sequenced(name, statements)
+        assert cached is not None and len(cached) == len(statements) + 1
+        oneshot = ddb.execute(oracles[name]).df()
+        for stmt in cached[:-1]:
+            ddb.execute(stmt)
+        got = ddb.execute(cached[-1]).df()
+        assert frame_fingerprint(oneshot) == frame_fingerprint(got), name
+    # the capped variants must be refused by the allowlist, and their
+    # keep-joined sh must never textually match the transform
+    from tools.oracle_cache import transform_statement
+
+    assert sequenced("dedup_ngram_jaccard_capped", [oracles["dedup_ngram_jaccard_capped"]]) is None
+    assert transform_statement(oracles["corpus_containment_capped"]) is None

@@ -37,12 +37,31 @@ def main(names: list[str]) -> int:
     # Large-SF gates opt into the SEQUENCED oracles (one heavy pipeline
     # per statement → peak spill is one pipeline's, not their sum). The
     # default gate mirrors the driver exactly: one-shot strings only.
-    seq_oracles = (
-        registry.oracle_gate_steps()
-        if os.environ.get("SPARK_GRAFT_ORACLE_SEQ") == "1"
-        else {}
-    )
+    seq_mode = os.environ.get("SPARK_GRAFT_ORACLE_SEQ") == "1"
+    seq_oracles = registry.oracle_gate_steps() if seq_mode else {}
     profiles = registry.scale_profiles()
+
+    # Heavy-spill serialization across shard processes: with a lock path
+    # set, oracle execution holds an exclusive flock so two shards never
+    # spill their quadratic joins into the same disk concurrently (the
+    # r8 sf1 gate lost 4 entries to exactly that).
+    lock_path = os.environ.get("SPARK_GRAFT_ORACLE_LOCK")
+
+    from contextlib import contextmanager
+
+    @contextmanager
+    def oracle_lock():
+        if not lock_path:
+            yield
+            return
+        import fcntl
+
+        with open(lock_path, "a") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
     if not names:
         names = list(qs)
 
@@ -74,12 +93,25 @@ def main(names: list[str]) -> int:
         try:
             left = qs[name](spark, SF_DIR).toPandas()
             t_spark = time.monotonic() - t0
+            statements = None
             if name in seq_oracles:
-                for step in seq_oracles[name][:-1]:
-                    con.execute(step)
-                right = con.execute(seq_oracles[name][-1]).df()
+                statements = list(seq_oracles[name])
             elif name in oracles:
-                right = con.execute(oracles[name]).df()
+                statements = [oracles[name]]
+            if statements is not None and seq_mode:
+                # Swap the shared quadratic inter CTE for the
+                # once-per-connection cache (tools/oracle_cache.py);
+                # non-eligible entries run their statements unchanged.
+                from tools.oracle_cache import sequenced
+
+                cached = sequenced(name, statements)
+                if cached is not None:
+                    statements = cached
+            if statements is not None:
+                with oracle_lock():
+                    for step in statements[:-1]:
+                        con.execute(step)
+                    right = con.execute(statements[-1]).df()
             else:
                 right = None
             if right is not None:
@@ -92,7 +124,7 @@ def main(names: list[str]) -> int:
                     "spark_rows": ln,
                     "oracle_rows": rn,
                 }
-                if name in seq_oracles:
+                if len(statements) > 1:
                     row["oracle_mode"] = "sequenced"
             else:
                 row = {"spark_rows": len(left), "rows_only": True}

@@ -1,0 +1,131 @@
+"""Gate-level cache of the quadratic oracle substrate (r7 verdict
+directive #2 enablement).
+
+Sixteen registry oracles recompute the identical expensive artifact —
+``inter``, the distinct co-occurring document pairs with shared-shingle
+counts over the FULL word-bigram postings of ``documents`` (the Σdf²
+join). At sf1 that is a 0.7–2.5 BILLION-row join per oracle; the r8
+sf1-Zipf gate measured 1253 s for ONE such oracle and lost four entries
+to concurrent-spill disk exhaustion when three shards each ran their
+own copy.
+
+This module rewrites an eligible oracle to read ``inter`` from a
+per-connection temp table built once (``CREATE TEMP TABLE IF NOT
+EXISTS``), leaving every other byte of the committed oracle string
+untouched. Eligibility is an explicit allowlist plus two mechanical
+assertions (the canonical full-``sh`` build is present, and exactly one
+known ``inter`` body was replaced) — the df-capped variants define
+``sh`` through a ``keep`` semi-join, so their text never matches and
+they keep their one-shot oracles.
+
+Used ONLY by tools/check_queries.py under SPARK_GRAFT_ORACLE_SEQ=1
+(the sharded large-SF gate). The driver's sf0.01 gate always runs the
+one-shot strings. Equality of transformed vs one-shot results is pinned
+by tests/test_round8_ops.py::test_inter_cache_transform_parity.
+"""
+
+from __future__ import annotations
+
+# Entries whose oracle's `inter` CTE is the full-postings quadratic.
+ELIGIBLE = frozenset(
+    {
+        "dedup_ngram_jaccard",
+        "dedup_lsh_quality_eval",
+        "dedup_connected_components",
+        "dedup_cc_star",
+        "graph_pagerank",
+        "graph_louvain_converged",
+        "graph_louvain_one_level",
+        "graph_louvain_two_level",
+        "graph_bfs_levels",
+        "graph_assortativity",
+        "graph_triangle_count",
+        "graph_kcore",
+        "graph_modularity",
+        "graph_community_label_prop",
+        "graph_random_walks",
+        "corpus_canonical_picks",
+    }
+)
+
+# The two committed spellings of the quadratic inter body (dedup.py
+# multi-line, graph.py single-line predicate). Byte-exact.
+_INTER_BODIES = (
+    "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter\n"
+    "  FROM sh a JOIN sh b USING (shingle)\n"
+    "  WHERE a.doc_id < b.doc_id\n"
+    "  GROUP BY 1, 2",
+    "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter\n"
+    "  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id "
+    "GROUP BY 1, 2",
+)
+
+# Canonical full-postings sh build marker (both committed spellings
+# contain this line pair; the capped variants build sh from a
+# keep-join and do not).
+_SH_MARKER = "SELECT DISTINCT doc_id, shingle FROM ("
+
+CACHE_TABLE = "_gate_inter_lt"
+
+# Built once per DuckDB connection; the ONLY quadratic statement left in
+# an eligible gate run. Same text as the dedup.py inter derivation.
+CACHE_BUILD = f"""CREATE TEMP TABLE IF NOT EXISTS {CACHE_TABLE} AS
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w)-1),
+                                 i -> w[i] || ' ' || w[i+1])) AS shingle
+    FROM w WHERE len(w) >= 2)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+FROM sh a JOIN sh b USING (shingle)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2"""
+
+_REPLACEMENT = f"inter AS (SELECT doc_a, doc_b, n_inter FROM {CACHE_TABLE})"
+
+
+def transform_statement(sql: str) -> str | None:
+    """Swap the quadratic inter CTE for a cache read, or None if the
+    statement carries no known inter body (e.g. the cand step of a
+    sequenced oracle)."""
+    hits = 0
+    out = sql
+    for body in _INTER_BODIES:
+        for head in ("inter AS MATERIALIZED (\n", "inter AS (\n"):
+            needle = head + body + "\n)"
+            n = out.count(needle)
+            if n:
+                out = out.replace(needle, _REPLACEMENT)
+                hits += n
+    if hits == 0:
+        return None
+    if hits != 1:
+        raise AssertionError(f"expected exactly 1 inter body, replaced {hits}")
+    if _SH_MARKER not in sql:
+        raise AssertionError("eligible oracle lacks the canonical sh build")
+    return out
+
+
+def sequenced(name: str, statements: list[str]) -> list[str] | None:
+    """For an ELIGIBLE entry, return [cache build, *statements with the
+    inter body swapped for the cache read]; None for other entries (run
+    them unchanged)."""
+    if name not in ELIGIBLE:
+        return None
+    out: list[str] = []
+    swapped = 0
+    for stmt in statements:
+        t = transform_statement(stmt)
+        if t is not None:
+            swapped += 1
+        out.append(t if t is not None else stmt)
+    if swapped != 1:
+        raise AssertionError(
+            f"{name}: expected exactly 1 statement with the inter body, "
+            f"found {swapped}"
+        )
+    return [CACHE_BUILD, *out]
