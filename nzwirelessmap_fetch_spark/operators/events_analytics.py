@@ -1625,6 +1625,53 @@ FROM flagged
 """
 
 
+# Sequenced gate variant (large-SF gates only; the driver keeps the
+# one-shot string above). The one-shot oracle's `np` CTE is v×p per
+# user — quadratic on a Zipfian user key (the sf1-Zipf hub user owns
+# ~44k views × ~4k purchases → billions of join rows; the r8 gate
+# measured it filling 75 GB of spill ALONE). This form states the same
+# pattern as one descending-time carry per user — the linear shape the
+# Spark plan uses — and result-equality against the independent
+# one-shot oracle is pinned at sf0.01 by
+# tests/test_round8_ops.py::test_pattern_match_gate_oracle_parity.
+# Sort semantics mirrored exactly: (ts DESC, kind ASC, event_id ASC)
+# keeps same-ts purchases/errors OUT of the view's frame (strict >)
+# and carries the MAX event_id across equal-ts purchases.
+EVENTS_PATTERN_MATCH_SQL_STEPS = [
+    f"""
+WITH rows_ AS (
+  SELECT user_id, ts, epoch_us(ts) AS us, event_id,
+         CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS kind,
+         CASE WHEN event_type = 'purchase' THEN event_id END AS p_id,
+         CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS p_us,
+         CASE WHEN event_type = 'error' THEN epoch_us(ts) END AS e_us,
+         event_type = 'view' AS is_view
+  FROM events WHERE event_type IN ('view', 'purchase', 'error')
+),
+carried AS (
+  SELECT user_id, ts, us, event_id, is_view,
+         LAST_VALUE(p_id IGNORE NULLS) OVER w AS np_id,
+         LAST_VALUE(p_us IGNORE NULLS) OVER w AS np_us,
+         LAST_VALUE(e_us IGNORE NULLS) OVER w AS ne_us
+  FROM rows_
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, kind ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+flagged AS (
+  SELECT event_id AS view_id, user_id, ts AS view_ts, np_id, np_us, us AS v_us,
+         np_us IS NOT NULL
+           AND np_us - us <= {PATTERN_WINDOW_MIN} * 60 * 1000000
+           AND (ne_us IS NULL OR ne_us >= np_us) AS matched
+  FROM carried WHERE is_view
+)
+SELECT view_id, user_id, view_ts, matched,
+       CASE WHEN matched THEN np_id END AS purchase_id,
+       CAST(CASE WHEN matched THEN np_us - v_us END AS BIGINT) AS latency_us
+FROM flagged
+"""
+]
+
+
 SEASONAL_MAD_K = 3
 
 

@@ -91,7 +91,10 @@ registry.register(
 # CEP pattern matching replaces the CMS cells slot here (sketches stay
 # repped by agg_approx_distinct); stream_cms_cells re-registers below the cut
 registry.register(
-    "events_pattern_match", _ea.events_pattern_match, _ea.EVENTS_PATTERN_MATCH_SQL
+    "events_pattern_match",
+    _ea.events_pattern_match,
+    _ea.EVENTS_PATTERN_MATCH_SQL,
+    oracle_steps=_ea.EVENTS_PATTERN_MATCH_SQL_STEPS,
 )
 # r5: data-profiling category rep takes this slot
 registry.register(

@@ -368,3 +368,19 @@ def test_inter_cache_transform_parity(ddb):
 
     assert sequenced("dedup_ngram_jaccard_capped", [oracles["dedup_ngram_jaccard_capped"]]) is None
     assert transform_statement(oracles["corpus_containment_capped"]) is None
+
+
+def test_pattern_match_gate_oracle_parity(ddb):
+    """The linear window-carry gate oracle for events_pattern_match must
+    equal the independent one-shot (quadratic v×p) oracle — the
+    formulation swap that survives a Zipfian user key at sf1."""
+    from nzwirelessmap_fetch_spark.operators.events_analytics import (
+        EVENTS_PATTERN_MATCH_SQL,
+        EVENTS_PATTERN_MATCH_SQL_STEPS,
+    )
+    from tests.oracle import frame_fingerprint
+
+    oneshot = ddb.execute(EVENTS_PATTERN_MATCH_SQL).df()
+    assert len(EVENTS_PATTERN_MATCH_SQL_STEPS) == 1
+    got = ddb.execute(EVENTS_PATTERN_MATCH_SQL_STEPS[0]).df()
+    assert frame_fingerprint(oneshot) == frame_fingerprint(got)

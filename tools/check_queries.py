@@ -124,7 +124,7 @@ def main(names: list[str]) -> int:
                     "spark_rows": ln,
                     "oracle_rows": rn,
                 }
-                if len(statements) > 1:
+                if name in seq_oracles or len(statements) > 1:
                     row["oracle_mode"] = "sequenced"
             else:
                 row = {"spark_rows": len(left), "rows_only": True}
