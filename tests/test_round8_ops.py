@@ -362,12 +362,11 @@ def test_inter_cache_transform_parity(ddb):
             ddb.execute(stmt)
         got = ddb.execute(cached[-1]).df()
         assert frame_fingerprint(oneshot) == frame_fingerprint(got), name
-    # the capped variants must be refused by the allowlist, and their
-    # keep-joined sh must never textually match the transform
-    from tools.oracle_cache import transform_statement
-
+    # the capped variants must be refused by the ALLOWLIST (their
+    # keep-filtered postings keep the canonical CTE names, so only the
+    # explicit name check keeps the cache out of them)
     assert sequenced("dedup_ngram_jaccard_capped", [oracles["dedup_ngram_jaccard_capped"]]) is None
-    assert transform_statement(oracles["corpus_containment_capped"]) is None
+    assert sequenced("corpus_containment_capped", [oracles["corpus_containment_capped"]]) is None
 
 
 def test_pattern_match_gate_oracle_parity(ddb):

@@ -26,7 +26,7 @@ by tests/test_round8_ops.py::test_inter_cache_transform_parity.
 
 from __future__ import annotations
 
-# Entries whose oracle's `inter` CTE is the full-postings quadratic.
+# Entries whose oracle carries a full-postings quadratic shingle join.
 ELIGIBLE = frozenset(
     {
         "dedup_ngram_jaccard",
@@ -45,19 +45,51 @@ ELIGIBLE = frozenset(
         "graph_community_label_prop",
         "graph_random_walks",
         "corpus_canonical_picks",
+        # sh2-named truth sides of the estimator-quality evals
+        "dedup_simhash_quality_eval",
+        "dedup_snm_quality_eval",
+        "dedup_snm_multipass_eval",
+        # <> (ordered-pair) variants: served by a symmetric union of the
+        # cached < table — n_inter is symmetric, so the ordered set is
+        # exactly both orientations of each unordered pair
+        "corpus_containment",
+        "corpus_containment_cap_eval",
     }
 )
 
-# The two committed spellings of the quadratic inter body (dedup.py
-# multi-line, graph.py single-line predicate). Byte-exact.
-_INTER_BODIES = (
-    "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter\n"
-    "  FROM sh a JOIN sh b USING (shingle)\n"
-    "  WHERE a.doc_id < b.doc_id\n"
-    "  GROUP BY 1, 2",
-    "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter\n"
-    "  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id "
-    "GROUP BY 1, 2",
+# The committed spellings of the quadratic bodies (dedup.py multi-line,
+# graph.py single-line predicate; sh2/sh0 CTE-name families). Byte-exact.
+_LT_READ = "SELECT doc_a, doc_b, n_inter FROM {t}"
+_NE_READ = (
+    "SELECT doc_a, doc_b, n_inter FROM {t} "
+    "UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b, n_inter FROM {t}"
+)
+
+
+def _body(sh: str, pred: str, oneline: bool) -> str:
+    if oneline:
+        return (
+            "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter\n"
+            f"  FROM {sh} a JOIN {sh} b USING (shingle) WHERE a.doc_id "
+            f"{pred} b.doc_id GROUP BY 1, 2"
+        )
+    return (
+        "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter\n"
+        f"  FROM {sh} a JOIN {sh} b USING (shingle)\n"
+        f"  WHERE a.doc_id {pred} b.doc_id\n"
+        "  GROUP BY 1, 2"
+    )
+
+
+# (cte_name, body, read_template) — each a known quadratic over the FULL
+# bigram postings of documents (the keep-filtered capped variants name
+# their postings sh1/differently and never match).
+_SUBSTITUTIONS = (
+    ("inter", _body("sh", "<", oneline=False), _LT_READ),
+    ("inter", _body("sh", "<", oneline=True), _LT_READ),
+    ("inter2", _body("sh2", "<", oneline=True), _LT_READ),
+    ("inter", _body("sh", "<>", oneline=False), _NE_READ),
+    ("inter0", _body("sh0", "<>", oneline=False), _NE_READ),
 )
 
 # Canonical full-postings sh build marker (both committed spellings
@@ -85,21 +117,20 @@ FROM sh a JOIN sh b USING (shingle)
 WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2"""
 
-_REPLACEMENT = f"inter AS (SELECT doc_a, doc_b, n_inter FROM {CACHE_TABLE})"
-
-
 def transform_statement(sql: str) -> str | None:
     """Swap the quadratic inter CTE for a cache read, or None if the
     statement carries no known inter body (e.g. the cand step of a
     sequenced oracle)."""
     hits = 0
     out = sql
-    for body in _INTER_BODIES:
-        for head in ("inter AS MATERIALIZED (\n", "inter AS (\n"):
-            needle = head + body + "\n)"
+    for cte, body, read in _SUBSTITUTIONS:
+        for mat in ("MATERIALIZED ", ""):
+            needle = f"{cte} AS {mat}(\n{body}\n)"
             n = out.count(needle)
             if n:
-                out = out.replace(needle, _REPLACEMENT)
+                out = out.replace(
+                    needle, f"{cte} AS ({read.format(t=CACHE_TABLE)})"
+                )
                 hits += n
     if hits == 0:
         return None
