@@ -332,7 +332,7 @@ def test_lsh_eval_sequenced_oracle_equals_oneshot(spark, ddb):
     from nzwirelessmap_fetch_spark.plans import registry
 
     steps = registry.oracle_gate_steps()
-    assert list(steps) == ["dedup_lsh_quality_eval"]
+    assert "dedup_lsh_quality_eval" in steps
     assert steps["dedup_lsh_quality_eval"][-1] == DEDUP_LSH_QUALITY_EVAL_SQL_STEPS[-1]
 
 
