@@ -23,9 +23,16 @@ def load(source: str) -> dict:
         with open(source[4:]) as f:
             text = f.read().replace("\r", "\n")
         for line in text.splitlines():
-            m = re.match(r"^([a-z0-9_]+): (\{.*\})$", line)
+            # SEARCH, not match: Spark's console progress bar can leave a
+            # redraw fragment glued before the result row on the same
+            # line (no \r between "...]"  and the print), which a
+            # line-anchored match silently drops.
+            m = re.search(r"([a-z0-9_]+): (\{.*\})\s*$", line)
             if m:
-                rows[m.group(1)] = json.loads(m.group(2))
+                try:
+                    rows[m.group(1)] = json.loads(m.group(2))
+                except json.JSONDecodeError:
+                    continue
         return rows
     with open(source) as f:
         return json.load(f)
