@@ -318,3 +318,54 @@ SELECT p.event_id, p.user_id, p.ts,
 FROM p
 WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id)
 """
+
+
+# Sequenced gate variant (large-SF gates only; the driver keeps the
+# one-shot ranking oracle above). The one-shot's `m` CTE is purchases ×
+# clicks per user — quadratic on a Zipfian user key (the sf1-Zipf gate
+# measured it filling the spill disk at 547 s). This is the same
+# bidirectional nearest stated as the two-carry pass the Spark plan
+# uses, with the committed ranking's tie-breaks mirrored exactly:
+# backward carry sees same-ts clicks (is_click DESC at equal ts),
+# forward carry excludes them (is_click ASC), click_id ASC + LAST_VALUE
+# realizes the event_id-DESC tie-break, and equal |Δ| prefers the
+# backward side (back_d <= fwd_d). Parity vs the one-shot is pinned at
+# sf0.01 and on the Zipf fixture by
+# tests/test_round8_ops.py::test_asof_nearest_gate_oracle_parity.
+ASOF_NEAREST_CLICK_SQL_STEPS = [
+    """
+WITH u AS (
+  SELECT user_id, ts, epoch_us(ts) AS us,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+         CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+         CASE WHEN event_type = 'purchase' THEN event_id END AS purchase_id
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+carried AS (
+  SELECT user_id, ts, us, is_click, purchase_id,
+         LAST_VALUE(click_id IGNORE NULLS) OVER wb AS back_id,
+         LAST_VALUE(CASE WHEN is_click = 1 THEN us END IGNORE NULLS)
+           OVER wb AS back_us,
+         LAST_VALUE(click_id IGNORE NULLS) OVER wf AS fwd_id,
+         LAST_VALUE(CASE WHEN is_click = 1 THEN us END IGNORE NULLS)
+           OVER wf AS fwd_us
+  FROM u
+  WINDOW wb AS (PARTITION BY user_id
+                ORDER BY ts ASC, is_click DESC, click_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id
+                ORDER BY ts DESC, is_click ASC, click_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT purchase_id AS event_id, user_id, ts,
+       CASE WHEN take_back THEN back_id ELSE fwd_id END AS click_id,
+       CAST(CASE WHEN take_back THEN -(us - back_us)
+                 ELSE fwd_us - us END AS BIGINT) AS delta_us
+FROM (
+  SELECT *, back_us IS NOT NULL
+            AND (fwd_us IS NULL OR (us - back_us) <= (fwd_us - us))
+            AS take_back
+  FROM carried WHERE is_click = 0
+)
+"""
+]

@@ -787,7 +787,10 @@ registry.register(
     _gr.GRAPH_COMMUNITY_LABEL_PROP_SQL,
 )
 registry.register(
-    "asof_nearest_click", _asof.asof_nearest_click, _asof.ASOF_NEAREST_CLICK_SQL
+    "asof_nearest_click",
+    _asof.asof_nearest_click,
+    _asof.ASOF_NEAREST_CLICK_SQL,
+    oracle_steps=_asof.ASOF_NEAREST_CLICK_SQL_STEPS,
 )
 registry.register(
     "stream_watermark_topk", _es.stream_watermark_topk, _es.STREAM_WATERMARK_TOPK_SQL

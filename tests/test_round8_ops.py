@@ -383,3 +383,30 @@ def test_pattern_match_gate_oracle_parity(ddb):
     assert len(EVENTS_PATTERN_MATCH_SQL_STEPS) == 1
     got = ddb.execute(EVENTS_PATTERN_MATCH_SQL_STEPS[0]).df()
     assert frame_fingerprint(oneshot) == frame_fingerprint(got)
+
+
+def test_asof_nearest_gate_oracle_parity(ddb):
+    """The linear two-carry gate oracle for asof_nearest_click must equal
+    the independent one-shot (quadratic ranking) oracle, at sf0.01 and
+    on the Zipf-skew fixture (where the user key is hub-heavy)."""
+    import os as _os
+
+    import duckdb as _duckdb
+
+    from nzwirelessmap_fetch_spark.operators.asof import (
+        ASOF_NEAREST_CLICK_SQL,
+        ASOF_NEAREST_CLICK_SQL_STEPS,
+    )
+    from tests.oracle import frame_fingerprint
+
+    assert len(ASOF_NEAREST_CLICK_SQL_STEPS) == 1
+    a = ddb.execute(ASOF_NEAREST_CLICK_SQL).df()
+    b = ddb.execute(ASOF_NEAREST_CLICK_SQL_STEPS[0]).df()
+    assert frame_fingerprint(a) == frame_fingerprint(b)
+    skew = "/root/repo/.skew_fixture/events.parquet"
+    if _os.path.exists(skew):
+        con = _duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{skew}')")
+        a = con.execute(ASOF_NEAREST_CLICK_SQL).df()
+        b = con.execute(ASOF_NEAREST_CLICK_SQL_STEPS[0]).df()
+        assert frame_fingerprint(a) == frame_fingerprint(b)
