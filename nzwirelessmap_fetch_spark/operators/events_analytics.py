@@ -1953,11 +1953,16 @@ def events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(lvl).cast("int").alias("level"),
                 "n_blocks",
                 "detail_num",
-                # DECIMAL(28,6): the sf0.1 numerator already tops 7e13 —
-                # an (18,6) pin overflows at scale
+                # NO decimal pin here — it would be the bug: at sf1 the
+                # energy × 10^6 exceeds 2^53, so a double→DECIMAL(x,6)
+                # conversion must round, and the r8 sf1-Zipf gate caught
+                # it rounding DIFFERENTLY per engine (and per Spark
+                # codepath: 226346298304.75 vs .75003). The denominator
+                # is dyadic (4^lvl) and int64→double conversion is
+                # IEEE round-to-nearest in both engines, so the PLAIN
+                # double division is itself deterministic cross-engine
+                # at every magnitude.
                 (F.col("detail_num") / F.lit(float(4 ** lvl)))
-                .cast("decimal(28,6)")
-                .cast("double")
                 .alias("detail_energy"),
             )
         )
@@ -1971,8 +1976,8 @@ def _haar_level_sql(lvl: int) -> str:
   SELECT {lvl} AS level,
          CAST(COUNT(*) AS BIGINT) AS n_blocks,
          CAST(SUM((l - r) * (l - r)) AS BIGINT) AS detail_num,
-         CAST(CAST(CAST(SUM((l - r) * (l - r)) AS BIGINT)
-              / CAST({float(4 ** lvl)} AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+         CAST(SUM((l - r) * (l - r)) AS BIGINT)
+              / CAST({float(4 ** lvl)} AS DOUBLE)
            AS detail_energy
   FROM (
     SELECT dr // {2 * half} AS b,
