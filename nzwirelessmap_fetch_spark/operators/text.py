@@ -3158,6 +3158,49 @@ LIMIT {KN_TOP}
 """
 
 
+# Sequenced gate variant (large-SF gates only; the driver keeps the
+# one-shot string above). On the 1M-bigram sf1-Zipf vocabulary DuckDB's
+# join-order optimizer pairs the two keyless aggregates first —
+# lft × cont is an 8.8-BILLION-row cross product (reproduced solo:
+# 70+ GB spill, disk death; big ⋈ lft alone runs in 1.3 s). The steps
+# materialize `big` once and force one equi-join per statement, so no
+# plan shape can cross the aggregates. Same expressions, same ORDER BY,
+# same LIMIT; parity pinned by
+# tests/test_round8_ops.py::test_kn_gate_oracle_parity.
+TEXT_KNESER_NEY_BIGRAM_SQL_STEPS = [
+    """CREATE OR REPLACE TEMP TABLE _gate_kn_big AS
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+)
+SELECT w1, w2, COUNT(*) AS c12 FROM (
+  SELECT UNNEST(list_transform(range(1, LEN(t)), i -> t[i])) AS w1,
+         UNNEST(list_transform(range(1, LEN(t)), i -> t[i + 1])) AS w2
+  FROM toks WHERE LEN(t) >= 2
+) GROUP BY w1, w2""",
+    """CREATE OR REPLACE TEMP TABLE _gate_kn_joined AS
+SELECT b.w1, b.w2, b.c12, l.c1, l.fanout
+FROM _gate_kn_big b
+JOIN (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS fanout
+      FROM _gate_kn_big GROUP BY w1) l USING (w1)""",
+    f"""
+WITH cont AS (SELECT w2, COUNT(*) AS ncont FROM _gate_kn_big GROUP BY w2),
+tot AS (SELECT COUNT(*) AS nbigrams FROM _gate_kn_big)
+SELECT b.w1, b.w2, b.c12,
+       GREATEST(CAST(b.c12 AS DOUBLE) - 0.75, 0.0) / CAST(b.c1 AS DOUBLE)
+         + 0.75 * CAST(b.fanout AS DOUBLE) / CAST(b.c1 AS DOUBLE)
+           * CAST(c.ncont AS DOUBLE) / CAST(t.nbigrams AS DOUBLE) AS kn_prob,
+       CAST(FLOOR((GREATEST(CAST(b.c12 AS DOUBLE) - 0.75, 0.0)
+                     / CAST(b.c1 AS DOUBLE)
+                   + 0.75 * CAST(b.fanout AS DOUBLE) / CAST(b.c1 AS DOUBLE)
+                     * CAST(c.ncont AS DOUBLE) / CAST(t.nbigrams AS DOUBLE))
+                  * 1000000000) AS BIGINT) AS kn_ppb
+FROM _gate_kn_joined b JOIN cont c USING (w2) CROSS JOIN tot t
+ORDER BY b.c12 DESC, b.w1 ASC, b.w2 ASC
+LIMIT {KN_TOP}
+""",
+]
+
+
 def corpus_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language source diversity as the inverse Simpson index —
     the "effective number of sources" (n²/Σc²) a language's documents

@@ -984,6 +984,7 @@ registry.register(
     "text_kneser_ney_bigram",
     _tx.text_kneser_ney_bigram,
     _tx.TEXT_KNESER_NEY_BIGRAM_SQL,
+    oracle_steps=_tx.TEXT_KNESER_NEY_BIGRAM_SQL_STEPS,
 )
 registry.register(
     "ml_lift_gains_table", _ml.ml_lift_gains_table, _ml.ML_LIFT_GAINS_TABLE_SQL

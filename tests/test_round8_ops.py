@@ -410,3 +410,21 @@ def test_asof_nearest_gate_oracle_parity(ddb):
         a = con.execute(ASOF_NEAREST_CLICK_SQL).df()
         b = con.execute(ASOF_NEAREST_CLICK_SQL_STEPS[0]).df()
         assert frame_fingerprint(a) == frame_fingerprint(b)
+
+
+def test_kn_gate_oracle_parity(ddb):
+    """The stepwise KN gate oracle (temp-table big, one equi-join per
+    statement) must equal the one-shot — the formulation that denies
+    DuckDB's join-order optimizer the lft x cont cross product it picks
+    on a 1M-bigram vocabulary."""
+    from nzwirelessmap_fetch_spark.operators.text import (
+        TEXT_KNESER_NEY_BIGRAM_SQL,
+        TEXT_KNESER_NEY_BIGRAM_SQL_STEPS,
+    )
+    from tests.oracle import frame_fingerprint
+
+    oneshot = ddb.execute(TEXT_KNESER_NEY_BIGRAM_SQL).df()
+    for stmt in TEXT_KNESER_NEY_BIGRAM_SQL_STEPS[:-1]:
+        ddb.execute(stmt)
+    got = ddb.execute(TEXT_KNESER_NEY_BIGRAM_SQL_STEPS[-1]).df()
+    assert frame_fingerprint(oneshot) == frame_fingerprint(got)
