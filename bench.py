@@ -107,6 +107,30 @@ def main() -> None:
     for frame in _top2_components(spark, sf_dir):
         frame.count()
     timings["shared_pc_build"] = round(time.perf_counter() - start, 3)
+    # r8 verdict directive #5: the winnowing exact/capped pair frames are
+    # memoized like the Jaccard/containment substrates, but had no
+    # attribution line — corpus_winnowing's best-of-2 recorded the cache
+    # hit (0.02 s) and ~12 s of real build cost vanished from per-line
+    # regression tracking. Same pattern as shared_jaccard_pair_build:
+    # one explicit line per memoized variant; the consumer entries then
+    # honestly measure their incremental work.
+    from nzwirelessmap_fetch_spark.operators.text import (
+        WINNOW_ADAPTIVE,
+        ExactMeasureBoundError,
+        _winnow_pairs,
+    )
+
+    start = time.perf_counter()
+    try:
+        _winnow_pairs(spark, sf_dir, max_df=None)
+    except ExactMeasureBoundError:
+        pass  # over-budget SF: the consumer entry records the refusal
+    timings["shared_winnow_build"] = round(time.perf_counter() - start, 3)
+    start = time.perf_counter()
+    _winnow_pairs(spark, sf_dir, max_df=WINNOW_ADAPTIVE)
+    timings["shared_winnow_build_capped"] = round(
+        time.perf_counter() - start, 3
+    )
 
     def run_one(name: str, fn) -> float:
         start = time.perf_counter()

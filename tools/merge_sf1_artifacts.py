@@ -17,7 +17,18 @@ import re
 import sys
 
 
-def load(source: str) -> dict:
+def _known_names() -> frozenset[str]:
+    """The registry's query names — the only keys a log row may carry.
+    Imported lazily (the registry import starts no SparkSession)."""
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from nzwirelessmap_fetch_spark.plans import registry
+
+    return frozenset(registry.queries())
+
+
+def load(source: str, known: frozenset[str]) -> dict:
     if source.startswith("log:"):
         rows = {}
         with open(source[4:]) as f:
@@ -28,33 +39,69 @@ def load(source: str) -> dict:
             # line (no \r between "...]"  and the print), which a
             # line-anchored match silently drops.
             m = re.search(r"([a-z0-9_]+): (\{.*\})\s*$", line)
-            if m:
-                try:
-                    rows[m.group(1)] = json.loads(m.group(2))
-                except json.JSONDecodeError:
+            if not m:
+                if "{" in line and '"rows_match"' in line:
+                    # a result-shaped line the regex could not key —
+                    # surface it instead of silently dropping (r8 ADVICE)
+                    print(f"UNPARSED result line in {source}: {line[:160]}",
+                          file=sys.stderr)
+                continue
+            name = m.group(1)
+            if name not in known:
+                # progress-bar fragment glued to the name (captured name
+                # gained a prefix): recover the longest known suffix
+                fixes = [k for k in known if name.endswith(k)]
+                if len(fixes) != 1:
+                    print(f"UNKNOWN query name {name!r} in {source}: "
+                          f"{line[:160]}", file=sys.stderr)
                     continue
+                name = fixes[0]
+            try:
+                rows[name] = json.loads(m.group(2))
+            except json.JSONDecodeError:
+                print(f"UNDECODABLE result row for {name!r} in {source}: "
+                      f"{line[:160]}", file=sys.stderr)
+                continue
         return rows
     with open(source) as f:
         return json.load(f)
 
 
 def main(out: str, sources: list[str]) -> int:
+    known = _known_names()
     merged: dict = {}
     for s in sources:
-        for name, row in load(s).items():
+        for name, row in load(s, known).items():
             prev = merged.get(name)
             # a green row never loses to an errored re-run; otherwise
             # later sources override
             if prev and prev.get("hash_match") and row.get("err"):
                 continue
             merged[name] = row
+
+    def _green(v: dict | None) -> bool:
+        return bool(
+            v
+            and v.get("rows_match")
+            and v.get("schema_match")
+            and v.get("hash_match")
+        )
+
     def adjudicated(v: dict) -> bool:
-        if v.get("rows_match") and v.get("schema_match") and v.get("hash_match"):
+        if _green(v):
             return True  # full hash green
         if v.get("bounded"):
-            return True  # measured admission bound naming the scale twin
+            # measured admission bound naming the scale twin — counts as
+            # adjudicated ONLY if the named twin's row is itself
+            # rows/schema/hash green in this same merged artifact
+            # (r8 ADVICE: a bounded row must not lean on a failing twin)
+            return _green(merged.get(v.get("scale_twin") or ""))
         if v.get("output_bounded") and v.get("rows_match"):
-            return True  # count parity on an output-explosive result
+            # output-explosive: count parity, upgraded to content parity
+            # when the in-engine hash columns are present
+            if "content_hash_match" in v:
+                return bool(v.get("content_hash_match"))
+            return True
         return bool(v.get("rows_only"))
 
     bad = [n for n, v in merged.items() if not adjudicated(v)]

@@ -92,10 +92,27 @@ _SUBSTITUTIONS = (
     ("inter0", _body("sh0", "<>", oneline=False), _NE_READ),
 )
 
-# Canonical full-postings sh build marker (both committed spellings
-# contain this line pair; the capped variants build sh from a
-# keep-join and do not).
-_SH_MARKER = "SELECT DISTINCT doc_id, shingle FROM ("
+# Canonical full-postings sh build markers (r8 ADVICE: the one-line
+# distinct marker alone would let a future oracle with a DIFFERENT
+# shingling but an identical inter body silently read the wrong cache).
+# An eligible statement must carry ALL of _SH_REQUIRED plus ONE of the
+# two committed unnest spellings — together these pin the full
+# word-bigram build over `documents` that CACHE_BUILD materializes; the
+# capped variants build their postings through a keep semi-join and
+# fail the required-fragments check.
+_SH_REQUIRED = (
+    "SELECT DISTINCT doc_id, shingle FROM (",
+    "string_split(text, ' ') AS w FROM documents",
+    "WHERE len(w) >= 2)",
+)
+_SH_UNNEST_SPELLINGS = (
+    # dedup.py multi-line spelling
+    "unnest(list_transform(generate_series(1, len(w)-1),\n"
+    "                                 i -> w[i] || ' ' || w[i+1])) AS shingle",
+    # graph.py / eval compact spelling
+    "unnest(list_transform(generate_series(1, len(w)-1),\n"
+    "                          i -> w[i] || ' ' || w[i+1])) AS shingle",
+)
 
 CACHE_TABLE = "_gate_inter_lt"
 
@@ -136,8 +153,12 @@ def transform_statement(sql: str) -> str | None:
         return None
     if hits != 1:
         raise AssertionError(f"expected exactly 1 inter body, replaced {hits}")
-    if _SH_MARKER not in sql:
-        raise AssertionError("eligible oracle lacks the canonical sh build")
+    missing = [frag for frag in _SH_REQUIRED if frag not in sql]
+    if missing or not any(sp in sql for sp in _SH_UNNEST_SPELLINGS):
+        raise AssertionError(
+            "eligible oracle lacks the canonical full-bigram sh build "
+            f"(missing fragments: {missing or ['unnest spelling']})"
+        )
     return out
 
 
