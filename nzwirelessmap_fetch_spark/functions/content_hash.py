@@ -1,0 +1,169 @@
+"""Order-insensitive, engine-portable CONTENT fingerprint of a result
+set (r8 verdict directive #4).
+
+The round driver adjudicates a query by collecting both results and
+hashing sorted stringified rows — which caps adjudication at whatever
+fits on one driver. Output-explosive results (dedup_simhash_hamming is
+62.5 M rows at sf1-Zipf) therefore degraded to COUNT parity: both
+engines agreed on cardinality, but a plan bug producing the right
+cardinality with wrong row content would have passed green.
+
+This module computes a content fingerprint IN-ENGINE on both sides —
+each row canonicalizes to a '|'-joined string over name-sorted columns,
+hashes to a 60-bit integer (md5 prefix — both engines own an identical
+md5), and the row set reduces with two order-insensitive aggregates
+(exact integer SUM and BIT_XOR). No row is ever materialized on a
+driver, so no result is too big to adjudicate by content:
+
+    spark:  content_fingerprint(df)              -> 1-row DataFrame
+    oracle: content_fingerprint_sql(sql, types)  -> 1-row SELECT
+
+Both produce (n_rows BIGINT, hash_sum DECIMAL(38,0), hash_xor BIGINT).
+SUM is exact on both sides (Spark decimal(38,0); DuckDB HUGEINT cast to
+DECIMAL(38,0)) — 2^60 per row times 10^18 rows stays inside 38 digits.
+
+Canonicalization is engine-neutral per column type (integers/booleans/
+dates cast to identical strings; timestamps via an explicit 6-digit-
+microsecond format; floats pinned at micro precision via
+floor(x·10⁶) — the repo's established cross-engine float discipline,
+e.g. the *_micro columns). A column type neither table below covers
+raises ``ContentHashUnsupported`` so callers degrade to count parity
+LOUDLY instead of hashing incomparable strings.
+
+Verdict-equivalence with the driver's hash is pinned two ways:
+tools/content_hash_parity.py replays every registry entry at sf0.01 and
+asserts the in-engine verdict matches the driver-method verdict, and
+tests/test_round9_ops.py perturbs single cells to prove the fingerprint
+catches content changes count parity cannot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class ContentHashUnsupported(ValueError):
+    """Column type without an engine-portable canonical form."""
+
+
+_INT_SPARK = {"tinyint", "smallint", "int", "bigint"}
+_INT_DDB_PREFIX = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                   "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT")
+
+# micro-precision pin for float columns (see module docstring)
+_MICRO = 1_000_000
+
+
+def _spark_cell(name: str, dt: str) -> F.Column:
+    c = F.col(name)
+    if dt in _INT_SPARK or dt == "boolean" or dt == "date":
+        e = c.cast("string")
+    elif dt == "string":
+        e = c
+    elif dt == "timestamp" or dt == "timestamp_ntz":
+        e = F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    elif dt in ("double", "float"):
+        e = F.when(F.isnan(c.cast("double")), F.lit(None)).otherwise(
+            F.floor(c.cast("double") * _MICRO).cast("bigint").cast("string")
+        )
+    elif dt.startswith("decimal"):
+        e = c.cast("string")
+    elif dt.startswith("array<") and dt.endswith(">"):
+        inner = dt[6:-1]
+        if inner in _INT_SPARK:
+            elem = "CAST(x AS STRING)"
+        elif inner == "string":
+            elem = "x"
+        elif inner in ("double", "float"):
+            elem = (
+                f"CAST(CAST(FLOOR(CAST(x AS DOUBLE) * {_MICRO}) AS BIGINT)"
+                " AS STRING)"
+            )
+        else:
+            raise ContentHashUnsupported(f"{name}: {dt}")
+        e = F.concat(
+            F.lit("["),
+            F.array_join(
+                F.expr(f"transform({name}, x -> coalesce({elem}, 'NULL'))"), ","
+            ),
+            F.lit("]"),
+        )
+    else:
+        raise ContentHashUnsupported(f"{name}: {dt}")
+    return F.coalesce(e, F.lit("NULL"))
+
+
+def _ddb_cell(name: str, dt: str) -> str:
+    dt = dt.strip().upper()
+    q = f'"{name}"'
+    if dt.endswith("[]"):
+        inner = dt[:-2]
+        if inner.startswith(_INT_DDB_PREFIX):
+            elem = "CAST(x AS VARCHAR)"
+        elif inner in ("VARCHAR", "TEXT", "STRING"):
+            elem = "x"
+        elif inner in ("DOUBLE", "FLOAT", "REAL"):
+            elem = (
+                f"CAST(CAST(FLOOR(CAST(x AS DOUBLE) * {_MICRO}) AS BIGINT)"
+                " AS VARCHAR)"
+            )
+        else:
+            raise ContentHashUnsupported(f"{name}: {dt}")
+        e = (
+            f"'[' || array_to_string(list_transform({q}, "
+            f"x -> COALESCE({elem}, 'NULL')), ',') || ']'"
+        )
+    elif dt.startswith(_INT_DDB_PREFIX) or dt in ("BOOLEAN", "DATE"):
+        e = f"CAST({q} AS VARCHAR)"
+    elif dt in ("VARCHAR", "TEXT", "STRING"):
+        e = q
+    elif dt.startswith("TIMESTAMP"):
+        e = f"strftime({q}, '%Y-%m-%d %H:%M:%S.%f')"
+    elif dt in ("DOUBLE", "FLOAT", "REAL"):
+        e = (
+            f"CASE WHEN isnan(CAST({q} AS DOUBLE)) THEN NULL ELSE "
+            f"CAST(CAST(FLOOR(CAST({q} AS DOUBLE) * {_MICRO}) AS BIGINT)"
+            f" AS VARCHAR) END"
+        )
+    elif dt.startswith("DECIMAL"):
+        e = f"CAST({q} AS VARCHAR)"
+    else:
+        raise ContentHashUnsupported(f"{name}: {dt}")
+    return f"COALESCE({e}, 'NULL')"
+
+
+def content_fingerprint(df: DataFrame) -> DataFrame:
+    """One-row (n_rows, hash_sum, hash_xor) fingerprint of ``df``,
+    computed distributively: the canonical-string + md5 projection is
+    map-side (whole-stage codegen, no Python), and the only exchange is
+    the final 1-row aggregate — the plan scales to any result size the
+    underlying query scales to."""
+    fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    cells = [_spark_cell(n, t) for n, t in sorted(fields)]
+    row = F.concat_ws("|", *cells)
+    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10)
+    hs = df.select(
+        h.cast("decimal(38,0)").alias("h"), h.cast("bigint").alias("hl")
+    )
+    return hs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum("h"), F.lit(0)).cast("decimal(38,0)").alias("hash_sum"),
+        F.coalesce(F.expr("bit_xor(hl)"), F.lit(0)).cast("bigint").alias("hash_xor"),
+    )
+
+
+def content_fingerprint_sql(inner_sql: str, fields: list[tuple[str, str]]) -> str:
+    """DuckDB twin of :func:`content_fingerprint` over ``inner_sql``
+    whose output columns/types are ``fields`` (DuckDB type names, e.g.
+    from ``DESCRIBE``)."""
+    cells = " || '|' || ".join(_ddb_cell(n, t) for n, t in sorted(fields))
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(h), 0) AS DECIMAL(38,0)) AS hash_sum,
+       CAST(COALESCE(bit_xor(h), 0) AS BIGINT) AS hash_xor
+FROM (
+  SELECT CAST(('0x' || substr(md5({cells}), 1, 15)) AS BIGINT) AS h
+  FROM ({inner_sql})
+)
+"""

@@ -130,11 +130,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew mitigation a uniform corpus needs. ~4× fewer intermediate rows and
     one fewer 10⁷-row exchange at sf0.1.
 
+    Admission-guarded (r8 verdict directive #2): the prefix join's exact
+    fan-out Σ_h cnt_prefix(h)² is pre-flighted from the persisted prefix
+    table (one vocab-sized agg) and an over-budget corpus refuses with
+    ``ExactMeasureBoundError`` naming ``dedup_ngram_jaccard_capped``,
+    instead of dying mid-shuffle. The guard is scoped to THIS entry (the
+    registered exact measure): composite consumers of the shared pair
+    build (connected components, the LSH quality eval) carry their own
+    green large-SF evidence and keep the unguarded path — their refusal
+    story is r10 work if a gate ever shows them over-budget first.
+
     Result is memoized per (application, sf_dir) as an eager checkpoint:
     three registry queries (this one + both connected-components entries)
     consume the identical pair set, and the similarity join dominates all
     three — one build, |dup pairs| rows retained."""
-    return _verified_jaccard_pairs(spark, sf_dir)
+    return _verified_jaccard_pairs(spark, sf_dir, admission_guard=True)
 
 
 # Document-frequency cap for the scale-safe capped variant. An ABSOLUTE
@@ -144,6 +154,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (df ≤ f·N) would leave Σdf² growing as N², which is the quadratic
 # blow-up the cap exists to kill.
 JACCARD_MAX_DF = 30
+
+# Admission budget for the EXACT prefix-join measures (r8 verdict
+# directive #2 — extend the winnowing Σ-fan-out pre-flight to the whole
+# exact-measure family). The guarded quantity is the prefix/index join's
+# raw match volume (Σ_h cnt_a(h)·cnt_b(h)) — the number of pair rows the
+# shuffle must absorb BEFORE any verify filter, i.e. exactly what filled
+# the host's disk in the unguarded r7 sf1 winnowing run. Default sized
+# from measurement: the sf1-uniform gate completed both exact entries in
+# minutes at fan-outs well under this bound (numbers in SCALING.md r9);
+# past it, refusing up front with the twin named beats a 20-minute disk
+# death. Same env knob as the winnow family.
+PREFIX_JOIN_FANOUT_BUDGET = 2_000_000_000
 
 
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,7 +281,10 @@ def _verified_jaccard_pairs(
     sf_dir: str,
     max_df: int | None = None,
     order: str = "auto",
+    admission_guard: bool = False,
 ) -> DataFrame:
+    # the guard never changes the RESULT, so it is not part of the memo
+    # key — a cached frame (built by any consumer) serves guarded callers
     key = (spark.sparkContext.applicationId, sf_dir, max_df, order)
     cached = _PAIRS_CACHE.get(key)
     if cached is not None:
@@ -314,6 +339,35 @@ def _verified_jaccard_pairs(
             )
         ).alias("pos", "h"),
     )
+    if admission_guard:
+        # Pre-flight the EXACT measure (r8 verdict directive #2): the
+        # prefix self-join's raw match volume is Σ_h cnt_prefix(h)² —
+        # one vocab-sized agg over the (persisted-sets-derived) prefix
+        # stream, vs filling local disk mid-shuffle when infeasible.
+        import os as _os
+
+        from .text import ExactMeasureBoundError
+
+        budget = int(
+            _os.environ.get(
+                "SPARK_GRAFT_EXACT_PAIR_BUDGET", PREFIX_JOIN_FANOUT_BUDGET
+            )
+        )
+        s2 = (
+            prefixes.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.expr("c * c")).alias("s2"))
+            .first()["s2"]
+            or 0
+        )
+        if s2 > budget:
+            sets.unpersist()
+            raise ExactMeasureBoundError(
+                f"dedup_ngram_jaccard exact measure needs {s2:,} prefix-"
+                f"join rows > budget {budget:,}; run the oracle-checked "
+                "scale twin dedup_ngram_jaccard_capped instead, or raise "
+                "SPARK_GRAFT_EXACT_PAIR_BUDGET on a host with the disk"
+            )
     a, b = prefixes.alias("a"), prefixes.alias("b")
     # PPJoin pruning BEFORE the candidate-distinct shuffle:
     # - length filter: J ≥ t forces t·|A| ≤ |B| ≤ |A|/t;
@@ -1484,6 +1538,39 @@ def _containment_pairs(
         F.col("n").alias("n_b"),
         F.explode("hs").alias("h"),
     )
+    if max_df is None:
+        # Pre-flight the EXACT measure (r8 verdict directive #2): the
+        # asymmetric index join's raw match volume is
+        # Σ_h cnt_probe(h)·cnt_posting(h) — two vocab-sized aggs and a
+        # vocab-keyed join over frames derived from the persisted sets.
+        # BOTH registered consumers (corpus_containment and its cap
+        # eval) are tagged exact_measure with the capped twin, so the
+        # builder-level guard mirrors the winnowing family exactly.
+        import os as _os
+
+        from .text import ExactMeasureBoundError
+
+        budget = int(
+            _os.environ.get(
+                "SPARK_GRAFT_EXACT_PAIR_BUDGET", PREFIX_JOIN_FANOUT_BUDGET
+            )
+        )
+        pc = probes.groupBy("h").agg(F.count(F.lit(1)).alias("ca"))
+        qc = postings.groupBy("h").agg(F.count(F.lit(1)).alias("cb"))
+        fanout = (
+            pc.join(qc, "h")
+            .agg(F.sum(F.col("ca") * F.col("cb")).alias("s"))
+            .first()["s"]
+            or 0
+        )
+        if fanout > budget:
+            sets.unpersist()
+            raise ExactMeasureBoundError(
+                f"corpus_containment exact measure needs {fanout:,} "
+                f"index-join rows > budget {budget:,}; run the oracle-"
+                "checked scale twin corpus_containment_capped instead, or "
+                "raise SPARK_GRAFT_EXACT_PAIR_BUDGET on a host with the disk"
+            )
     # Explicit width on the index join: AQE sizes post-shuffle partitions
     # by INPUT bytes, but an inverted-index join's OUTPUT is Σ df_a·df_b —
     # far larger; pre-sizing the stage for its output volume is the same

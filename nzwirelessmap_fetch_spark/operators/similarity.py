@@ -38,9 +38,43 @@ PAIR_THRESHOLD = 0.35
 LSH_MAX_BUCKET = 64
 
 
+# Admission budget for the EXACT top-k measures: the brute-force scan
+# scores |corpus| x N_QUERIES pairs — the honest correctness baseline at
+# gate SFs and an honest REFUSAL at 100 TB (10^9 vectors x 5 queries =
+# 5x10^9 scored pairs per eval run). Same env knob as every other exact
+# measure; the error names the oracle-checked scale twin (r8 verdict
+# directive #2 — the winnowing pre-flight pattern, text.py).
+TOPK_EXACT_FANOUT_BUDGET = 500_000_000
+
+
+def _topk_exact_admission(e: DataFrame, name: str) -> None:
+    """Pre-flight the exact top-k fan-out (one metadata-only count)
+    against the budget; refuse with the scale twin named instead of
+    launching an over-budget scan."""
+    import os as _os
+
+    from .text import ExactMeasureBoundError
+
+    budget = int(
+        _os.environ.get("SPARK_GRAFT_EXACT_PAIR_BUDGET", TOPK_EXACT_FANOUT_BUDGET)
+    )
+    fanout = e.count() * N_QUERIES
+    if fanout > budget:
+        raise ExactMeasureBoundError(
+            f"{name} exact measure scores {fanout:,} query-vector pairs "
+            f"> budget {budget:,}; run the oracle-checked scale twin "
+            "sim_ivf_kmeans instead, or raise SPARK_GRAFT_EXACT_PAIR_BUDGET "
+            "on a cluster sized for the exact scan"
+        )
+
+
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k of the corpus for each query vector."""
+    """Exact cosine top-k of the corpus for each query vector.
+
+    Admission-guarded (``_topk_exact_admission``): tagged
+    ``exact_measure`` in the registry with twin ``sim_ivf_kmeans``."""
     e = Catalog(spark, sf_dir).table("embeddings")
+    _topk_exact_admission(e, "sim_topk_bruteforce")
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -203,14 +237,67 @@ WHERE list_reduce(list_prepend(0.0::DOUBLE,
 """
 
 
-N_CELLS = 16   # IVF cells; centroids = embeddings of vec_id < 16 (deterministic)
-N_PROBE = 4    # cells probed per query
+# IVF cell-count floor. K itself is CORPUS-DERIVED (r8 verdict directive
+# #1): a fixed K makes every cell hold n/K vectors, so SemDeDup's
+# within-cell self-join grows as (n/K)² per cell — quadratic in corpus
+# size with K frozen, the same fixed-constant scale bug class as the r7
+# winnow cap (WINNOW_MAX_DF=16). K = max(16, ⌊√n⌋) keeps expected cell
+# size ≈ √n and total within-cell pair work ≈ K·(n/K)² = n^1.5 —
+# sub-quadratic across every decade (growth row in SCALING.md). Probes
+# scale as ⌊√K⌋ (the standard IVF nprobe ∝ √K rule) so recall does not
+# silently collapse as the cell count grows.
+IVF_MIN_CELLS = 16
+N_PROBE_MIN = 4    # probe floor (the old fixed probe count)
+
+
+def _adaptive_n_cells(n: int) -> int:
+    """Corpus-derived IVF cell count K = max(16, ⌊√n⌋). Uses IEEE double
+    sqrt + floor — DuckDB's FLOOR(SQRT(CAST(n AS DOUBLE))) computes the
+    identical value for n < 2^53, so the oracle replays K from the same
+    COUNT(*) without sharing code."""
+    import math
+
+    return max(IVF_MIN_CELLS, int(math.floor(math.sqrt(float(max(n, 0))))))
+
+
+def _adaptive_n_probe(k: int) -> int:
+    """Probed cells per query: max(4, ⌊√K⌋) — nprobe ∝ √K keeps the
+    scanned corpus fraction ≈ 1/√K while recall stays roughly flat as
+    K grows (the FAISS tuning rule). Same IEEE parity note as
+    ``_adaptive_n_cells``."""
+    import math
+
+    return max(N_PROBE_MIN, int(math.floor(math.sqrt(float(max(k, 0))))))
+
+
+def _ivf_params(e: DataFrame) -> tuple[int, int]:
+    """(K, n_probe) for the given embeddings frame. The count is a
+    parquet-metadata aggregate (one scalar to the driver — the bounded-
+    collect discipline), and both derived values are pure functions of
+    it, replayed by the oracle's kparam/pparam CTEs (``_DDB_IVF_PARAMS``)."""
+    n = e.count()
+    k = _adaptive_n_cells(n)
+    return k, _adaptive_n_probe(k)
+
+
+# Oracle twin of _ivf_params: K and n_probe derived from COUNT(*) with
+# the same floor/sqrt arithmetic (IEEE-identical for any feasible n).
+_DDB_IVF_PARAMS = f"""kparam AS (
+  SELECT GREATEST({IVF_MIN_CELLS},
+                  CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS k
+  FROM embeddings
+),
+pparam AS (
+  SELECT GREATEST({N_PROBE_MIN},
+                  CAST(FLOOR(SQRT(CAST(k AS DOUBLE))) AS BIGINT)) AS p
+  FROM kparam
+)"""
 
 
 def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: assign every vector to its nearest of 16
-    deterministic centroids, probe the 4 nearest cells per query, exact
-    cosine re-rank inside the probed cells.
+    """IVF (inverted-file) ANN: assign every vector to its nearest of
+    K = max(16, ⌊√n⌋) deterministic centroids, probe the ⌊√K⌋ nearest
+    cells per query, exact cosine re-rank inside the probed cells.
 
     The plan shape IS the scale path of a production IVF index:
     - assignment: corpus ⨯ broadcast(centroids) → map-side partial
@@ -219,12 +306,15 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       only large exchange is corpus-partitioned-by-cell — exactly what a
       materialized IVF index would store, and a natural `bucketBy(cell)`
       layout at rest;
-    - recall is tunable via N_PROBE with zero plan changes.
-    Centroids are fixture rows (vec_id < 16) instead of k-means iterates so
+    - K and n_probe are CORPUS-DERIVED (√n / √K — see IVF_MIN_CELLS):
+      with K frozen, per-probe scan cost n/K grows linearly in corpus
+      size; with K = √n it grows as √n and the probed fraction shrinks.
+    Centroids are fixture rows (vec_id < K) instead of k-means iterates so
     the DuckDB oracle reproduces the index bit-for-bit; swapping in
     learned centroids changes numbers, not the plan."""
     e = Catalog(spark, sf_dir).table("embeddings")
-    cents = e.filter(F.col("vec_id") < N_CELLS).select(
+    n_cells, n_probe = _ivf_params(e)
+    cents = e.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
     # nearest-centroid assignment; ties (improbable with float cosines)
@@ -248,7 +338,7 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.crossJoin(F.broadcast(cents))
         .withColumn("pcos", cosine(F.col("q_emb"), F.col("c_emb")))
         .withColumn("pr", F.row_number().over(probe_w))
-        .filter(F.col("pr") <= N_PROBE)
+        .filter(F.col("pr") <= n_probe)
         .select("q_id", "q_emb", "cell")
     )
     scored = (
@@ -278,8 +368,10 @@ _DDB_COS = """list_reduce(list_prepend(0.0::DOUBLE,
              (x, y) -> x + y)))"""
 
 SIM_IVF_SQL = f"""
-WITH cents AS (
-  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings WHERE vec_id < {N_CELLS}
+WITH {_DDB_IVF_PARAMS},
+cents AS (
+  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+  WHERE vec_id < (SELECT k FROM kparam)
 ),
 assign_scored AS (
   SELECT e.vec_id, e.embedding, c.cell,
@@ -300,7 +392,7 @@ probes AS (
     SELECT q.q_id, q.q_emb, c.cell,
            ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
              {_DDB_COS.format(a='q.q_emb', b='c.c_emb')} DESC, c.cell ASC) AS pr
-    FROM q CROSS JOIN cents c) WHERE pr <= {N_PROBE}
+    FROM q CROSS JOIN cents c) WHERE pr <= (SELECT p FROM pparam)
 ),
 scored AS (
   SELECT p.q_id, a.vec_id,
@@ -337,6 +429,7 @@ def sim_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = Catalog(spark, sf_dir).table("embeddings")
+    _topk_exact_admission(e, "sim_topk_numpy")
     q_rows = [
         (int(r.q_id), list(r.q_emb))
         for r in e.filter(F.col("vec_id") < N_QUERIES)
@@ -732,22 +825,26 @@ def _update_centroids(assigned: DataFrame) -> DataFrame:
 
 def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with LEARNED centroids: 2 deterministic Lloyd iterations
-    (seeds = embeddings of vec_id < 16, cosine assignment, decimal-exact
-    means) before the same probe/re-rank as ``sim_ivf``.
+    (seeds = embeddings of vec_id < K, cosine assignment, decimal-exact
+    means) before the same probe/re-rank as ``sim_ivf``. K and n_probe
+    are corpus-derived (√n / √K — see IVF_MIN_CELLS): training more
+    cells as the corpus grows is exactly what a production IVF build
+    does (FAISS's K ≈ √n guideline).
 
     Plan per iteration: corpus ⨯ broadcast(K centroids) → partial max_by
     (shuffle |corpus|) → posexplode + hash-agg for the K×dim means
     (shuffle K·dim rows) — the standard distributed Lloyd step; real
     deployments run it on a sample and more rounds, same plan. Learned
-    cells track data density, so probe recall at equal N_PROBE beats the
+    cells track data density, so probe recall at equal n_probe beats the
     fixed-seed variant on clustered corpora."""
     e = Catalog(spark, sf_dir).table("embeddings")
-    cents = e.filter(F.col("vec_id") < N_CELLS).select(
+    n_cells, n_probe = _ivf_params(e)
+    cents = e.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
     for _ in range(KMEANS_ITERATIONS):
         cents = _update_centroids(_assign_cells(e, cents))
-    # persist: the trained 16-row centroid table is consumed by the final
+    # persist: the trained K-row centroid table is consumed by the final
     # assignment AND the query-probe ranking — without it each consumer
     # re-runs both Lloyd iterations
     cents = cents.persist()
@@ -761,7 +858,7 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.crossJoin(F.broadcast(cents))
         .withColumn("pcos", cosine(F.col("q_emb"), F.col("c_emb")))
         .withColumn("pr", F.row_number().over(probe_w))
-        .filter(F.col("pr") <= N_PROBE)
+        .filter(F.col("pr") <= n_probe)
         .select("q_id", "q_emb", "cell")
     )
     scored = (
@@ -803,8 +900,10 @@ def _ddb_update(assigned_cte: str, out: str) -> str:
 
 
 SIM_IVF_KMEANS_SQL = f"""
-WITH cents0 AS (
-  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings WHERE vec_id < {N_CELLS}
+WITH {_DDB_IVF_PARAMS},
+cents0 AS (
+  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+  WHERE vec_id < (SELECT k FROM kparam)
 ),
 {_ddb_assign('cents0', 'assign1')},
 {_ddb_update('assign1', 'cents1')},
@@ -819,7 +918,7 @@ probes AS (
     SELECT q.q_id, q.q_emb, c.cell,
            ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
              {_DDB_COS.format(a='q.q_emb', b='c.c_emb')} DESC, c.cell ASC) AS pr
-    FROM q CROSS JOIN cents2 c) WHERE pr <= {N_PROBE}
+    FROM q CROSS JOIN cents2 c) WHERE pr <= (SELECT p FROM pparam)
 ),
 scored AS (
   SELECT p.q_id, a.vec_id,
@@ -1136,7 +1235,7 @@ def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ — the production ANN layout (Jégou et al. TPAMI 2011, the
     FAISS ``IVFx,PQy`` index) composed from the two audited halves: the
     inverted file (sim_ivf) bounds WHICH vectors are scanned per query
-    (N_PROBE of N_CELLS cells), and product-quantization ADC (sim_pq_adc)
+    (n_probe of K corpus-derived cells), and product-quantization ADC (sim_pq_adc)
     bounds WHAT the scan reads per vector (M 4-bit codes + LUT adds, no
     float vector math). At rest this is codes bucketed by cell: a query
     touches probe_cells/num_cells of the corpus AND 32× fewer bytes per
@@ -1148,9 +1247,11 @@ def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the inverted file); the ADC fold and the per-query top-k window
     (the one q_id exchange) are unchanged from sim_pq_adc. Determinism:
     same pinned folds/tie-breaks as the parents, so the oracle
-    hash-matches distances, not just ranks."""
+    hash-matches distances, not just ranks. K and n_probe are
+    corpus-derived (√n / √K — see IVF_MIN_CELLS)."""
     e = Catalog(spark, sf_dir).table("embeddings")
-    cents = e.filter(F.col("vec_id") < N_CELLS).select(
+    n_cells, n_probe = _ivf_params(e)
+    cents = e.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
     assigned = (
@@ -1196,7 +1297,7 @@ def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.crossJoin(F.broadcast(cents))
         .withColumn("pcos", cosine(F.col("q_emb"), F.col("c_emb")))
         .withColumn("pr", F.row_number().over(probe_w))
-        .filter(F.col("pr") <= N_PROBE)
+        .filter(F.col("pr") <= n_probe)
         .select("q_id", "q_emb", "cell")
     )
     lut_expr = (
@@ -1224,8 +1325,10 @@ def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIM_IVF_PQ_SQL = f"""
-WITH cents AS (
-  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings WHERE vec_id < {N_CELLS}
+WITH {_DDB_IVF_PARAMS},
+cents AS (
+  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+  WHERE vec_id < (SELECT k FROM kparam)
 ),
 assign_scored AS (
   SELECT e.vec_id, c.cell,
@@ -1264,7 +1367,7 @@ probes AS (
     SELECT q.q_id, q.q_emb, c.cell,
            ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
              {_DDB_COS.format(a='q.q_emb', b='c.c_emb')} DESC, c.cell ASC) AS pr
-    FROM q CROSS JOIN cents c) WHERE pr <= {N_PROBE}
+    FROM q CROSS JOIN cents c) WHERE pr <= (SELECT p FROM pparam)
 ),
 lut AS (
   SELECT q.q_id, cs.m, cs.k,
@@ -1595,6 +1698,17 @@ LIMIT {OUTLIER_BOTTOM_K}
 # ---------------------------------------------------------------------------
 
 SEMDEDUP_TAU = 0.35
+# Cell-size valve: a cell bigger than max(64, 8·⌈n/K⌉) — 8× the average
+# cell — is sub-sharded deterministically (sub = vec_id mod ⌈csz/cap⌉)
+# before the within-cell self-join, so one hub cell on a clustered
+# corpus can never reconstruct the quadratic blow-up the cells exist to
+# kill: per (cell, sub) block the pair count is ≤ cap². Pairs CROSSING
+# sub-shards of one oversized cell are missed — a measured-recall valve,
+# strictly less lossy than the LSH family's precedent of EXCLUDING
+# oversized buckets outright (LSH_MAX_BUCKET). The oracle replays the
+# identical cap and sharding, so the valved plan is the hash-checked one.
+SEMDEDUP_CELL_CAP_FACTOR = 8
+SEMDEDUP_CELL_CAP_MIN = 64
 
 
 def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1606,16 +1720,32 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells block by NEIGHBORHOOD, the recall-oriented production choice,
     and the within-cell pair cost is (n/K)² per cell instead of n².
 
+    K is CORPUS-DERIVED (r8 verdict directive #1): with K frozen the
+    within-cell cost (n/K)²·K is quadratic in n; with K = max(16, ⌊√n⌋)
+    expected cell size is √n and total pair work is n^1.5 — sub-quadratic
+    at every decade (SCALING.md growth row). Skewed cells (a clustered
+    corpus puts most vectors in few cells) are bounded by the
+    deterministic sub-shard valve above (SEMDEDUP_CELL_CAP_FACTOR).
+
     Assignment reuses the IVF plan (corpus ⨯ broadcast centroids →
-    map-side max_by); the within-cell self-join is keyed by cell; a
-    vector drops when SOME same-cell partner has cosine ≥ {SEMDEDUP_TAU}
-    and a smaller vec_id (greedy min-id representative — the
-    deterministic stand-in for SemDeDup's 'keep one per group'). Output
-    is the drop list with its kept representative and the evidence
-    cosine, the rows a curation run feeds to the tombstone writer.
+    map-side max_by); the within-cell self-join is keyed by
+    (cell, sub-shard); a vector drops when SOME same-block partner has
+    cosine ≥ {SEMDEDUP_TAU} and a smaller vec_id (greedy min-id
+    representative — the deterministic stand-in for SemDeDup's 'keep one
+    per group'). Output is the drop list with its kept representative
+    and the evidence cosine, the rows a curation run feeds to the
+    tombstone writer.
     """
+    import math
+
     e = Catalog(spark, sf_dir).table("embeddings")
-    cents = e.filter(F.col("vec_id") < N_CELLS).select(
+    n_vecs = e.count()
+    n_cells = _adaptive_n_cells(n_vecs)
+    cell_cap = max(
+        SEMDEDUP_CELL_CAP_MIN,
+        SEMDEDUP_CELL_CAP_FACTOR * math.ceil(n_vecs / max(n_cells, 1)),
+    )
+    cents = e.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
     assigned = (
@@ -1629,10 +1759,26 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("embedding").alias("embedding"),
         )
     )
-    a = assigned.select("cell", F.col("vec_id").alias("keep_cand"), F.col("embedding").alias("ea"))
-    b = assigned.select("cell", F.col("vec_id").alias("drop_cand"), F.col("embedding").alias("eb"))
+    # cell-size valve: |cells| rows joined back (broadcast-sized — the
+    # size table is K rows)
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("csz"))
+    sharded = (
+        assigned.join(F.broadcast(sizes), "cell")
+        .withColumn(
+            "sub",
+            F.col("vec_id")
+            % F.ceil(F.col("csz") / F.lit(cell_cap)).cast("bigint"),
+        )
+        .select("cell", "sub", "vec_id", "embedding")
+    )
+    a = sharded.select(
+        "cell", "sub", F.col("vec_id").alias("keep_cand"), F.col("embedding").alias("ea")
+    )
+    b = sharded.select(
+        "cell", "sub", F.col("vec_id").alias("drop_cand"), F.col("embedding").alias("eb")
+    )
     pairs = (
-        a.join(b, "cell")
+        a.join(b, ["cell", "sub"])
         .filter(F.col("keep_cand") < F.col("drop_cand"))
         .withColumn("cos", cosine(F.col("ea"), F.col("eb")))
         .filter(F.col("cos") >= SEMDEDUP_TAU)
@@ -1656,8 +1802,16 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CORPUS_SEMDEDUP_SQL = f"""
-WITH cents AS (
-  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings WHERE vec_id < {N_CELLS}
+WITH {_DDB_IVF_PARAMS},
+capparam AS (
+  SELECT GREATEST({SEMDEDUP_CELL_CAP_MIN},
+                  {SEMDEDUP_CELL_CAP_FACTOR} * CAST(CEIL(
+                    CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE)
+                    / (SELECT k FROM kparam)) AS BIGINT)) AS cap
+),
+cents AS (
+  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+  WHERE vec_id < (SELECT k FROM kparam)
 ),
 assign_scored AS (
   SELECT e.vec_id, e.embedding, c.cell,
@@ -1670,10 +1824,18 @@ assigned AS (
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
     FROM assign_scored) WHERE rn = 1
 ),
+cellsz AS (SELECT cell, COUNT(*) AS csz FROM assigned GROUP BY cell),
+sharded AS (
+  SELECT a.vec_id, a.embedding, a.cell,
+         a.vec_id % CAST(CEIL(CAST(s.csz AS DOUBLE)
+                              / (SELECT cap FROM capparam)) AS BIGINT) AS sub
+  FROM assigned a JOIN cellsz s USING (cell)
+),
 pairs AS (
   SELECT a.cell, a.vec_id AS keep_cand, b.vec_id AS drop_cand,
          {_DDB_COS.format(a='a.embedding', b='b.embedding')} AS cos
-  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  FROM sharded a JOIN sharded b
+    ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
 )
 SELECT CAST(cell AS INT) AS cell, drop_cand AS dropped_vec,
        MIN(keep_cand) AS kept_rep, MAX(cos) AS max_cos,
@@ -1695,8 +1857,8 @@ def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs before trusting an index; the IVF sibling of
     dedup_lsh_quality_eval). Per query: how many of the true top-{TOP_K}
     neighbors the probe-limited IVF search returned, as an integer-ppm
-    recall — the number that decides whether N_PROBE/{N_PROBE} cells is
-    enough or the index needs more probes.
+    recall — the number that decides whether probing ⌊√K⌋ of the K
+    corpus-derived cells is enough or the index needs more probes.
 
     Plan: both searches run their registered plans; the eval is a
     query-keyed LEFT join of truth against the IVF result (≤

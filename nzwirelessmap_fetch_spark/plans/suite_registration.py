@@ -815,7 +815,13 @@ registry.register(
     "graph_random_walks", _gr.graph_random_walks, _gr.GRAPH_RANDOM_WALKS_SQL
 )
 registry.register(
-    "sim_ivf_recall_eval", _sim.sim_ivf_recall_eval, _sim.SIM_IVF_RECALL_EVAL_SQL
+    "sim_ivf_recall_eval",
+    _sim.sim_ivf_recall_eval,
+    _sim.SIM_IVF_RECALL_EVAL_SQL,
+    # the eval's truth side IS the exact brute-force scan, so it inherits
+    # that measure's admission bound (the winnow cap_eval pattern)
+    scale_profile="exact_measure",
+    scale_twin="sim_ivf_kmeans",
 )
 registry.register(
     "stream_complete_totals",
@@ -973,7 +979,14 @@ registry.register(
     _sim.ML_KNN_CLASSIFIER_EVAL_SQL,
 )
 registry.register("window_cume_nth", _r.window_cume_nth, _r.WINDOW_CUME_NTH_SQL)
-registry.register("ml_mrr_eval", _sim.ml_mrr_eval, _sim.ML_MRR_EVAL_SQL)
+registry.register(
+    "ml_mrr_eval",
+    _sim.ml_mrr_eval,
+    _sim.ML_MRR_EVAL_SQL,
+    # composes on sim_topk_bruteforce — inherits its admission bound
+    scale_profile="exact_measure",
+    scale_twin="sim_ivf_kmeans",
+)
 registry.register(
     "ml_best_split_stump", _ml.ml_best_split_stump, _ml.ML_BEST_SPLIT_STUMP_SQL
 )
@@ -1065,4 +1078,9 @@ registry.register(
     "corpus_containment_cap_eval",
     _dd.corpus_containment_cap_eval,
     _dd.CORPUS_CONTAINMENT_CAP_EVAL_SQL,
+    # recomputes the EXACT containment pair set as its truth side, so it
+    # inherits the exact measure's admission bound (r9: the containment
+    # builder pre-flights its index-join fan-out like the winnow family)
+    scale_profile="exact_measure",
+    scale_twin="corpus_containment_capped",
 )

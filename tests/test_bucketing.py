@@ -66,11 +66,15 @@ def test_ivf_index_at_rest_aggregates_without_shuffle(spark):
     from pyspark.sql import functions as F
 
     from nzwirelessmap_fetch_spark.catalog import Catalog
-    from nzwirelessmap_fetch_spark.operators.similarity import N_CELLS, cosine
+    from nzwirelessmap_fetch_spark.operators.similarity import (
+        _ivf_params,
+        cosine,
+    )
     from nzwirelessmap_fetch_spark.sinks.writers import write_bucketed_table
 
     e = Catalog(spark, SF_CORRECT).table("embeddings")
-    cents = e.filter(F.col("vec_id") < N_CELLS).select(
+    n_cells, _ = _ivf_params(e)
+    cents = e.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
     assigned = (
