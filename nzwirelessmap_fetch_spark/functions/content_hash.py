@@ -18,9 +18,12 @@ driver, so no result is too big to adjudicate by content:
     spark:  content_fingerprint(df)              -> 1-row DataFrame
     oracle: content_fingerprint_sql(sql, types)  -> 1-row SELECT
 
-Both produce (n_rows BIGINT, hash_sum DECIMAL(38,0), hash_xor BIGINT).
-SUM is exact on both sides (Spark decimal(38,0); DuckDB HUGEINT cast to
-DECIMAL(38,0)) — 2^60 per row times 10^18 rows stays inside 38 digits.
+Both produce (n_rows BIGINT, hash_sum STRING, hash_xor BIGINT). SUM is
+exact on both sides (Spark decimal(38,0); DuckDB HUGEINT) — 2^60 per
+row times 10^18 rows stays inside 38 digits — and ships as its decimal
+STRING because a 38-digit integer survives no float conversion: pandas
+renders DuckDB's DECIMAL(38,0) as float64, which would corrupt the
+exact sum in the very comparison it exists for.
 
 Canonicalization is engine-neutral per column type (integers/booleans/
 dates cast to identical strings; timestamps via an explicit 6-digit-
@@ -51,22 +54,59 @@ _INT_SPARK = {"tinyint", "smallint", "int", "bigint"}
 _INT_DDB_PREFIX = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
                    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT")
 
-# micro-precision pin for float columns (see module docstring)
+# micro-precision pin for float columns (see module docstring). The pin
+# is TIERED by magnitude so it covers the full finite double range
+# without overflowing BIGINT (the r9 parity sweep caught a 4.9e19 value
+# doing exactly that): |x| < 9e12 hashes at micro precision (floor
+# x·10⁶, tag 'm'), |x| < 9e24 at mega precision (floor x/10⁶, tag 'M'),
+# and the astronomical tail at floor(x/1e290) (tag 'G'); ±Infinity gets
+# a literal tag. Every branch uses only IEEE-exact ops (compare, floor,
+# multiply/divide by a power of ten) so both engines take the same
+# branch and produce the same integer.
 _MICRO = 1_000_000
+
+_SPARK_DOUBLE_ELEM = (
+    "CASE WHEN isnan(CAST({x} AS DOUBLE)) THEN NULL"
+    " WHEN CAST({x} AS DOUBLE) = double('Infinity') THEN 'Inf'"
+    " WHEN CAST({x} AS DOUBLE) = double('-Infinity') THEN '-Inf'"
+    " WHEN abs(CAST({x} AS DOUBLE)) < 9e12 THEN concat('m',"
+    " CAST(CAST(FLOOR(CAST({x} AS DOUBLE) * 1000000.0) AS BIGINT) AS STRING))"
+    " WHEN abs(CAST({x} AS DOUBLE)) < 9e24 THEN concat('M',"
+    " CAST(CAST(FLOOR(CAST({x} AS DOUBLE) / 1000000.0) AS BIGINT) AS STRING))"
+    " ELSE concat('G',"
+    " CAST(CAST(FLOOR(CAST({x} AS DOUBLE) / 1e290) AS BIGINT) AS STRING)) END"
+)
+
+_DDB_DOUBLE_ELEM = (
+    "CASE WHEN isnan(CAST({x} AS DOUBLE)) THEN NULL"
+    " WHEN isinf(CAST({x} AS DOUBLE)) THEN"
+    " (CASE WHEN CAST({x} AS DOUBLE) > 0 THEN 'Inf' ELSE '-Inf' END)"
+    " WHEN abs(CAST({x} AS DOUBLE)) < 9e12 THEN 'm' ||"
+    " CAST(CAST(FLOOR(CAST({x} AS DOUBLE) * 1000000.0) AS BIGINT) AS VARCHAR)"
+    " WHEN abs(CAST({x} AS DOUBLE)) < 9e24 THEN 'M' ||"
+    " CAST(CAST(FLOOR(CAST({x} AS DOUBLE) / 1000000.0) AS BIGINT) AS VARCHAR)"
+    " ELSE 'G' ||"
+    " CAST(CAST(FLOOR(CAST({x} AS DOUBLE) / 1e290) AS BIGINT) AS VARCHAR) END"
+)
 
 
 def _spark_cell(name: str, dt: str) -> F.Column:
     c = F.col(name)
-    if dt in _INT_SPARK or dt == "boolean" or dt == "date":
+    if dt in _INT_SPARK or dt == "boolean":
         e = c.cast("string")
     elif dt == "string":
         e = c
+    elif dt == "date":
+        # canonicalize as a MIDNIGHT TIMESTAMP: the engines legitimately
+        # type the same logical column differently (Spark date_trunc
+        # yields timestamp where DuckDB yields DATE) and the driver's
+        # pandas layer converts both to Timestamps — the in-engine canon
+        # must be equally type-agnostic or it mismatches on green rows
+        e = F.concat(c.cast("string"), F.lit(" 00:00:00.000000"))
     elif dt == "timestamp" or dt == "timestamp_ntz":
         e = F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
     elif dt in ("double", "float"):
-        e = F.when(F.isnan(c.cast("double")), F.lit(None)).otherwise(
-            F.floor(c.cast("double") * _MICRO).cast("bigint").cast("string")
-        )
+        e = F.expr(_SPARK_DOUBLE_ELEM.format(x=f"`{name}`"))
     elif dt.startswith("decimal"):
         e = c.cast("string")
     elif dt.startswith("array<") and dt.endswith(">"):
@@ -76,16 +116,14 @@ def _spark_cell(name: str, dt: str) -> F.Column:
         elif inner == "string":
             elem = "x"
         elif inner in ("double", "float"):
-            elem = (
-                f"CAST(CAST(FLOOR(CAST(x AS DOUBLE) * {_MICRO}) AS BIGINT)"
-                " AS STRING)"
-            )
+            elem = _SPARK_DOUBLE_ELEM.format(x="x")
         else:
             raise ContentHashUnsupported(f"{name}: {dt}")
         e = F.concat(
             F.lit("["),
             F.array_join(
-                F.expr(f"transform({name}, x -> coalesce({elem}, 'NULL'))"), ","
+                F.expr(f"transform(`{name}`, x -> coalesce({elem}, 'NULL'))"),
+                ",",
             ),
             F.lit("]"),
         )
@@ -104,28 +142,28 @@ def _ddb_cell(name: str, dt: str) -> str:
         elif inner in ("VARCHAR", "TEXT", "STRING"):
             elem = "x"
         elif inner in ("DOUBLE", "FLOAT", "REAL"):
-            elem = (
-                f"CAST(CAST(FLOOR(CAST(x AS DOUBLE) * {_MICRO}) AS BIGINT)"
-                " AS VARCHAR)"
-            )
+            elem = _DDB_DOUBLE_ELEM.format(x="x")
         else:
             raise ContentHashUnsupported(f"{name}: {dt}")
+        # array_to_string returns NULL on an EMPTY list — an empty array
+        # must canonicalize '[]' (like Spark's array_join) while a NULL
+        # array stays NULL for the outer 'NULL' coalesce
         e = (
-            f"'[' || array_to_string(list_transform({q}, "
-            f"x -> COALESCE({elem}, 'NULL')), ',') || ']'"
+            f"CASE WHEN {q} IS NULL THEN NULL ELSE "
+            f"'[' || COALESCE(array_to_string(list_transform({q}, "
+            f"x -> COALESCE({elem}, 'NULL')), ','), '') || ']' END"
         )
-    elif dt.startswith(_INT_DDB_PREFIX) or dt in ("BOOLEAN", "DATE"):
+    elif dt.startswith(_INT_DDB_PREFIX) or dt == "BOOLEAN":
         e = f"CAST({q} AS VARCHAR)"
     elif dt in ("VARCHAR", "TEXT", "STRING"):
         e = q
+    elif dt == "DATE":
+        # midnight-timestamp canon — see the Spark-side date comment
+        e = f"strftime(CAST({q} AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f')"
     elif dt.startswith("TIMESTAMP"):
         e = f"strftime({q}, '%Y-%m-%d %H:%M:%S.%f')"
     elif dt in ("DOUBLE", "FLOAT", "REAL"):
-        e = (
-            f"CASE WHEN isnan(CAST({q} AS DOUBLE)) THEN NULL ELSE "
-            f"CAST(CAST(FLOOR(CAST({q} AS DOUBLE) * {_MICRO}) AS BIGINT)"
-            f" AS VARCHAR) END"
-        )
+        e = _DDB_DOUBLE_ELEM.format(x=q)
     elif dt.startswith("DECIMAL"):
         e = f"CAST({q} AS VARCHAR)"
     else:
@@ -148,7 +186,10 @@ def content_fingerprint(df: DataFrame) -> DataFrame:
     )
     return hs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.coalesce(F.sum("h"), F.lit(0)).cast("decimal(38,0)").alias("hash_sum"),
+        F.coalesce(F.sum("h"), F.lit(0))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("hash_sum"),
         F.coalesce(F.expr("bit_xor(hl)"), F.lit(0)).cast("bigint").alias("hash_xor"),
     )
 
@@ -160,7 +201,7 @@ def content_fingerprint_sql(inner_sql: str, fields: list[tuple[str, str]]) -> st
     cells = " || '|' || ".join(_ddb_cell(n, t) for n, t in sorted(fields))
     return f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(COALESCE(SUM(h), 0) AS DECIMAL(38,0)) AS hash_sum,
+       CAST(CAST(COALESCE(SUM(h), 0) AS DECIMAL(38,0)) AS VARCHAR) AS hash_sum,
        CAST(COALESCE(bit_xor(h), 0) AS BIGINT) AS hash_xor
 FROM (
   SELECT CAST(('0x' || substr(md5({cells}), 1, 15)) AS BIGINT) AS h

@@ -1269,6 +1269,36 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 """
 
 
+def dedup_simhash_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine CONTENT adjudication of the output-explosive simhash
+    pair set (r8 verdict directive #4): the order-insensitive 60-bit
+    row-hash aggregate of dedup_simhash_hamming, computed distributively
+    on BOTH engines — no row ever reaches a driver, so the 62.5 M-row
+    sf1-Zipf result that previously degraded to count parity is now
+    adjudicated by content (n_rows + exact integer SUM + BIT_XOR of
+    canonical row hashes; see functions/content_hash.py for the
+    canonicalization and its driver-verdict parity pins).
+
+    Plan: the parent's plan unchanged, plus a map-side md5 projection
+    and ONE 1-row aggregate — content adjudication costs one extra
+    narrow pass over a result the engine already computes."""
+    from ..functions.content_hash import content_fingerprint
+
+    return content_fingerprint(dedup_simhash_hamming(spark, sf_dir))
+
+
+def _dedup_simhash_content_hash_sql() -> str:
+    from ..functions.content_hash import content_fingerprint_sql
+
+    return content_fingerprint_sql(
+        DEDUP_SIMHASH_HAMMING_SQL,
+        [("doc_a", "BIGINT"), ("doc_b", "BIGINT"), ("hamming", "BIGINT")],
+    )
+
+
+DEDUP_SIMHASH_CONTENT_HASH_SQL = _dedup_simhash_content_hash_sql()
+
+
 def dedup_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimator-quality audit (§2.4 dedup meta-tooling): precision and
     recall of the MinHash-LSH candidate generator against the EXACT

@@ -1084,3 +1084,14 @@ registry.register(
     scale_profile="exact_measure",
     scale_twin="corpus_containment_capped",
 )
+
+# ─── Round-9 additions / rotations ───────────────────────────────────────────
+# In-engine content adjudication of the output-explosive simhash pair
+# set (r8 verdict directive #4): both engines reduce the full pair set
+# to (n_rows, hash_sum, hash_xor) distributively, so the gate checks
+# CONTENT at any scale the parent plan reaches.
+registry.register(
+    "dedup_simhash_content_hash",
+    _dd.dedup_simhash_content_hash,
+    _dd.DEDUP_SIMHASH_CONTENT_HASH_SQL,
+)

