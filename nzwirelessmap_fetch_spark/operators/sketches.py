@@ -391,13 +391,22 @@ GROUP BY label, dim
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOP_K = 10
-# Static query workload: common terms (df ~ 0.8·N) mixed with the rare
-# 'dup' (df ~ 0.05·N) so IDF separation actually shows in the ranking.
-BM25_QUERIES = [
-    (0, "hash"), (0, "join"), (0, "spark"),
-    (1, "dup"), (1, "scan"),
-    (2, "sort"), (2, "merge"), (2, "window"),
+# CONTENT-KEYED query workload (r8 verdict directive #3): terms are
+# picked by document-frequency RANK over the corpus itself — rank 1 is
+# the most-common term, ties broken by term ASC — so the workload exists
+# on ANY corpus (the r8 sf1 fixtures were vocabulary-disjoint from the
+# old hard-coded terms and the entry agreed on 0 rows at the 100× gate,
+# proving the plan ran but adjudicating nothing). Query 0 = head terms,
+# query 1 mixes head with tail (the idf-separation probe the old 'dup'
+# query was), query 2 spans the middle and the tail. Both engines
+# derive the identical rank table, so the oracle replays the workload
+# from the same corpus bytes.
+BM25_QUERY_RANKS = [
+    (0, 1), (0, 2), (0, 3),
+    (1, 5), (1, 29),
+    (2, 16), (2, 30), (2, 31),
 ]
+BM25_MAX_RANK = max(r for _, r in BM25_QUERY_RANKS)
 
 
 def corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,11 +425,14 @@ def corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a pinned evaluation order, and per-document scores sum via a
     term-ordered left fold — bit-identical in any IEEE engine.
 
-    Plan shape at 100 TB: tokenize/explode is map-side; the only
-    corpus-sized exchanges are the (doc, term) tf aggregation and the
-    final per-query top-k — both keyed, both combiner-friendly. df and
-    the query table are tiny and broadcast; dl rides the token rows so
-    no per-doc side join is needed. With an inverted index at rest
+    Plan shape at 100 TB: tokenize/explode is map-side; the corpus-sized
+    exchanges are the (doc, term) tf aggregation (the inverted-index
+    build — combiner-friendly, and the price of a workload DERIVED from
+    the corpus instead of hard-coded) and the final per-query top-k. The
+    df table is vocab-sized; the rank pick is a distributed top-k
+    (orderBy + limit = TakeOrderedAndProject — no global sort) and the
+    query table stays tiny and broadcast; dl rides the token rows so no
+    per-doc side join is needed. With an inverted index at rest
     (text_inverted_index) the tf pass becomes a posting-list scan.
     """
     d = Catalog(spark, sf_dir).table("documents")
@@ -430,15 +442,22 @@ def corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.sum("dl").cast("double").alias("sum_dl"),
     )
-    terms = sorted({t for _, t in BM25_QUERIES})
     tf = (
         toks.select("doc_id", F.size("t").alias("dl"), F.explode("t").alias("term"))
-        .filter(F.col("term").isin(terms))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    q = spark.createDataFrame(BM25_QUERIES, "query_id int, term string")
+    # df-rank workload derivation: distributed top-MAX_RANK, then a
+    # row_number over the (≤ MAX_RANK)-row result — bounded window
+    top = df.orderBy(F.desc("df"), F.asc("term")).limit(BM25_MAX_RANK)
+    rw = Window.orderBy(F.desc("df"), F.asc("term"))
+    ranked = top.withColumn("rank", F.row_number().over(rw))
+    qr = spark.createDataFrame(BM25_QUERY_RANKS, "query_id int, rank int")
+    q = qr.join(ranked, "rank").select("query_id", "term")
+    tf = tf.join(
+        F.broadcast(q.select("term").distinct()), "term"
+    )  # semi-filter the posting stream to the derived workload
 
     tfd = F.col("tf").cast("double")
     dld = F.col("dl").cast("double")
@@ -471,7 +490,7 @@ def corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BM25_VALUES = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
+_BM25_RANK_VALUES = ", ".join(f"({qid}, {r})" for qid, r in BM25_QUERY_RANKS)
 
 CORPUS_BM25_TOPK_SQL = f"""
 WITH toks AS (
@@ -485,11 +504,16 @@ stats AS (
 tf AS (
   SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
     SELECT doc_id, len(t) AS dl, UNNEST(t) AS term FROM toks)
-  WHERE term IN ({", ".join("'" + t + "'" for t in sorted({t for _, t in BM25_QUERIES}))})
   GROUP BY doc_id, dl, term
 ),
 df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
-q(query_id, term) AS (VALUES {_BM25_VALUES}),
+ranked AS (
+  SELECT term, rank FROM (
+    SELECT term, ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) AS rank
+    FROM df) WHERE rank <= {BM25_MAX_RANK}
+),
+qr(query_id, rank) AS (VALUES {_BM25_RANK_VALUES}),
+q AS (SELECT query_id, term FROM qr JOIN ranked USING (rank)),
 scored AS (
   SELECT q.query_id, tf.doc_id, tf.term,
          ((s.n_docs - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE)))

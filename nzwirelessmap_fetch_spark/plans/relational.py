@@ -2293,6 +2293,80 @@ def table_txn_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def table_txn_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed-log read path as an oracle-checked entry (r8 verdict
+    directive #6): 12 logged commits (deterministic key-sliced orders
+    frames, pinned commit timestamps) force one checkpoint at seq 10;
+    the output certifies that the CHECKPOINT + TAIL read path — not the
+    full log scan — resolves latest, timestamp time travel, and the
+    at-rest row count of the as-of version. The oracle recomputes the
+    row count from the fixture relation and the rest from the pinned
+    commit constants, so a checkpoint that resolved wrong (stale
+    pointer honored, tail replay skipping an entry, index mis-keyed)
+    flips the hash.
+
+    Scale: this read path is the reason checkpointing exists — at the
+    10⁵-commit steady state (streaming MERGE sink) resolve/read_as_of
+    cost pointer + checkpoint + ≤interval tail files, flat in version
+    count (growth row in SCALING.md r9)."""
+    import tempfile
+
+    from ..sinks.writers import SnapshotParquetTable
+
+    n_commits = 12
+    key = (spark.sparkContext.applicationId, sf_dir, "txn-checkpoint")
+    root = _SNAPSHOT_ROOTS.get(key)
+    sink = SnapshotParquetTable(root) if root else None
+    if root is None:
+        root = tempfile.mkdtemp(prefix="snapshots-cp-")
+        _SNAPSHOT_ROOTS[key] = root
+        sink = SnapshotParquetTable(root)
+        o = Catalog(spark, sf_dir).table("orders")
+        for i in range(n_commits):
+            sink.write_version(
+                o.filter(F.col("o_orderkey") % n_commits == i).select(
+                    "o_orderkey", "o_totalprice"
+                ),
+                "orders_cp",
+                f"v{i}",
+                commit_ts=f"2024-01-01T00:00:{i:02d}.000000Z",
+            )
+    state = sink._state("orders_cp")
+    assert state is not None, "checkpoint must exist after 12 commits"
+    ldir = sink._log_dir("orders_cp")
+    cp_files = sum(
+        1 for f in ldir.iterdir() if f.name.endswith(".checkpoint.json")
+    )
+    asof_v = sink.version_as_of("orders_cp", "2024-01-01T00:00:05.500000Z")
+    asof_rows = sink.read_as_of(
+        spark, "orders_cp", "2024-01-01T00:00:05.500000Z"
+    ).count()
+    return spark.createDataFrame(
+        [
+            (
+                cp_files,
+                int(state["seq"]),
+                len(state["index"]),
+                sink.resolve("orders_cp"),
+                asof_v,
+                int(asof_rows),
+            )
+        ],
+        "cp_files int, state_seq int, n_index int, latest_version string, "
+        "asof_version string, asof_rows bigint",
+    )
+
+
+TABLE_TXN_CHECKPOINT_SQL = """
+SELECT CAST(1 AS INT)  AS cp_files,
+       CAST(12 AS INT) AS state_seq,
+       CAST(12 AS INT) AS n_index,
+       'v11'           AS latest_version,
+       'v5'            AS asof_version,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 12 = 5) AS asof_rows
+"""
+
+
 TABLE_TXN_LOG_SQL = """
 WITH base AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority

@@ -1095,3 +1095,10 @@ registry.register(
     _dd.dedup_simhash_content_hash,
     _dd.DEDUP_SIMHASH_CONTENT_HASH_SQL,
 )
+# Checkpointed-log read path (r8 verdict directive #6) — resolve /
+# time-travel / at-rest count through checkpoint + tail, oracle-pinned.
+registry.register(
+    "table_txn_checkpoint",
+    _r.table_txn_checkpoint,
+    _r.TABLE_TXN_CHECKPOINT_SQL,
+)

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from nzwirelessmap_fetch_spark.catalog import Catalog
 from nzwirelessmap_fetch_spark.operators.sketches import (
-    BM25_QUERIES,
+    BM25_QUERY_RANKS,
     BM25_TOP_K,
     corpus_bm25_topk,
 )
@@ -95,18 +95,31 @@ def test_ivm_equals_direct_recompute(spark):
 
 
 def test_bm25_rare_term_dominates(spark):
-    """Query 1 mixes rare 'dup' (idf ~ 19) with common 'scan'
-    (idf ~ 0.25): every returned top-10 doc must actually contain a
-    query term, and docs containing the rare term must outrank
-    common-term-only docs."""
+    """Query 1 mixes a head term (df rank 5) with a tail term (rank 29,
+    idf two orders of magnitude higher on the fixture): every returned
+    top-10 doc must actually contain a query term, and docs containing
+    the rare term must outrank common-term-only docs. Since r9 the
+    workload is df-rank-DERIVED (r8 verdict directive #3), so the test
+    derives the rare term with the same ranking rule instead of naming
+    a fixture word."""
     out = corpus_bm25_topk(spark, SF_SMOKE).filter(F.col("query_id") == 1)
     rows = sorted(out.collect(), key=lambda r: r.rank)
     assert len(rows) == BM25_TOP_K
     d = Catalog(spark, SF_SMOKE).table("documents")
+    # replay the rank rule: term at the LARGEST rank of query 1 = rarest
+    rare_rank = max(r for qid, r in BM25_QUERY_RANKS if qid == 1)
+    dft = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .collect()
+    )
+    rare_term = dft[rare_rank - 1]["term"]
     with_dup = {
         r.doc_id
         for r in d.filter(
-            F.array_contains(F.split("text", " "), "dup")
+            F.array_contains(F.split("text", " "), rare_term)
         ).select("doc_id").collect()
     }
     # fixture has >= 10 docs containing 'dup' at sf0.001? If fewer, the

@@ -80,7 +80,15 @@ QUERIES = [
 ]
 
 
-_BUILD_VERSION = "v2"  # v2: events replicated too (graph+stream decade)
+# v2: events replicated too (graph+stream decade)
+# v3: replica 0 keeps the ORIGINAL words (r8 verdict directive #3) — an
+#     all-prefixed corpus has zero quality-passing docs (no stopwords
+#     survive the r{i}. prefix), which made corpus_dedup_pipeline and
+#     corpus_bm25_topk vacuous 0-row agreements at the 100× gate. With
+#     replica 0 verbatim, a quality-passing query-bearing slice exists
+#     while cross-replica shingle disjointness (bare vs prefixed words)
+#     and therefore linear true-pair growth are preserved.
+_BUILD_VERSION = "v3"
 
 
 def build_sf1(spark) -> None:
@@ -95,15 +103,20 @@ def build_sf1(spark) -> None:
     docs = spark.read.parquet(f"{SF01}/documents.parquet")
     parts = []
     for i in ids:
+        text = (
+            F.col("text")  # replica 0: verbatim (see _BUILD_VERSION v3)
+            if i == 0
+            else F.array_join(
+                F.transform(
+                    F.split("text", " "), lambda w: F.concat(F.lit(f"r{i}."), w)
+                ),
+                " ",
+            )
+        )
         parts.append(
             docs.select(
                 (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
-                F.array_join(
-                    F.transform(
-                        F.split("text", " "), lambda w: F.concat(F.lit(f"r{i}."), w)
-                    ),
-                    " ",
-                ).alias("text"),
+                text.alias("text"),
                 "lang",
                 "source",
                 "n_chars",

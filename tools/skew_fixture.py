@@ -52,6 +52,9 @@ OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".skew_fixture"
 )
 
+# bumped when the generator changes so stale corpora rebuild
+_FIXTURE_VERSION = "v2-stopword-head"
+
 N_DOCS = 5000
 VOCAB = 20_000
 ZIPF_S = 1.1
@@ -73,9 +76,29 @@ def _zipf_probs(n: int, s: float) -> np.ndarray:
     return p / p.sum()
 
 
+def _zipf_words(vocab: int) -> "np.ndarray":
+    """Vocabulary with the HEAD ranks mapped to the engine's actual
+    stopword list (r8 verdict directive #3): the head of a real Zipf
+    corpus IS function words — 'the, of, and...' — so a realistic skew
+    fixture must carry them, and without them the quality gate's
+    stop-ratio floor rejected 100% of synthetic docs, leaving
+    corpus_dedup_pipeline a vacuous 0-row agreement at the 100× gate.
+    Tail ranks keep the synthetic t<rank> names."""
+    from nzwirelessmap_fetch_spark.operators.text import STOPWORDS
+
+    names = list(STOPWORDS) + [
+        f"t{r}" for r in range(len(STOPWORDS) + 1, vocab + 1)
+    ]
+    return np.array(names)
+
+
 def build(force: bool = False) -> None:
     marker = os.path.join(OUT, "_built")
-    if os.path.exists(marker) and not force:
+    if (
+        os.path.exists(marker)
+        and open(marker).read().strip() == _FIXTURE_VERSION
+        and not force
+    ):
         return
     if os.path.exists(OUT):
         shutil.rmtree(OUT)
@@ -84,7 +107,7 @@ def build(force: bool = False) -> None:
 
     # --- documents: Zipf words, lognormal lengths, planted near-dups ---
     probs = _zipf_probs(VOCAB, ZIPF_S)
-    words = np.array([f"t{r}" for r in range(1, VOCAB + 1)])
+    words = _zipf_words(VOCAB)
     lengths = np.clip(
         rng.lognormal(mean=np.log(45), sigma=0.5, size=N_DOCS), 8, 120
     ).astype(int)
@@ -186,7 +209,7 @@ def build(force: bool = False) -> None:
         dst = os.path.join(OUT, f"{t}.parquet")
         (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
 
-    open(marker, "w").write("ok")
+    open(marker, "w").write(_FIXTURE_VERSION)
 
 
 def corpus_stats() -> None:
@@ -365,7 +388,11 @@ VOCAB_SF1 = 100_000
 
 def build_sf1(force: bool = False) -> None:
     marker = os.path.join(OUT_SF1, "_built")
-    if os.path.exists(marker) and not force:
+    if (
+        os.path.exists(marker)
+        and open(marker).read().strip() == _FIXTURE_VERSION
+        and not force
+    ):
         return
     if not os.path.exists(os.path.join(SF1_TPCH, "_built")):
         raise SystemExit(
@@ -382,7 +409,7 @@ def build_sf1(force: bool = False) -> None:
     # over ALL draws is seconds) ---
     probs = _zipf_probs(VOCAB_SF1, ZIPF_S)
     cum = np.cumsum(probs)
-    words = np.array([f"t{r}" for r in range(1, VOCAB_SF1 + 1)])
+    words = _zipf_words(VOCAB_SF1)
     lengths = np.clip(
         rng.lognormal(mean=np.log(45), sigma=0.5, size=n_docs), 8, 120
     ).astype(int)
@@ -487,7 +514,7 @@ def build_sf1(force: bool = False) -> None:
         dst = os.path.join(OUT_SF1, f"{t}.parquet")
         (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
 
-    open(marker, "w").write("ok")
+    open(marker, "w").write(_FIXTURE_VERSION)
 
 
 if __name__ == "__main__":
