@@ -48,14 +48,15 @@ registry.register(
     "multimodal_audio_energy", _mm.multimodal_audio_energy, _mm.MULTIMODAL_AUDIO_ENERGY_SQL
 )
 
-# 4–5 — table-format family, r7 rotation: executing compaction takes the
-# merge-roundtrip slot (table_txn_log's v2 IS a merge_into commit, so the
-# merge write path keeps driver signal; the full roundtrip re-registers
-# below the cut) and the txn log keeps its slot
+# 4–5 — table-format family, r9 rotation: the checkpointed-log read
+# path (r8 verdict directive #6 — resolve/time-travel through
+# checkpoint + tail, flat in version count) takes the compaction slot;
+# table_optimize_roundtrip re-registers below the cut (its optimize
+# commit path stays exercised there and by the maintenance-op stress)
 registry.register(
-    "table_optimize_roundtrip",
-    _r.table_optimize_roundtrip,
-    _r._table_optimize_roundtrip_sql(),
+    "table_txn_checkpoint",
+    _r.table_txn_checkpoint,
+    _r.TABLE_TXN_CHECKPOINT_SQL,
 )
 registry.register("table_txn_log", _r.table_txn_log, _r.TABLE_TXN_LOG_SQL)
 
@@ -165,7 +166,15 @@ registry.register(
     _dd.dedup_snm_multipass,
     _dd.DEDUP_SNM_MULTIPASS_SQL,
 )
-registry.register("dedup_embedding_cosine", _dd.dedup_embedding_cosine, _dd.DEDUP_EMBEDDING_COSINE_SQL)
+# r9 rotation: in-engine content adjudication of the output-explosive
+# simhash pair set (r8 verdict directive #4) takes the embedding-cosine
+# slot; semantic dedup keeps a WINDOW rep via corpus_semdedup below and
+# dedup_embedding_cosine re-registers below the cut
+registry.register(
+    "dedup_simhash_content_hash",
+    _dd.dedup_simhash_content_hash,
+    _dd.DEDUP_SIMHASH_CONTENT_HASH_SQL,
+)
 registry.register(
     "dedup_ngram_jaccard",
     _dd.dedup_ngram_jaccard,
@@ -197,15 +206,13 @@ registry.register(
     scale_twin="corpus_winnowing_capped",
 )
 
-# 42–44 — similarity search: brute-force baseline, banded LSH (the
-# scale-safe shape), trained IVF
-registry.register(
-    "sim_topk_bruteforce",
-    _sim.sim_topk_bruteforce,
-    _sim.SIM_TOPK_BRUTEFORCE_SQL,
-    scale_profile="exact_measure",
-    scale_twin="sim_ivf_kmeans",
-)
+# 42–44 — similarity/semantic-dedup: r9 rotation — the adaptive-K
+# SemDeDup (r8 verdict directive #1: corpus-derived cell count + cell-
+# size valve) takes the brute-force baseline's slot (the baseline is an
+# admission-guarded exact measure whose large-SF behavior is a refusal;
+# it re-registers below the cut), next to banded LSH (the scale-safe
+# shape) and the trained IVF (the exact measures' scale twin)
+registry.register("corpus_semdedup", _sim.corpus_semdedup, _sim.CORPUS_SEMDEDUP_SQL)
 registry.register("sim_lsh_banded", _sim.sim_lsh_banded, _sim.SIM_LSH_BANDED_SQL)
 registry.register("sim_ivf_kmeans", _sim.sim_ivf_kmeans, _sim.SIM_IVF_KMEANS_SQL)
 
@@ -810,7 +817,6 @@ registry.register(
     _ea.EVENTS_SEASONAL_ANOMALY_SQL,
 )
 registry.register("events_ar1_fit", _st.events_ar1_fit, _st.EVENTS_AR1_FIT_SQL)
-registry.register("corpus_semdedup", _sim.corpus_semdedup, _sim.CORPUS_SEMDEDUP_SQL)
 registry.register(
     "graph_random_walks", _gr.graph_random_walks, _gr.GRAPH_RANDOM_WALKS_SQL
 )
@@ -1085,20 +1091,24 @@ registry.register(
     scale_twin="corpus_containment_capped",
 )
 
-# ─── Round-9 additions / rotations ───────────────────────────────────────────
-# In-engine content adjudication of the output-explosive simhash pair
-# set (r8 verdict directive #4): both engines reduce the full pair set
-# to (n_rows, hash_sum, hash_xor) distributively, so the gate checks
-# CONTENT at any scale the parent plan reaches.
+# ─── Round-9 rotations: demoted representatives ──────────────────────────────
+# Displaced by the r9 window rotation (checkpointed log, content-hash
+# adjudication, adaptive-K SemDeDup); their families keep newer reps in
+# the driver window and these keep full-registry oracle rows.
 registry.register(
-    "dedup_simhash_content_hash",
-    _dd.dedup_simhash_content_hash,
-    _dd.DEDUP_SIMHASH_CONTENT_HASH_SQL,
+    "table_optimize_roundtrip",
+    _r.table_optimize_roundtrip,
+    _r._table_optimize_roundtrip_sql(),
 )
-# Checkpointed-log read path (r8 verdict directive #6) — resolve /
-# time-travel / at-rest count through checkpoint + tail, oracle-pinned.
 registry.register(
-    "table_txn_checkpoint",
-    _r.table_txn_checkpoint,
-    _r.TABLE_TXN_CHECKPOINT_SQL,
+    "dedup_embedding_cosine",
+    _dd.dedup_embedding_cosine,
+    _dd.DEDUP_EMBEDDING_COSINE_SQL,
+)
+registry.register(
+    "sim_topk_bruteforce",
+    _sim.sim_topk_bruteforce,
+    _sim.SIM_TOPK_BRUTEFORCE_SQL,
+    scale_profile="exact_measure",
+    scale_twin="sim_ivf_kmeans",
 )
