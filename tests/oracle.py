@@ -24,12 +24,22 @@ def _norm_cell(v) -> str:
 
 
 def frame_fingerprint(df: pd.DataFrame) -> tuple[int, tuple[str, ...], str]:
-    """(row_count, sorted column names, order-insensitive value hash)."""
+    """(row_count, sorted column names, order-insensitive value hash).
+
+    Vectorized (r9): per-column ``Series.map(_norm_cell)`` + one string
+    concat replaces the former ``iterrows`` row loop — identical cells,
+    identical join/sort/digest (pinned by
+    tests/test_round9_ops.py::test_frame_fingerprint_vectorization_identical),
+    ~10-20× faster on the 10⁶-row frames the sf1 gates collect."""
     cols = tuple(sorted(df.columns))
-    rows = [
-        "|".join(_norm_cell(row[c]) for c in cols)
-        for _, row in df.iterrows()
-    ]
+    if len(df):
+        parts = [df[c].map(_norm_cell) for c in cols]
+        joined = parts[0] if len(parts) == 1 else parts[0].str.cat(
+            parts[1:], sep="|"
+        )
+        rows = joined.tolist()
+    else:
+        rows = []
     digest = hashlib.sha256("\n".join(sorted(rows)).encode()).hexdigest()
     return len(df), cols, digest
 

@@ -490,3 +490,40 @@ def test_txn_maintenance_ops_multiprocess_linearizable(tmp_path):
     assert sum(s[5] for s in readers) == 0, "silent partial read"
     writers = [s for s in stats if s[0] == "w"]
     assert sum(s[3] for s in writers) >= 1         # vacuums ran
+
+
+def test_frame_fingerprint_vectorization_identical():
+    """The r9 vectorized frame_fingerprint must produce byte-identical
+    digests to the original iterrows formulation (the driver-method
+    stand-in cannot drift)."""
+    import datetime as dt
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from tests.oracle import _norm_cell, frame_fingerprint
+
+    def reference(df):
+        cols = tuple(sorted(df.columns))
+        rows = [
+            "|".join(_norm_cell(row[c]) for c in cols)
+            for _, row in df.iterrows()
+        ]
+        return len(df), cols, hashlib.sha256(
+            "\n".join(sorted(rows)).encode()
+        ).hexdigest()
+
+    df = pd.DataFrame(
+        {
+            "b": [1.0, 2.5, float("nan"), 1e16, -3.0],
+            "a": [1, 2, 3, 4, 5],
+            "s": ["x|y", "", None, "z", "w"],
+            "t": [pd.Timestamp("2024-01-02 03:04:05.678901")] * 5,
+            "l": [[1, 2], [], None, [3], [4.5, None]],
+            "d": [dt.date(2024, 1, 2)] * 5,
+        }
+    )
+    assert frame_fingerprint(df) == reference(df)
+    empty = pd.DataFrame({"a": [], "b": []})
+    assert frame_fingerprint(empty) == reference(empty)

@@ -40,10 +40,13 @@ def main(argv: list[str]) -> int:
             SPARK_GRAFT_DRIVER_MEM="20g",
             SPARK_GRAFT_CPUS="10",
             SPARK_GRAFT_ORACLE_SEQ="1",
-            # r8 lesson, now default: serialize heavy oracle spills
-            # across shards — phase 1 of the r8 gate lost 4 entries to
-            # concurrent quadratic spills filling the same disk
-            SPARK_GRAFT_ORACLE_LOCK=os.path.join(REPO, ".gate_oracle.lock"),
+            # NOTE (r9, measured): do NOT set SPARK_GRAFT_ORACLE_LOCK on
+            # round-robin shards — check_queries takes the lock around
+            # EVERY oracle execution in seq mode, so one shard's
+            # 20-minute quadratic build serializes all shards to ~zero
+            # throughput. The lock belongs to the r8 H/L layout only:
+            # one H shard owning every heavy oracle (builds the inter
+            # cache once), lock-free L shards for the rest.
         )
         shard_files.append(env["SPARK_GRAFT_CHECK_OUT"])
         log = open(os.path.join(REPO, f".gate_shard{i}.log"), "w")
