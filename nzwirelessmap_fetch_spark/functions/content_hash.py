@@ -9,7 +9,8 @@ engines agreed on cardinality, but a plan bug producing the right
 cardinality with wrong row content would have passed green.
 
 This module computes a content fingerprint IN-ENGINE on both sides —
-each row canonicalizes to a '|'-joined string over name-sorted columns,
+each row canonicalizes to a '|'-joined string over name-sorted columns
+(string cells length-prefixed so embedded '|' stays unambiguous),
 hashes to a 60-bit integer (md5 prefix — both engines own an identical
 md5), and the row set reduces with two order-insensitive aggregates
 (exact integer SUM and BIT_XOR). No row is ever materialized on a
@@ -63,7 +64,6 @@ _INT_DDB_PREFIX = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
 # a literal tag. Every branch uses only IEEE-exact ops (compare, floor,
 # multiply/divide by a power of ten) so both engines take the same
 # branch and produce the same integer.
-_MICRO = 1_000_000
 
 _SPARK_DOUBLE_ELEM = (
     "CASE WHEN isnan(CAST({x} AS DOUBLE)) THEN NULL"
@@ -90,12 +90,41 @@ _DDB_DOUBLE_ELEM = (
 )
 
 
+# String cells are LENGTH-PREFIXED ("<n>:<s>") so the '|' row joiner
+# and the ',' array joiner stay unambiguous: ('a|b','c') canonicalizes
+# to '3:a|b|1:c' while ('a','b|c') is '1:a|3:b|c' (r9 ADVICE — a bare
+# join let those collide). Length prefixing beats escaping here because
+# escaping needs a backslash literal, and Spark SQL treats backslash as
+# a string-literal escape while DuckDB does not — a quoting divergence
+# waiting to mismatch. Both engines' length() counts code points
+# (probed: length('𐍈') = 1 on both), so the prefix is engine-portable.
+
+
+def _spark_lenprefix(e: F.Column) -> F.Column:
+    return F.concat(F.length(e).cast("string"), F.lit(":"), e)
+
+
 def _spark_cell(name: str, dt: str) -> F.Column:
     c = F.col(name)
     if dt in _INT_SPARK or dt == "boolean":
         e = c.cast("string")
     elif dt == "string":
-        e = c
+        e = _spark_lenprefix(c)
+    elif dt.startswith("string collate "):
+        # Spark 4 collated string (r9 verdict directive #5): the
+        # collation defines the EQUALITY classes, so the canonical form
+        # is the class representative — lower() under UTF8_LCASE (the
+        # oracle twin's lower() rewrite produces exactly these bytes),
+        # identity under UTF8_BINARY. Other collations (ICU locale
+        # tables) have no engine-portable representative: DuckDB owns
+        # no equivalent fold, so they stay loudly unsupported.
+        coll = dt.removeprefix("string collate ").strip().upper()
+        if coll == "UTF8_BINARY":
+            e = _spark_lenprefix(c.cast("string"))
+        elif coll == "UTF8_LCASE":
+            e = _spark_lenprefix(F.lower(c.cast("string")))
+        else:
+            raise ContentHashUnsupported(f"{name}: {dt}")
     elif dt == "date":
         # canonicalize as a MIDNIGHT TIMESTAMP: the engines legitimately
         # type the same logical column differently (Spark date_trunc
@@ -114,7 +143,7 @@ def _spark_cell(name: str, dt: str) -> F.Column:
         if inner in _INT_SPARK:
             elem = "CAST(x AS STRING)"
         elif inner == "string":
-            elem = "x"
+            elem = "concat(CAST(length(x) AS STRING), ':', x)"
         elif inner in ("double", "float"):
             elem = _SPARK_DOUBLE_ELEM.format(x="x")
         else:
@@ -140,7 +169,7 @@ def _ddb_cell(name: str, dt: str) -> str:
         if inner.startswith(_INT_DDB_PREFIX):
             elem = "CAST(x AS VARCHAR)"
         elif inner in ("VARCHAR", "TEXT", "STRING"):
-            elem = "x"
+            elem = "CAST(length(x) AS VARCHAR) || ':' || x"
         elif inner in ("DOUBLE", "FLOAT", "REAL"):
             elem = _DDB_DOUBLE_ELEM.format(x="x")
         else:
@@ -156,7 +185,7 @@ def _ddb_cell(name: str, dt: str) -> str:
     elif dt.startswith(_INT_DDB_PREFIX) or dt == "BOOLEAN":
         e = f"CAST({q} AS VARCHAR)"
     elif dt in ("VARCHAR", "TEXT", "STRING"):
-        e = q
+        e = f"CAST(length({q}) AS VARCHAR) || ':' || {q}"
     elif dt == "DATE":
         # midnight-timestamp canon — see the Spark-side date comment
         e = f"strftime(CAST({q} AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f')"

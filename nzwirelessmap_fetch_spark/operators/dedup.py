@@ -160,12 +160,11 @@ JACCARD_MAX_DF = 30
 # exact-measure family). The guarded quantity is the prefix/index join's
 # raw match volume (Σ_h cnt_a(h)·cnt_b(h)) — the number of pair rows the
 # shuffle must absorb BEFORE any verify filter, i.e. exactly what filled
-# the host's disk in the unguarded r7 sf1 winnowing run. Default sized
-# from measurement: the sf1-uniform gate completed both exact entries in
-# minutes at fan-outs well under this bound (numbers in SCALING.md r9);
-# past it, refusing up front with the twin named beats a 20-minute disk
-# death. Same env knob as the winnow family.
-PREFIX_JOIN_FANOUT_BUDGET = 2_000_000_000
+# the host's disk in the unguarded r7 sf1 winnowing run. Since r10 the
+# default is DERIVED from the host (free spill disk / available RAM —
+# functions/admission.py; r9 verdict directive #6 replaced the tuned
+# 2e9 constant); SPARK_GRAFT_EXACT_PAIR_BUDGET stays the absolute
+# override shared by the whole exact-measure family.
 
 
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,15 +343,10 @@ def _verified_jaccard_pairs(
         # prefix self-join's raw match volume is Σ_h cnt_prefix(h)² —
         # one vocab-sized agg over the (persisted-sets-derived) prefix
         # stream, vs filling local disk mid-shuffle when infeasible.
-        import os as _os
-
+        from ..functions.admission import exact_pair_budget
         from .text import ExactMeasureBoundError
 
-        budget = int(
-            _os.environ.get(
-                "SPARK_GRAFT_EXACT_PAIR_BUDGET", PREFIX_JOIN_FANOUT_BUDGET
-            )
-        )
+        budget = exact_pair_budget()
         s2 = (
             prefixes.groupBy("h")
             .agg(F.count(F.lit(1)).alias("c"))
@@ -1576,15 +1570,10 @@ def _containment_pairs(
         # BOTH registered consumers (corpus_containment and its cap
         # eval) are tagged exact_measure with the capped twin, so the
         # builder-level guard mirrors the winnowing family exactly.
-        import os as _os
-
+        from ..functions.admission import exact_pair_budget
         from .text import ExactMeasureBoundError
 
-        budget = int(
-            _os.environ.get(
-                "SPARK_GRAFT_EXACT_PAIR_BUDGET", PREFIX_JOIN_FANOUT_BUDGET
-            )
-        )
+        budget = exact_pair_budget()
         pc = probes.groupBy("h").agg(F.count(F.lit(1)).alias("ca"))
         qc = postings.groupBy("h").agg(F.count(F.lit(1)).alias("cb"))
         fanout = (

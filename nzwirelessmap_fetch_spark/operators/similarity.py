@@ -41,23 +41,21 @@ LSH_MAX_BUCKET = 64
 # Admission budget for the EXACT top-k measures: the brute-force scan
 # scores |corpus| x N_QUERIES pairs — the honest correctness baseline at
 # gate SFs and an honest REFUSAL at 100 TB (10^9 vectors x 5 queries =
-# 5x10^9 scored pairs per eval run). Same env knob as every other exact
-# measure; the error names the oracle-checked scale twin (r8 verdict
-# directive #2 — the winnowing pre-flight pattern, text.py).
-TOPK_EXACT_FANOUT_BUDGET = 500_000_000
+# 5x10^9 scored pairs per eval run). Since r10 the budget is host-
+# derived (functions/admission.py, scale=0.25 — the denser-measure
+# ratio the old 5e8/2e9 constants encoded); same env knob as every
+# other exact measure; the error names the oracle-checked scale twin
+# (r8 verdict directive #2 — the winnowing pre-flight pattern, text.py).
 
 
 def _topk_exact_admission(e: DataFrame, name: str) -> None:
     """Pre-flight the exact top-k fan-out (one metadata-only count)
     against the budget; refuse with the scale twin named instead of
     launching an over-budget scan."""
-    import os as _os
-
+    from ..functions.admission import exact_pair_budget
     from .text import ExactMeasureBoundError
 
-    budget = int(
-        _os.environ.get("SPARK_GRAFT_EXACT_PAIR_BUDGET", TOPK_EXACT_FANOUT_BUDGET)
-    )
+    budget = exact_pair_budget(scale=0.25)
     fanout = e.count() * N_QUERIES
     if fanout > budget:
         raise ExactMeasureBoundError(

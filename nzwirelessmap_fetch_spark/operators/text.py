@@ -1978,11 +1978,9 @@ def _winnow_pairs(
         # the measure is infeasible (r7 sf1 gate: ~1.9G pair rows vs
         # ~79 GB scratch). Both sf1 fixtures exceed the default budget
         # (uniform 1.9G, Zipf 1.33G; sf0.1 is 190M — well under).
-        import os as _os
+        from ..functions.admission import exact_pair_budget
 
-        budget = int(
-            _os.environ.get("SPARK_GRAFT_EXACT_PAIR_BUDGET", 500_000_000)
-        )
+        budget = exact_pair_budget(scale=0.25)
         s2 = (
             fp.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("df"))

@@ -370,16 +370,32 @@ class SnapshotParquetTable:
                 pass  # another committer wrote the identical checkpoint
         finally:
             tmp.unlink(missing_ok=True)
-        # pointer advance: atomic replace; never move it backward
+        self._advance_checkpoint_pointer(table, seq)
+
+    def _advance_checkpoint_pointer(self, table: str, seq: int) -> None:
+        """Atomically advance ``_last_checkpoint`` to ``seq`` if it is
+        ahead of the current value. Check-then-replace can still race a
+        concurrent committer (the pointer is only a read CACHE — a
+        stale pointer costs a longer tail probe, never wrong data), so
+        after replacing we re-read and retry once if a slower writer
+        moved it backward past us (r9 ADVICE)."""
+        ldir = self._log_dir(table)
         ptr = self._checkpoint_pointer(table)
-        try:
-            cur = int(ptr.read_text().strip()) if ptr.exists() else 0
-        except ValueError:
-            cur = 0
-        if seq > cur:
+        for _ in range(2):
+            try:
+                cur = int(ptr.read_text().strip()) if ptr.exists() else 0
+            except ValueError:
+                cur = 0
+            if seq <= cur:
+                return
             ptmp = ldir / f".{os.getpid()}.{seq}.ptr.tmp"
             ptmp.write_text(str(seq))
             os.replace(ptmp, ptr)
+            try:
+                if int(ptr.read_text().strip()) >= seq:
+                    return  # our advance (or a later one) stuck
+            except (ValueError, FileNotFoundError):
+                return  # torn mid-rewrite: readers fall back to full scan
 
     def _log_tail(self, table: str) -> dict | None:
         """The max-seq log entry (None for an empty log). With a
@@ -765,6 +781,18 @@ class SnapshotParquetTable:
                 return False  # a concurrent vacuum claimed it first
             shutil.rmtree(tomb)
             return True
+
+        # sweep stale tombstones first: a process that died between
+        # os.rename and rmtree left a '.v=X.vacuum.<pid>' directory no
+        # later glob('v=*') would ever revisit — permanent disk leak
+        # (r9 ADVICE). Same grace window as orphans so we never race a
+        # LIVE vacuum mid-delete.
+        for t in tdir.glob(".v=*.vacuum.*"):
+            try:
+                if now - t.stat().st_mtime >= orphan_grace_sec:
+                    shutil.rmtree(t, ignore_errors=True)
+            except FileNotFoundError:
+                continue  # concurrent vacuum finished it
 
         for d in sorted(tdir.glob("v=*")):
             v = d.name[2:]

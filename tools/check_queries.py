@@ -120,6 +120,7 @@ def main(names: list[str]) -> int:
                 except ContentHashUnsupported:
                     sfp = None
                     n_spark = sdf.count()
+                t_spark_bounded = time.monotonic() - t0
                 stmts = list(seq_oracles.get(name) or [])
                 if not stmts and name in oracles:
                     stmts = [oracles[name]]
@@ -185,9 +186,16 @@ def main(names: list[str]) -> int:
                         "rows_only": True,
                         "total_sec": round(time.monotonic() - t0, 2),
                     }
+                row["spark_sec"] = round(t_spark_bounded, 2)
                 results[name] = row
-                if not row.get("rows_match", True) or not row.get(
-                    "content_hash_match", True
+                # schema_match participates in the verdict wherever it
+                # was computed (r9 ADVICE: a column-rename-only
+                # divergence that keeps sorted-name positions must not
+                # pass the content-hash path green)
+                if (
+                    not row.get("rows_match", True)
+                    or not row.get("content_hash_match", True)
+                    or not row.get("schema_match", True)
                 ):
                     failures += 1
                 print(f"{name}: {json.dumps(row)}", flush=True)

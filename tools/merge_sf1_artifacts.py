@@ -80,11 +80,19 @@ def main(out: str, sources: list[str]) -> int:
             merged[name] = row
 
     def _green(v: dict | None) -> bool:
+        if not v:
+            return False
+        if v.get("rows_match") and v.get("schema_match") and v.get("hash_match"):
+            return True
+        # an output-explosive row adjudicated by the in-engine content
+        # hash is equally trustworthy as a scale twin (r9 ADVICE: an
+        # exact-measure twin that goes output-explosive must not read
+        # as failing); schema_match participates wherever computed
         return bool(
-            v
+            v.get("output_bounded")
             and v.get("rows_match")
-            and v.get("schema_match")
-            and v.get("hash_match")
+            and v.get("content_hash_match")
+            and v.get("schema_match", True)
         )
 
     def adjudicated(v: dict) -> bool:
@@ -98,7 +106,10 @@ def main(out: str, sources: list[str]) -> int:
             return _green(merged.get(v.get("scale_twin") or ""))
         if v.get("output_bounded") and v.get("rows_match"):
             # output-explosive: count parity, upgraded to content parity
-            # when the in-engine hash columns are present
+            # when the in-engine hash columns are present; a recorded
+            # schema mismatch fails the row either way (r9 ADVICE)
+            if not v.get("schema_match", True):
+                return False
             if "content_hash_match" in v:
                 return bool(v.get("content_hash_match"))
             return True
