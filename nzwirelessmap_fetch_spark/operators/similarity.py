@@ -783,6 +783,28 @@ WHERE x.a < x.b
 
 KMEANS_ITERATIONS = 2
 
+# Lloyd TRAINING runs on a deterministic sample (r9 verdict directive
+# #3 — the docstring's own "real deployments train on a sample" is now
+# the implementation): training on the full corpus costs n·K per
+# iteration, which with K = √n is n^1.5 — the very law the adaptive K
+# exists to keep OUT of the query path, paid at build time instead.
+# Sampling ~KMEANS_TRAIN_PER_CELL points per centroid caps training at
+# c·K² = c·n — LINEAR in corpus size (FAISS trains on 10⁴–10⁶ sampled
+# points for exactly this reason). The slice is content-keyed on
+# vec_id via a Knuth multiplicative mix (NOT `vec_id % stride`, which
+# would alias any id-correlated data layout): keep vec_id iff
+# ((vec_id·2654435761) mod 2³²) mod stride = 0, stride = n // (K·c).
+# Pure 64-bit integer arithmetic, so the DuckDB oracle replays the
+# identical slice from its own COUNT(*) (sparam/train CTEs below).
+# ASSIGNMENT stays full-corpus — only training samples.
+KMEANS_TRAIN_PER_CELL = 16
+_TRAIN_MIX = 2654435761  # Knuth's multiplicative hash constant
+_TRAIN_MOD = 4294967296  # 2^32
+
+
+def _train_stride(n: int, k: int) -> int:
+    return max(1, n // (k * KMEANS_TRAIN_PER_CELL))
+
 
 def _assign_cells(e: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment (cosine argmax, ties → smaller cell)."""
@@ -829,19 +851,30 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells as the corpus grows is exactly what a production IVF build
     does (FAISS's K ≈ √n guideline).
 
-    Plan per iteration: corpus ⨯ broadcast(K centroids) → partial max_by
-    (shuffle |corpus|) → posexplode + hash-agg for the K×dim means
-    (shuffle K·dim rows) — the standard distributed Lloyd step; real
-    deployments run it on a sample and more rounds, same plan. Learned
-    cells track data density, so probe recall at equal n_probe beats the
+    Plan per iteration: TRAINING SAMPLE ⨯ broadcast(K centroids) →
+    partial max_by (shuffle |sample|) → posexplode + hash-agg for the
+    K×dim means (shuffle K·dim rows) — the standard distributed Lloyd
+    step, run on a deterministic ~KMEANS_TRAIN_PER_CELL·K content-keyed
+    sample (r9 verdict directive #3; see the constant's comment for the
+    cost law and the oracle-replayable slice arithmetic). The FINAL
+    assignment and the query probes use the full corpus. Learned cells
+    track data density, so probe recall at equal n_probe beats the
     fixed-seed variant on clustered corpora."""
     e = Catalog(spark, sf_dir).table("embeddings")
-    n_cells, n_probe = _ivf_params(e)
+    n = e.count()
+    n_cells = _adaptive_n_cells(n)
+    n_probe = _adaptive_n_probe(n_cells)
+    stride = _train_stride(n, n_cells)
+    train = e if stride == 1 else e.filter(
+        ((F.col("vec_id") * F.lit(_TRAIN_MIX)) % F.lit(_TRAIN_MOD))
+        % F.lit(stride)
+        == 0
+    )
     cents = e.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
     for _ in range(KMEANS_ITERATIONS):
-        cents = _update_centroids(_assign_cells(e, cents))
+        cents = _update_centroids(_assign_cells(train, cents))
     # persist: the trained K-row centroid table is consumed by the final
     # assignment AND the query-probe ranking — without it each consumer
     # re-runs both Lloyd iterations
@@ -872,14 +905,16 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ddb_assign(cents_cte: str, out: str) -> str:
-    """DuckDB CTE: nearest-centroid assignment against ``cents_cte``."""
+def _ddb_assign(cents_cte: str, out: str, src: str = "embeddings") -> str:
+    """DuckDB CTE: nearest-centroid assignment of ``src`` against
+    ``cents_cte`` (``src='train'`` for the sampled Lloyd iterations;
+    the final assignment keeps the full table)."""
     return f"""{out} AS (
   SELECT vec_id, embedding, cell FROM (
     SELECT e.vec_id, e.embedding, c.cell,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
              {_DDB_COS.format(a='e.embedding', b='c.c_emb')} DESC, c.cell ASC) AS rn
-    FROM embeddings e CROSS JOIN {cents_cte} c) WHERE rn = 1
+    FROM {src} e CROSS JOIN {cents_cte} c) WHERE rn = 1
 )"""
 
 
@@ -899,13 +934,23 @@ def _ddb_update(assigned_cte: str, out: str) -> str:
 
 SIM_IVF_KMEANS_SQL = f"""
 WITH {_DDB_IVF_PARAMS},
+sparam AS (
+  SELECT GREATEST(1, COUNT(*) // ((SELECT k FROM kparam)
+                                  * {KMEANS_TRAIN_PER_CELL})) AS s
+  FROM embeddings
+),
+train AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE ((vec_id * {_TRAIN_MIX}) % {_TRAIN_MOD})
+        % (SELECT s FROM sparam) = 0
+),
 cents0 AS (
   SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
   WHERE vec_id < (SELECT k FROM kparam)
 ),
-{_ddb_assign('cents0', 'assign1')},
+{_ddb_assign('cents0', 'assign1', src='train')},
 {_ddb_update('assign1', 'cents1')},
-{_ddb_assign('cents1', 'assign2')},
+{_ddb_assign('cents1', 'assign2', src='train')},
 {_ddb_update('assign2', 'cents2')},
 {_ddb_assign('cents2', 'assigned')},
 q AS (

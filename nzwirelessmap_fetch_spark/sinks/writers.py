@@ -258,12 +258,28 @@ class SnapshotParquetTable:
     # driver-side log scan the bottleneck. Delta's shape: a snapshot of
     # the reader-visible STATE every interval + tail replay, so a read
     # costs pointer + checkpoint + ≤interval tail files, FLAT in version
-    # count (growth row in SCALING.md). The checkpoint itself is built
-    # INCREMENTALLY (previous checkpoint + tail probe — never a full log
-    # scan) and written through the same tmp + os.link O_EXCL protocol
-    # as commits; the `_last_checkpoint` pointer is a read cache like
-    # `_latest` (stale pointer = longer tail probe, never wrong data).
+    # count (growth row in SCALING.md). Checkpoints are written through
+    # the same tmp + os.link O_EXCL protocol as commits; the
+    # `_last_checkpoint` pointer is a read cache like `_latest` (stale
+    # pointer = longer tail probe, never wrong data).
+    #
+    # MULTI-PART since r10 (r9 verdict directive #1): the r9 monolithic
+    # checkpoint re-wrote the FULL index every interval — O(versions)
+    # bytes per write, O(V²/interval) cumulative, the write-side twin of
+    # the read bottleneck r9 fixed. A checkpoint is now a small MANIFEST
+    # naming immutable PART files ('<lo>-<hi>.cppart', index rows for
+    # seqs in (lo, hi]); each checkpoint writes one new interval-sized
+    # part and then merges equal-span neighbors (the classic logarithmic
+    # / binary-counter method, same discipline as an LSM level merge),
+    # so a row is rewritten ≤ log₂(V/interval) times — cumulative bytes
+    # O(V·log V) ≈ linear (measured vs the quadratic r9 law in
+    # SCALING.md r10) and parts per manifest ≤ log₂(V/interval).
+    # Superseded manifests and the parts only they reference are reaped
+    # past CHECKPOINT_KEEP; a reader holding a reaped manifest gets
+    # FileNotFoundError and falls back to the full audit scan — the
+    # same torn-pointer degradation path, never a wrong answer.
     CHECKPOINT_INTERVAL = 10
+    CHECKPOINT_KEEP = 2  # manifests retained (current + 1 for in-flight readers)
 
     def log_entries(self, table: str) -> list[dict]:
         """Parsed commit log, seq order (fixed-width file names).
@@ -290,14 +306,23 @@ class SnapshotParquetTable:
     def _entry_path(self, table: str, seq: int) -> Path:
         return self._log_dir(table) / f"{seq:08d}.json"
 
+    def _part_path(self, table: str, name: str) -> Path:
+        return self._log_dir(table) / name
+
+    @staticmethod
+    def _part_span(name: str) -> tuple[int, int]:
+        lo, hi = name.removesuffix(".cppart").split("-")
+        return int(lo), int(hi)
+
     def _state(self, table: str) -> dict | None:
         """Reader-visible log state via checkpoint + tail replay:
         ``{"seq", "index": [[seq, version, commit_ts, op], ...],
         "schema", "latest"}``. Returns None when no checkpoint exists
         yet (callers fall back to the full scan). Cost: one pointer
-        read + one checkpoint read + the tail files past the checkpoint
-        (≤ CHECKPOINT_INTERVAL when the pointer is fresh) — flat in
-        total version count."""
+        read + one manifest read + ≤log₂(V/interval) part reads + the
+        tail files past the checkpoint (≤ CHECKPOINT_INTERVAL when the
+        pointer is fresh) — flat-to-logarithmic in total version
+        count."""
         ptr = self._checkpoint_pointer(table)
         if not ptr.exists():
             return None
@@ -306,9 +331,18 @@ class SnapshotParquetTable:
             cp = json.loads(
                 (self._log_dir(table) / f"{cp_seq:08d}.checkpoint.json").read_text()
             )
-        except (ValueError, FileNotFoundError):
-            return None  # torn pointer: fall back to the full scan
-        index = [list(r) for r in cp["index"]]
+            if "parts" in cp:
+                index: list[list] = []
+                for pname in cp["parts"]:
+                    part = json.loads(self._part_path(table, pname).read_text())
+                    index.extend(list(r) for r in part["index"])
+            else:
+                # r9 monolithic checkpoint — still readable in place
+                index = [list(r) for r in cp["index"]]
+        except (ValueError, FileNotFoundError, KeyError):
+            # torn pointer, reaped manifest/part under a stale reader,
+            # or a malformed file: fall back to the full scan
+            return None
         schema = cp.get("schema")
         latest = cp.get("latest")
         seq = int(cp["seq"])
@@ -323,54 +357,155 @@ class SnapshotParquetTable:
             seq += 1
         return {"seq": seq, "index": index, "schema": schema, "latest": latest}
 
-    def _maybe_checkpoint(self, table: str, entry: dict) -> None:
-        """After committing ``entry``: if its seq hits the interval,
-        write ``<seq>.checkpoint.json`` (incrementally, from the
-        previous checkpoint + tail) and advance the pointer. Losing the
-        os.link race means another committer already wrote this
-        checkpoint — identical by construction, nothing to do."""
-        seq = entry["seq"]
-        if seq % self.CHECKPOINT_INTERVAL:
-            return
-        state = self._state(table)
-        if state is None or state["seq"] < seq:
-            # no previous checkpoint (or a very stale pointer): one full
-            # scan seeds the first checkpoint
-            entries = self.log_entries(table)
-            state = {
-                "seq": entries[-1]["seq"],
-                "index": [
-                    [e["seq"], e["version"], e["commit_ts"], e["op"]]
-                    for e in entries
-                ],
-                "schema": entries[-1].get("schema"),
-                "latest": entries[-1]["version"],
-            }
-        payload = {
-            "seq": seq,
-            "index": [r for r in state["index"] if r[0] <= seq],
-            "schema": state["schema"] if state["seq"] == seq else None,
-            "latest": next(
-                r[1] for r in reversed(state["index"]) if r[0] <= seq
-            ),
-        }
-        if payload["schema"] is None:
-            # pointer was ahead of seq (concurrent committers): read the
-            # exact entry for this checkpoint's schema
-            payload["schema"] = json.loads(
-                self._entry_path(table, seq).read_text()
-            ).get("schema")
+    def _link_atomic(self, table: str, payload: dict, dest_name: str) -> None:
+        """tmp-write + os.link O_EXCL publish; losing the race means
+        another committer already published an identical-by-construction
+        file — nothing to do."""
         ldir = self._log_dir(table)
-        tmp = ldir / f".{os.getpid()}.{seq}.cp.tmp"
+        tmp = ldir / f".{os.getpid()}.{dest_name}.tmp"
         try:
             tmp.write_text(json.dumps(payload, sort_keys=True))
             try:
-                os.link(tmp, ldir / f"{seq:08d}.checkpoint.json")
+                os.link(tmp, ldir / dest_name)
             except FileExistsError:
-                pass  # another committer wrote the identical checkpoint
+                pass
         finally:
             tmp.unlink(missing_ok=True)
+
+    def _write_part(
+        self, table: str, lo: int, hi: int, rows: list[list]
+    ) -> str:
+        """Publish the immutable part '<lo>-<hi>.cppart' holding index
+        rows for seqs in (lo, hi]. Deterministic content per span, so
+        the os.link loser's file is identical."""
+        name = f"{lo:08d}-{hi:08d}.cppart"
+        self._link_atomic(table, {"lo": lo, "hi": hi, "index": rows}, name)
+        return name
+
+    def _merge_parts(self, table: str, parts: list[str]) -> list[str]:
+        """Binary-counter merge: while the newest part spans at least as
+        many seqs as its predecessor, coalesce the two into one part.
+        Keeps the part count ≤ log₂(checkpoints) and amortizes each
+        row's total rewrite cost to O(log V). A missing part (reaped
+        under us by a racing committer's retention pass) aborts the
+        merge — the unmerged list is still a valid manifest."""
+        parts = list(parts)
+        while len(parts) >= 2:
+            alo, ahi = self._part_span(parts[-2])
+            blo, bhi = self._part_span(parts[-1])
+            if bhi - blo < ahi - alo:
+                break
+            try:
+                a = json.loads(self._part_path(table, parts[-2]).read_text())
+                b = json.loads(self._part_path(table, parts[-1]).read_text())
+            except (FileNotFoundError, ValueError):
+                break
+            merged = self._write_part(
+                table, alo, bhi, list(a["index"]) + list(b["index"])
+            )
+            parts[-2:] = [merged]
+        return parts
+
+    def _maybe_checkpoint(self, table: str, entry: dict) -> None:
+        """After committing ``entry``: if its seq hits the interval,
+        write one new interval-sized part (delta since the previous
+        checkpoint — direct entry reads, never a full log scan), merge
+        equal-span parts, publish the '<seq>.checkpoint.json' manifest,
+        advance the pointer, and reap superseded manifests/parts past
+        CHECKPOINT_KEEP."""
+        seq = entry["seq"]
+        if seq % self.CHECKPOINT_INTERVAL:
+            return
+        ldir = self._log_dir(table)
+        prev_seq, prev_parts, schema = 0, [], None
+        ptr = self._checkpoint_pointer(table)
+        if ptr.exists():
+            try:
+                p_seq = int(ptr.read_text().strip())
+                cp = json.loads(
+                    (ldir / f"{p_seq:08d}.checkpoint.json").read_text()
+                )
+                if p_seq >= seq:
+                    return  # a later committer already checkpointed past us
+                prev_seq, schema = p_seq, cp.get("schema")
+                if "parts" in cp:
+                    prev_parts = list(cp["parts"])
+                    if not all(
+                        self._part_path(table, p).exists() for p in prev_parts
+                    ):
+                        # a racing reaper caught a part between our merge
+                        # and manifest publish: self-heal by rebuilding
+                        # from seq 0 (direct entry reads below)
+                        prev_seq, prev_parts, schema = 0, [], None
+                else:
+                    # r9 monolithic checkpoint: re-home its index as the
+                    # seed part once; later checkpoints build on it
+                    prev_parts = [
+                        self._write_part(
+                            table, 0, p_seq, [list(r) for r in cp["index"]]
+                        )
+                    ]
+            except (ValueError, FileNotFoundError, KeyError):
+                prev_seq, prev_parts, schema = 0, [], None
+        # delta rows (prev_seq, seq] by direct entry reads: ≤ interval
+        # files when the pointer is fresh, bounded by the gap otherwise
+        rows, latest = [], None
+        for s in range(prev_seq + 1, seq + 1):
+            try:
+                e = json.loads(self._entry_path(table, s).read_text())
+            except (FileNotFoundError, ValueError):
+                return  # racing a concurrent writer's torn window: skip
+            rows.append([e["seq"], e["version"], e["commit_ts"], e["op"]])
+            schema = e.get("schema", schema)
+            latest = e["version"]
+        parts = self._merge_parts(
+            table, prev_parts + [self._write_part(table, prev_seq, seq, rows)]
+        )
+        self._link_atomic(
+            table,
+            {"seq": seq, "parts": parts, "schema": schema, "latest": latest},
+            f"{seq:08d}.checkpoint.json",
+        )
         self._advance_checkpoint_pointer(table, seq)
+        self._reap_checkpoints(table)
+
+    # Parts younger than this survive reaping even when unreferenced: a
+    # racing committer may have published its parts but not yet its
+    # manifest — deleting them would orphan that manifest's references
+    # (readers degrade to the full scan and the next checkpoint
+    # self-heals, but the grace avoids the churn entirely).
+    CHECKPOINT_REAP_GRACE_SEC = 300.0
+
+    def _reap_checkpoints(self, table: str) -> None:
+        """Bounded retention (r9 verdict directive #1): keep the newest
+        CHECKPOINT_KEEP manifests and every part they reference; delete
+        older manifests and now-unreferenced parts past the grace window
+        (including merge sources). A reader that raced us into a reaped
+        manifest falls back to the full scan via _state's
+        FileNotFoundError path."""
+        import time as _time
+
+        ldir = self._log_dir(table)
+        manifests = sorted(
+            p for p in ldir.iterdir() if p.name.endswith(".checkpoint.json")
+        )
+        keep = manifests[-self.CHECKPOINT_KEEP:]
+        referenced: set[str] = set()
+        for m in keep:
+            try:
+                referenced.update(json.loads(m.read_text()).get("parts", []))
+            except (ValueError, FileNotFoundError):
+                continue
+        for m in manifests[: -self.CHECKPOINT_KEEP]:
+            m.unlink(missing_ok=True)
+        now = _time.time()
+        for p in ldir.iterdir():
+            if p.name.endswith(".cppart") and p.name not in referenced:
+                try:
+                    if now - p.stat().st_mtime >= self.CHECKPOINT_REAP_GRACE_SEC:
+                        p.unlink(missing_ok=True)
+                except FileNotFoundError:
+                    continue
 
     def _advance_checkpoint_pointer(self, table: str, seq: int) -> None:
         """Atomically advance ``_last_checkpoint`` to ``seq`` if it is
