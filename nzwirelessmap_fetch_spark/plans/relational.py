@@ -2367,6 +2367,109 @@ SELECT CAST(1 AS INT)  AS cp_files,
 """
 
 
+def table_txn_checkpoint_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-part checkpoint WRITE path as an oracle-checked entry (r9
+    verdict directive #1): 45 logged commits force 4 checkpoints
+    (seq 10/20/30/40). The output certifies the round-10 bounded-write
+    mechanics — manifest RETENTION (only CHECKPOINT_KEEP=2 manifests
+    survive on disk), the binary-counter PART MERGE (the seq-40
+    manifest's parts have coalesced to ONE full-history part: the
+    (0,10]+(10,20] merge merged again with (20,30]+(30,40] — so the
+    newest manifest references exactly 1 part while seq 30's references
+    2), and that the multi-part read path still resolves latest,
+    timestamp time travel, and the at-rest as-of row count exactly.
+    The oracle recomputes the row count from the fixture relation and
+    the rest from the pinned protocol constants, so a wrong merge
+    boundary, a retention pass that deleted a live manifest, or a part
+    re-assembled out of order flips the hash.
+
+    Scale: cumulative checkpoint metadata is O(V·logV) bytes instead of
+    the r9 monolithic O(V²/interval) — growth table in SCALING.md r10
+    (5.5 MB vs 280 MB at 10⁴ commits); at the 10⁵-commit streaming-
+    MERGE steady state that is the difference between ~65 MB of
+    metadata churn and ~5 TB.
+
+    Cost note: only the as-of target version carries Spark-written data
+    (the one version the entry READS); the other 44 commits go through
+    the raw ``_commit_logged`` protocol — the checkpoint machinery under
+    test is identical (it sees only log entries), and the entry stays a
+    ~3 s driver-window line instead of 45 Spark write jobs."""
+    import json as _json
+    import tempfile
+
+    from ..sinks.writers import SnapshotParquetTable
+
+    n_commits = 45
+    key = (spark.sparkContext.applicationId, sf_dir, "txn-checkpoint-parts")
+    root = _SNAPSHOT_ROOTS.get(key)
+    sink = SnapshotParquetTable(root) if root else None
+    if root is None:
+        root = tempfile.mkdtemp(prefix="snapshots-cpp-")
+        _SNAPSHOT_ROOTS[key] = root
+        sink = SnapshotParquetTable(root)
+        o = Catalog(spark, sf_dir).table("orders")
+        for i in range(n_commits):
+            ts = f"2024-01-01T00:{i // 60:02d}:{i % 60:02d}.000000Z"
+            if i == 7:
+                sink.write_version(
+                    o.filter(F.col("o_orderkey") % n_commits == i).select(
+                        "o_orderkey", "o_totalprice"
+                    ),
+                    "orders_cpp",
+                    f"v{i}",
+                    commit_ts=ts,
+                )
+            else:
+                sink._commit_logged(
+                    "orders_cpp",
+                    f"v{i}",
+                    [["o_orderkey", "bigint"], ["o_totalprice", "double"]],
+                    commit_ts=ts,
+                )
+    state = sink._state("orders_cpp")
+    assert state is not None, "checkpoint must exist after 45 commits"
+    ldir = sink._log_dir("orders_cpp")
+    manifests = sorted(
+        f.name for f in ldir.iterdir() if f.name.endswith(".checkpoint.json")
+    )
+    parts_per_manifest = [
+        len(_json.loads((ldir / m).read_text())["parts"]) for m in manifests
+    ]
+    asof_v = sink.version_as_of("orders_cpp", "2024-01-01T00:00:07.500000Z")
+    asof_rows = sink.read_as_of(
+        spark, "orders_cpp", "2024-01-01T00:00:07.500000Z"
+    ).count()
+    return spark.createDataFrame(
+        [
+            (
+                len(manifests),
+                parts_per_manifest[-2],
+                parts_per_manifest[-1],
+                int(state["seq"]),
+                len(state["index"]),
+                sink.resolve("orders_cpp"),
+                asof_v,
+                int(asof_rows),
+            )
+        ],
+        "manifests_on_disk int, parts_prev_manifest int, "
+        "parts_newest_manifest int, state_seq int, n_index int, "
+        "latest_version string, asof_version string, asof_rows bigint",
+    )
+
+
+TABLE_TXN_CHECKPOINT_PARTS_SQL = """
+SELECT CAST(2 AS INT)  AS manifests_on_disk,
+       CAST(2 AS INT)  AS parts_prev_manifest,
+       CAST(1 AS INT)  AS parts_newest_manifest,
+       CAST(45 AS INT) AS state_seq,
+       CAST(45 AS INT) AS n_index,
+       'v44'           AS latest_version,
+       'v7'            AS asof_version,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 45 = 7) AS asof_rows
+"""
+
+
 TABLE_TXN_LOG_SQL = """
 WITH base AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority

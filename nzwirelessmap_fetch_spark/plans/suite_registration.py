@@ -48,17 +48,22 @@ registry.register(
     "multimodal_audio_energy", _mm.multimodal_audio_energy, _mm.MULTIMODAL_AUDIO_ENERGY_SQL
 )
 
-# 4–5 — table-format family, r9 rotation: the checkpointed-log read
-# path (r8 verdict directive #6 — resolve/time-travel through
-# checkpoint + tail, flat in version count) takes the compaction slot;
-# table_optimize_roundtrip re-registers below the cut (its optimize
-# commit path stays exercised there and by the maintenance-op stress)
+# 4–5 — table-format family, r10 rotation: the multi-part checkpoint
+# WRITE path (r9 verdict directive #1 — bounded cumulative metadata:
+# part merge + manifest retention) takes the txn-log slot;
+# table_txn_log re-registers below the cut (its MERGE-through-the-log
+# path stays exercised there and by the maintenance-op stress). The
+# r9 checkpointed READ-path entry keeps its slot.
 registry.register(
     "table_txn_checkpoint",
     _r.table_txn_checkpoint,
     _r.TABLE_TXN_CHECKPOINT_SQL,
 )
-registry.register("table_txn_log", _r.table_txn_log, _r.TABLE_TXN_LOG_SQL)
+registry.register(
+    "table_txn_checkpoint_parts",
+    _r.table_txn_checkpoint_parts,
+    _r.TABLE_TXN_CHECKPOINT_PARTS_SQL,
+)
 
 # 6–12 — structured streaming (same round-1 rationale) + CEP; r6: the
 # JVM stateful twin replaces stream_stream_join in the window
@@ -1112,3 +1117,9 @@ registry.register(
     scale_profile="exact_measure",
     scale_twin="sim_ivf_kmeans",
 )
+
+# ─── Round-10 rotations: demoted representatives ─────────────────────────────
+# Displaced by the r10 window rotation (multi-part checkpoint write
+# path); the table-format family keeps the two checkpoint entries in
+# the driver window and this keeps its full-registry oracle row.
+registry.register("table_txn_log", _r.table_txn_log, _r.TABLE_TXN_LOG_SQL)
