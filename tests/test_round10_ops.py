@@ -463,3 +463,52 @@ def test_kmeans_training_cost_linear_in_corpus():
             assert fanout / prev < 15  # ~10x per decade = linear (±sqrt noise)
         prev = fanout
         assert sample <= KMEANS_TRAIN_PER_CELL * k * 2
+
+
+# -------------------------------------------------- sf1 merge adjudication
+
+
+def test_merge_adjudication_rules(tmp_path):
+    """r9 ADVICE: (a) a schema mismatch fails an output-bounded row even
+    when its content hash matches; (b) a bounded row's scale twin may
+    itself be adjudicated via the output-bounded content-hash path."""
+    import json
+    import subprocess
+    import sys
+
+    # real registry names, so the tool's name validation passes
+    def run(rows):
+        src = tmp_path / "shard.json"
+        out = tmp_path / "merged.json"
+        src.write_text(json.dumps(rows))
+        rc = subprocess.run(
+            [sys.executable, "tools/merge_sf1_artifacts.py", str(out), str(src)],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        return rc.returncode, rc.stdout
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    cb_green = {"output_bounded": True, "rows_match": True,
+                "schema_match": True, "content_hash_match": True}
+
+    # (a) rename-only divergence on the content-hash path must FAIL
+    rc, _ = run({"dedup_exact": {**cb_green, "schema_match": False},
+                 "p2p_links": green})
+    assert rc == 1
+    rc, _ = run({"dedup_exact": cb_green, "p2p_links": green})
+    assert rc == 0
+
+    # (b) a bounded row leaning on a content-hash-adjudicated twin passes
+    rc, _ = run({
+        "dedup_ngram_jaccard": {"bounded": True,
+                                "scale_twin": "dedup_ngram_jaccard_capped"},
+        "dedup_ngram_jaccard_capped": cb_green,
+    })
+    assert rc == 0
+    # ...but not on a twin whose own schema mismatched
+    rc, _ = run({
+        "dedup_ngram_jaccard": {"bounded": True,
+                                "scale_twin": "dedup_ngram_jaccard_capped"},
+        "dedup_ngram_jaccard_capped": {**cb_green, "schema_match": False},
+    })
+    assert rc == 1
