@@ -512,3 +512,96 @@ def test_merge_adjudication_rules(tmp_path):
         "dedup_ngram_jaccard_capped": {**cb_green, "schema_match": False},
     })
     assert rc == 1
+
+
+# ------------------------------------- multi-part checkpoint under races
+
+
+def _cp_commit_worker(root, wid, n_rounds, q):
+    """Commit-only worker for the multi-part checkpoint stress: raw
+    protocol commits with reap grace forced to 0 so retention races the
+    other workers' merges as hard as possible."""
+    from nzwirelessmap_fetch_spark.sinks.writers import SnapshotParquetTable
+
+    SnapshotParquetTable.CHECKPOINT_REAP_GRACE_SEC = 0.0
+    sink = SnapshotParquetTable(root)
+    for r in range(n_rounds):
+        sink._commit_logged(
+            "t", f"w{wid}r{r}", [["k", "bigint"]],
+        )
+    q.put(("w", wid))
+
+
+def _cp_reader_worker(root, wid, n_iters, q):
+    """Reader racing checkpoint writes/merges/reaps: every _state must
+    be either None (degradation to the full scan — allowed) or an EXACT
+    prefix-consistent index (seqs 1..state.seq with unique versions).
+    Time-boxed rather than iteration-boxed: it keeps probing until it
+    has observed ≥n_iters checkpoint-backed states (or 20 s), so the
+    liveness assertion cannot flake on spawn-startup jitter racing the
+    first checkpoint."""
+    import time
+
+    from nzwirelessmap_fetch_spark.sinks.writers import SnapshotParquetTable
+
+    sink = SnapshotParquetTable(root)
+    states = degraded = bad = 0
+    deadline = time.monotonic() + 20.0
+    while states < n_iters and time.monotonic() < deadline:
+        state = sink._state("t")
+        if state is None:
+            degraded += 1
+            continue
+        states += 1
+        seqs = [r[0] for r in state["index"]]
+        if seqs != list(range(1, state["seq"] + 1)):
+            bad += 1
+        if len({r[1] for r in state["index"]}) != len(state["index"]):
+            bad += 1
+    q.put(("r", wid, states, degraded, bad))
+
+
+def test_multipart_checkpoint_multiprocess_consistent(tmp_path):
+    """4 committers × 25 commits with grace-0 reaping racing 2 readers:
+    every reader-observed state is exact and gap-free (or a loud
+    full-scan degradation, never wrong), the final checkpoint equals
+    the audit scan, retention holds, and no scratch files leak."""
+    import multiprocessing as mp
+
+    from nzwirelessmap_fetch_spark.sinks.writers import SnapshotParquetTable
+
+    root = str(tmp_path)
+    n_workers, n_rounds, n_readers, n_iters = 4, 25, 2, 150
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_cp_commit_worker, args=(root, w, n_rounds, q))
+        for w in range(n_workers)
+    ] + [
+        ctx.Process(target=_cp_reader_worker, args=(root, w, n_iters, q))
+        for w in range(n_readers)
+    ]
+    for p in procs:
+        p.start()
+    stats = [q.get(timeout=300) for _ in procs]
+    for p in procs:
+        p.join(timeout=300)
+        assert p.exitcode == 0
+
+    sink = SnapshotParquetTable(root)
+    entries = sink.log_entries("t")
+    assert len(entries) == n_workers * n_rounds
+    state = sink._state("t")
+    assert state is not None and state["seq"] == entries[-1]["seq"]
+    assert [r[1] for r in state["index"]] == [e["version"] for e in entries]
+
+    readers = [s for s in stats if s[0] == "r"]
+    assert sum(s[4] for s in readers) == 0, "reader saw an inconsistent index"
+    assert sum(s[2] for s in readers) > 0  # some reads used the checkpoint
+
+    ldir = sink._log_dir("t")
+    manifests = [p for p in ldir.iterdir() if p.name.endswith(".checkpoint.json")]
+    assert len(manifests) <= SnapshotParquetTable.CHECKPOINT_KEEP
+    assert not [p for p in ldir.iterdir() if p.name.endswith(".tmp")], (
+        "leaked tmp files"
+    )
