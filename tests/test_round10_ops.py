@@ -605,3 +605,35 @@ def test_multipart_checkpoint_multiprocess_consistent(tmp_path):
     assert not [p for p in ldir.iterdir() if p.name.endswith(".tmp")], (
         "leaked tmp files"
     )
+
+
+def test_reap_grace_protects_unmanifested_parts(tmp_path, monkeypatch):
+    """A committer that dies between part publish and manifest publish
+    leaves an unreferenced .cppart; the grace window must keep it (so a
+    slow committer's manifest is never orphaned by a racing reaper) and
+    a past-grace reap must sweep it. Live referenced parts survive even
+    a grace-0 reap."""
+    from nzwirelessmap_fetch_spark.sinks.writers import SnapshotParquetTable
+
+    sink = SnapshotParquetTable(tmp_path)
+    _commit_n(sink, "t", 20)
+
+    # simulate the mid-crash: part published, manifest never written
+    orphan = sink._write_part(
+        "t", 20, 30,
+        [[21, "vX", "2024-01-01T00:00:21.000000Z", "write"]],
+    )
+    opath = sink._part_path("t", orphan)
+    assert opath.exists()
+
+    sink._reap_checkpoints("t")  # default 300 s grace: young orphan survives
+    assert opath.exists()
+
+    monkeypatch.setattr(SnapshotParquetTable, "CHECKPOINT_REAP_GRACE_SEC", 0.0)
+    sink._reap_checkpoints("t")  # past grace: swept
+    assert not opath.exists()
+
+    # referenced parts are untouched by the grace-0 reap and reads work
+    state = sink._state("t")
+    assert state is not None and state["seq"] == 20
+    assert [r[0] for r in state["index"]] == list(range(1, 21))
