@@ -637,3 +637,82 @@ def test_reap_grace_protects_unmanifested_parts(tmp_path, monkeypatch):
     state = sink._state("t")
     assert state is not None and state["seq"] == 20
     assert [r[0] for r in state["index"]] == list(range(1, 21))
+
+
+def test_content_hash_adversarial_values_cross_engine(spark):
+    """Deterministic adversarial matrix through BOTH engines' canonical
+    forms: tier-boundary doubles (the 9e12 / 9e24 pin branches), ±Inf,
+    NaN (canonicalizes to NULL), -0.0, min/max BIGINT, empty / unicode /
+    control-char / '|' strings, an all-NULL row, and a duplicated row
+    (SUM must see it twice while XOR cancels — both engines must agree
+    on both aggregates)."""
+    import datetime as dt
+
+    from nzwirelessmap_fetch_spark.functions.content_hash import (
+        content_fingerprint,
+        content_fingerprint_sql,
+    )
+
+    ts = dt.datetime(2024, 2, 29, 23, 59, 59, 999999)
+    d = dt.date(2024, 2, 29)
+    rows = [
+        ("", -0.0, 0, ts, d),
+        ("naïve—☃", 8.9e12, -9223372036854775808, ts, d),
+        ("a|b", 9.1e12, 9223372036854775807, ts, d),
+        ("tab\tand\nnewline", 1e25, -1, ts, d),
+        (None, None, None, None, None),
+        ("inf", float("inf"), 42, ts, d),
+        ("-inf", float("-inf"), 7, ts, d),
+        ("nan", float("nan"), 1, ts, d),
+        ("a|b", 9.1e12, 9223372036854775807, ts, d),  # exact duplicate
+    ]
+    df = spark.createDataFrame(
+        rows, "s string, x double, i bigint, t timestamp, dd date"
+    )
+    got = content_fingerprint(df).collect()[0]
+    assert got["n_rows"] == len(rows)
+
+    vals = ", ".join(
+        "({})".format(", ".join([
+            "NULL" if r[0] is None else "'" + r[0].replace(
+                "\t", "'||chr(9)||'").replace("\n", "'||chr(10)||'") + "'",
+            "NULL" if r[1] is None else (
+                "'Infinity'::DOUBLE" if r[1] == float("inf")
+                else "'-Infinity'::DOUBLE" if r[1] == float("-inf")
+                else "'NaN'::DOUBLE" if r[1] != r[1]
+                else f"CAST({r[1]!r} AS DOUBLE)"
+            ),
+            "NULL" if r[2] is None else f"CAST({r[2]} AS BIGINT)",
+            "NULL" if r[3] is None else
+            "TIMESTAMP '2024-02-29 23:59:59.999999'",
+            "NULL" if r[4] is None else "DATE '2024-02-29'",
+        ]))
+        for r in rows
+    )
+    sql = (
+        f"SELECT * FROM (VALUES {vals}) AS t(s, x, i, t, dd)"
+    )
+    fields = [
+        ("s", "VARCHAR"), ("x", "DOUBLE"), ("i", "BIGINT"),
+        ("t", "TIMESTAMP"), ("dd", "DATE"),
+    ]
+    con = duckdb.connect()
+    oracle = con.execute(content_fingerprint_sql(sql, fields)).fetchone()
+    assert int(oracle[0]) == len(rows)
+    assert str(got["hash_sum"]) == str(oracle[1])
+    assert int(got["hash_xor"]) == int(oracle[2])
+
+    # the duplicate row is visible to SUM: dropping it changes hash_sum
+    # but leaves hash_xor unchanged (xor of an identical pair cancels)
+    got9 = got
+    got8 = content_fingerprint(
+        spark.createDataFrame(
+            rows[:-1], "s string, x double, i bigint, t timestamp, dd date"
+        )
+    ).collect()[0]
+    assert got8["hash_sum"] != got9["hash_sum"]
+    # both aggregates must recover the SAME 60-bit row hash for the
+    # dropped duplicate: sum difference = xor difference = h(dup row)
+    dup_hash = int(str(got9["hash_sum"])) - int(str(got8["hash_sum"]))
+    assert dup_hash == int(got8["hash_xor"]) ^ int(got9["hash_xor"])
+    assert 0 <= dup_hash < 2**60
