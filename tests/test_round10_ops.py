@@ -716,3 +716,53 @@ def test_content_hash_adversarial_values_cross_engine(spark):
     dup_hash = int(str(got9["hash_sum"])) - int(str(got8["hash_sum"]))
     assert dup_hash == int(got8["hash_xor"]) ^ int(got9["hash_xor"])
     assert 0 <= dup_hash < 2**60
+
+
+# ------------------------------------------------- sharded gate tool hygiene
+
+
+def test_shard_layout_heavy_light_partition():
+    """Shard 0 gets exactly the inter-cache-eligible (quadratic oracle)
+    entries; the rest round-robin; the layout is a partition of the
+    input; n_shards=1 degenerates to one shard."""
+    from tools.oracle_cache import ELIGIBLE
+    from tools.run_sharded_gate import shard_layout
+
+    heavy = sorted(ELIGIBLE)[:3]
+    assert heavy, "fixture assumption: some eligible entries exist"
+    names = heavy + [f"light_{i}" for i in range(10)]
+
+    shards = shard_layout(names, 4)
+    assert shards[0] == heavy
+    flat = [n for s in shards for n in s]
+    assert sorted(flat) == sorted(names)  # partition: no dupes, no drops
+    assert all(n.startswith("light_") for s in shards[1:] for n in s)
+
+    assert shard_layout(names, 1) == [names]
+
+
+def test_reap_orphan_spill_dirs(tmp_path, monkeypatch):
+    """Dead-pid spill dirs are reaped; live-pid and non-numeric-suffix
+    dirs are kept."""
+    import subprocess
+    import sys as _sys
+
+    from tools import run_sharded_gate as G
+
+    dead = subprocess.Popen([_sys.executable, "-c", "pass"])
+    dead.wait()
+
+    d_dead = tmp_path / f"duckdb_spill_{dead.pid}"
+    d_live = tmp_path / f"duckdb_spill_{__import__('os').getpid()}"
+    d_junk = tmp_path / "duckdb_spill_manual"
+    for d in (d_dead, d_live, d_junk):
+        d.mkdir()
+        (d / "block").write_bytes(b"x")
+
+    monkeypatch.setattr(
+        G.glob, "glob", lambda pat: [str(d_dead), str(d_live), str(d_junk)]
+    )
+    reaped = G.reap_orphan_spill_dirs()
+    assert reaped == [str(d_dead)]
+    assert not d_dead.exists()
+    assert d_live.exists() and d_junk.exists()
