@@ -766,3 +766,32 @@ def test_reap_orphan_spill_dirs(tmp_path, monkeypatch):
     assert reaped == [str(d_dead)]
     assert not d_dead.exists()
     assert d_live.exists() and d_junk.exists()
+
+
+def test_extract_bench_sf1_shapes(tmp_path, capsys):
+    """The sf1 bench extractor lifts spark_sec per entry, computes the
+    headline subset by family prefix, and NAMES untimed rows (bounded
+    refusals) instead of dropping them silently."""
+    import json as _json
+
+    from tools.extract_bench_sf1 import main as extract
+
+    art = {
+        "p2p_links": {"spark_sec": 1.5, "total_sec": 9.0},
+        "dedup_exact": {"spark_sec": 2.0, "total_sec": 4.0},
+        "agg_rollup": {"spark_sec": 0.5, "total_sec": 1.0},
+        "corpus_winnowing": {"bounded": True, "total_sec": 0.1},  # refusal
+        "_meta": "not-a-dict-row-guard",
+    }
+    src = tmp_path / "uniform.json"
+    src.write_text(_json.dumps(art))
+    out = tmp_path / "BENCH_SF1.json"
+
+    assert extract(str(out), [f"uniform={src}"]) == 0
+    got = _json.loads(out.read_text())
+    shape = got["shapes"]["uniform"]
+    assert shape["n_timed"] == 3
+    assert shape["total_spark_sec"] == 4.0
+    assert shape["headline"] == {"p2p_links": 1.5, "dedup_exact": 2.0}
+    assert shape["headline_total_sec"] == 3.5
+    assert shape["untimed"] == ["corpus_winnowing"]
