@@ -795,3 +795,87 @@ def test_extract_bench_sf1_shapes(tmp_path, capsys):
     assert shape["headline"] == {"p2p_links": 1.5, "dedup_exact": 2.0}
     assert shape["headline_total_sec"] == 3.5
     assert shape["untimed"] == ["corpus_winnowing"]
+
+
+def test_checkpoint_crash_at_every_publish_point(tmp_path):
+    """Crash-safety sweep: simulate a committer dying immediately
+    before EACH file operation inside the checkpoint path (part writes,
+    manifest publish, pointer advance, reap) in turn. After every
+    injected death a fresh reader must agree with the audit-scan truth
+    — checkpoint-backed or loudly degraded, never wrong — and the next
+    interval's checkpoint self-heals."""
+
+    from nzwirelessmap_fetch_spark.sinks.writers import SnapshotParquetTable
+
+    class _Crash(BaseException):
+        pass
+
+    hooks = (
+        "_write_part", "_link_atomic",
+        "_advance_checkpoint_pointer", "_reap_checkpoints",
+    )
+
+    def sweep(k: int, root) -> bool:
+        """Returns True if the k-th checkpoint op exists (else the sweep
+        is past the end of the op sequence)."""
+        state = {"armed": False, "n": 0, "crashed": False}
+        orig = {h: getattr(SnapshotParquetTable, h) for h in hooks}
+        orig_cp = SnapshotParquetTable._maybe_checkpoint
+
+        def wrap(fn):
+            def inner(self, *a, **kw):
+                if state["armed"]:
+                    if state["n"] == k:
+                        state["crashed"] = True
+                        raise _Crash()
+                    state["n"] += 1
+                return fn(self, *a, **kw)
+            return inner
+
+        def armed_cp(self, table, entry):
+            state["armed"] = True
+            try:
+                return orig_cp(self, table, entry)
+            finally:
+                state["armed"] = False
+
+        for h in hooks:
+            setattr(SnapshotParquetTable, h, wrap(orig[h]))
+        SnapshotParquetTable._maybe_checkpoint = armed_cp
+        try:
+            sink = SnapshotParquetTable(root)
+            try:
+                _commit_n(sink, "t", 10)  # checkpoint fires at seq 10
+            except _Crash:
+                pass
+        finally:
+            for h in hooks:
+                setattr(SnapshotParquetTable, h, orig[h])
+            SnapshotParquetTable._maybe_checkpoint = orig_cp
+
+        # the dying committer still committed entry 10 before the
+        # checkpoint path began — that is the truth a reader must see
+        reader = SnapshotParquetTable(root)
+        entries = reader.log_entries("t")
+        assert len(entries) == 10
+        assert reader.resolve("t") == "v9"
+        assert reader.version_as_of("t", "2024-01-01T00:00:05.000000Z") == "v5"
+        st = reader._state("t")
+        if st is not None:  # checkpoint-backed read must be exact
+            assert st["seq"] == 10
+            assert [r[0] for r in st["index"]] == list(range(1, 11))
+            assert st["latest"] == "v9"
+
+        # survivors keep committing: the next interval self-heals
+        _commit_n(reader, "t", 10, start=10)
+        healed = reader._state("t")
+        assert healed is not None and healed["seq"] == 20
+        assert [r[0] for r in healed["index"]] == list(range(1, 21))
+        assert reader.resolve("t") == "v19"
+        return state["crashed"]
+
+    k = 0
+    while sweep(k, tmp_path / f"k{k}"):
+        k += 1
+        assert k < 64, "runaway op count in the checkpoint path"
+    assert k >= 4, f"expected >=4 crash points, swept {k}"
