@@ -80,11 +80,9 @@ def mem_available_bytes() -> int:
 
 @lru_cache(maxsize=1)
 def _derived_budget() -> int:
-    cap_bytes = min(
-        disk_free_bytes() * DISK_FRACTION,
-        mem_available_bytes() * MEM_SPILL_MULTIPLE,
-    )
-    return max(MIN_BUDGET, min(MAX_BUDGET, int(cap_bytes / BYTES_PER_PAIR_SPILL)))
+    # single implementation: the probed path IS the pure function the
+    # tests certify, so the two can never drift apart
+    return derive_budget_for(disk_free_bytes(), mem_available_bytes())
 
 
 def exact_pair_budget(scale: float = 1.0) -> int:

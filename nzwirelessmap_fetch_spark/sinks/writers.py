@@ -914,7 +914,17 @@ class SnapshotParquetTable:
                 os.rename(d, tomb)
             except FileNotFoundError:
                 return False  # a concurrent vacuum claimed it first
-            shutil.rmtree(tomb)
+            try:
+                # rename PRESERVES the directory's old mtime, so without
+                # the touch a just-created tombstone of an hours-old
+                # version dir would look past-grace to a concurrent
+                # vacuum's stale sweep and be rmtree'd under our feet;
+                # the touch makes the grace window measure what it
+                # claims — time since the rename.
+                os.utime(tomb)
+            except FileNotFoundError:
+                pass  # swept anyway: ignore_errors below tolerates it
+            shutil.rmtree(tomb, ignore_errors=True)
             return True
 
         # sweep stale tombstones first: a process that died between

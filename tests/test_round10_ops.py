@@ -233,6 +233,52 @@ def test_vacuum_sweeps_stale_tombstones(spark, tmp_path):
     assert fresh.exists()
 
 
+def test_vacuum_tombstone_of_old_dir_is_grace_protected(spark, tmp_path):
+    """os.rename preserves the version dir's old mtime, so a LIVE
+    vacuum's just-renamed tombstone of an hours-old directory would
+    look past-grace to a concurrent stale sweep and be deleted under
+    its feet; _remove must touch the tombstone after the rename so the
+    grace window measures time-since-rename."""
+    import os
+    import time
+
+    from nzwirelessmap_fetch_spark.sinks.writers import SnapshotParquetTable
+
+    t = SnapshotParquetTable(tmp_path)
+    df = spark.range(5).toDF("x")
+    for v in ("v1", "v2", "v3"):
+        t.write_version(df, "tbl", v)
+
+    # age v1's data dir far past the grace window, as a long-lived
+    # table's expired versions always are
+    old = time.time() - 7200
+    d = tmp_path / "tbl" / "v=v1"
+    os.utime(d, (old, old))
+
+    captured = {}
+    orig_rmtree = __import__("shutil").rmtree
+
+    def spying_rmtree(path, *a, **kw):
+        p = str(path)
+        if ".vacuum." in p and "v=v1" in p:
+            captured["age"] = time.time() - os.stat(p).st_mtime
+        return orig_rmtree(path, *a, **kw)
+
+    import shutil as _shutil
+
+    _shutil.rmtree, restore = spying_rmtree, orig_rmtree
+    try:
+        t.vacuum("tbl", keep_latest=2, orphan_grace_sec=3600)
+    finally:
+        _shutil.rmtree = restore
+
+    # the tombstone observed at delete time was FRESH (touched after
+    # rename), not carrying the 2 h-old dir mtime a concurrent sweep
+    # would have reaped
+    assert captured["age"] < 60
+    assert not d.exists()
+
+
 # ------------------------------------------------- multi-part checkpoints
 
 
@@ -512,6 +558,31 @@ def test_merge_adjudication_rules(tmp_path):
         "dedup_ngram_jaccard_capped": {**cb_green, "schema_match": False},
     })
     assert rc == 1
+
+    # (c) a green row — by EITHER adjudication method — never loses to
+    # a later source's errored re-run
+    def run2(rows_a, rows_b):
+        a, b = tmp_path / "a.json", tmp_path / "b.json"
+        out = tmp_path / "merged.json"
+        a.write_text(json.dumps(rows_a))
+        b.write_text(json.dumps(rows_b))
+        rc = subprocess.run(
+            [sys.executable, "tools/merge_sf1_artifacts.py",
+             str(out), str(a), str(b)],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        return rc.returncode
+
+    assert run2({"p2p_links": green},
+                {"p2p_links": {"err": "OOM"}}) == 0
+    assert run2({"dedup_exact": cb_green, "p2p_links": green},
+                {"dedup_exact": {"err": "OOM"}}) == 0
+    # a NON-green prior row IS refreshed by the later source
+    assert run2({"p2p_links": {"rows_match": False}},
+                {"p2p_links": green}) == 0
+    assert run2({"p2p_links": green},
+                {"p2p_links": {"rows_match": False, "schema_match": True,
+                               "hash_match": False}}) == 1
 
 
 # ------------------------------------- multi-part checkpoint under races

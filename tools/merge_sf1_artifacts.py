@@ -67,6 +67,23 @@ def load(source: str, known: frozenset[str]) -> dict:
         return json.load(f)
 
 
+def _green(v: dict | None) -> bool:
+    if not v:
+        return False
+    if v.get("rows_match") and v.get("schema_match") and v.get("hash_match"):
+        return True
+    # an output-explosive row adjudicated by the in-engine content
+    # hash is equally trustworthy as a scale twin (r9 ADVICE: an
+    # exact-measure twin that goes output-explosive must not read
+    # as failing); schema_match participates wherever computed
+    return bool(
+        v.get("output_bounded")
+        and v.get("rows_match")
+        and v.get("content_hash_match")
+        and v.get("schema_match", True)
+    )
+
+
 def main(out: str, sources: list[str]) -> int:
     known = _known_names()
     merged: dict = {}
@@ -74,26 +91,13 @@ def main(out: str, sources: list[str]) -> int:
         for name, row in load(s, known).items():
             prev = merged.get(name)
             # a green row never loses to an errored re-run; otherwise
-            # later sources override
-            if prev and prev.get("hash_match") and row.get("err"):
+            # later sources override. Green by EITHER adjudication
+            # method — an output-bounded content-hash-green row must
+            # not be overwritten by a later errored shard any more
+            # than a full-hash-green one.
+            if prev and _green(prev) and row.get("err"):
                 continue
             merged[name] = row
-
-    def _green(v: dict | None) -> bool:
-        if not v:
-            return False
-        if v.get("rows_match") and v.get("schema_match") and v.get("hash_match"):
-            return True
-        # an output-explosive row adjudicated by the in-engine content
-        # hash is equally trustworthy as a scale twin (r9 ADVICE: an
-        # exact-measure twin that goes output-explosive must not read
-        # as failing); schema_match participates wherever computed
-        return bool(
-            v.get("output_bounded")
-            and v.get("rows_match")
-            and v.get("content_hash_match")
-            and v.get("schema_match", True)
-        )
 
     def adjudicated(v: dict) -> bool:
         if _green(v):
