@@ -2333,9 +2333,9 @@ def table_txn_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     state = sink._state("orders_cp")
     assert state is not None, "checkpoint must exist after 12 commits"
-    ldir = sink._log_dir("orders_cp")
+    cdir = sink._checkpoint_dir("orders_cp")
     cp_files = sum(
-        1 for f in ldir.iterdir() if f.name.endswith(".checkpoint.json")
+        1 for f in cdir.iterdir() if f.name.endswith(".checkpoint.json")
     )
     asof_v = sink.version_as_of("orders_cp", "2024-01-01T00:00:05.500000Z")
     asof_rows = sink.read_as_of(
@@ -2428,12 +2428,12 @@ def table_txn_checkpoint_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
     state = sink._state("orders_cpp")
     assert state is not None, "checkpoint must exist after 45 commits"
-    ldir = sink._log_dir("orders_cpp")
+    cdir = sink._checkpoint_dir("orders_cpp")
     manifests = sorted(
-        f.name for f in ldir.iterdir() if f.name.endswith(".checkpoint.json")
+        f.name for f in cdir.iterdir() if f.name.endswith(".checkpoint.json")
     )
     parts_per_manifest = [
-        len(_json.loads((ldir / m).read_text())["parts"]) for m in manifests
+        len(_json.loads((cdir / m).read_text())["parts"]) for m in manifests
     ]
     asof_v = sink.version_as_of("orders_cpp", "2024-01-01T00:00:07.500000Z")
     asof_rows = sink.read_as_of(

@@ -306,8 +306,32 @@ class SnapshotParquetTable:
     def _entry_path(self, table: str, seq: int) -> Path:
         return self._log_dir(table) / f"{seq:08d}.json"
 
+    def _checkpoint_dir(self, table: str) -> Path:
+        """Manifests and parts live in their own subdirectory so the
+        retention pass lists O(manifests + parts) dirents, NOT the
+        O(versions) commit-log dirents — without this the reap's
+        per-checkpoint directory scan re-introduces at the syscall
+        level the quadratic cumulative cost the multi-part redesign
+        removed at the byte level (10⁴ reaps × 10⁵ dirents at the
+        streaming-MERGE steady state). r9-era monolithic manifests
+        were written flat in the log dir; reads fall back there."""
+        return self._log_dir(table) / "_checkpoints"
+
+    def _manifest_path(self, table: str, seq: int) -> Path:
+        return self._checkpoint_dir(table) / f"{seq:08d}.checkpoint.json"
+
+    def _read_manifest(self, table: str, seq: int) -> dict:
+        """Manifest by seq; falls back to the r9-era flat location."""
+        try:
+            return json.loads(self._manifest_path(table, seq).read_text())
+        except FileNotFoundError:
+            return json.loads(
+                (self._log_dir(table) / f"{seq:08d}.checkpoint.json")
+                .read_text()
+            )
+
     def _part_path(self, table: str, name: str) -> Path:
-        return self._log_dir(table) / name
+        return self._checkpoint_dir(table) / name
 
     @staticmethod
     def _part_span(name: str) -> tuple[int, int]:
@@ -328,9 +352,7 @@ class SnapshotParquetTable:
             return None
         try:
             cp_seq = int(ptr.read_text().strip())
-            cp = json.loads(
-                (self._log_dir(table) / f"{cp_seq:08d}.checkpoint.json").read_text()
-            )
+            cp = self._read_manifest(table, cp_seq)
             if "parts" in cp:
                 index: list[list] = []
                 for pname in cp["parts"]:
@@ -358,15 +380,16 @@ class SnapshotParquetTable:
         return {"seq": seq, "index": index, "schema": schema, "latest": latest}
 
     def _link_atomic(self, table: str, payload: dict, dest_name: str) -> None:
-        """tmp-write + os.link O_EXCL publish; losing the race means
-        another committer already published an identical-by-construction
-        file — nothing to do."""
-        ldir = self._log_dir(table)
-        tmp = ldir / f".{os.getpid()}.{dest_name}.tmp"
+        """tmp-write + os.link O_EXCL publish into the checkpoint
+        subdirectory; losing the race means another committer already
+        published an identical-by-construction file — nothing to do."""
+        cdir = self._checkpoint_dir(table)
+        cdir.mkdir(parents=True, exist_ok=True)
+        tmp = cdir / f".{os.getpid()}.{dest_name}.tmp"
         try:
             tmp.write_text(json.dumps(payload, sort_keys=True))
             try:
-                os.link(tmp, ldir / dest_name)
+                os.link(tmp, cdir / dest_name)
             except FileExistsError:
                 pass
         finally:
@@ -422,9 +445,7 @@ class SnapshotParquetTable:
         if ptr.exists():
             try:
                 p_seq = int(ptr.read_text().strip())
-                cp = json.loads(
-                    (ldir / f"{p_seq:08d}.checkpoint.json").read_text()
-                )
+                cp = self._read_manifest(table, p_seq)
                 if p_seq >= seq:
                     return  # a later committer already checkpointed past us
                 prev_seq, schema = p_seq, cp.get("schema")
@@ -439,12 +460,19 @@ class SnapshotParquetTable:
                         prev_seq, prev_parts, schema = 0, [], None
                 else:
                     # r9 monolithic checkpoint: re-home its index as the
-                    # seed part once; later checkpoints build on it
+                    # seed part once; later checkpoints build on it. The
+                    # flat file is deleted here (one-time): a reader
+                    # holding the old pointer degrades to the full scan
+                    # until the pointer advances below — the standard
+                    # reaped-manifest contract, paid once per migration.
                     prev_parts = [
                         self._write_part(
                             table, 0, p_seq, [list(r) for r in cp["index"]]
                         )
                     ]
+                    (
+                        self._log_dir(table) / f"{p_seq:08d}.checkpoint.json"
+                    ).unlink(missing_ok=True)
             except (ValueError, FileNotFoundError, KeyError):
                 prev_seq, prev_parts, schema = 0, [], None
         # delta rows (prev_seq, seq] by direct entry reads: ≤ interval
@@ -482,12 +510,19 @@ class SnapshotParquetTable:
         older manifests and now-unreferenced parts past the grace window
         (including merge sources). A reader that raced us into a reaped
         manifest falls back to the full scan via _state's
-        FileNotFoundError path."""
+        FileNotFoundError path. Lists only the checkpoint SUBDIRECTORY —
+        O(manifests + parts) dirents per reap, independent of commit
+        count (a flat listing here would be O(V) per reap, quadratic
+        cumulative). An r9-era flat manifest is superseded the moment
+        its index is re-homed as a seed part; the flat file itself is
+        one orphaned read-only file per migrated table, swept here too."""
         import time as _time
 
-        ldir = self._log_dir(table)
+        cdir = self._checkpoint_dir(table)
+        if not cdir.exists():
+            return
         manifests = sorted(
-            p for p in ldir.iterdir() if p.name.endswith(".checkpoint.json")
+            p for p in cdir.iterdir() if p.name.endswith(".checkpoint.json")
         )
         keep = manifests[-self.CHECKPOINT_KEEP:]
         referenced: set[str] = set()
@@ -499,7 +534,7 @@ class SnapshotParquetTable:
         for m in manifests[: -self.CHECKPOINT_KEEP]:
             m.unlink(missing_ok=True)
         now = _time.time()
-        for p in ldir.iterdir():
+        for p in cdir.iterdir():
             if p.name.endswith(".cppart") and p.name not in referenced:
                 try:
                     if now - p.stat().st_mtime >= self.CHECKPOINT_REAP_GRACE_SEC:

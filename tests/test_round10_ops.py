@@ -330,11 +330,11 @@ def test_checkpoint_cumulative_write_cost_is_subquadratic(tmp_path, monkeypatch)
         written["bytes"], loglinear_model)
 
     # part count stays logarithmic and the state is exact
-    ldir = sink._log_dir("t")
+    cdir = sink._checkpoint_dir("t")
     state = sink._state("t")
     assert state["seq"] == V
     assert [r[0] for r in state["index"]] == list(range(1, V + 1))
-    manifests = [p for p in ldir.iterdir() if p.name.endswith(".checkpoint.json")]
+    manifests = [p for p in cdir.iterdir() if p.name.endswith(".checkpoint.json")]
     assert len(manifests) <= sink.CHECKPOINT_KEEP
     import json as _json
 
@@ -353,15 +353,15 @@ def test_checkpoint_retention_reaps_manifests_and_parts(tmp_path, monkeypatch):
     monkeypatch.setattr(SnapshotParquetTable, "CHECKPOINT_REAP_GRACE_SEC", 0.0)
     sink = SnapshotParquetTable(tmp_path)
     _commit_n(sink, "t", 100)
-    ldir = sink._log_dir("t")
+    cdir = sink._checkpoint_dir("t")
     manifests = sorted(
-        p.name for p in ldir.iterdir() if p.name.endswith(".checkpoint.json")
+        p.name for p in cdir.iterdir() if p.name.endswith(".checkpoint.json")
     )
     assert manifests == ["00000090.checkpoint.json", "00000100.checkpoint.json"]
-    on_disk = {p.name for p in ldir.iterdir() if p.name.endswith(".cppart")}
+    on_disk = {p.name for p in cdir.iterdir() if p.name.endswith(".cppart")}
     referenced = set()
     for m in manifests:
-        referenced.update(_json.loads((ldir / m).read_text())["parts"])
+        referenced.update(_json.loads((cdir / m).read_text())["parts"])
     assert referenced <= on_disk  # every referenced part exists
     assert on_disk == referenced  # nothing unreferenced survives at grace 0
 
@@ -376,7 +376,9 @@ def test_checkpoint_reads_monolithic_r9_format(tmp_path):
     sink = SnapshotParquetTable(tmp_path)
     _commit_n(sink, "t", 10)
     ldir = sink._log_dir("t")
-    # rewrite the manifest in the r9 monolithic shape
+    cdir = sink._checkpoint_dir("t")
+    # rewrite the manifest in the r9 monolithic shape, FLAT in the log
+    # dir where r9 wrote it (exercises the legacy-location fallback)
     m = ldir / "00000010.checkpoint.json"
     state = sink._state("t")
     mono = {
@@ -385,8 +387,8 @@ def test_checkpoint_reads_monolithic_r9_format(tmp_path):
         "schema": state["schema"],
         "latest": state["latest"],
     }
-    for p in ldir.iterdir():
-        if p.name.endswith(".cppart"):
+    for p in cdir.iterdir():
+        if p.name.endswith(".cppart") or p.name.endswith(".checkpoint.json"):
             p.unlink()
     m.write_text(_json.dumps(mono, sort_keys=True))
     got = sink._state("t")
@@ -395,9 +397,10 @@ def test_checkpoint_reads_monolithic_r9_format(tmp_path):
     _commit_n(sink, "t", 10, start=10)  # next checkpoint at seq 20
     got = sink._state("t")
     assert got["seq"] == 20
-    newest = _json.loads((ldir / "00000020.checkpoint.json").read_text())
+    newest = _json.loads((cdir / "00000020.checkpoint.json").read_text())
     assert "parts" in newest
     assert got["latest"] == "v19"
+    assert not m.exists()  # migration leaves no flat manifest behind
 
 
 def test_checkpoint_missing_part_degrades_then_self_heals(tmp_path):
@@ -410,9 +413,9 @@ def test_checkpoint_missing_part_degrades_then_self_heals(tmp_path):
 
     sink = SnapshotParquetTable(tmp_path)
     _commit_n(sink, "t", 20)
-    ldir = sink._log_dir("t")
-    newest = _json.loads((ldir / "00000020.checkpoint.json").read_text())
-    (ldir / newest["parts"][0]).unlink()
+    cdir = sink._checkpoint_dir("t")
+    newest = _json.loads((cdir / "00000020.checkpoint.json").read_text())
+    (cdir / newest["parts"][0]).unlink()
 
     assert sink._state("t") is None  # loud degradation, not wrong data
     assert sink.resolve("t") == "v19"  # full-scan paths still correct
@@ -671,9 +674,11 @@ def test_multipart_checkpoint_multiprocess_consistent(tmp_path):
     assert sum(s[2] for s in readers) > 0  # some reads used the checkpoint
 
     ldir = sink._log_dir("t")
-    manifests = [p for p in ldir.iterdir() if p.name.endswith(".checkpoint.json")]
+    cdir = sink._checkpoint_dir("t")
+    manifests = [p for p in cdir.iterdir() if p.name.endswith(".checkpoint.json")]
     assert len(manifests) <= SnapshotParquetTable.CHECKPOINT_KEEP
-    assert not [p for p in ldir.iterdir() if p.name.endswith(".tmp")], (
+    scratch = list(ldir.iterdir()) + list(cdir.iterdir())
+    assert not [p for p in scratch if p.name.endswith(".tmp")], (
         "leaked tmp files"
     )
 

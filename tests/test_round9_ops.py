@@ -276,8 +276,8 @@ def test_txn_log_checkpoint_written_and_read(tmp_path):
     sink = SnapshotParquetTable(tmp_path)
     n = 25
     _mk_table(sink, "t", n)
-    ldir = sink._log_dir("t")
-    cps = sorted(p.name for p in ldir.iterdir() if p.name.endswith(".checkpoint.json"))
+    cdir = sink._checkpoint_dir("t")
+    cps = sorted(p.name for p in cdir.iterdir() if p.name.endswith(".checkpoint.json"))
     assert cps == ["00000010.checkpoint.json", "00000020.checkpoint.json"]
     assert sink._checkpoint_pointer("t").read_text().strip() == "20"
 

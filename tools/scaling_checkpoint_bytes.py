@@ -84,9 +84,9 @@ def main() -> None:
         root, sink, measured, row_bytes = build_measuring(n)
         n_cp = n // interval
         mono = row_bytes * interval * n_cp * (n_cp + 1) // 2
-        ldir = sink._log_dir("t")
+        cdir = sink._checkpoint_dir("t")
         newest = max(
-            (p for p in ldir.iterdir() if p.name.endswith(".checkpoint.json")),
+            (p for p in cdir.iterdir() if p.name.endswith(".checkpoint.json")),
             key=lambda p: p.name,
         )
         parts = len(json.loads(newest.read_text())["parts"])
