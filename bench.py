@@ -131,6 +131,17 @@ def main() -> None:
     timings["shared_winnow_build_capped"] = round(
         time.perf_counter() - start, 3
     )
+    # r10 verdict directive #1: the verified SimHash Hamming-≤3 pair
+    # stream is memoized like the Jaccard/containment substrates (three
+    # consumers: the pair entry, its content-hash adjudicator, the
+    # quality eval). Explicit attribution line so the ~78.8 M-pair build
+    # cost at sf1-Zipf stays visible instead of landing inside whichever
+    # consumer the sort order runs first.
+    from nzwirelessmap_fetch_spark.operators.dedup import _verified_simhash_pairs
+
+    start = time.perf_counter()
+    _verified_simhash_pairs(spark, sf_dir)
+    timings["shared_simhash_pair_build"] = round(time.perf_counter() - start, 3)
 
     def run_one(name: str, fn) -> float:
         start = time.perf_counter()

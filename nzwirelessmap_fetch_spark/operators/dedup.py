@@ -1184,24 +1184,38 @@ WHERE d.doc_id % {INCREMENTAL_BATCH_MOD} = 0
 
 HAMMING_MAX = 3  # ≤3 bit flips: 4-byte banding then has an intact band (pigeonhole)
 
+# Checkpointed verified Hamming-≤3 pair stream, keyed per
+# (application, sf_dir) — the _PAIRS_CACHE discipline applied to the
+# SimHash family (r10 verdict directive #1). THREE registry entries
+# consume substantially the same 78.8 M-pair result at sf1-Zipf
+# (dedup_simhash_hamming, its content-hash adjudicator, and the
+# quality eval's candidate side); before this memo each re-derived the
+# full banding join (~943 s of the 3,111 s sf1-Zipf Spark-side bar).
+# One build, one eager localCheckpoint, three readers.
+_SIMHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
-def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup PAIRS within Hamming distance ≤ 3 — the banded
-    scale path the signature operator (dedup_simhash) documents: split
-    the 32-bit signature into 4 bytes; any pair within 3 bit flips has
-    ≥ 1 intact byte (pigeonhole), so candidates come from an equi-join
-    on (band, byte) — LOSSLESS for the ≤3 radius, never all-pairs — and
-    each candidate is verified with one bit_count(XOR).
 
-    Scale shape: the banding explode is map-side ×4; the candidate join
-    is keyed by (band, byte value) — 1024 distinct keys whose sizes are
-    the collision classes; verification is row-local. The oracle states
-    the equivalent semantic form directly (all pairs at Hamming ≤ 3 —
-    equal BY the pigeonhole guarantee, which this query therefore pins).
+def _verified_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized verified SimHash pair stream: (doc_a, doc_b, hamming)
+    with hamming ≤ HAMMING_MAX, doc_a < doc_b, pairs DISTINCT by
+    construction (the candidate build dedups before the radius filter,
+    so consumers may drop their own .distinct() and ride this one).
+
+    Plan (unchanged from the pre-memo dedup_simhash_hamming body):
+    banding explode is map-side ×4; the candidate join is keyed by
+    (band, byte value) — 1024 distinct keys whose sizes are the
+    collision classes; verification is row-local bit_count(XOR). The
+    checkpoint stores |pairs|×24-byte rows (~1.9 GB at sf1-Zipf's
+    78.8 M pairs) on executor storage — never the driver.
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SIMHASH_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
     # persist: the signature build (tokenize + per-word md5 + fold over
     # the whole corpus) feeds BOTH sides of the self-join; without it
-    # Spark computes the subtree twice (measured 2× at sf0.1)
+    # Spark computes the subtree twice (measured 2× at sf0.1).
+    # Unpersisted once the checkpoint materializes.
     sigs = dedup_simhash(spark, sf_dir).persist()
     bands = sigs.select(
         "doc_id",
@@ -1234,7 +1248,31 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return cand.filter(F.col("hamming") <= HAMMING_MAX)
+    pairs = (
+        cand.filter(F.col("hamming") <= HAMMING_MAX)
+        .localCheckpoint(eager=True)
+    )
+    sigs.unpersist()
+    _SIMHASH_PAIRS_CACHE[key] = pairs
+    return pairs
+
+
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS within Hamming distance ≤ 3 — the banded
+    scale path the signature operator (dedup_simhash) documents: split
+    the 32-bit signature into 4 bytes; any pair within 3 bit flips has
+    ≥ 1 intact byte (pigeonhole), so candidates come from an equi-join
+    on (band, byte) — LOSSLESS for the ≤3 radius, never all-pairs — and
+    each candidate is verified with one bit_count(XOR).
+
+    Since r11 the verified pair stream is the memoized per-(application,
+    sf_dir) checkpoint `_verified_simhash_pairs` shared with the
+    content-hash adjudicator and the quality eval — see that function
+    for the physical plan. The oracle states the equivalent semantic
+    form directly (all pairs at Hamming ≤ 3 — equal BY the pigeonhole
+    guarantee, which this query therefore pins).
+    """
+    return _verified_simhash_pairs(spark, sf_dir)
 
 
 DEDUP_SIMHASH_HAMMING_SQL = f"""
@@ -1273,12 +1311,14 @@ def dedup_simhash_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical row hashes; see functions/content_hash.py for the
     canonicalization and its driver-verdict parity pins).
 
-    Plan: the parent's plan unchanged, plus a map-side md5 projection
-    and ONE 1-row aggregate — content adjudication costs one extra
-    narrow pass over a result the engine already computes."""
+    Plan: since r11 the pair stream is the memoized per-(application,
+    sf_dir) checkpoint `_verified_simhash_pairs` — adjudication costs
+    one map-side md5 projection and ONE 1-row aggregate over rows the
+    engine already materialized, instead of re-deriving the full
+    banding join (measured 250.6 s of re-derivation at sf1-Zipf)."""
     from ..functions.content_hash import content_fingerprint
 
-    return content_fingerprint(dedup_simhash_hamming(spark, sf_dir))
+    return content_fingerprint(_verified_simhash_pairs(spark, sf_dir))
 
 
 def _dedup_simhash_content_hash_sql() -> str:
@@ -1812,12 +1852,12 @@ def dedup_simhash_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged-union conditional count (no 1-row joins — dedup.py's
     no-broadcast-hint pin), integer counts, two pinned ratios.
     """
-    # explicit set semantics on BOTH pair sets (r3 advice): the counts
-    # must not silently depend on the upstream generators emitting
-    # distinct pairs — left_semi preserves left-side duplicates while
-    # the oracle's INTERSECT dedups, so any future duplicate candidate
-    # would skew Spark's n_hits/n_candidates relative to the oracle
-    cand = dedup_simhash_hamming(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    # r11: candidate side reads the memoized checkpoint, which is
+    # DISTINCT by construction (the candidate build dedups before the
+    # radius filter — pinned by test_simhash_pairs_distinct), so the
+    # former defensive .distinct() over the 78.8 M-pair stream is
+    # dropped: it re-shuffled the full pair set for zero row change.
+    cand = _verified_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     truth = (
         _verified_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").distinct()
     )
