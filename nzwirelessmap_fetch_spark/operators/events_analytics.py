@@ -1276,6 +1276,12 @@ FROM d
 # ─── Multi-touch marketing attribution ─────────────────────────────────────
 
 ATTR_WINDOW_US = 3 * 86_400 * 1_000_000  # 3-day lookback before each purchase
+# Grid cell for the touch join = the lookback width: each purchase's
+# band [p_us − W, p_us) then covers exactly TWO consecutive cells
+# ((p_us − W) div W == p_us div W − 1 for positive epoch micros), so the
+# purchase side replicates ≤2× while a touch keeps its single home cell
+# — no pair can match twice, no dedup shuffle needed.
+ATTR_CELL_US = ATTR_WINDOW_US
 
 
 def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1290,9 +1296,21 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-negatives — never a float fold across purchases). First/last
     pin their tie-breaks on (ts, event_id).
 
-    Plan: the touch join is keyed on user_id with a time-band predicate
-    — fan-in bounded by per-user activity, the asof/sessionize shape;
-    per-purchase windows partition on the purchase key; the channel
+    Plan (r11 re-plan, killing the per-hot-key H² class): the touch
+    join is keyed on (user_id, time-cell), not user_id alone. A raw
+    user-keyed band join puts one Zipf-head user's purchases × ALL its
+    touches through a single partition before the band residual runs —
+    per-key quadratic fan-in, the named scale-killer at 100×-Zipf
+    (measured 214.6 s at sf1-Zipf). Grid-bucketing on cells of width
+    ATTR_CELL_US (= the lookback) explodes each purchase onto exactly 2
+    cells (map-side, bounded), keeps each touch in its single home
+    cell, and makes the candidate join an EQUI-join on (user, cell)
+    with the exact band predicate as a residual — raw match volume
+    drops from P_u·T_u to ≤ touches-within-2W per purchase (~2–3× the
+    TRUE pair count), and the hot user's work spreads across
+    span/W distinct keys. Same technique as
+    events_purchases_during_incidents, composed with the user key.
+    Per-purchase windows partition on the purchase key; the channel
     rollup is a map-side-combining agg over per-(purchase, channel)
     rows. Nothing global until the ≤5-row channel summary."""
     e = Catalog(spark, sf_dir).table("events")
@@ -1300,13 +1318,25 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = e.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("event_id").alias("p_id"), us.alias("p_us")
     )
+    pc = p.select(
+        "user_id",
+        "p_id",
+        "p_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"(p_us - {ATTR_WINDOW_US}) div {ATTR_CELL_US}"),
+                F.expr(f"p_us div {ATTR_CELL_US}"),
+            )
+        ).alias("cell"),
+    )
     t = e.filter(F.col("event_type") != "purchase").select(
         "user_id",
         F.col("event_type").alias("channel"),
         F.col("event_id").alias("t_id"),
         us.alias("t_us"),
+        F.expr(f"unix_micros(ts) div {ATTR_CELL_US}").alias("cell"),
     )
-    j = p.join(t, "user_id").filter(
+    j = pc.join(t, ["user_id", "cell"]).filter(
         (F.col("t_us") < F.col("p_us"))
         & (F.col("t_us") >= F.col("p_us") - ATTR_WINDOW_US)
     )

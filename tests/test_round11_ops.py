@@ -38,6 +38,37 @@ def test_simhash_memo_shares_one_frame(spark):
     assert _SIMHASH_PAIRS_CACHE[key] is a
 
 
+def test_attribution_grid_cells_exactly_two(spark):
+    """The r11 grid-bucketed touch join relies on each purchase's 3-day
+    band covering EXACTLY two cells of width ATTR_CELL_US (= the
+    lookback): (p_us − W) div W == p_us div W − 1 for positive epoch
+    micros. Two distinct cells per purchase + one home cell per touch
+    ⇒ no (purchase, touch) pair can match twice, so the join needs no
+    dedup shuffle. This pins the arithmetic the no-dup claim rests on."""
+    from pyspark.sql import functions as F
+
+    from nzwirelessmap_fetch_spark.catalog import Catalog
+    from nzwirelessmap_fetch_spark.operators.events_analytics import (
+        ATTR_CELL_US,
+        ATTR_WINDOW_US,
+    )
+
+    e = Catalog(spark, SF_SMOKE).table("events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.unix_micros("ts").alias("p_us")
+    )
+    n_cells = p.select(
+        F.size(
+            F.sequence(
+                F.expr(f"(p_us - {ATTR_WINDOW_US}) div {ATTR_CELL_US}"),
+                F.expr(f"p_us div {ATTR_CELL_US}"),
+            )
+        ).alias("n")
+    )
+    assert n_cells.filter(F.col("n") != 2).count() == 0
+    assert n_cells.count() > 0
+
+
 def test_simhash_pairs_ordered_and_bounded(spark):
     """Every memoized pair satisfies doc_a < doc_b and hamming ≤ 3 —
     the invariants the pigeonhole banding proof needs."""
