@@ -97,6 +97,26 @@ def exact_pair_budget(scale: float = 1.0) -> int:
     return max(MIN_BUDGET, int(_derived_budget() * scale))
 
 
+def budget_report() -> dict:
+    """Snapshot of the admission budget AND the host inputs it derived
+    from (r10 ADVICE: the budget depends on free disk at probe time, so
+    gate artifacts must record what passing rows were admitted under —
+    refusals name it in their error text, passes recorded nothing,
+    making cross-run verdict flips unexplainable). Gate tools write
+    this into the artifact header once per run."""
+    env = os.environ.get("SPARK_GRAFT_EXACT_PAIR_BUDGET")
+    return {
+        "pair_budget": exact_pair_budget(),
+        "env_override": env,
+        "disk_free_bytes": disk_free_bytes(),
+        "mem_available_bytes": mem_available_bytes(),
+        "formula": (
+            f"min(disk*{DISK_FRACTION}, mem*{MEM_SPILL_MULTIPLE})"
+            f"/{BYTES_PER_PAIR_SPILL}B, clamp [{MIN_BUDGET}, {MAX_BUDGET}]"
+        ),
+    }
+
+
 def derive_budget_for(
     disk_free: int, mem_available: int, scale: float = 1.0
 ) -> int:

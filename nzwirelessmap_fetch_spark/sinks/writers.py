@@ -391,7 +391,18 @@ class SnapshotParquetTable:
             try:
                 os.link(tmp, cdir / dest_name)
             except FileExistsError:
-                pass
+                # Loser branch (r10 ADVICE): touch the surviving file so
+                # the reap grace window measures time since the LATEST
+                # publish attempt. Without this, a re-published
+                # identical part (e.g. a retried seed-part migration)
+                # keeps its original mtime and can be reaped by a racing
+                # committer's retention pass before the manifest that
+                # references it publishes — the exact window
+                # CHECKPOINT_REAP_GRACE_SEC exists to close.
+                try:
+                    os.utime(cdir / dest_name)
+                except FileNotFoundError:
+                    pass  # reaped between link and touch: degradation-only
         finally:
             tmp.unlink(missing_ok=True)
 

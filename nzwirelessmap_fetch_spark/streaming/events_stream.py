@@ -107,6 +107,14 @@ def _state_partitions_for(sf_dir: str) -> int:
     return max(8, min(64, nbytes // (1 << 20)))
 
 
+# Per-run micro-batch attribution, filled by _run_to_completion from the
+# engine's own StreamingQueryProgress (r10 verdict directive #3: the
+# sf1-Zipf streaming tail needs MEASURED batch/state breakdowns before
+# any re-plan). Read-only diagnostics — tools/attr_streaming_tail.py
+# consumes it; nothing in the query path depends on it.
+LAST_RUN_METRICS: dict = {}
+
+
 def _run_to_completion(
     agg: DataFrame,
     spark: SparkSession,
@@ -129,9 +137,35 @@ def _run_to_completion(
         try:
             q.processAllAvailable()
         finally:
+            progress = [p for p in (q.recentProgress or []) if p]
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    LAST_RUN_METRICS.clear()
+    LAST_RUN_METRICS.update(
+        {
+            "n_batches": len(progress),
+            "batches": [
+                {
+                    "batch_id": p.get("batchId"),
+                    "input_rows": p.get("numInputRows"),
+                    "duration_ms": p.get("durationMs"),
+                    "state": [
+                        {
+                            "operator": s.get("operatorName"),
+                            "total_state_rows": s.get("numRowsTotal"),
+                            "updated_rows": s.get("numRowsUpdated"),
+                            "removed_rows": s.get("numRowsRemoved"),
+                            "commit_ms": s.get("commitTimeMs"),
+                            "memory_bytes": s.get("memoryUsedBytes"),
+                        }
+                        for s in p.get("stateOperators", [])
+                    ],
+                }
+                for p in progress
+            ],
+        }
+    )
     return spark.table(name)
 
 
@@ -285,6 +319,59 @@ WHERE last_ts + INTERVAL 30 MINUTE < mt - INTERVAL 10 MINUTE
 
 
 JOIN_LOOKBACK = "30 minutes"
+# Grid cell for the stream-join equality key = the lookback width (r11,
+# from the measured sf1-Zipf attribution): the symmetric hash join
+# probes state per EQUALITY key, so with user_id alone the Zipf-head
+# user's purchases × clicks (10,183 × 51,034 ≈ 520 M probe pairs at
+# sf1-Zipf) ran through one state partition — 225 s of the 228 s wall
+# was that single addBatch. Adding a time-cell to the key bounds probes
+# per (user, cell) to the band-adjacent rows. The CLICK side explodes
+# onto its 2 candidate cells {cell(c), cell(c)+1} (a matching purchase
+# has cell(p) ∈ that set, and each (p, c) pair matches via exactly one
+# copy); the PURCHASE side keeps its single home cell, so left-outer
+# null emission stays one row per unmatched purchase. Click state
+# doubles (2 copies) — the scale-correct trade.
+JOIN_CELL_US = 30 * 60 * 1_000_000
+
+
+def _join_sides(ev: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Watermarked purchase/click sides for the stream-stream joins,
+    keyed on (user, time-cell) — see JOIN_CELL_US."""
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.expr(f"unix_micros(ts) div {JOIN_CELL_US}").alias("p_cell"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.explode(
+                F.array(
+                    F.expr(f"unix_micros(ts) div {JOIN_CELL_US}"),
+                    F.expr(f"unix_micros(ts) div {JOIN_CELL_US} + 1"),
+                )
+            ).alias("c_cell"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    return p, c
+
+
+def _join_cond():
+    return (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_cell") == F.col("c_cell"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {JOIN_LOOKBACK}"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
 
 
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,33 +384,17 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events/day this is what makes the join runnable at all (unbounded
     stream-stream joins must keep EVERYTHING). Inner-join matches emit as
     soon as both rows have arrived, so the complete fixture yields exactly
-    the batch interval-join result — the oracle states it directly."""
+    the batch interval-join result — the oracle states it directly.
+
+    r11: the equality key is (user, time-cell), not user alone — see
+    JOIN_CELL_US for the measured sf1-Zipf justification (520 M
+    single-partition state probes for the head user with a user-only
+    key; 225 s of the 228 s wall in one addBatch)."""
     ev = _event_stream(spark, sf_dir)
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("p_event_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", WATERMARK)
+    p, c = _join_sides(ev)
+    joined = p.join(c, _join_cond(), "inner").select(
+        "p_event_id", "c_event_id", F.col("p_user").alias("user_id"), "p_ts", "c_ts"
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("c_event_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", WATERMARK)
-    )
-    joined = p.join(
-        c,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {JOIN_LOOKBACK}"))
-        & (F.col("c_ts") <= F.col("p_ts")),
-        "inner",
-    ).select("p_event_id", "c_event_id", F.col("p_user").alias("user_id"), "p_ts", "c_ts")
     return _run_to_completion(joined, spark)
 
 
@@ -807,31 +878,17 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the same watermark bound is what makes outer stream joins
     runnable at all: state is droppable, null emission is prompt, and
     no unbounded "wait forever" set accumulates.
+
+    r11: same (user, time-cell) equality key as the inner join (see
+    JOIN_CELL_US) — the CLICK side carries the 2-cell explode, so each
+    purchase stays a single left row and the null-emission rule above
+    is untouched: an unmatched purchase emits exactly ONE null row.
     """
     ev = _event_stream(spark, sf_dir)
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("p_event_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", WATERMARK)
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("c_event_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", WATERMARK)
-    )
+    p, c = _join_sides(ev)
     joined = p.join(
         c,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {JOIN_LOOKBACK}"))
-        & (F.col("c_ts") <= F.col("p_ts")),
+        _join_cond(),
         "left_outer",
     ).select(
         "p_event_id",

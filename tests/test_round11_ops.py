@@ -69,6 +69,78 @@ def test_attribution_grid_cells_exactly_two(spark):
     assert n_cells.count() > 0
 
 
+def test_stream_join_cells_cover_band_once(spark):
+    """The r11 stream-join key adds a time-cell: clicks explode onto
+    {cell(c), cell(c)+1} and any matching purchase (c_ts ∈ [p_ts − W,
+    p_ts]) has cell(p) in that set — each (purchase, click) pair
+    matches via EXACTLY one exploded copy. Pins the covering/uniqueness
+    arithmetic the no-dup claim rests on, batch-side (cheap)."""
+    from pyspark.sql import functions as F
+
+    from nzwirelessmap_fetch_spark.catalog import Catalog
+    from nzwirelessmap_fetch_spark.streaming.events_stream import JOIN_CELL_US
+
+    e = Catalog(spark, SF_SMOKE).table("events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.unix_micros("ts").alias("p_us")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("c_id"), F.unix_micros("ts").alias("c_us")
+    )
+    pairs = p.join(c, "user_id").filter(
+        (F.col("c_us") <= F.col("p_us"))
+        & (F.col("c_us") >= F.col("p_us") - JOIN_CELL_US)
+    )
+    covered = pairs.withColumn(
+        "n_match",
+        (
+            F.expr(f"p_us div {JOIN_CELL_US}") == F.expr(f"c_us div {JOIN_CELL_US}")
+        ).cast("int")
+        + (
+            F.expr(f"p_us div {JOIN_CELL_US}")
+            == F.expr(f"c_us div {JOIN_CELL_US} + 1")
+        ).cast("int"),
+    )
+    assert covered.filter(F.col("n_match") != 1).count() == 0
+    assert covered.count() > 0
+
+
+def test_link_atomic_loser_refreshes_mtime(tmp_path):
+    """r10 ADVICE: the os.link loser must os.utime the surviving file so
+    the reap grace window measures time since the LATEST publish
+    attempt — else a re-published identical part keeps a stale mtime
+    and a racing reaper can delete it before its manifest publishes."""
+    import os
+    import time
+
+    from nzwirelessmap_fetch_spark.sinks.writers import SnapshotParquetTable
+
+    sink = SnapshotParquetTable(tmp_path)
+    name = sink._write_part("t", 0, 10, [[1, "v0", "2024-01-01", "write"]])
+    path = sink._part_path("t", name)
+    stale = time.time() - 3600
+    os.utime(path, (stale, stale))
+    sink._write_part("t", 0, 10, [[1, "v0", "2024-01-01", "write"]])
+    assert path.stat().st_mtime > stale + 3000
+
+
+def test_shard_layout_never_empty():
+    """r10 ADVICE: an empty shard's argv makes check_queries run the
+    FULL registry; shard_layout must drop empty shards instead."""
+    from tools.run_sharded_gate import shard_layout
+
+    # no ELIGIBLE names → the H shard would be empty
+    shards = shard_layout(["not_eligible_a", "not_eligible_b"], 3)
+    assert all(shards)
+    assert sorted(n for s in shards for n in s) == [
+        "not_eligible_a",
+        "not_eligible_b",
+    ]
+    # more shards than light entries → trailing empties dropped
+    shards = shard_layout(["not_eligible_a"], 5)
+    assert all(shards) and sum(len(s) for s in shards) == 1
+
+
 def test_simhash_pairs_ordered_and_bounded(spark):
     """Every memoized pair satisfies doc_a < doc_b and hamming ≤ 3 —
     the invariants the pigeonhole banding proof needs."""

@@ -85,6 +85,48 @@ def main(names: list[str]) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')"
         )
 
+    # Shared-build attribution (r10 verdict directive #4): the memoized
+    # substrates (jaccard/containment/winnow pair frames, PC power
+    # iteration, simhash pair stream) build inside whichever consumer
+    # the shard order runs FIRST, which forces family-sum diffs when
+    # comparing bars across rounds. With SPARK_GRAFT_ATTR_SHARED=1 the
+    # memo builders are wrapped with a timer that records every
+    # cache-MISS build (calls ≥0.1 s; hits return in µs) into a
+    # "_shared_builds" sidecar keyed by build name — no behavior
+    # change, no extra builds, exact attribution of where the cost
+    # landed. merge_sf1_artifacts and extract_bench_sf1 surface the
+    # sidecar; adjudication ignores it.
+    shared_builds: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_ATTR_SHARED") == "1":
+        from nzwirelessmap_fetch_spark.operators import dedup as _dd
+        from nzwirelessmap_fetch_spark.operators import sketches as _sk
+        from nzwirelessmap_fetch_spark.operators import text as _tx
+
+        def _attr_wrap(mod, fname, label):
+            orig = getattr(mod, fname)
+
+            def timed(*a, **kw):
+                t0 = time.monotonic()
+                try:
+                    return orig(*a, **kw)
+                finally:
+                    dt = time.monotonic() - t0
+                    if dt >= 0.1:
+                        key = label
+                        if kw.get("max_df") is not None:
+                            key += "_capped"
+                        shared_builds[key] = round(
+                            shared_builds.get(key, 0.0) + dt, 2
+                        )
+
+            setattr(mod, fname, timed)
+
+        _attr_wrap(_dd, "_verified_jaccard_pairs", "shared_jaccard_pair_build")
+        _attr_wrap(_dd, "_containment_pairs", "shared_containment_build")
+        _attr_wrap(_dd, "_verified_simhash_pairs", "shared_simhash_pair_build")
+        _attr_wrap(_tx, "_winnow_pairs", "shared_winnow_build")
+        _attr_wrap(_sk, "_top2_components", "shared_pc_build")
+
     results: dict[str, dict] = {}
     failures = 0
     for name in names:
@@ -267,6 +309,15 @@ def main(names: list[str]) -> int:
     )
     out = os.environ.get("SPARK_GRAFT_CHECK_OUT")
     if out:
+        if shared_builds:
+            results["_shared_builds"] = shared_builds
+        # admission-budget header (r10 ADVICE): record the pair budget
+        # and the host inputs passing rows were admitted under, so a
+        # cross-run verdict flip (pass ↔ bounded refusal) is explainable
+        # from the artifacts alone
+        from nzwirelessmap_fetch_spark.functions.admission import budget_report
+
+        results["_admission"] = budget_report()
         with open(out, "w") as f:
             json.dump(results, f, indent=1)
         print(f"wrote {out}")

@@ -12,12 +12,15 @@ BENCH_FULL on future plan changes.
     python tools/extract_bench_sf1.py BENCH_SF1.json \
         uniform=CORRECTNESS_SF1_FULL.json zipf=CORRECTNESS_SF1_SKEW_FULL.json
 
-Attribution caveat (same as BENCH_FULL's shared-build lines): the gate
-runs entries in shard order, so a memoized shared build (jaccard/
-containment/winnow pair frames) lands inside whichever consumer runs
-FIRST in its shard; cross-round comparison should diff the family sum,
-not individual consumer lines. bench.py's dedicated shared_* lines
-remain the per-build attribution of record at sf0.1.
+Shared-build attribution (r10 verdict directive #4): gates run with
+SPARK_GRAFT_ATTR_SHARED=1 record a "_shared_builds" sidecar — the
+measured cache-miss build time of each memoized substrate (jaccard/
+containment/winnow pair frames, PC power iteration, simhash pair
+stream), per shard process. This tool surfaces it as explicit
+shared_* lines per shape, so cross-round comparison can subtract the
+build from whichever consumer line absorbed it instead of diffing
+opaque family sums. bench.py's dedicated shared_* lines remain the
+pre-built per-build attribution of record at sf0.1.
 """
 
 from __future__ import annotations
@@ -38,6 +41,14 @@ def main(out: str, sources: list[str]) -> int:
         label, path = spec.split("=", 1) if "=" in spec else (spec, spec)
         with open(path) as f:
             rows = json.load(f)
+        # sidecars: direct check_queries artifacts carry flat
+        # _shared_builds/_admission keys; merged sharded artifacts nest
+        # them per shard under _sidecars
+        shared = rows.pop("_shared_builds", {})
+        admission = rows.pop("_admission", None)
+        for src, sc in rows.pop("_sidecars", {}).items():
+            for build, sec in sc.get("_shared_builds", {}).items():
+                shared[f"{src}:{build}"] = sec
         entries = {
             n: r["spark_sec"]
             for n, r in sorted(rows.items())
@@ -58,6 +69,10 @@ def main(out: str, sources: list[str]) -> int:
             "headline_total_sec": round(sum(headline.values()), 2),
             "headline": headline,
             "entries": entries,
+            # measured cache-miss build seconds per memoized substrate,
+            # per shard process (see module docstring)
+            "shared_builds": shared,
+            "admission": admission,
             # no silent caps: rows without a Spark-side timing are the
             # bounded refusals / errored rows — named, not dropped
             "untimed": missing,

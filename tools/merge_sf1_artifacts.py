@@ -87,8 +87,21 @@ def _green(v: dict | None) -> bool:
 def main(out: str, sources: list[str]) -> int:
     known = _known_names()
     merged: dict = {}
+    sidecars: dict = {}
     for s in sources:
         for name, row in load(s, known).items():
+            if name in ("_shared_builds", "_admission"):
+                # per-shard sidecars (shared-build attribution; the
+                # admission-budget header each shard's passes were
+                # admitted under): keep per-source, never adjudicated
+                # as query rows
+                sidecars.setdefault(s.split("/")[-1], {})[name] = row
+                continue
+            if name == "_sidecars":
+                # a previously-merged artifact used as a source: carry
+                # its per-shard sidecars through unchanged
+                sidecars.update(row)
+                continue
             prev = merged.get(name)
             # a green row never loses to an errored re-run; otherwise
             # later sources override. Green by EITHER adjudication
@@ -132,9 +145,12 @@ def main(out: str, sources: list[str]) -> int:
             if v.get("rows_only") and not v.get("output_bounded")
         ),
     }
+    if sidecars:
+        merged["_sidecars"] = sidecars
     with open(out, "w") as f:
         json.dump(merged, f, indent=1)
-    print(f"{out}: {len(merged)} entries, {len(bad)} failing {bad[:8]} | {kinds}")
+    n_rows = len(merged) - (1 if sidecars else 0)
+    print(f"{out}: {n_rows} entries, {len(bad)} failing {bad[:8]} | {kinds}")
     return 1 if bad else 0
 
 

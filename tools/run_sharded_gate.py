@@ -74,7 +74,12 @@ def shard_layout(names: list[str], n_shards: int) -> list[list[str]]:
     heavy = [n for n in names if n in ELIGIBLE]
     light = [n for n in names if n not in ELIGIBLE]
     shards = [heavy] + [light[i:: n_shards - 1] for i in range(n_shards - 1)]
-    return shards
+    # drop empty shards (r10 ADVICE: a names subset with no ELIGIBLE
+    # entries, or n_shards-1 exceeding the light-entry count, produced
+    # an empty argv — and check_queries treats empty argv as "run the
+    # FULL registry", silently re-running ~326 entries in contention
+    # with the real shards)
+    return [s for s in shards if s]
 
 
 def main(argv: list[str]) -> int:
@@ -100,6 +105,7 @@ def main(argv: list[str]) -> int:
             SPARK_GRAFT_DRIVER_MEM="20g",
             SPARK_GRAFT_CPUS="10",
             SPARK_GRAFT_ORACLE_SEQ="1",
+            SPARK_GRAFT_ATTR_SHARED="1",
         )
         env.pop("SPARK_GRAFT_ORACLE_LOCK", None)  # see module docstring
         shard_files.append(env["SPARK_GRAFT_CHECK_OUT"])
