@@ -141,6 +141,25 @@ def test_shard_layout_never_empty():
     assert all(shards) and sum(len(s) for s in shards) == 1
 
 
+def test_shard_layout_co_shards_memo_families():
+    """r10 verdict directive #6: shard isolation defeats the in-process
+    memoized substrates, so every memo family must ride in ONE shard —
+    and the simhash family (chained to the jaccard truth build through
+    dedup_simhash_quality_eval) must land on the H shard."""
+    from nzwirelessmap_fetch_spark.plans import registry
+    from tools.run_sharded_gate import MEMO_FAMILIES, shard_layout
+
+    names = list(registry.queries())
+    shards = shard_layout(names, 3)
+    assert sorted(n for s in shards for n in s) == sorted(names)
+    shard_of = {n: i for i, s in enumerate(shards) for n in s}
+    for fam in MEMO_FAMILIES:
+        present = [n for n in fam if n in shard_of]
+        assert len({shard_of[n] for n in present}) <= 1, fam
+    assert shard_of["dedup_simhash_hamming"] == 0
+    assert shard_of["dedup_simhash_quality_eval"] == 0
+
+
 def test_simhash_pairs_ordered_and_bounded(spark):
     """Every memoized pair satisfies doc_a < doc_b and hamming ≤ 3 —
     the invariants the pigeonhole banding proof needs."""

@@ -63,17 +63,113 @@ def reap_orphan_spill_dirs() -> list[str]:
     return reaped
 
 
+# Entries that consume the same heavy per-PROCESS memoized substrate
+# (eager-checkpoint pair frames / power-iteration trajectories). Shard
+# isolation defeats an in-process memo — each shard that holds any
+# member rebuilds the whole substrate (r10 verdict directive #6) — so
+# members of a family must ride in ONE shard. dedup_simhash_quality_eval
+# consumes BOTH the simhash and jaccard substrates, chaining those two
+# families into one group that lands on the H shard with the
+# oracle-cache-eligible truth entries.
+MEMO_FAMILIES: list[set[str]] = [
+    {  # _verified_simhash_pairs (operators/dedup.py)
+        "dedup_simhash_hamming",
+        "dedup_simhash_content_hash",
+        "dedup_simhash_quality_eval",
+    },
+    {  # _winnow_pairs (operators/text.py)
+        "corpus_winnowing",
+        "corpus_winnowing_capped",
+        "corpus_winnowing_cap_eval",
+    },
+    {  # _containment_pairs (operators/dedup.py)
+        "corpus_containment",
+        "corpus_containment_capped",
+        "corpus_containment_cap_eval",
+    },
+    {  # _top2_components (operators/sketches.py)
+        "embedding_principal_component",
+        "embedding_abtt_residual",
+        "embedding_pca_top2",
+        "embedding_whitening",
+    },
+    {  # _verified_jaccard_pairs (operators/dedup.py)
+        "dedup_ngram_jaccard",
+        "dedup_ngram_jaccard_capped",
+        "dedup_lsh_quality_eval",
+        "dedup_simhash_quality_eval",
+        "dedup_snm_quality_eval",
+        "dedup_snm_multipass_eval",
+        "dedup_connected_components",
+        "dedup_cc_star",
+        "corpus_canonical_picks",
+    },
+]
+
+
+def _memo_groups(names: list[str]) -> dict[str, int]:
+    """Union-find over MEMO_FAMILIES restricted to `names`: map each
+    member to a group id (families sharing a member merge)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    present = set(names)
+    for fam in MEMO_FAMILIES:
+        members = [n for n in fam if n in present]
+        for n in members:
+            parent.setdefault(n, n)
+        for a, b in zip(members, members[1:]):
+            parent[find(a)] = find(b)
+    roots: dict[str, int] = {}
+    out: dict[str, int] = {}
+    for n in parent:
+        r = find(n)
+        out[n] = roots.setdefault(r, len(roots))
+    return out
+
+
 def shard_layout(names: list[str], n_shards: int) -> list[list[str]]:
-    """H/L layout: shard 0 gets every inter-cache-eligible (quadratic
-    shingle-join oracle) entry; the rest round-robin over the other
-    shards. With n_shards == 1 everything runs in one process."""
+    """H/L layout with memo-family co-sharding: shard 0 gets every
+    inter-cache-eligible (quadratic shingle-join oracle) entry PLUS any
+    memo family chained to one; remaining memo families ride whole on
+    the least-loaded L shard; loose light entries balance round-robin.
+    With n_shards == 1 everything runs in one process."""
     from tools.oracle_cache import ELIGIBLE
 
     if n_shards <= 1:
         return [list(names)]
-    heavy = [n for n in names if n in ELIGIBLE]
-    light = [n for n in names if n not in ELIGIBLE]
-    shards = [heavy] + [light[i:: n_shards - 1] for i in range(n_shards - 1)]
+    group_of = _memo_groups(names)
+    n_groups = max(group_of.values(), default=-1) + 1
+    group_members: list[list[str]] = [[] for _ in range(n_groups)]
+    for n in names:
+        if n in group_of:
+            group_members[group_of[n]].append(n)
+    heavy_groups = {
+        g for g, members in enumerate(group_members)
+        if any(m in ELIGIBLE for m in members)
+    }
+    heavy, light_units = [], []
+    seen_groups: set[int] = set()
+    for n in names:
+        g = group_of.get(n)
+        if n in ELIGIBLE or (g is not None and g in heavy_groups):
+            heavy.append(n)
+        elif g is not None:
+            if g not in seen_groups:
+                seen_groups.add(g)
+                light_units.append(group_members[g])
+        else:
+            light_units.append([n])
+    # whole-unit greedy balance over the L shards (largest first)
+    lshards: list[list[str]] = [[] for _ in range(n_shards - 1)]
+    for unit in sorted(light_units, key=len, reverse=True):
+        min(lshards, key=len).extend(unit)
+    shards = [heavy] + lshards
     # drop empty shards (r10 ADVICE: a names subset with no ELIGIBLE
     # entries, or n_shards-1 exceeding the light-entry count, produced
     # an empty argv — and check_queries treats empty argv as "run the
