@@ -73,7 +73,10 @@ registry.register(
     _es.stream_jvm_running_totals,
     _es.STREAM_JVM_RUNNING_TOTALS_SQL,
 )
-registry.register("stream_dedup_events", _es.stream_dedup_events, _es.STREAM_DEDUP_EVENTS_SQL)
+# r11 rotation: the grid-bucketed stream-stream JOIN (re-planned this
+# round — (user, time-cell) equality key) takes a driver slot;
+# stream_dedup_events re-registers below the cut
+registry.register("stream_stream_join", _es.stream_stream_join, _es.STREAM_STREAM_JOIN_SQL)
 # r7 rotation: schema evolution takes the session-windows slot
 # (streaming keeps four window reps; stream_session_windows re-registers
 # below the cut)
@@ -225,7 +228,12 @@ registry.register("sim_ivf_kmeans", _sim.sim_ivf_kmeans, _sim.SIM_IVF_KMEANS_SQL
 # graph (PageRank), sequence packing, embedding quantization
 registry.register("asof_purchase_click", _asof.asof_purchase_click, _asof.ASOF_PURCHASE_CLICK_SQL)
 registry.register("sessionize", _sess.sessionize, _sess.SESSIONIZE_SQL)
-registry.register("events_funnel", _ea.events_funnel, _ea.EVENTS_FUNNEL_SQL)
+# r11 rotation: the grid-bucketed attribution (re-planned this round —
+# (user, time-cell) touch join) takes the events slot next to the CEP
+# rep; events_funnel re-registers below the cut
+registry.register(
+    "events_attribution", _ea.events_attribution, _ea.EVENTS_ATTRIBUTION_SQL
+)
 registry.register("graph_pagerank", _gr.graph_pagerank, _gr.GRAPH_PAGERANK_SQL)
 # r7 rotation: the CONVERGED Louvain loop takes the family's second
 # graph slot (one_level re-registers below the cut)
@@ -261,7 +269,7 @@ registry.register(
 # newer rep inside the driver window; parity evidence rides CORRECTNESS_FULL
 registry.register("multimodal_resize", _mm.multimodal_resize, _mm.MULTIMODAL_RESIZE_SQL)
 registry.register("multimodal_frame_sample", _mm.multimodal_frame_sample, _mm.MULTIMODAL_FRAME_SAMPLE_SQL)
-registry.register("stream_stream_join", _es.stream_stream_join, _es.STREAM_STREAM_JOIN_SQL)
+registry.register("stream_dedup_events", _es.stream_dedup_events, _es.STREAM_DEDUP_EVENTS_SQL)
 registry.register("agg_approx_distinct", _r.agg_approx_distinct, _r.AGG_APPROX_DISTINCT_SQL)
 registry.register("dedup_simhash", _dd.dedup_simhash, _dd.DEDUP_SIMHASH_SQL)
 registry.register("text_pii_scrub", _tx.text_pii_scrub, _tx.TEXT_PII_SCRUB_SQL)
@@ -654,9 +662,7 @@ registry.register("sim_rrf_fusion", _sim.sim_rrf_fusion, _sim.SIM_RRF_FUSION_SQL
 registry.register(
     "layout_hilbert_key", _r.layout_hilbert_key, _r.LAYOUT_HILBERT_KEY_SQL
 )
-registry.register(
-    "events_attribution", _ea.events_attribution, _ea.EVENTS_ATTRIBUTION_SQL
-)
+registry.register("events_funnel", _ea.events_funnel, _ea.EVENTS_FUNNEL_SQL)
 registry.register(
     "multimodal_audio_vad", _mm.multimodal_audio_vad, _mm.MULTIMODAL_AUDIO_VAD_SQL
 )
