@@ -138,13 +138,22 @@ def _run_to_completion(
             q.processAllAvailable()
         finally:
             progress = [p for p in (q.recentProgress or []) if p]
+            last = q.lastProgress or {}
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # recentProgress retains only the newest
+    # spark.sql.streaming.numRecentProgressUpdates (default 100)
+    # batches; on longer runs record how many fell off rather than
+    # silently under-reporting (no-silent-caps rule)
+    total_batches = int(last.get("batchId", -1)) + 1
     LAST_RUN_METRICS.clear()
     LAST_RUN_METRICS.update(
         {
-            "n_batches": len(progress),
+            "n_batches": max(len(progress), total_batches),
+            "batches_dropped_from_progress": max(
+                0, total_batches - len(progress)
+            ),
             "batches": [
                 {
                     "batch_id": p.get("batchId"),

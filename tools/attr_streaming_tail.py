@@ -53,7 +53,7 @@ def skew_facts(spark, sf_dir: str) -> dict:
     c = e.filter(F.col("event_type") == "click").select(
         "user_id", F.unix_micros("ts").alias("c_us")
     )
-    cell = 30 * 60 * 1_000_000
+    cell = es.JOIN_CELL_US  # the joins' own band width — never drift
     pc = p.select(
         "user_id",
         "p_us",

@@ -127,6 +127,14 @@ def main(names: list[str]) -> int:
         _attr_wrap(_tx, "_winnow_pairs", "shared_winnow_build")
         _attr_wrap(_sk, "_top2_components", "shared_pc_build")
 
+    # admission-budget header (r10 ADVICE): snapshot at run START —
+    # the budget derives from free disk, which mid-run spill churn
+    # moves by tens of GB; an end-of-run probe would record a budget
+    # the passing rows were never admitted under
+    from nzwirelessmap_fetch_spark.functions.admission import budget_report
+
+    admission_header = budget_report()
+
     results: dict[str, dict] = {}
     failures = 0
     for name in names:
@@ -311,13 +319,9 @@ def main(names: list[str]) -> int:
     if out:
         if shared_builds:
             results["_shared_builds"] = shared_builds
-        # admission-budget header (r10 ADVICE): record the pair budget
-        # and the host inputs passing rows were admitted under, so a
-        # cross-run verdict flip (pass ↔ bounded refusal) is explainable
-        # from the artifacts alone
-        from nzwirelessmap_fetch_spark.functions.admission import budget_report
-
-        results["_admission"] = budget_report()
+        # run-start snapshot (see above): cross-run verdict flips
+        # (pass ↔ bounded refusal) stay explainable from artifacts alone
+        results["_admission"] = admission_header
         with open(out, "w") as f:
             json.dump(results, f, indent=1)
         print(f"wrote {out}")

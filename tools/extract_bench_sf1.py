@@ -45,10 +45,15 @@ def main(out: str, sources: list[str]) -> int:
         # _shared_builds/_admission keys; merged sharded artifacts nest
         # them per shard under _sidecars
         shared = rows.pop("_shared_builds", {})
-        admission = rows.pop("_admission", None)
+        admission = rows.pop("_admission", None) or {}
+        if admission:
+            admission = {"direct": admission}
         for src, sc in rows.pop("_sidecars", {}).items():
             for build, sec in sc.get("_shared_builds", {}).items():
                 shared[f"{src}:{build}"] = sec
+            if sc.get("_admission"):
+                admission[src] = sc["_admission"]
+        admission = admission or None
         entries = {
             n: r["spark_sec"]
             for n, r in sorted(rows.items())

@@ -95,7 +95,9 @@ def main(out: str, sources: list[str]) -> int:
                 # admission-budget header each shard's passes were
                 # admitted under): keep per-source, never adjudicated
                 # as query rows
-                sidecars.setdefault(s.split("/")[-1], {})[name] = row
+                # keyed by the FULL source spec: two runs' shards share
+                # basenames (.gate_shard<i>.json) and must not collide
+                sidecars.setdefault(s, {})[name] = row
                 continue
             if name == "_sidecars":
                 # a previously-merged artifact used as a source: carry

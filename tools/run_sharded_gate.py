@@ -93,7 +93,12 @@ MEMO_FAMILIES: list[set[str]] = [
         "embedding_pca_top2",
         "embedding_whitening",
     },
-    {  # _verified_jaccard_pairs (operators/dedup.py)
+    {  # _verified_jaccard_pairs (operators/dedup.py) — including the
+        # 11 graph entries that reach it through _jaccard_edges
+        # (operators/graph.py). Today every one of those is also
+        # oracle-cache ELIGIBLE (so they ride the H shard regardless);
+        # listing them here keeps the one-shard-per-memo invariant true
+        # even if the ELIGIBLE set changes.
         "dedup_ngram_jaccard",
         "dedup_ngram_jaccard_capped",
         "dedup_lsh_quality_eval",
@@ -103,6 +108,17 @@ MEMO_FAMILIES: list[set[str]] = [
         "dedup_connected_components",
         "dedup_cc_star",
         "corpus_canonical_picks",
+        "graph_pagerank",
+        "graph_bfs_levels",
+        "graph_triangle_count",
+        "graph_assortativity",
+        "graph_kcore",
+        "graph_modularity",
+        "graph_louvain_one_level",
+        "graph_louvain_two_level",
+        "graph_louvain_converged",
+        "graph_community_label_prop",
+        "graph_random_walks",
     },
 ]
 
@@ -219,7 +235,11 @@ def main(argv: list[str]) -> int:
                 log,
             )
         )
-        kind = "H" if i == 0 and n_shards > 1 else "L"
+        # label by CONTENT, not index: when the heavy shard is empty it
+        # is dropped from the layout, so shard 0 may be an L shard
+        from tools.oracle_cache import ELIGIBLE as _EL
+
+        kind = "H" if any(n in _EL for n in shard) else "L"
         print(
             f"shard {i} ({kind}): {len(shard)} queries, pid {procs[-1][0].pid}",
             flush=True,

@@ -160,6 +160,14 @@ def main() -> None:
                 return None
             time.sleep(0.2)
 
+    import atexit
+
+    # temp roots removed even on assertion/mismatch exits — leaked
+    # multi-GB roots would skew the disk-free-derived admission budget
+    # of later gate runs on this box
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
     report: dict = {
         "n_batches": n_batches,
         "crash_at": crash_at,
@@ -239,8 +247,6 @@ def main() -> None:
         with open(out_path, "w") as fh:
             fh.write(text + "\n")
     print(text)
-    shutil.rmtree(root, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
 
 
 if __name__ == "__main__":
