@@ -1276,14 +1276,6 @@ FROM d
 # ─── Multi-touch marketing attribution ─────────────────────────────────────
 
 ATTR_WINDOW_US = 3 * 86_400 * 1_000_000  # 3-day lookback before each purchase
-# Grid cell for the touch join = the lookback width: each purchase's
-# band [p_us − W, p_us) then covers exactly TWO consecutive cells
-# ((p_us − W) div W == p_us div W − 1 for positive epoch micros), so the
-# purchase side replicates ≤2× while a touch keeps its single home cell
-# — no pair can match twice, no dedup shuffle needed.
-ATTR_CELL_US = ATTR_WINDOW_US
-
-
 def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First/last/linear-touch attribution (§2.3 events family — the
     marketing-analytics workhorse): for every purchase, the same user's
@@ -1296,63 +1288,175 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-negatives — never a float fold across purchases). First/last
     pin their tie-breaks on (ts, event_id).
 
-    Plan (r11 re-plan, killing the per-hot-key H² class): the touch
-    join is keyed on (user_id, time-cell), not user_id alone. A raw
-    user-keyed band join puts one Zipf-head user's purchases × ALL its
-    touches through a single partition before the band residual runs —
-    per-key quadratic fan-in, the named scale-killer at 100×-Zipf
-    (measured 214.6 s at sf1-Zipf). Grid-bucketing on cells of width
-    ATTR_CELL_US (= the lookback) explodes each purchase onto exactly 2
-    cells (map-side, bounded), keeps each touch in its single home
-    cell, and makes the candidate join an EQUI-join on (user, cell)
-    with the exact band predicate as a residual — raw match volume
-    drops from P_u·T_u to ≤ touches-within-2W per purchase (~2–3× the
-    TRUE pair count), and the hot user's work spreads across
-    span/W distinct keys. Same technique as
-    events_purchases_during_incidents, composed with the user key.
-    Per-purchase windows partition on the purchase key; the channel
-    rollup is a map-side-combining agg over per-(purchase, channel)
-    rows. Nothing global until the ≤5-row channel summary."""
+    Plan (r11 second re-plan — running-count/as-of form, Ω(pair) →
+    O(n log n)): every per-purchase statistic this query needs is a
+    DIFFERENCE OF RUNNING COUNTS at the two window boundaries, so the
+    quadratic (purchase × touches-in-band) intermediate never needs to
+    exist. The first re-plan (grid-bucketed equi-join on
+    (user, time-cell)) bounded the per-hot-key fan-IN but still
+    materialized every true (purchase, touch) pair — and under Zipf the
+    head user's pair count is itself quadratic (measured sf1-Zipf,
+    isolated: raw user-keyed join 473 s, grid join 300 s, this plan
+    ~10 s). Here:
+
+    - ch_n(p, c)   = ccnt_c(p_us) − ccnt_c(p_us − W), where ccnt_c is
+      the per-(user, channel) running touch count — evaluated by
+      sort-MERGING boundary-probe rows into the touch stream (probes
+      sort BEFORE equal-time touches, giving the strictly-before count,
+      which is exactly the [P−W, P) window: t_us = P−W counts, t_us = P
+      does not);
+    - n_touches(p) = gcnt(p_us) − gcnt(p_us − W) on the per-user stream;
+    - the FIRST touch in the window is the running min (t_us, t_id)
+      struct at-or-after the LO probe (descending merge, equal-time
+      touches visible to the probe), the LAST is the running max
+      strictly-before the HI probe (ascending merge) — both guarded by
+      n_touches > 0, which guarantees they land inside the window;
+    - per-purchase reassembly is one groupBy(p_id) pivot of the probe
+      rows; the channel rollup is unchanged.
+
+    Volumes: touches + 2 probes/purchase on the user stream, touches +
+    2·|channels| probes/purchase on the (user, channel) stream — linear
+    in the input at every key, hot users included (a Zipf-head user
+    costs one per-key SORT, never a pair join). The probe fan-out
+    |channels| is the event-type alphabet (broadcast nested-loop over a
+    ≤|types|-row frame), not a data-sized explode."""
     e = Catalog(spark, sf_dir).table("events")
     us = F.unix_micros(F.col("ts"))
     p = e.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("event_id").alias("p_id"), us.alias("p_us")
-    )
-    pc = p.select(
-        "user_id",
-        "p_id",
-        "p_us",
-        F.explode(
-            F.sequence(
-                F.expr(f"(p_us - {ATTR_WINDOW_US}) div {ATTR_CELL_US}"),
-                F.expr(f"p_us div {ATTR_CELL_US}"),
-            )
-        ).alias("cell"),
     )
     t = e.filter(F.col("event_type") != "purchase").select(
         "user_id",
         F.col("event_type").alias("channel"),
         F.col("event_id").alias("t_id"),
         us.alias("t_us"),
-        F.expr(f"unix_micros(ts) div {ATTR_CELL_US}").alias("cell"),
     )
-    j = pc.join(t, ["user_id", "cell"]).filter(
-        (F.col("t_us") < F.col("p_us"))
-        & (F.col("t_us") >= F.col("p_us") - ATTR_WINDOW_US)
+    # one probe row per (purchase, boundary): bk 0 = window start
+    # (p_us − W, inclusive side), bk 1 = window end (p_us, exclusive)
+    probes = p.select(
+        "user_id",
+        "p_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("p_us") - F.lit(ATTR_WINDOW_US)).alias("b_us"),
+                    F.lit(0).alias("bk"),
+                ),
+                F.struct(F.col("p_us").alias("b_us"), F.lit(1).alias("bk")),
+            )
+        ).alias("b"),
+    ).select("user_id", "p_id", F.col("b.b_us").alias("b_us"), F.col("b.bk").alias("bk"))
+
+    # ---- per-user stream: global counts + first/last touch structs ----
+    tg = t.select(
+        "user_id",
+        "t_us",
+        "t_id",
+        "channel",
+        F.lit(1).alias("is_t"),
+        F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("int").alias("bk"),
     )
-    wf = Window.partitionBy("p_id").orderBy(F.asc("t_us"), F.asc("t_id"))
-    wl = Window.partitionBy("p_id").orderBy(F.desc("t_us"), F.desc("t_id"))
-    wn = Window.partitionBy("p_id")
-    marked = (
-        j.withColumn("rf", F.row_number().over(wf))
-        .withColumn("rl", F.row_number().over(wl))
-        .withColumn("n_touches", F.count(F.lit(1)).over(wn))
+    pg = probes.select(
+        "user_id",
+        F.col("b_us").alias("t_us"),
+        F.lit(None).cast("long").alias("t_id"),
+        F.lit(None).cast("string").alias("channel"),
+        F.lit(0).alias("is_t"),
+        "p_id",
+        "bk",
     )
-    per_pc = marked.groupBy("p_id", "channel").agg(
-        F.count(F.lit(1)).alias("ch_n"),
-        F.max((F.col("rf") == 1).cast("int")).alias("is_first"),
-        F.max((F.col("rl") == 1).cast("int")).alias("is_last"),
-        F.max("n_touches").alias("n_touches"),
+    g = tg.unionByName(pg)
+    # ascending: probes (is_t 0) sort before equal-time touches → a
+    # probe at X sees exactly the touches with t_us < X. t_id breaks
+    # touch ties; probe rows' null t_id sorts first among probes at the
+    # same instant (their relative order is immaterial — they read, not
+    # write, the carried state).
+    w_asc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("t_us"), F.asc("is_t"), F.asc("t_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # descending: touches (is_t 1 → desc puts them first) at the same
+    # instant ARE visible to the probe → running min = first touch
+    # AT-or-after the probe time (the inclusive window-start side).
+    w_desc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("t_us"), F.desc("is_t"), F.desc("t_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch_struct = F.when(
+        F.col("is_t") == 1, F.struct("t_us", "t_id", "channel")
+    )
+    g2 = (
+        g.withColumn("gcnt", F.sum("is_t").over(w_asc))
+        .withColumn("last_before", F.max(touch_struct).over(w_asc))
+        .withColumn("first_from", F.min(touch_struct).over(w_desc))
+    )
+    per_p = (
+        g2.filter(F.col("is_t") == 0)
+        .groupBy("p_id")
+        .agg(
+            F.max(F.when(F.col("bk") == 0, F.col("gcnt"))).alias("g_lo"),
+            F.max(F.when(F.col("bk") == 1, F.col("gcnt"))).alias("g_hi"),
+            F.max(F.when(F.col("bk") == 0, F.col("first_from"))).alias("first_s"),
+            F.max(F.when(F.col("bk") == 1, F.col("last_before"))).alias("last_s"),
+        )
+        .filter(F.col("g_hi") > F.col("g_lo"))
+        .select(
+            "p_id",
+            (F.col("g_hi") - F.col("g_lo")).alias("n_touches"),
+            F.col("first_s.channel").alias("first_channel"),
+            F.col("last_s.channel").alias("last_channel"),
+        )
+    )
+
+    # ---- per-(user, channel) stream: windowed per-channel counts ----
+    channels = t.select("channel").distinct()
+    pc = probes.crossJoin(F.broadcast(channels))
+    tc = t.select(
+        "user_id",
+        "channel",
+        "t_us",
+        "t_id",
+        F.lit(1).alias("is_t"),
+        F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("int").alias("bk"),
+    )
+    pcu = pc.select(
+        "user_id",
+        "channel",
+        F.col("b_us").alias("t_us"),
+        F.lit(None).cast("long").alias("t_id"),
+        F.lit(0).alias("is_t"),
+        "p_id",
+        "bk",
+    )
+    w_c = (
+        Window.partitionBy("user_id", "channel")
+        .orderBy(F.asc("t_us"), F.asc("is_t"), F.asc("t_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c2 = tc.unionByName(pcu).withColumn("ccnt", F.sum("is_t").over(w_c))
+    per_pc = (
+        c2.filter(F.col("is_t") == 0)
+        .groupBy("p_id", "channel")
+        .agg(
+            (
+                F.max(F.when(F.col("bk") == 1, F.col("ccnt")))
+                - F.max(F.when(F.col("bk") == 0, F.col("ccnt")))
+            ).alias("ch_n")
+        )
+        .filter(F.col("ch_n") > 0)
+        .join(per_p, "p_id")
+        .select(
+            "p_id",
+            "channel",
+            "ch_n",
+            (F.col("channel") == F.col("first_channel")).cast("int").alias("is_first"),
+            (F.col("channel") == F.col("last_channel")).cast("int").alias("is_last"),
+            "n_touches",
+        )
     )
     return (
         per_pc.groupBy("channel")

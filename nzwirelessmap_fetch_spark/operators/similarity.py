@@ -19,11 +19,13 @@ planes without sharing code.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, dot, norm
 
 TOP_K = 10
 N_QUERIES = 5  # fixture query set: vec_id < 5
@@ -244,6 +246,40 @@ WHERE list_reduce(list_prepend(0.0::DOUBLE,
 # sub-quadratic across every decade (growth row in SCALING.md). Probes
 # scale as ⌊√K⌋ (the standard IVF nprobe ∝ √K rule) so recall does not
 # silently collapse as the cell count grows.
+def _emb_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings table with scan parallelism matched to the machine
+    (r11, guide §6/§2.5: input-split parallelism for compute-heavy
+    scans).
+
+    The fixture tables are single-FILE, single-ROW-GROUP parquet, so a
+    scan is ONE effective task no matter how many byte-range splits
+    Spark plans (only the split containing the row-group start yields
+    rows). The vector family evaluates per-PAIR array folds (dot/norm
+    aggregates — interpreted higher-order functions, ~µs each)
+    UPSTREAM of its first exchange, so that work serializes on one
+    core: measured on the sf1-Zipf fixture (one 5.6 MB file), sim_ivf's
+    2.82 M-pair assignment pass took 54.5 s vs 5.4 s on the 10-file
+    uniform fixture — same row count, same plan, 10 files vs 1.
+
+    One round-robin repartition of the (small) vector table unlocks the
+    other cores. Scale-adaptive, NOT a local[32] constant: the exchange
+    is added only when the file's natural split count
+    (bytes / maxPartitionBytes) cannot fill defaultParallelism — a
+    production multi-GB vector table already scans with more splits
+    than cores and takes NO exchange at all.
+    """
+    e = Catalog(spark, sf_dir).table("embeddings")
+    try:
+        nbytes = os.path.getsize(os.path.join(sf_dir, "embeddings.parquet"))
+    except OSError:
+        return e
+    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    cores = spark.sparkContext.defaultParallelism
+    if -(-nbytes // max_split) < cores:
+        e = e.repartition(cores)
+    return e
+
+
 IVF_MIN_CELLS = 16
 N_PROBE_MIN = 4    # probe floor (the old fixed probe count)
 
@@ -310,24 +346,15 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Centroids are fixture rows (vec_id < K) instead of k-means iterates so
     the DuckDB oracle reproduces the index bit-for-bit; swapping in
     learned centroids changes numbers, not the plan."""
-    e = Catalog(spark, sf_dir).table("embeddings")
+    e = _emb_parallel(spark, sf_dir)
     n_cells, n_probe = _ivf_params(e)
     cents = e.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
     # nearest-centroid assignment; ties (improbable with float cosines)
-    # break toward the smaller cell id via the (cos, -cell) struct order
-    assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", cosine(F.col("embedding"), F.col("c_emb")))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                "cell", F.struct(F.col("ccos"), (-F.col("cell")).alias("nc"))
-            ).alias("cell"),
-            F.first("embedding").alias("embedding"),
-        )
-    )
+    # break toward the smaller cell id via the (cos, -cell) struct order.
+    # r11: shared helper — norms hoisted out of the n·K pair grain.
+    assigned = _assign_cells(e, cents)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -807,10 +834,23 @@ def _train_stride(n: int, k: int) -> int:
 
 
 def _assign_cells(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment (cosine argmax, ties → smaller cell)."""
+    """Nearest-centroid assignment (cosine argmax, ties → smaller cell).
+
+    r11 (guide §1.2 per-task work): norms are hoisted OUT of the n·K
+    pair grain — norm(embedding) once per corpus row, norm(c_emb) once
+    per centroid — so each pair pays ONE interpreted array fold (the
+    dot product) instead of three. ``dot/(nrm·c_nrm)`` is the same
+    expression tree as ``cosine`` evaluates per pair (left fold dot,
+    then the identical multiply/divide order), so every ccos bit is
+    unchanged and the oracle replays it verbatim."""
     return (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", cosine(F.col("embedding"), F.col("c_emb")))
+        e.withColumn("nrm", norm(F.col("embedding")))
+        .crossJoin(F.broadcast(cents.withColumn("c_nrm", norm(F.col("c_emb")))))
+        .withColumn(
+            "ccos",
+            dot(F.col("embedding"), F.col("c_emb"))
+            / (F.col("nrm") * F.col("c_nrm")),
+        )
         .groupBy("vec_id")
         .agg(
             F.max_by(
@@ -860,7 +900,7 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment and the query probes use the full corpus. Learned cells
     track data density, so probe recall at equal n_probe beats the
     fixed-seed variant on clustered corpora."""
-    e = Catalog(spark, sf_dir).table("embeddings")
+    e = _emb_parallel(spark, sf_dir)
     n = e.count()
     n_cells = _adaptive_n_cells(n)
     n_probe = _adaptive_n_probe(n_cells)
@@ -1292,22 +1332,13 @@ def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     same pinned folds/tie-breaks as the parents, so the oracle
     hash-matches distances, not just ranks. K and n_probe are
     corpus-derived (√n / √K — see IVF_MIN_CELLS)."""
-    e = Catalog(spark, sf_dir).table("embeddings")
+    e = _emb_parallel(spark, sf_dir)
     n_cells, n_probe = _ivf_params(e)
     cents = e.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
-    assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", cosine(F.col("embedding"), F.col("c_emb")))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                "cell", F.struct(F.col("ccos"), (-F.col("cell")).alias("nc"))
-            ).alias("cell"),
-            F.first("embedding").alias("embedding"),
-        )
-    )
+    # r11: shared helper — norms hoisted out of the n·K pair grain
+    assigned = _assign_cells(e, cents)
     seeds = e.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("k"), F.col("embedding").alias("cemb")
     )
@@ -1477,7 +1508,9 @@ def sim_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Hamming ties at the shortlist boundary and cosine ties in the final
     rank are pinned by vec_id so both engines cut identical sets."""
-    e = Catalog(spark, sf_dir).table("embeddings")
+    # r11: parallel scan — the sign-code folds and the n·|q| Hamming
+    # scan run upstream of the first exchange (see _emb_parallel)
+    e = _emb_parallel(spark, sf_dir)
     coded = e.select(
         "vec_id",
         "embedding",
@@ -1781,7 +1814,7 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import math
 
-    e = Catalog(spark, sf_dir).table("embeddings")
+    e = _emb_parallel(spark, sf_dir)
     n_vecs = e.count()
     n_cells = _adaptive_n_cells(n_vecs)
     cell_cap = max(
@@ -1791,20 +1824,15 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
-    assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", cosine(F.col("embedding"), F.col("c_emb")))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                "cell", F.struct(F.col("ccos"), (-F.col("cell")).alias("nc"))
-            ).alias("cell"),
-            F.first("embedding").alias("embedding"),
-        )
-    )
+    # r11: shared helper — norms hoisted out of the n·K pair grain
+    assigned = _assign_cells(e, cents)
     # cell-size valve: |cells| rows joined back (broadcast-sized — the
     # size table is K rows)
     sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("csz"))
+    # r11: per-vector norm hoisted out of the within-cell PAIR grain
+    # (same bit-identical dot/(na·nb) rewrite as _assign_cells — under
+    # a clustered corpus the sub-sharded hub cells still dominate pair
+    # count, and each pair now pays one fold, not three)
     sharded = (
         assigned.join(F.broadcast(sizes), "cell")
         .withColumn(
@@ -1812,18 +1840,29 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id")
             % F.ceil(F.col("csz") / F.lit(cell_cap)).cast("bigint"),
         )
-        .select("cell", "sub", "vec_id", "embedding")
+        .withColumn("nrm", norm(F.col("embedding")))
+        .select("cell", "sub", "vec_id", "embedding", "nrm")
     )
     a = sharded.select(
-        "cell", "sub", F.col("vec_id").alias("keep_cand"), F.col("embedding").alias("ea")
+        "cell",
+        "sub",
+        F.col("vec_id").alias("keep_cand"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
     b = sharded.select(
-        "cell", "sub", F.col("vec_id").alias("drop_cand"), F.col("embedding").alias("eb")
+        "cell",
+        "sub",
+        F.col("vec_id").alias("drop_cand"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     pairs = (
         a.join(b, ["cell", "sub"])
         .filter(F.col("keep_cand") < F.col("drop_cand"))
-        .withColumn("cos", cosine(F.col("ea"), F.col("eb")))
+        .withColumn(
+            "cos", dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+        )
         .filter(F.col("cos") >= SEMDEDUP_TAU)
     )
     return (

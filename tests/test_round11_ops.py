@@ -38,35 +38,79 @@ def test_simhash_memo_shares_one_frame(spark):
     assert _SIMHASH_PAIRS_CACHE[key] is a
 
 
-def test_attribution_grid_cells_exactly_two(spark):
-    """The r11 grid-bucketed touch join relies on each purchase's 3-day
-    band covering EXACTLY two cells of width ATTR_CELL_US (= the
-    lookback): (p_us − W) div W == p_us div W − 1 for positive epoch
-    micros. Two distinct cells per purchase + one home cell per touch
-    ⇒ no (purchase, touch) pair can match twice, so the join needs no
-    dedup shuffle. This pins the arithmetic the no-dup claim rests on."""
-    from pyspark.sql import functions as F
+def test_attribution_boundary_edges_match_oracle(spark, tmp_path):
+    """The r11 running-count attribution plan rests on boundary
+    strictness: a touch AT p_us − W is inside the window, a touch AT
+    p_us is not, and first/last tie-break on (t_us, t_id). The fixture
+    rarely lands touches exactly on a boundary, so this builds a
+    crafted events table exercising every edge — boundary-equal touches
+    on both sides, same-instant ties resolved by event_id, a purchase
+    with zero touches in window, multi-channel credit splits — and
+    pins the DataFrame plan to the (quadratic, obviously-correct)
+    DuckDB oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
-    from nzwirelessmap_fetch_spark.catalog import Catalog
     from nzwirelessmap_fetch_spark.operators.events_analytics import (
-        ATTR_CELL_US,
         ATTR_WINDOW_US,
+        EVENTS_ATTRIBUTION_SQL,
+        events_attribution,
     )
+    from .oracle import compare
 
-    e = Catalog(spark, SF_SMOKE).table("events")
-    p = e.filter(F.col("event_type") == "purchase").select(
-        F.unix_micros("ts").alias("p_us")
+    W = ATTR_WINDOW_US
+    base = 1_700_000_000_000_000  # epoch micros
+    rows = []  # (event_id, user_id, event_type, ts_us, value)
+
+    def ev(eid, uid, etype, ts_us):
+        rows.append((eid, uid, etype, ts_us, 1.0))
+
+    # user 1: purchase at base+W; touches AT the lo boundary (IN),
+    # just inside, AT the hi boundary (OUT), after (OUT)
+    ev(100, 1, "purchase", base + W)
+    ev(1, 1, "view", base)            # == p_us − W → counts
+    ev(2, 1, "click", base + 5)
+    ev(3, 1, "view", base + W)        # == p_us → excluded
+    ev(4, 1, "click", base + W + 5)   # after → excluded
+    # user 2: same-instant ties — first/last must pick by event_id
+    ev(200, 2, "purchase", base + W)
+    ev(10, 2, "view", base + 7)
+    ev(11, 2, "click", base + 7)      # same t_us, larger id → later
+    ev(12, 2, "add", base + 9)
+    ev(13, 2, "login", base + 9)
+    # user 3: purchase with no touches in window
+    ev(300, 3, "purchase", base + 3 * W)
+    ev(20, 3, "view", base)           # far before the window
+    # user 4: two purchases sharing touches; uneven channel mix
+    ev(400, 4, "purchase", base + W + 50)
+    ev(401, 4, "purchase", base + W + 60)
+    ev(30, 4, "view", base + 100)
+    ev(31, 4, "view", base + 200)
+    ev(32, 4, "click", base + 300)
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array(
+                [r[3] for r in rows], pa.timestamp("us")
+            ),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
     )
-    n_cells = p.select(
-        F.size(
-            F.sequence(
-                F.expr(f"(p_us - {ATTR_WINDOW_US}) div {ATTR_CELL_US}"),
-                F.expr(f"p_us div {ATTR_CELL_US}"),
-            )
-        ).alias("n")
+    sf_dir = str(tmp_path)
+    pq.write_table(tbl, f"{sf_dir}/events.parquet")
+
+    got = events_attribution(spark, sf_dir)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
     )
-    assert n_cells.filter(F.col("n") != 2).count() == 0
-    assert n_cells.count() > 0
+    compare(got, con, EVENTS_ATTRIBUTION_SQL)
 
 
 def test_stream_join_cells_cover_band_once(spark):

@@ -78,20 +78,24 @@ def main(argv: list[str]) -> int:
 
     timings: dict[str, float] = {}
 
-    from nzwirelessmap_fetch_spark.operators.dedup import (
-        _verified_jaccard_pairs,
-        _verified_simhash_pairs,
-    )
+    # attribute the memoized substrates as their own lines, but only
+    # when a consumer is actually being measured (the simhash build is
+    # ~9 min at sf1-Zipf — pure waste for a sim_*/events run)
+    if any(n.startswith("dedup_simhash") for n in names):
+        from nzwirelessmap_fetch_spark.operators.dedup import (
+            _verified_jaccard_pairs,
+            _verified_simhash_pairs,
+        )
 
-    spark.sparkContext.setJobDescription("shared_simhash_pair_build")
-    t0 = time.perf_counter()
-    _verified_simhash_pairs(spark, SF_DIR)
-    timings["shared_simhash_pair_build"] = round(time.perf_counter() - t0, 3)
-    # the quality eval's truth side
-    spark.sparkContext.setJobDescription("shared_jaccard_pair_build")
-    t0 = time.perf_counter()
-    _verified_jaccard_pairs(spark, SF_DIR)
-    timings["shared_jaccard_pair_build"] = round(time.perf_counter() - t0, 3)
+        spark.sparkContext.setJobDescription("shared_simhash_pair_build")
+        t0 = time.perf_counter()
+        _verified_simhash_pairs(spark, SF_DIR)
+        timings["shared_simhash_pair_build"] = round(time.perf_counter() - t0, 3)
+        # the quality eval's truth side
+        spark.sparkContext.setJobDescription("shared_jaccard_pair_build")
+        t0 = time.perf_counter()
+        _verified_jaccard_pairs(spark, SF_DIR)
+        timings["shared_jaccard_pair_build"] = round(time.perf_counter() - t0, 3)
 
     qs = registry.queries()
 
