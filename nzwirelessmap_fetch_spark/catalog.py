@@ -155,6 +155,41 @@ class Catalog:
             self._cache[name] = df
         return self._cache[name]
 
+    def table_parallel(self, name: str) -> DataFrame:
+        """``table(name)`` with scan parallelism matched to the machine
+        (r11, guide §6/§2.5: input-split parallelism for compute-heavy
+        scans).
+
+        The fixture tables are single-FILE, single-ROW-GROUP parquet,
+        so a scan is ONE effective task no matter how many byte-range
+        splits Spark plans — only the split containing the row-group
+        start yields rows. Operators that run expensive per-row or
+        per-pair work UPSTREAM of their first exchange (interpreted
+        array folds, per-word md5 folds, broadcast-join probe sides)
+        therefore serialize on one core. One round-robin repartition of
+        the (small) table unlocks the other cores.
+
+        Scale-adaptive, NOT a local[32] constant: the exchange is added
+        only when the file's natural split count
+        (bytes / maxPartitionBytes) cannot fill defaultParallelism — a
+        production multi-GB table already scans with more splits than
+        cores and takes NO exchange at all.
+        """
+        import os
+
+        df = self.table(name)
+        try:
+            nbytes = os.path.getsize(f"{self.sf_dir}/{name}.parquet")
+        except OSError:
+            return df
+        max_split = int(
+            self.spark.conf.get("spark.sql.files.maxPartitionBytes")
+        )
+        cores = self.spark.sparkContext.defaultParallelism
+        if -(-nbytes // max_split) < cores:
+            df = df.repartition(cores)
+        return df
+
     def _read_events(self) -> DataFrame:
         """events.ts unit differs by fixture generation: TIMESTAMP(NANOS)
         (which Spark's vectorized reader won't widen to TimestampType) or

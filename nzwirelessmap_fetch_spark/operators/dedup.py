@@ -595,7 +595,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     array carrying 32 accumulators) — a pure map with no explode and no
     shuffle, so at 100 TB this is scan-bound. An earlier explode-32-bits
     formulation shuffled |words|×32 rows and was ~40× slower at sf0.1."""
-    d = Catalog(spark, sf_dir).table("documents")
+    # r11: parallel scan — the per-word md5 fold is pure scan-side
+    # compute, and the single-row-group fixture files make that ONE
+    # task without it (see Catalog.table_parallel; no-op at scale)
+    d = Catalog(spark, sf_dir).table_parallel("documents")
     simhash = F.expr(
         """
         aggregate(
@@ -1201,12 +1204,25 @@ def _verified_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (the candidate build dedups before the radius filter,
     so consumers may drop their own .distinct() and ride this one).
 
-    Plan (unchanged from the pre-memo dedup_simhash_hamming body):
-    banding explode is map-side ×4; the candidate join is keyed by
-    (band, byte value) — 1024 distinct keys whose sizes are the
+    Plan: banding explode is map-side ×4; the candidate join is keyed
+    by (band, byte value) — 1024 distinct keys whose sizes are the
     collision classes; verification is row-local bit_count(XOR). The
     checkpoint stores |pairs|×24-byte rows (~1.9 GB at sf1-Zipf's
     78.8 M pairs) on executor storage — never the driver.
+
+    r11 build rework (guide §2.4 remove shuffles outright): the former
+    cross-band dedup was a ``.distinct()`` — one full Exchange + two
+    HashAggregates over the 100 M+-row candidate stream. But which
+    OTHER bands also match is row-locally computable from the two
+    signatures already on the row: band b is intact iff
+    ((sig_a XOR sig_b) >> 8b) & 255 = 0. Keeping a candidate only when
+    its join band is the SMALLEST intact band emits every pair exactly
+    once (pigeonhole guarantees ≥1 intact band for every true pair, so
+    nothing is lost) with zero wide shuffle — the join's own 1024-key
+    exchange is the only one left. The probe side is also the
+    parallel documents scan now (Catalog.table_parallel): before r11
+    the broadcast-join probe ran on the single-row-group scan's ONE
+    task, serializing the entire pair production.
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _SIMHASH_PAIRS_CACHE.get(key)
@@ -1236,17 +1252,27 @@ def _verified_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.byte").alias("byte"))
     a = bands.alias("a")
     b = bands.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    # smallest intact band of the pair: row-locally computable from the
+    # two signatures already on the row (band i intact ⟺ byte i of the
+    # XOR is zero). The join band is intact by construction, so this
+    # CASE always hits one of its arms for a joined row.
+    min_intact = F.when(xor.bitwiseAND(F.lit(255)) == 0, F.lit(0))
+    for i in range(1, 4):
+        min_intact = min_intact.when(
+            F.shiftright(xor, 8 * i).bitwiseAND(F.lit(255)) == 0, F.lit(i)
+        )
     cand = (
         a.join(b, ["band", "byte"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        # emit each pair from its SMALLEST intact band only: exactly-once
+        # without the former 100 M+-row .distinct() Exchange
+        .filter(F.col("band") == min_intact)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
-        .distinct()
     )
     pairs = (
         cand.filter(F.col("hamming") <= HAMMING_MAX)

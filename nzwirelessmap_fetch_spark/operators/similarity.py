@@ -19,8 +19,6 @@ planes without sharing code.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -268,16 +266,7 @@ def _emb_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     production multi-GB vector table already scans with more splits
     than cores and takes NO exchange at all.
     """
-    e = Catalog(spark, sf_dir).table("embeddings")
-    try:
-        nbytes = os.path.getsize(os.path.join(sf_dir, "embeddings.parquet"))
-    except OSError:
-        return e
-    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
-    cores = spark.sparkContext.defaultParallelism
-    if -(-nbytes // max_split) < cores:
-        e = e.repartition(cores)
-    return e
+    return Catalog(spark, sf_dir).table_parallel("embeddings")
 
 
 IVF_MIN_CELLS = 16

@@ -223,3 +223,38 @@ def test_simhash_pairs_ordered_and_bounded(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_simhash_min_intact_band_matches_bruteforce(spark):
+    """The r11 pair build emits each candidate from its SMALLEST intact
+    band instead of paying a .distinct() Exchange over the candidate
+    stream. Equivalence pin: the memoized pair set must equal the
+    brute-force all-pairs Hamming-≤3 set computed directly from the
+    signatures (quadratic — test-only, tiny fixture)."""
+    from pyspark.sql import functions as F
+
+    from nzwirelessmap_fetch_spark.operators.dedup import (
+        HAMMING_MAX,
+        _verified_simhash_pairs,
+        dedup_simhash,
+    )
+
+    sigs = dedup_simhash(spark, SF_SMOKE).select("doc_id", "simhash")
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+    built = _verified_simhash_pairs(spark, SF_SMOKE)
+    assert built.count() == truth.count() > 0
+    assert built.exceptAll(truth).count() == 0
+    assert truth.exceptAll(built).count() == 0
