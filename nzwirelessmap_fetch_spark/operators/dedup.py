@@ -1068,14 +1068,20 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id") < F.col("b.doc_id"),
         ],
     )
-    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+    # r11 (guide §1.2 per-task work): the bounded form — Spark's
+    # levenshtein(l, r, threshold) runs the banded DP (O(len·k) cells,
+    # early exit) and returns -1 past the bound, vs the full O(len²)
+    # table. For every kept row (distance ≤ EDIT_MAX_DISTANCE) the
+    # banded DP returns the exact distance, so `dist >= 0` selects the
+    # identical pair set with identical values as `dist <= max` did.
+    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"), EDIT_MAX_DISTANCE)
     return (
         pairs.select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             dist.cast("int").alias("edit_distance"),
         )
-        .filter(F.col("edit_distance") <= EDIT_MAX_DISTANCE)
+        .filter(F.col("edit_distance") >= 0)
     )
 
 

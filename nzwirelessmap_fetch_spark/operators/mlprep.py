@@ -182,12 +182,27 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus shingle keys). Plan: zero-shuffle row-local scan — tokens
     explode INSIDE the array fold, never into rows; at 100 TB this is
     pure map-side codegen.
+
+    r11 (guide §1.2 per-task work): the original expression filtered the
+    token array once PER BUCKET (``transform(sequence(0,15), k ->
+    size(filter(tokens, t -> md5-bucket(t) = k)))``) — HASH_DIM md5
+    evaluations per token. Rewritten as one bucket pass (md5 once per
+    token) folded into the count array with integer increments; counts
+    are identical by construction (same bucket value, same k order), and
+    a NULL-text guard reproduces the old per-element-NULL shape exactly.
+    The scan rides ``table_parallel`` — the md5 fold is pure scan-side
+    compute, serialized on ONE task by the single-row-group fixture
+    files (same class as the simhash signature pass).
     """
-    d = Catalog(spark, sf_dir).table("documents")
+    d = Catalog(spark, sf_dir).table_parallel("documents")
     bucket = f"CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % {HASH_DIM}"
     vec = f"""
-      transform(sequence(0, {HASH_DIM - 1}), k ->
-        CAST(size(filter(split(text, ' '), t -> ({bucket}) = k)) AS INT))
+      IF(text IS NULL,
+         transform(sequence(0, {HASH_DIM - 1}), k -> CAST(NULL AS INT)),
+         aggregate(
+           transform(split(text, ' '), t -> {bucket}),
+           array_repeat(0, {HASH_DIM}),
+           (acc, b) -> transform(acc, (x, i) -> IF(i = b, x + 1, x))))
     """
     return d.select(
         "doc_id",
