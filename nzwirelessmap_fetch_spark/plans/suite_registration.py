@@ -123,8 +123,11 @@ registry.register(
 registry.register("agg_rollup", _r.agg_rollup, _r.AGG_ROLLUP_SQL)
 from ..operators import mlprep as _ml_first  # noqa: E402
 
+# r11 rotation (second pass): the one-md5-per-token feature-hashing
+# rewrite takes the ML-prep slot; ml_quantile_binning re-registers
+# below the cut
 registry.register(
-    "ml_quantile_binning", _ml_first.ml_quantile_binning, _ml_first.ML_QUANTILE_BINNING_SQL
+    "ml_feature_hashing", _ml_first.ml_feature_hashing, _ml_first.ML_FEATURE_HASHING_SQL
 )
 
 # 17–20 — join family (semi, theta/range, skew-salted) + the
@@ -167,12 +170,11 @@ registry.register("text_udtf_tokens", _tx.text_udtf_tokens, _tx.TEXT_UDTF_TOKENS
 # driver-visible green rows cover the heaviest dedup machinery.
 registry.register("dedup_exact", _dd.dedup_exact, _dd.DEDUP_EXACT_SQL)
 registry.register("dedup_minhash_lsh", _dd.dedup_minhash_lsh, _dd.DEDUP_MINHASH_LSH_SQL)
-# r6 rotation: multi-pass SNM takes the window slot (dedup_simhash
-# re-registers below the cut; the simhash family keeps full-registry rows)
+# r6 rotation: multi-pass SNM took this slot; r11 second pass rotates
+# in the bounded-levenshtein edit-distance verifier (re-planned this
+# round — banded DP); dedup_snm_multipass re-registers below the cut
 registry.register(
-    "dedup_snm_multipass",
-    _dd.dedup_snm_multipass,
-    _dd.DEDUP_SNM_MULTIPASS_SQL,
+    "dedup_edit_distance", _dd.dedup_edit_distance, _dd.DEDUP_EDIT_DISTANCE_SQL
 )
 # r9 rotation: in-engine content adjudication of the output-explosive
 # simhash pair set (r8 verdict directive #4) takes the embedding-cosine
@@ -341,7 +343,13 @@ registry.register("events_retention", _ea.events_retention, _ea.EVENTS_RETENTION
 registry.register("agg_key_skew_profile", _r.agg_key_skew_profile, _r.AGG_KEY_SKEW_PROFILE_SQL)
 registry.register("window_percent_rank", _r.window_percent_rank, _r.WINDOW_PERCENT_RANK_SQL)
 registry.register("events_interval_coalesce", _ea.events_interval_coalesce, _ea.EVENTS_INTERVAL_COALESCE_SQL)
-registry.register("dedup_edit_distance", _dd.dedup_edit_distance, _dd.DEDUP_EDIT_DISTANCE_SQL)
+# r11 second-pass rotation: dedup_edit_distance moved into the driver
+# window; multi-pass SNM re-registers here (full-registry rows continue)
+registry.register(
+    "dedup_snm_multipass",
+    _dd.dedup_snm_multipass,
+    _dd.DEDUP_SNM_MULTIPASS_SQL,
+)
 registry.register("text_chunk_overlap", _pk.text_chunk_overlap, _pk.TEXT_CHUNK_OVERLAP_SQL)
 registry.register("graph_bfs_levels", _gr.graph_bfs_levels, _gr.GRAPH_BFS_LEVELS_SQL)
 registry.register("array_funcs", _r.array_funcs, _r.ARRAY_FUNCS_SQL)
@@ -983,8 +991,10 @@ registry.register(
 registry.register(
     "events_haar_energy", _ea.events_haar_energy, _ea.EVENTS_HAAR_ENERGY_SQL
 )
+# r11 second-pass rotation: ml_feature_hashing moved into the driver
+# window; quantile binning re-registers here (full-registry rows continue)
 registry.register(
-    "ml_feature_hashing", _ml.ml_feature_hashing, _ml.ML_FEATURE_HASHING_SQL
+    "ml_quantile_binning", _ml.ml_quantile_binning, _ml.ML_QUANTILE_BINNING_SQL
 )
 registry.register(
     "ml_standard_scaler", _ml.ml_standard_scaler, _ml.ML_STANDARD_SCALER_SQL
