@@ -182,8 +182,14 @@ class Catalog:
             nbytes = os.path.getsize(f"{self.sf_dir}/{name}.parquet")
         except OSError:
             return df
-        max_split = int(
-            self.spark.conf.get("spark.sql.files.maxPartitionBytes")
+        # r12 fix: a session the repo did NOT build (the driver harness
+        # uses its own) returns the conf in Spark's suffixed rendering
+        # ('134217728b'); plain int() raised and crashed every consumer.
+        max_split = parse_byte_string(
+            self.spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728"
+            ),
+            default=134217728,
         )
         cores = self.spark.sparkContext.defaultParallelism
         if -(-nbytes // max_split) < cores:
@@ -224,6 +230,41 @@ class Catalog:
     def register_views(self, names: tuple[str, ...] = TABLES) -> None:
         for name in names:
             self.table(name).createOrReplaceTempView(name)
+
+
+_BYTE_SUFFIXES = {
+    "": 1,
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+    "p": 1 << 50,
+    "pb": 1 << 50,
+}
+
+
+def parse_byte_string(value: object, default: int) -> int:
+    """Byte-size conf value -> int bytes, accepting Spark's suffixed
+    renderings ('134217728b', '128m', '1g'), mirroring
+    ``JavaUtils.byteStringAsBytes``. An unset/unparseable value falls
+    back to ``default`` instead of raising — conf parsing must never
+    take a query down on a session the repo didn't configure."""
+    import re
+
+    if value is None:
+        return default
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", str(value))
+    if not m:
+        return default
+    mult = _BYTE_SUFFIXES.get(m.group(2).lower())
+    if mult is None:
+        return default
+    return int(m.group(1)) * mult
 
 
 def parquet_ts_unit(path: str, column: str) -> str:

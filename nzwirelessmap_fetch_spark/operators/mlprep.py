@@ -179,9 +179,10 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bucket hash: first 8 hex chars of md5(token) as an unsigned int mod
     ``HASH_DIM`` — both engines derive it bit-identically (same idiom as
-    the corpus shingle keys). Plan: zero-shuffle row-local scan — tokens
-    explode INSIDE the array fold, never into rows; at 100 TB this is
-    pure map-side codegen.
+    the corpus shingle keys). Plan: row-local — tokens explode INSIDE
+    the array fold, never into rows; at 100 TB this is pure map-side
+    codegen after the scan (the only exchange is the small-fixture
+    round-robin that ``table_parallel`` may add, see the r11 note).
 
     r11 (guide §1.2 per-task work): the original expression filtered the
     token array once PER BUCKET (``transform(sequence(0,15), k ->
